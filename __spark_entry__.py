@@ -1,38 +1,1020 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` runs the flagship anomaly pipeline on sf0.001;
+``queries()`` exposes one callable per implemented operator from
+SURVEY.md §2 (+ §2.14 extensions); ``oracle_sql()`` gives the DuckDB
+equivalent for every SQL-expressible query.
+
+Determinism conventions (so the Spark result and the DuckDB oracle are
+hash-identical at sf0.01):
+
+- every computed double is ``round(x, 2/4/6)`` in BOTH engines, killing
+  last-ulp differences from different summation orders;
+- every integral output is cast to BIGINT in both engines (Spark's INT
+  vs DuckDB's BIGINT would otherwise mismatch on schema);
+- timestamps are emitted as 'yyyy-MM-dd HH:mm:ss' strings in both;
+- window ordering always carries the unique ``event_id`` as tiebreaker;
+- top-k queries rank on the ROUNDED score with an id tiebreaker;
+- the testdata has no nulls/duplicates, so null- and dup-exercising
+  queries synthesize them with the same modular-arithmetic expression
+  in both engines.
 """
 
 from __future__ import annotations
 
+import os
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from amonaly_detection_in_time_series_data_spark.sources.readers import load_table, normalize_columns
+from amonaly_detection_in_time_series_data_spark.functions.cleaning import (
+    REF_TIMESTAMP_FORMAT,
+    clean_numeric_de,
+    clean_numeric_ref,
+    parse_timestamp_ref,
+)
+from amonaly_detection_in_time_series_data_spark.functions.timefeat import time_feature_exprs
+from amonaly_detection_in_time_series_data_spark.functions.text import (
+    BPE_ISH_PATTERN,
+    LANG_STOPWORDS,
+    lang_id_expr,
+    punct_ratio,
+    sha_fingerprint,
+    token_count_regex,
+    tokenize,
+)
+from amonaly_detection_in_time_series_data_spark.functions.vectors import cosine_similarity
+from amonaly_detection_in_time_series_data_spark.operators.dedup import (
+    dedup_exact_text,
+    dedup_keep_positional,
+    dedup_mean,
+)
+from amonaly_detection_in_time_series_data_spark.operators.missing import (
+    bfill,
+    ffill,
+    fill_with_global,
+    fill_zero,
+)
+from amonaly_detection_in_time_series_data_spark.operators.features import (
+    add_lag_features,
+    add_rolling_features,
+)
+from amonaly_detection_in_time_series_data_spark.operators.scaling import minmax_scale
+from amonaly_detection_in_time_series_data_spark.operators.sequences import create_sequences
+from amonaly_detection_in_time_series_data_spark.operators.anomaly import rolling_zscore
+from amonaly_detection_in_time_series_data_spark.operators.relational import (
+    top_k_global,
+    top_k_per_group,
+)
+from amonaly_detection_in_time_series_data_spark.operators.similarity import (
+    minhash_lsh_pairs,
+    minhash_signatures,
+    shingles,
+    simhash64,
+)
+from amonaly_detection_in_time_series_data_spark.plans.pipeline import anomaly_pipeline
+
+SF_SMOKE = "/root/testdata/sf0.001"
+
+KEY = ["user_id"]
+ORDER = ["ts", "event_id"]
+
+
+def _ts_str(c) -> F.Column:
+    return F.date_format(c, "yyyy-MM-dd HH:mm:ss")
+
+
+def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return load_table(spark, sf_dir, "events")
+
+
+def _with_null_value(df: DataFrame) -> DataFrame:
+    """Deterministic synthetic nulls: every 7th event's value is NULL.
+    Oracle mirror: CASE WHEN event_id % 7 = 0 THEN NULL ELSE value END."""
+    return df.withColumn(
+        "value_n",
+        F.when(F.col("event_id") % 7 == 0, F.lit(None)).otherwise(F.col("value")),
+    )
+
+
+def _with_dups(df: DataFrame) -> DataFrame:
+    """Deterministic synthetic duplicates: every 5th event re-appears with a
+    later arrival id (+1e6), value+100, event_type 'dup'. Oracle mirror is
+    the same UNION ALL."""
+    dup = df.filter(F.col("event_id") % 5 == 0).select(
+        (F.col("event_id") + 1000000).alias("event_id"),
+        "ts",
+        "user_id",
+        F.lit("dup").alias("event_type"),
+        (F.col("value") + 100).alias("value"),
+        "props",
+    )
+    return df.select("event_id", "ts", "user_id", "event_type", "value", "props").unionByName(dup)
+
+
+_DUP_CTE = """
+unioned AS (
+  SELECT event_id, ts, user_id, event_type, value, props FROM events
+  UNION ALL
+  SELECT event_id + 1000000, ts, user_id, 'dup', value + 100, props
+  FROM events WHERE event_id % 5 = 0
+)
+"""
+
+
+# ---------------------------------------------------------------------------
+# flagship
+# ---------------------------------------------------------------------------
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: full anomaly pipeline (clean -> dedup -> ffill -> time/lag/
+    rolling features -> 3-sigma rolling z-score flags) on sf0.001 events."""
+    return anomaly_pipeline(spark, SF_SMOKE)
+
+
+# ---------------------------------------------------------------------------
+# queries — ML3-lite anomaly + cleaning (C1, C2)
+# ---------------------------------------------------------------------------
+
+
+def q_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _events(spark, sf_dir)
+    scored = rolling_zscore(ev, "value", 24, KEY, ORDER, threshold=3.0)
+    return scored.select(
+        "event_id",
+        "user_id",
+        _ts_str("ts").alias("ts"),
+        "value",
+        F.round("value_roll_mean", 6).alias("roll_mean"),
+        F.round("value_roll_std", 6).alias("roll_std"),
+        F.round("value_zscore", 6).alias("zscore"),
+        F.col("is_anomaly").cast("bigint").alias("is_anomaly"),
+    )
+
+
+def q_timestamp_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # C1: round-trip through the reference's string format, with a
+    # deterministic unparseable marker exercising the coerce fallback.
+    ev = _events(spark, sf_dir)
+    raw = F.when(F.col("event_id") % 97 == 0, F.lit("??")).otherwise(
+        F.date_format("ts", REF_TIMESTAMP_FORMAT)
+    )
+    parsed = parse_timestamp_ref(raw)
+    return ev.select(
+        "event_id",
+        raw.alias("raw"),
+        _ts_str(parsed).alias("parsed"),
+    )
+
+
+def q_numeric_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # C2: German-formatted numeric strings synthesized from value, cleaned
+    # with both the bug-compatible and the corrected operator.
+    ev = _events(spark, sf_dir)
+    comma = F.regexp_replace(F.format_string("%.2f", F.col("value")), r"\.", ",")
+    raw = (
+        F.when(F.col("event_id") % 11 == 0, F.lit("-"))
+        .when(F.col("event_id") % 7 == 0, F.concat(F.lit("1."), comma))
+        .otherwise(comma)
+    )
+    return ev.select(
+        "event_id",
+        raw.alias("raw"),
+        clean_numeric_ref(raw).alias("clean_ref"),
+        clean_numeric_de(raw).alias("clean_de"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# queries — dedup (O3, O4) and missing values (M1-M8)
+# ---------------------------------------------------------------------------
+
+
+def q_dedup_first(spark: SparkSession, sf_dir: str) -> DataFrame:
+    unioned = _with_dups(_events(spark, sf_dir))
+    out = dedup_keep_positional(unioned, ["user_id", "ts"], arrival_col="event_id")
+    return out.select(
+        "event_id", "user_id", _ts_str("ts").alias("ts"), "event_type", "value"
+    )
+
+
+def q_dedup_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    unioned = _with_dups(_events(spark, sf_dir)).select(
+        "user_id", "ts", "value", "event_type", "event_id"
+    )
+    out = dedup_mean(unioned, ["user_id", "ts"], arrival_col="event_id")
+    return out.select(
+        "user_id",
+        _ts_str("ts").alias("ts"),
+        F.round("value", 6).alias("value_mean"),
+        F.col("event_type").alias("event_type_first"),
+    )
+
+
+def q_ffill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _with_null_value(_events(spark, sf_dir))
+    filled = ffill(ev, ["value_n"], KEY, ORDER)
+    filled = fill_zero(filled, ["value_n"])  # M7 residual fill
+    return filled.select(
+        "event_id", "user_id", _ts_str("ts").alias("ts"),
+        F.col("value_n").alias("value_filled"),
+    )
+
+
+def q_bfill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _with_null_value(_events(spark, sf_dir))
+    filled = bfill(ev, ["value_n"], KEY, ORDER)
+    return filled.select(
+        "event_id", "user_id", _ts_str("ts").alias("ts"),
+        F.col("value_n").alias("value_filled"),
+    )
+
+
+def q_fill_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _with_null_value(_events(spark, sf_dir))
+    filled = fill_with_global(ev, ["value_n"], strategy="mean")
+    return filled.select(
+        "event_id", F.round("value_n", 6).alias("value_filled")
+    )
+
+
+def q_fill_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _with_null_value(_events(spark, sf_dir))
+    filled = fill_with_global(ev, ["value_n"], strategy="median")
+    return filled.select(
+        "event_id", F.round("value_n", 6).alias("value_filled")
+    )
+
+
+def q_dropna_any(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _with_null_value(_events(spark, sf_dir)).withColumn(
+        "props_n",
+        F.when(F.col("event_id") % 13 == 0, F.lit(None)).otherwise(F.col("props")),
+    )
+    out = ev.na.drop(how="any", subset=["value_n", "props_n"])
+    return out.select("event_id", "user_id", "value_n", "props_n")
+
+
+# ---------------------------------------------------------------------------
+# queries — feature engineering (F1-F4)
+# ---------------------------------------------------------------------------
+
+
+def q_time_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _events(spark, sf_dir)
+    feats = time_feature_exprs("ts")
+    return ev.select(
+        "event_id",
+        *[v.cast("bigint").alias(k) for k, v in feats.items()],
+    )
+
+
+def q_lag_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _events(spark, sf_dir)
+    out = add_lag_features(ev, "value", [1, 2, 3, 24], KEY, ORDER)
+    return out.select(
+        "event_id", "user_id", _ts_str("ts").alias("ts"), "value",
+        "value_lag_1", "value_lag_2", "value_lag_3", "value_lag_24",
+    )
+
+
+def q_rolling_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _events(spark, sf_dir)
+    out = add_rolling_features(
+        ev, "value", [3, 24], ["mean", "std", "min", "max"], KEY, ORDER
+    )
+    cols = [
+        f"value_roll_{a}_{w}h" for w in (3, 24) for a in ("mean", "std", "min", "max")
+    ]
+    return out.select(
+        "event_id",
+        "user_id",
+        *[F.round(c, 6).alias(c) for c in cols],
+    )
+
+
+def q_minmax_scale(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _events(spark, sf_dir)
+    out = minmax_scale(ev, ["value"])
+    return out.select("event_id", F.round("value", 6).alias("value_scaled"))
+
+
+def q_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # F5 — nested 3-D output; rows-only check (no oracle).
+    ev = _events(spark, sf_dir)
+    out = create_sequences(ev, ["value"], 24, KEY, ORDER)
+    return out.select(
+        "user_id",
+        _ts_str("seq_start_ts").alias("seq_start_ts"),
+        "seq",
+        F.size("seq").cast("bigint").alias("seq_len"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# queries — relational capability (§2.7-§2.10)
+# ---------------------------------------------------------------------------
+
+
+def q_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    disc = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(F.sum(disc), 2).alias("sum_disc_price"),
+            F.round(F.sum(disc * (1 + F.col("l_tax"))), 2).alias("sum_charge"),
+            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
+            F.round(F.avg("l_extendedprice"), 4).alias("avg_price"),
+            F.round(F.avg("l_discount"), 4).alias("avg_disc"),
+            F.count("*").alias("count_order"),
+        )
+    )
+
+
+def _revenue_joined(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    nation = load_table(spark, sf_dir, "nation")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+    )
+
+
+def q_revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        _revenue_joined(spark, sf_dir)
+        .groupBy("n_name")
+        .agg(
+            F.round(F.sum(rev), 2).alias("revenue"),
+            F.count("*").alias("n_items"),
+        )
+    )
+
+
+def q_top_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    per_cust = (
+        _revenue_joined(spark, sf_dir)
+        .groupBy("c_custkey", "c_name")
+        .agg(F.round(F.sum(rev), 2).alias("revenue"))
+    )
+    return top_k_global(
+        per_cust, [F.col("revenue").desc(), F.col("c_custkey").asc()], 10
+    )
+
+
+def q_rollup_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    region = load_table(spark, sf_dir, "region")
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    joined = _revenue_joined(spark, sf_dir).join(
+        F.broadcast(region), F.col("n_regionkey") == F.col("r_regionkey")
+    )
+    return joined.rollup("r_name", "n_name").agg(
+        F.round(F.sum(rev), 2).alias("revenue")
+    )
+
+
+def q_orders_no_recent_lineitems(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # left ANTI join: orders with no lineitem shipped after 2000-01-01
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") > F.lit("2000-01-01").cast("timestamp")
+    )
+    out = orders.join(li, orders.o_orderkey == li.l_orderkey, "left_anti")
+    return out.select("o_orderkey", "o_totalprice")
+
+
+def q_customers_with_big_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # left SEMI join: customers having >= 1 order over 300k
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_totalprice") > 300000
+    )
+    out = cust.join(orders, cust.c_custkey == orders.o_custkey, "left_semi")
+    return out.select("c_custkey", "c_name", "c_mktsegment")
+
+
+def q_filter_predicate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _events(spark, sf_dir)
+    out = ev.filter((F.col("event_type") == "error") & (F.col("value") > 50))
+    return out.select("event_id", "user_id", _ts_str("ts").alias("ts"), "value")
+
+
+def q_project_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.select(
+        "l_orderkey", F.col("l_linenumber").cast("bigint").alias("l_linenumber"),
+        "l_quantity",
+    )
+
+
+def q_set_op_except(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _events(spark, sf_dir)
+    err = ev.filter(F.col("event_type") == "error").select("user_id")
+    buy = ev.filter(F.col("event_type") == "purchase").select("user_id")
+    return err.subtract(buy)  # EXCEPT (distinct)
+
+
+def q_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _events(spark, sf_dir)
+    out = top_k_per_group(
+        ev,
+        ["event_type"],
+        [F.col("value").desc(), F.col("event_id").asc()],
+        3,
+    )
+    return out.select(
+        "event_type", "event_id", "value", F.col("rank").cast("bigint").alias("rank")
+    )
+
+
+def q_events_hourly_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # time-bucket join: each event joined to its hour's aggregate
+    ev = _events(spark, sf_dir)
+    hourly = (
+        ev.groupBy(F.date_trunc("hour", "ts").alias("h"))
+        .agg(
+            F.round(F.avg("value"), 6).alias("hour_avg"),
+            F.count("*").alias("hour_n"),
+        )
+    )
+    out = ev.join(hourly, F.date_trunc("hour", ev.ts) == hourly.h)
+    return out.select(
+        "event_id", _ts_str("ts").alias("ts"), "value", "hour_avg", "hour_n"
+    )
+
+
+def q_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _events(spark, sf_dir)
+    return ev.select(
+        "event_id",
+        F.get_json_object("props", "$.k").cast("bigint").alias("k_val"),
+    )
+
+
+def q_column_cleanup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # P1 demo: dirty headers -> normalized (rows-only; names are the point)
+    ev = _events(spark, sf_dir).select("event_id", "value")
+    dirty = ev.toDF(" event_id ", "  value")
+    return normalize_columns(dirty)
+
+
+# ---------------------------------------------------------------------------
+# queries — LLM-pipeline extensions (§2.14): dedup, text, similarity
+# ---------------------------------------------------------------------------
+
+
+def _docs_with_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    dup = docs.filter(F.col("doc_id") % 10 == 0).withColumn(
+        "doc_id", F.col("doc_id") + 10000
+    )
+    return docs.unionByName(dup)
+
+
+_DOC_DUP_CTE = """
+docs AS (
+  SELECT * FROM documents
+  UNION ALL
+  SELECT doc_id + 10000, text, lang, source, n_chars FROM documents WHERE doc_id % 10 = 0
+)
+"""
+
+
+def q_doc_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    out = dedup_exact_text(_docs_with_dups(spark, sf_dir), "text", "doc_id")
+    return out.select("doc_id", "text", "lang", "source", "n_chars")
+
+
+def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select("doc_id", sha_fingerprint("text").alias("fingerprint"))
+
+
+def q_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(F.explode(tokenize("text")).alias("token"))
+    counted = toks.groupBy("token").agg(F.count("*").alias("cnt"))
+    return top_k_global(counted, [F.col("cnt").desc(), F.col("token").asc()], 20)
+
+
+def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    toks = tokenize("text")
+    stops = LANG_STOPWORDS["en"]
+    stop_hits = F.size(F.filter(toks, lambda t: t.isin(*stops)))
+    return docs.select(
+        "doc_id",
+        F.length("text").cast("bigint").alias("n_chars_calc"),
+        F.size(toks).cast("bigint").alias("n_tokens"),
+        token_count_regex("text").cast("bigint").alias("bpe_tokens"),
+        F.round(punct_ratio("text"), 4).alias("punct_ratio"),
+        F.round(stop_hits / F.nullif(F.size(toks), F.lit(0)), 4).alias(
+            "stopword_ratio_en"
+        ),
+    )
+
+
+def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select("doc_id", "lang", lang_id_expr("text").alias("lang_pred"))
+
+
+def q_embedding_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("__qvec")
+    )
+    sim = F.round(cosine_similarity(F.col("embedding"), F.col("__qvec")), 4)
+    scored = (
+        emb.crossJoin(F.broadcast(q))
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            sim.alias("cosine"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 5)
+        .withColumn("rank", F.col("rank").cast("bigint"))
+    )
+
+
+def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    sh = docs.select("doc_id", "source", shingles("text", 3).alias("grams"))
+    a = sh.select(
+        F.col("doc_id").alias("id_a"), "source", F.col("grams").alias("g_a")
+    )
+    b = sh.select(
+        F.col("doc_id").alias("id_b"),
+        F.col("source").alias("source_b"),
+        F.col("grams").alias("g_b"),
+    )
+    pairs = a.join(b, (a.source == b.source_b) & (a.id_a < b.id_b))
+    inter = F.size(F.array_intersect("g_a", "g_b")).cast("double")
+    union = F.size(F.array_union("g_a", "g_b")).cast("double")
+    return pairs.select(
+        "id_a",
+        "id_b",
+        F.round(inter / F.nullif(union, F.lit(0.0)), 4).alias("jaccard"),
+    )
+
+
+def q_multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # opaque-binary plumbing: byte length + content hash of the payload
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        F.octet_length("text").cast("bigint").alias("byte_len"),
+        F.sha2(F.col("text"), 256).alias("content_hash"),
+    )
+
+
+# --- rows-only (not SQL-expressible): LSH / SimHash / sequences ------------
+
+
+def q_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs_with_dups(spark, sf_dir)
+    sigs = minhash_signatures(docs, "text", "doc_id", n_hashes=16, shingle_n=3)
+    return minhash_lsh_pairs(sigs, n_bands=4, id_col="doc_id")
+
+
+def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return simhash64(docs, "text", "doc_id")
+
+
+# ---------------------------------------------------------------------------
+# contract
+# ---------------------------------------------------------------------------
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        "anomaly_zscore": q_anomaly_zscore,
+        "timestamp_parse": q_timestamp_parse,
+        "numeric_clean": q_numeric_clean,
+        "dedup_first": q_dedup_first,
+        "dedup_mean": q_dedup_mean,
+        "ffill": q_ffill,
+        "bfill": q_bfill,
+        "fill_mean": q_fill_mean,
+        "fill_median": q_fill_median,
+        "dropna_any": q_dropna_any,
+        "time_features": q_time_features,
+        "lag_features": q_lag_features,
+        "rolling_features": q_rolling_features,
+        "minmax_scale": q_minmax_scale,
+        "sequences": q_sequences,
+        "pricing_summary": q_pricing_summary,
+        "revenue_by_nation": q_revenue_by_nation,
+        "top_customers": q_top_customers,
+        "rollup_revenue": q_rollup_revenue,
+        "orders_no_recent_lineitems": q_orders_no_recent_lineitems,
+        "customers_with_big_orders": q_customers_with_big_orders,
+        "filter_predicate": q_filter_predicate,
+        "project_columns": q_project_columns,
+        "set_op_except": q_set_op_except,
+        "topk_per_group": q_topk_per_group,
+        "events_hourly_join": q_events_hourly_join,
+        "json_extract": q_json_extract,
+        "column_cleanup": q_column_cleanup,
+        "doc_dedup_exact": q_doc_dedup_exact,
+        "doc_fingerprint": q_doc_fingerprint,
+        "token_counts": q_token_counts,
+        "text_quality": q_text_quality,
+        "lang_id": q_lang_id,
+        "embedding_knn": q_embedding_knn,
+        "ngram_jaccard": q_ngram_jaccard,
+        "multimodal_meta": q_multimodal_meta,
+        "minhash_pairs": q_minhash_pairs,
+        "simhash": q_simhash,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    fmt = "%Y-%m-%d %H:%M:%S"
+    ref_fmt = "%b %d, %Y %I:%M %p"
+    value_n = "CASE WHEN event_id % 7 = 0 THEN NULL ELSE value END"
+    toks = "list_filter(string_split_regex(lower(trim(text)), '\\s+'), t -> t <> '')"
+    grams = (
+        f"list_distinct(list_transform(range(1, greatest(len({toks}) - 2, 1) + 1), "
+        f"i -> array_to_string(list_slice({toks}, i, i + 2), ' ')))"
+    )
+    sql: dict[str, str] = {}
+
+    sql["anomaly_zscore"] = f"""
+WITH scored AS (
+  SELECT event_id, user_id, ts, value,
+         avg(value) OVER w AS m,
+         stddev_samp(value) OVER w AS s
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN 24 PRECEDING AND 1 PRECEDING)
+)
+SELECT event_id, user_id, strftime(ts, '{fmt}') AS ts, value,
+       round(m, 6) AS roll_mean,
+       round(s, 6) AS roll_std,
+       round((value - m) / nullif(s, 0), 6) AS zscore,
+       CAST(coalesce(abs((value - m) / nullif(s, 0)) > 3.0, false) AS BIGINT) AS is_anomaly
+FROM scored
+"""
+
+    sql["timestamp_parse"] = f"""
+WITH raws AS (
+  SELECT event_id,
+         CASE WHEN event_id % 97 = 0 THEN '??' ELSE strftime(ts, '{ref_fmt}') END AS raw
+  FROM events
+)
+SELECT event_id, raw,
+       strftime(coalesce(try_strptime(raw, '{ref_fmt}'), TRY_CAST(raw AS TIMESTAMP)), '{fmt}') AS parsed
+FROM raws
+"""
+
+    sql["numeric_clean"] = r"""
+WITH raws AS (
+  SELECT event_id,
+         CASE WHEN event_id % 11 = 0 THEN '-'
+              WHEN event_id % 7 = 0 THEN '1.' || replace(printf('%.2f', value), '.', ',')
+              ELSE replace(printf('%.2f', value), '.', ',') END AS raw
+  FROM events
+)
+SELECT event_id, raw,
+       TRY_CAST(regexp_replace(regexp_replace(regexp_replace(raw, ',', '.', 'g'),
+                '[^0-9.]', '', 'g'), '(\.\d*)\.', '\1', 'g') AS DOUBLE) AS clean_ref,
+       TRY_CAST(replace(replace(trim(raw), '.', ''), ',', '.') AS DOUBLE) AS clean_de
+FROM raws
+"""
+
+    sql["dedup_first"] = f"""
+WITH {_DUP_CTE.strip()}
+SELECT event_id, user_id, strftime(ts, '{fmt}') AS ts, event_type, value
+FROM (
+  SELECT *, row_number() OVER (PARTITION BY user_id, ts ORDER BY event_id) AS rn
+  FROM unioned
+) WHERE rn = 1
+"""
+
+    sql["dedup_mean"] = f"""
+WITH {_DUP_CTE.strip()}
+SELECT user_id, strftime(ts, '{fmt}') AS ts,
+       round(avg(value), 6) AS value_mean,
+       arg_min(event_type, event_id) AS event_type_first
+FROM unioned
+GROUP BY user_id, ts
+"""
+
+    sql["ffill"] = f"""
+SELECT event_id, user_id, strftime(ts, '{fmt}') AS ts,
+       coalesce(
+         last_value({value_n} IGNORE NULLS) OVER (
+           PARTITION BY user_id ORDER BY ts, event_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 0) AS value_filled
+FROM events
+"""
+
+    sql["bfill"] = f"""
+SELECT event_id, user_id, strftime(ts, '{fmt}') AS ts,
+       first_value({value_n} IGNORE NULLS) OVER (
+         PARTITION BY user_id ORDER BY ts, event_id
+         ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS value_filled
+FROM events
+"""
+
+    sql["fill_mean"] = f"""
+SELECT event_id,
+       round(coalesce({value_n}, (SELECT avg({value_n}) FROM events)), 6) AS value_filled
+FROM events
+"""
+
+    sql["fill_median"] = f"""
+SELECT event_id,
+       round(coalesce({value_n}, (SELECT median({value_n}) FROM events)), 6) AS value_filled
+FROM events
+"""
+
+    sql["dropna_any"] = f"""
+SELECT event_id, user_id,
+       {value_n} AS value_n,
+       CASE WHEN event_id % 13 = 0 THEN NULL ELSE props END AS props_n
+FROM events
+WHERE {value_n} IS NOT NULL
+  AND (CASE WHEN event_id % 13 = 0 THEN NULL ELSE props END) IS NOT NULL
+"""
+
+    sql["time_features"] = """
+SELECT event_id,
+       CAST(hour(ts) AS BIGINT) AS hour,
+       CAST(isodow(ts) - 1 AS BIGINT) AS dayofweek,
+       CAST(day(ts) AS BIGINT) AS dayofmonth,
+       CAST(dayofyear(ts) AS BIGINT) AS dayofyear,
+       CAST(month(ts) AS BIGINT) AS month,
+       CAST(year(ts) AS BIGINT) AS year,
+       CAST(quarter(ts) AS BIGINT) AS quarter,
+       CAST(week(ts) AS BIGINT) AS weekofyear,
+       CAST(isodow(ts) - 1 >= 5 AS BIGINT) AS is_weekend
+FROM events
+"""
+
+    sql["lag_features"] = f"""
+SELECT event_id, user_id, strftime(ts, '{fmt}') AS ts, value,
+       lag(value, 1) OVER w AS value_lag_1,
+       lag(value, 2) OVER w AS value_lag_2,
+       lag(value, 3) OVER w AS value_lag_3,
+       lag(value, 24) OVER w AS value_lag_24
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+"""
+
+    roll_cols = ",\n       ".join(
+        f"round({agg}(value) OVER (PARTITION BY user_id ORDER BY ts, event_id "
+        f"ROWS BETWEEN {w} PRECEDING AND 1 PRECEDING), 6) AS value_roll_{name}_{w}h"
+        for w in (3, 24)
+        for name, agg in (
+            ("mean", "avg"),
+            ("std", "stddev_samp"),
+            ("min", "min"),
+            ("max", "max"),
+        )
+    )
+    sql["rolling_features"] = f"""
+SELECT event_id, user_id,
+       {roll_cols}
+FROM events
+"""
+
+    sql["minmax_scale"] = """
+SELECT event_id,
+       round(CASE WHEN mx = mn THEN 0.0 ELSE (value - mn) / (mx - mn) END, 6) AS value_scaled
+FROM events, (SELECT min(value) AS mn, max(value) AS mx FROM events)
+"""
+
+    sql["pricing_summary"] = """
+SELECT l_returnflag, l_linestatus,
+       round(sum(l_quantity), 2) AS sum_qty,
+       round(sum(l_extendedprice), 2) AS sum_base_price,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+       round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS sum_charge,
+       round(avg(l_quantity), 4) AS avg_qty,
+       round(avg(l_extendedprice), 4) AS avg_price,
+       round(avg(l_discount), 4) AS avg_disc,
+       count(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+GROUP BY l_returnflag, l_linestatus
+"""
+
+    sql["revenue_by_nation"] = """
+SELECT n_name,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+       count(*) AS n_items
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation ON c_nationkey = n_nationkey
+GROUP BY n_name
+"""
+
+    sql["top_customers"] = """
+SELECT c_custkey, c_name, revenue FROM (
+  SELECT c_custkey, c_name,
+         round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+  FROM lineitem
+  JOIN orders ON l_orderkey = o_orderkey
+  JOIN customer ON o_custkey = c_custkey
+  GROUP BY c_custkey, c_name
+)
+ORDER BY revenue DESC, c_custkey
+LIMIT 10
+"""
+
+    sql["rollup_revenue"] = """
+SELECT r_name, n_name,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation ON c_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+GROUP BY ROLLUP(r_name, n_name)
+"""
+
+    sql["orders_no_recent_lineitems"] = """
+SELECT o_orderkey, o_totalprice
+FROM orders
+WHERE NOT EXISTS (
+  SELECT 1 FROM lineitem
+  WHERE l_orderkey = o_orderkey AND l_shipdate > TIMESTAMP '2000-01-01'
+)
+"""
+
+    sql["customers_with_big_orders"] = """
+SELECT c_custkey, c_name, c_mktsegment
+FROM customer
+WHERE EXISTS (
+  SELECT 1 FROM orders
+  WHERE o_custkey = c_custkey AND o_totalprice > 300000
+)
+"""
+
+    sql["filter_predicate"] = f"""
+SELECT event_id, user_id, strftime(ts, '{fmt}') AS ts, value
+FROM events
+WHERE event_type = 'error' AND value > 50
+"""
+
+    sql["project_columns"] = """
+SELECT l_orderkey, CAST(l_linenumber AS BIGINT) AS l_linenumber, l_quantity
+FROM lineitem
+"""
+
+    sql["set_op_except"] = """
+SELECT user_id FROM events WHERE event_type = 'error'
+EXCEPT
+SELECT user_id FROM events WHERE event_type = 'purchase'
+"""
+
+    sql["topk_per_group"] = """
+SELECT event_type, event_id, value, CAST(rn AS BIGINT) AS rank FROM (
+  SELECT event_type, event_id, value,
+         row_number() OVER (PARTITION BY event_type ORDER BY value DESC, event_id) AS rn
+  FROM events
+) WHERE rn <= 3
+"""
+
+    sql["events_hourly_join"] = f"""
+WITH hourly AS (
+  SELECT date_trunc('hour', ts) AS h,
+         round(avg(value), 6) AS hour_avg,
+         count(*) AS hour_n
+  FROM events GROUP BY 1
+)
+SELECT event_id, strftime(e.ts, '{fmt}') AS ts, value, hour_avg, hour_n
+FROM events e JOIN hourly ON date_trunc('hour', e.ts) = hourly.h
+"""
+
+    sql["json_extract"] = """
+SELECT event_id, TRY_CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_val
+FROM events
+"""
+
+    sql["doc_dedup_exact"] = f"""
+WITH {_DOC_DUP_CTE.strip()}
+SELECT arg_min(doc_id, doc_id) AS doc_id, text,
+       arg_min(lang, doc_id) AS lang,
+       arg_min(source, doc_id) AS source,
+       arg_min(n_chars, doc_id) AS n_chars
+FROM docs
+GROUP BY text
+"""
+
+    sql["doc_fingerprint"] = r"""
+SELECT doc_id,
+       sha256(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fingerprint
+FROM documents
+"""
+
+    sql["token_counts"] = f"""
+SELECT token, count(*) AS cnt
+FROM (SELECT unnest({toks}) AS token FROM documents)
+GROUP BY token
+ORDER BY cnt DESC, token
+LIMIT 20
+"""
+
+    stop_list = ", ".join(f"'{s}'" for s in LANG_STOPWORDS["en"])
+    sql["text_quality"] = f"""
+SELECT doc_id,
+       CAST(length(text) AS BIGINT) AS n_chars_calc,
+       CAST(len({toks}) AS BIGINT) AS n_tokens,
+       CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')) AS BIGINT) AS bpe_tokens,
+       round(length(regexp_replace(text, '[A-Za-z0-9\\s]', '', 'g')) /
+             nullif(length(text), 0), 4) AS punct_ratio,
+       round(len(list_filter({toks}, t -> t IN ({stop_list}))) /
+             nullif(len({toks}), 0), 4) AS stopword_ratio_en
+FROM documents
+"""
+
+    lang_hits = ",\n       ".join(
+        f"len(list_filter({toks}, t -> t IN ("
+        + ", ".join(f"'{s}'" for s in stops)
+        + f"))) AS hits_{lang}"
+        for lang, stops in sorted(LANG_STOPWORDS.items())
+    )
+    langs_sorted = sorted(LANG_STOPWORDS)
+    best_case = " ".join(
+        f"WHEN hits_{lang} = m THEN '{lang}'" for lang in langs_sorted
+    )
+    max_expr = "greatest(" + ", ".join(f"hits_{lang}" for lang in langs_sorted) + ")"
+    sql["lang_id"] = f"""
+WITH scored AS (
+  SELECT doc_id, lang,
+       {lang_hits}
+  FROM documents
+)
+SELECT doc_id, lang,
+       CASE {best_case} END AS lang_pred
+FROM (SELECT *, {max_expr} AS m FROM scored)
+"""
+
+    sql["embedding_knn"] = """
+WITH q AS (
+  SELECT vec_id AS qid, embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id < 10
+),
+c AS (
+  SELECT vec_id AS cid, embedding::DOUBLE[] AS cv FROM embeddings
+),
+scored AS (
+  SELECT qid AS query_id, cid AS neighbor_id,
+         round(
+           list_sum(list_transform(range(1, len(cv) + 1), i -> cv[i] * qv[i])) /
+           nullif(sqrt(list_sum(list_transform(range(1, len(cv) + 1), i -> cv[i] * cv[i]))) *
+                  sqrt(list_sum(list_transform(range(1, len(qv) + 1), i -> qv[i] * qv[i]))), 0),
+           4) AS cosine
+  FROM c, q
+  WHERE cid <> qid
+)
+SELECT query_id, neighbor_id, cosine, CAST(rn AS BIGINT) AS rank FROM (
+  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rn
+  FROM scored
+) WHERE rn <= 5
+"""
+
+    sql["ngram_jaccard"] = f"""
+WITH sh AS (
+  SELECT doc_id, source, {grams} AS grams FROM documents
+)
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       round(len(list_intersect(a.grams, b.grams)) /
+             nullif(CAST(len(a.grams) + len(b.grams) - len(list_intersect(a.grams, b.grams)) AS DOUBLE), 0),
+             4) AS jaccard
+FROM sh a JOIN sh b ON a.source = b.source AND a.doc_id < b.doc_id
+"""
+
+    sql["multimodal_meta"] = """
+SELECT doc_id,
+       CAST(octet_length(encode(text)) AS BIGINT) AS byte_len,
+       sha256(text) AS content_hash
+FROM documents
+"""
+
+    # rows-only (nested arrays / Spark-side hashing): sequences,
+    # column_cleanup, minhash_pairs, simhash — intentionally omitted.
+    return sql

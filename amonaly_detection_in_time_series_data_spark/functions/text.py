@@ -1,0 +1,95 @@
+"""Text-analysis column functions (SURVEY.md §2.14 extension surface).
+
+Everything here is a pure Catalyst expression (regexp/split/aggregate) —
+no Python UDFs — so text scoring over a 100 TB ``documents`` table stays
+inside whole-stage codegen and scales linearly with input splits.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# Tiny per-language stopword lists for the n-gram/stopword language-ID
+# heuristic. Deliberately small and deterministic so the same logic is
+# SQL-expressible for the oracle check.
+LANG_STOPWORDS: dict[str, tuple[str, ...]] = {
+    "en": ("the", "a", "of", "and", "to"),
+    "es": ("el", "la", "de", "y", "que"),
+    "fr": ("le", "la", "et", "les", "des"),
+    "de": ("der", "die", "und", "das", "ist"),
+    "zh": ("de", "shi", "le", "bu", "wo"),
+}
+
+# BPE-ish tokenizer regex: words, numbers, or single non-space symbols —
+# a public approximation of byte-pair pre-tokenization.
+BPE_ISH_PATTERN = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
+
+
+def tokenize(text: Column | str, lowercase: bool = True) -> Column:
+    """Whitespace tokenization -> array<string>, empties removed."""
+    c = F.col(text) if isinstance(text, str) else text
+    if lowercase:
+        c = F.lower(c)
+    arr = F.split(F.trim(c), r"\s+")
+    return F.filter(arr, lambda t: t != F.lit(""))
+
+
+def token_count_regex(text: Column | str, pattern: str = BPE_ISH_PATTERN) -> Column:
+    """Approximate LLM-token count: number of BPE-ish pre-token matches."""
+    c = F.col(text) if isinstance(text, str) else text
+    return F.size(F.regexp_extract_all(c, F.lit(pattern), F.lit(0)))
+
+
+def punct_ratio(text: Column | str) -> Column:
+    """Fraction of characters that are not alphanumeric/space."""
+    c = F.col(text) if isinstance(text, str) else text
+    stripped = F.regexp_replace(c, r"[A-Za-z0-9\s]", "")
+    return F.length(stripped) / F.nullif(F.length(c), F.lit(0))
+
+
+def stopword_ratio(tokens: Column, lang: str = "en") -> Column:
+    """Fraction of tokens in the language's stopword list."""
+    stops = LANG_STOPWORDS[lang]
+    hits = F.size(F.filter(tokens, lambda t: t.isin(*stops)))
+    return hits / F.nullif(F.size(tokens), F.lit(0))
+
+
+def sha_fingerprint(text: Column | str) -> Column:
+    """Document fingerprint: sha256 of whitespace-normalized lowercase text.
+
+    The canonical exact-dup key (content-defined; stable across engines).
+    """
+    c = F.col(text) if isinstance(text, str) else text
+    normalized = F.regexp_replace(F.lower(F.trim(c)), r"\s+", " ")
+    return F.sha2(normalized, 256)
+
+
+def lang_id_expr(text: Column | str) -> Column:
+    """Stopword-vote language ID: argmax of per-language stopword hits,
+    ties broken by language code order. Returns the language code.
+
+    Expressed with map/filter/sort over an array of (hits, lang) structs —
+    pure Catalyst, no UDF, oracle-expressible in SQL.
+    """
+    toks = tokenize(text)
+
+    def hits(stops: tuple[str, ...]) -> Column:
+        # single-parameter lambda: a second parameter would be interpreted
+        # by Spark as the array-index argument of filter()
+        return F.size(F.filter(toks, lambda t: t.isin(*stops)))
+
+    scored = F.array(
+        *[
+            F.struct(hits(stops).alias("hits"), F.lit(lang).alias("lang"))
+            for lang, stops in sorted(LANG_STOPWORDS.items())
+        ]
+    )
+    # max by (hits desc, lang asc): sort ascending by (-hits, lang), take first
+    best = F.array_sort(
+        scored,
+        lambda a, b: F.when(a["hits"] != b["hits"], b["hits"] - a["hits"]).otherwise(
+            F.when(a["lang"] < b["lang"], F.lit(-1)).otherwise(F.lit(1))
+        ),
+    )[0]
+    return best["lang"]

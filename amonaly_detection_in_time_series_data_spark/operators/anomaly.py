@@ -1,0 +1,131 @@
+"""Anomaly detection (SURVEY.md §2.12 ML3).
+
+The reference SPECIFIES detection but never implements it: score new data
+with the trained LSTM autoencoder, flag sequences whose reconstruction
+error exceeds ``ANOMALY_THRESHOLD = 3.0`` (reference main.py:223-231,
+config.py:21 — a 3-sigma style constant).
+
+The engine ships three tiers:
+
+1. :func:`rolling_zscore` — model-free 3-sigma on rolling statistics
+   (F3 outputs). Pure window expressions, SQL-expressible, the flagship
+   correctness query.
+2. :func:`global_zscore_flags` — standardize any error/score column
+   globally and flag ``|z| > threshold`` (the exact contract the
+   reference's spec describes, applied to a reconstruction-error column).
+3. :func:`pca_reconstruction_error` — a distributed autoencoder stand-in:
+   MLlib PCA projects features to k dims and back; squared reconstruction
+   error per row. Deterministic, trainable at 100 TB (PCA fit is one
+   tree-aggregated Gramian pass), same "reconstruction error" contract as
+   the LSTM-AE. A torch LSTM-AE can drop into the same scoring slot via an
+   Arrow-batched pandas UDF (plans.pipeline.score_with_model).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def rolling_zscore(
+    df: DataFrame,
+    target: str,
+    window_rows: int,
+    key_cols: Sequence[str],
+    order_cols: Sequence[str],
+    threshold: float = 3.0,
+    prefix: str | None = None,
+) -> DataFrame:
+    """Rolling z-score anomaly flags over the past ``window_rows`` rows.
+
+    Frame is [t-w, t-1] (current row excluded — the reference's
+    anti-leakage convention, src/preprocessing.py:251-255). Rows with an
+    undefined score (empty/1-row frame or zero variance) are NOT anomalies
+    (flag 0), matching "can't score" != "anomalous".
+    """
+    p = prefix or target
+    w = (
+        Window.partitionBy(*key_cols)
+        .orderBy(*[F.col(c).asc() for c in order_cols])
+        .rowsBetween(-window_rows, -1)
+    )
+    mean = F.avg(target).over(w)
+    std = F.stddev_samp(target).over(w)
+    z = (F.col(target) - mean) / F.nullif(std, F.lit(0.0))
+    return df.withColumns(
+        {
+            f"{p}_roll_mean": mean,
+            f"{p}_roll_std": std,
+            f"{p}_zscore": z,
+            "is_anomaly": F.coalesce(
+                (F.abs(z) > F.lit(threshold)).cast("int"), F.lit(0)
+            ),
+        }
+    )
+
+
+def global_zscore_flags(
+    df: DataFrame, score_col: str, threshold: float = 3.0
+) -> DataFrame:
+    """Standardize ``score_col`` against its global mean/std and flag
+    ``|z| > threshold`` (reference spec main.py:223-231 with the 3.0
+    constant from config.py:21).
+
+    Stats via one aggregate + broadcast — no global window partition.
+    """
+    stats = df.agg(
+        F.avg(score_col).alias("__mu"), F.stddev_samp(score_col).alias("__sigma")
+    )
+    z = (F.col(score_col) - F.col("__mu")) / F.nullif(F.col("__sigma"), F.lit(0.0))
+    return (
+        df.crossJoin(F.broadcast(stats))
+        .withColumn(f"{score_col}_z", z)
+        .withColumn(
+            "is_anomaly",
+            F.coalesce(
+                (F.abs(F.col(f"{score_col}_z")) > F.lit(threshold)).cast("int"),
+                F.lit(0),
+            ),
+        )
+        .drop("__mu", "__sigma")
+    )
+
+
+def pca_reconstruction_error(
+    df: DataFrame,
+    feature_cols: Sequence[str],
+    k: int = 2,
+    error_col: str = "recon_error",
+):
+    """Reconstruction-error scoring with MLlib PCA (autoencoder stand-in).
+
+    Returns (scored_df, pca_model). Error = ||x_centered - P P^T
+    x_centered||^2 computed as a Catalyst expression over the projected
+    vector — the only vector op outside codegen is the PCA transform
+    itself.
+    """
+    from pyspark.ml.feature import PCA, VectorAssembler
+    from pyspark.ml.functions import vector_to_array
+
+    assembler = VectorAssembler(inputCols=list(feature_cols), outputCol="__x")
+    assembled = assembler.transform(df)
+    pca = PCA(k=k, inputCol="__x", outputCol="__proj").fit(assembled)
+    out = pca.transform(assembled)
+
+    # reconstruct: x_hat = mean + V @ proj ; error = sum((x - x_hat)^2)
+    pc_rows = pca.pc.toArray().tolist()  # p x k principal components
+    mean = pca.mean.toArray().tolist() if hasattr(pca, "mean") else None
+    x = vector_to_array(F.col("__x"))
+    proj = vector_to_array(F.col("__proj"))
+    err = F.lit(0.0)
+    for i, row in enumerate(pc_rows):
+        recon_i = sum(
+            (F.lit(float(row[j])) * proj[j] for j in range(len(row))), F.lit(0.0)
+        )
+        base = F.lit(float(mean[i])) if mean is not None else F.lit(0.0)
+        diff = x[i] - base - recon_i
+        err = err + diff * diff
+    out = out.withColumn(error_col, err).drop("__x", "__proj")
+    return out, pca

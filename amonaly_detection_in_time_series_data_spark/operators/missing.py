@@ -1,0 +1,103 @@
+"""Missing-value operators M1-M8 (SURVEY.md §2.5).
+
+Reference: ``handle_missing_values`` (src/preprocessing.py:125-173)
+dispatches a per-column strategy; the residual whole-frame ``fillna(0)``
+(:170-171) and the post-feature ``dropna`` (main.py:149-153) complete the
+surface.
+
+Scale notes: ffill/bfill are window functions over the series key — they
+share the engine-wide ``(series, ts)`` exchange with lag/rolling features
+(one shuffle for the whole feature stage). Global mean/median fills avoid
+an all-rows-to-one-partition window (``over ()`` would serialize 100 TB
+through a single task): the scalar is computed with a normal aggregate
+(map-side partials) and attached with a broadcast cross-join of the 1-row
+stats frame.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def _series_window(key_cols: Sequence[str], order_cols: Sequence[str]) -> Window:
+    return Window.partitionBy(*key_cols).orderBy(*[F.col(c).asc() for c in order_cols])
+
+
+def ffill(
+    df: DataFrame,
+    cols: Sequence[str],
+    key_cols: Sequence[str],
+    order_cols: Sequence[str],
+) -> DataFrame:
+    """M1: per-series forward fill in time order.
+
+    Reference: src/preprocessing.py:145-146 (``df[col].ffill()``).
+    ``last(ignorenulls)`` over an unbounded-preceding row frame.
+    """
+    w = _series_window(key_cols, order_cols).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    return df.withColumns(
+        {c: F.last(F.col(c), ignorenulls=True).over(w) for c in cols}
+    )
+
+
+def bfill(
+    df: DataFrame,
+    cols: Sequence[str],
+    key_cols: Sequence[str],
+    order_cols: Sequence[str],
+) -> DataFrame:
+    """M2: per-series backward fill (src/preprocessing.py:147-148)."""
+    w = _series_window(key_cols, order_cols).rowsBetween(
+        Window.currentRow, Window.unboundedFollowing
+    )
+    return df.withColumns(
+        {c: F.first(F.col(c), ignorenulls=True).over(w) for c in cols}
+    )
+
+
+def fill_with_global(
+    df: DataFrame,
+    cols: Sequence[str],
+    strategy: str = "mean",
+) -> DataFrame:
+    """M3/M4: fill nulls with the column's global mean or exact median.
+
+    Reference: src/preprocessing.py:149-156. pandas ``median()`` is the
+    exact interpolated median -> Spark ``median`` (exact, Spark>=3.4);
+    swap in ``percentile_approx`` at extreme scale if approximation is
+    acceptable.
+
+    Implementation: one aggregate job producing a single stats row, then a
+    broadcast cross-join + coalesce — never a global window.
+    """
+    agg = {"mean": F.avg, "median": F.median}[strategy]
+    stats = df.agg(*[agg(F.col(c)).alias(f"__stat_{c}") for c in cols])
+    out = df.crossJoin(F.broadcast(stats))
+    out = out.withColumns(
+        {c: F.coalesce(F.col(c), F.col(f"__stat_{c}")) for c in cols}
+    )
+    return out.drop(*[f"__stat_{c}" for c in cols])
+
+
+def fill_zero(df: DataFrame, cols: Sequence[str] | None = None) -> DataFrame:
+    """M5 + M7: fill nulls with 0 (per-column strategy, and the residual
+    whole-frame ``fillna(0)`` after ffill — reference
+    src/preprocessing.py:157-159, 170-171).
+
+    Bug-compat note (M7): the reference's residual fill also stuffs the
+    literal 0 into *non-numeric* columns. ``na.fill(0)`` only touches
+    numeric columns; callers wanting bug-parity pass string columns through
+    ``na.fill("0", subset)`` explicitly.
+    """
+    return df.na.fill(0, subset=list(cols) if cols else None)
+
+
+def drop_nulls(df: DataFrame, cols: Sequence[str] | None = None) -> DataFrame:
+    """M6/M8: drop rows with nulls — per-column (M6,
+    src/preprocessing.py:160-163) or any-column (M8, main.py:149-153)."""
+    return df.na.drop(how="any", subset=list(cols) if cols else None)

@@ -1,0 +1,50 @@
+"""Relational capability operators (SURVEY.md §2.7-§2.10).
+
+The reference implements no joins, limits, top-k, or set ops; these are
+Spark built-ins, and this module exists to pin down the engine's preferred
+PHYSICAL strategies so the declared capability queries demonstrate them:
+
+- dimension joins (nation/region/customer at testdata scale) broadcast —
+  no shuffle of the fact side;
+- top-k is ``row_number`` over a window, which Spark rewrites into a
+  per-partition group-limit before the exchange (rank pushdown) — never a
+  global sort + limit of the full table;
+- grouped aggregates rely on partial (map-side) aggregation.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def join_dim(
+    fact: DataFrame, dim: DataFrame, on, how: str = "inner", hint: str = "broadcast"
+) -> DataFrame:
+    """Fact-to-dimension join; dimensions broadcast by default."""
+    d = F.broadcast(dim) if hint == "broadcast" else dim
+    return fact.join(d, on, how)
+
+
+def top_k_per_group(
+    df: DataFrame,
+    group_cols: Sequence[str],
+    order_exprs: Sequence,
+    k: int,
+    rank_col: str = "rank",
+) -> DataFrame:
+    """Deterministic top-k per group via row_number (callers include a
+    unique tiebreaker in ``order_exprs``)."""
+    w = Window.partitionBy(*group_cols).orderBy(*order_exprs)
+    return (
+        df.withColumn(rank_col, F.row_number().over(w))
+        .filter(F.col(rank_col) <= k)
+    )
+
+
+def top_k_global(df: DataFrame, order_exprs: Sequence, k: int) -> DataFrame:
+    """Global top-k: orderBy + limit — Spark plans TakeOrderedAndProject,
+    a per-partition heap + driver merge, never a full sort."""
+    return df.orderBy(*order_exprs).limit(k)

@@ -1,0 +1,10 @@
+from .readers import load_csv, load_table, normalize_columns, stamp_arrival_order
+from .writers import write_parquet
+
+__all__ = [
+    "load_csv",
+    "load_table",
+    "normalize_columns",
+    "stamp_arrival_order",
+    "write_parquet",
+]

@@ -1,0 +1,136 @@
+"""Structured Streaming tier (SURVEY.md §2.11 — none in the reference;
+the batch operators are naturally incremental per key, so the engine
+exposes streaming variants).
+
+- :func:`replay_events_stream` — replays an events parquet directory as a
+  file stream (the standard backfill/replay harness; in production the
+  source would be Kafka/files landing continuously).
+- :func:`streaming_windowed_stats` — watermarked sliding-window mean/std
+  per user: the streaming analogue of the F3 rolling aggregates, with
+  late data beyond the watermark dropped (watermark-discard semantics —
+  the batch reference has no late-data concept).
+- :func:`streaming_zscore_flags` — stateful per-user anomaly flags via
+  ``applyInPandasWithState``: keeps the last N values per user and emits
+  a z-score flag per event — the exact rolling-zscore contract, online.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def replay_events_stream(
+    spark: SparkSession, sf_dir: str, max_files_per_trigger: int = 1
+) -> DataFrame:
+    """Read the events parquet directory as a bounded file stream."""
+    schema = spark.read.parquet(os.path.join(sf_dir, "events.parquet")).schema
+    return (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .parquet(os.path.join(sf_dir, "events.parquet"))
+        .withColumn("ts", F.col("ts").cast("timestamp"))
+    )
+
+
+def streaming_windowed_stats(
+    events: DataFrame,
+    window: str = "24 hours",
+    slide: str = "1 hour",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Sliding-window per-user value stats with event-time watermarking."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window, slide).alias("win"), F.col("user_id"))
+        .agg(
+            F.avg("value").alias("mean_value"),
+            F.stddev_samp("value").alias("std_value"),
+            F.count("*").alias("n"),
+        )
+        .select(
+            F.col("win.start").alias("window_start"),
+            F.col("win.end").alias("window_end"),
+            "user_id",
+            "mean_value",
+            "std_value",
+            "n",
+        )
+    )
+
+
+def streaming_zscore_flags(
+    events: DataFrame,
+    window_rows: int = 24,
+    threshold: float = 3.0,
+    timeout_minutes: int = 60,
+) -> DataFrame:
+    """Online rolling z-score per user via per-key state.
+
+    State = the last ``window_rows`` values per user (a bounded deque);
+    each incoming batch is scored against the state *then* appended —
+    reproducing the batch past-only frame [t-w, t-1] when events arrive
+    in order. The Arrow-batched ``applyInPandasWithState`` keeps Python
+    work vectorized per key-batch.
+    """
+    import pandas as pd  # noqa: F401 (used inside the state fn)
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    out_schema = (
+        "user_id bigint, event_id bigint, ts timestamp, value double, "
+        "zscore double, is_anomaly int"
+    )
+    state_schema = "values array<double>"
+
+    def score(key, pdf_iter, state):
+        import math
+
+        import pandas as pd
+
+        (user_id,) = key
+        buf = list(state.get[0]) if state.exists else []
+        rows = []
+        for pdf in pdf_iter:
+            pdf = pdf.sort_values(["ts", "event_id"])
+            for _, r in pdf.iterrows():
+                hist = buf[-window_rows:]
+                n = len(hist)
+                if n >= 2:
+                    mu = sum(hist) / n
+                    var = sum((x - mu) ** 2 for x in hist) / (n - 1)
+                    sd = math.sqrt(var)
+                    z = (r["value"] - mu) / sd if sd > 0 else None
+                else:
+                    z = None
+                rows.append(
+                    (
+                        user_id,
+                        int(r["event_id"]),
+                        r["ts"],
+                        float(r["value"]) if r["value"] is not None else None,
+                        z,
+                        int(z is not None and abs(z) > threshold),
+                    )
+                )
+                if r["value"] is not None:
+                    buf.append(float(r["value"]))
+        state.update((buf[-window_rows:],))
+        state.setTimeoutDuration(timeout_minutes * 60 * 1000)
+        yield pd.DataFrame(
+            rows,
+            columns=["user_id", "event_id", "ts", "value", "zscore", "is_anomaly"],
+        )
+
+    return (
+        events.withWatermark("ts", "2 hours")
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            score,
+            outputStructType=out_schema,
+            stateStructType=state_schema,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.ProcessingTimeTimeout,
+        )
+    )

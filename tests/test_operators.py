@@ -1,0 +1,180 @@
+"""Operator-level tests beyond the oracle pairs: property-based checks
+(SURVEY.md §5.2 item 4), similarity/LSH self-consistency, PCA anomaly
+tier, and plan-shape assertions (scale discipline).
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from amonaly_detection_in_time_series_data_spark.operators.similarity import (
+    cosine_topk,
+    lsh_cosine_topk,
+    minhash_lsh_pairs,
+    minhash_signatures,
+    ngram_jaccard_pairs,
+    simhash64,
+)
+from amonaly_detection_in_time_series_data_spark.operators.anomaly import (
+    global_zscore_flags,
+    pca_reconstruction_error,
+)
+from amonaly_detection_in_time_series_data_spark.operators.features import bucketed_rolling
+from amonaly_detection_in_time_series_data_spark.sources.readers import load_csv, load_table
+
+
+class TestSimilarity:
+    def test_minhash_lsh_finds_exact_dups(self, spark, sf_dir):
+        docs = load_table(spark, sf_dir, "documents")
+        dup = docs.filter(F.col("doc_id") % 10 == 0).withColumn(
+            "doc_id", F.col("doc_id") + 10000
+        )
+        unioned = docs.unionByName(dup)
+        sigs = minhash_signatures(unioned, "text", "doc_id", n_hashes=16)
+        pairs = minhash_lsh_pairs(sigs, n_bands=4).collect()
+        found = {(r["id_a"], r["id_b"]) for r in pairs}
+        expected = {
+            (r["doc_id"], r["doc_id"] + 10000)
+            for r in docs.filter(F.col("doc_id") % 10 == 0).select("doc_id").collect()
+        }
+        # exact duplicates have identical signatures -> must be candidates
+        assert expected <= found
+        # and their estimated jaccard is 1.0
+        est = {(r["id_a"], r["id_b"]): r["jaccard_est"] for r in pairs}
+        assert all(est[p] == 1.0 for p in expected)
+
+    def test_lsh_topk_vs_brute_force_self_hit(self, spark, sf_dir):
+        emb = load_table(spark, sf_dir, "embeddings")
+        queries = emb.filter(F.col("vec_id") < 5)
+        bf = cosine_topk(emb, queries, k=3).collect()
+        assert len(bf) == 15
+        # brute force: each query's neighbors sorted by cosine desc
+        for r in bf:
+            assert -1.0001 <= r["cosine"] <= 1.0001
+        lsh = lsh_cosine_topk(emb, queries, k=3, dim=64, n_planes=4).collect()
+        # LSH returns a subset ranked within buckets; every query that has
+        # bucket-mates yields <= k rows
+        per_q = {}
+        for r in lsh:
+            per_q.setdefault(r["query_id"], []).append(r)
+        assert all(len(v) <= 3 for v in per_q.values())
+
+    def test_simhash_identical_docs_equal(self, spark):
+        df = spark.createDataFrame(
+            [(1, "the quick brown fox"), (2, "the quick brown fox"), (3, "totally different words here")],
+            "doc_id long, text string",
+        )
+        out = {r["doc_id"]: r["simhash"] for r in simhash64(df).collect()}
+        assert out[1] == out[2]
+        assert out[1] != out[3]
+
+    def test_ngram_jaccard_exact(self, spark):
+        docs = spark.createDataFrame(
+            [(1, "a b c d e"), (2, "a b c d e"), (3, "x y z w v")],
+            "doc_id long, text string",
+        )
+        cand = spark.createDataFrame([(1, 2), (1, 3)], "id_a long, id_b long")
+        out = {(r["id_a"], r["id_b"]): r["jaccard"] for r in ngram_jaccard_pairs(docs, cand).collect()}
+        assert out[(1, 2)] == 1.0
+        assert out[(1, 3)] == 0.0
+
+
+class TestAnomalyTiers:
+    def test_global_zscore_flags(self, spark):
+        vals = [float(v) for v in [10, 11, 9, 10, 11, 10, 9, 10, 100]]
+        df = spark.createDataFrame([(i, v) for i, v in enumerate(vals)], "i int, err double")
+        out = global_zscore_flags(df, "err", threshold=2.0).orderBy("i").collect()
+        assert out[-1]["is_anomaly"] == 1
+        assert all(r["is_anomaly"] == 0 for r in out[:-1])
+
+    def test_pca_reconstruction_error_flags_outlier(self, spark):
+        # points on a line + one far off it: the off-line point has the
+        # largest reconstruction error under k=1 PCA
+        import numpy as np
+
+        rng = np.random.RandomState(0)
+        t = rng.uniform(-1, 1, 50)
+        rows = [(int(i), float(x), float(2 * x)) for i, x in enumerate(t)]
+        rows.append((50, 0.0, 5.0))
+        df = spark.createDataFrame(rows, "i int, x double, y double")
+        scored, model = pca_reconstruction_error(df, ["x", "y"], k=1)
+        top = scored.orderBy(F.col("recon_error").desc()).first()
+        assert top["i"] == 50
+
+
+class TestBucketedRolling:
+    def test_matches_single_partition_window(self, spark):
+        # key-less series parallelization must equal the single-window result
+        rows = [
+            (i, (pd.Timestamp("2024-01-01") + pd.Timedelta(hours=6 * i)).to_pydatetime(), float(i % 17))
+            for i in range(400)
+        ]
+        df = spark.createDataFrame(rows, "pos long, ts timestamp, value double")
+        bucketed = bucketed_rolling(
+            df, "value", 24, ["mean"], ["ts", "pos"], bucket="30 days"
+        )
+        from pyspark.sql import Window
+
+        w = Window.orderBy("ts", "pos").rowsBetween(-24, -1)
+        expected = df.withColumn("exp", F.avg("value").over(w))
+        joined = bucketed.join(expected.select("pos", "exp"), "pos").collect()
+        assert len(joined) == 400
+        for r in joined:
+            a, b = r["value_roll_mean_24h"], r["exp"]
+            if b is None:
+                assert a is None
+            else:
+                assert a == pytest.approx(b, rel=1e-9)
+
+
+class TestSources:
+    def test_missing_csv_returns_empty(self, spark):
+        df = load_csv(spark, "/tmp/definitely_missing_9a8b7c.csv")
+        assert df.count() == 0
+
+    def test_csv_roundtrip_with_header_cleanup(self, spark, tmp_path):
+        p = tmp_path / "smard.csv"
+        p.write_text(
+            "Start date; value col ;note\n"
+            "Apr 01, 2016 12:00 AM;1.234,5;x\n"
+            "Apr 01, 2016 01:00 AM;-;y\n"
+        )
+        df = load_csv(spark, str(p))
+        assert df.columns == ["Start date", "value col", "note"]
+        assert df.count() == 2
+
+
+class TestPlanShape:
+    """Scale discipline: assert the physical plans we rely on at 100 TB."""
+
+    def test_filter_and_projection_pushdown(self, spark, sf_dir):
+        df = (
+            load_table(spark, sf_dir, "lineitem")
+            .filter(F.col("l_quantity") > 40)
+            .select("l_orderkey", "l_quantity")
+        )
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "PushedFilters: [" in plan and "GreaterThan(l_quantity" in plan
+        assert "ReadSchema" in plan
+        # only the two needed columns are read
+        assert "l_extendedprice" not in plan.split("ReadSchema")[1][:200]
+
+    def test_dim_join_is_broadcast(self, spark, sf_dir):
+        nation = load_table(spark, sf_dir, "nation")
+        cust = load_table(spark, sf_dir, "customer")
+        df = cust.join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "BroadcastHashJoin" in plan
+
+    def test_feature_stage_single_shuffle(self, spark, sf_dir):
+        """All window features share partitionBy(user_id) -> exactly one
+        exchange in the whole feature stage (SURVEY §4.2)."""
+        from amonaly_detection_in_time_series_data_spark.operators.features import featurize
+
+        ev = load_table(spark, sf_dir, "events")
+        feats = featurize(ev, "value", ["user_id"], ["ts", "event_id"])
+        plan = feats._jdf.queryExecution().executedPlan().toString()
+        n_exchanges = plan.count("Exchange hashpartitioning")
+        assert n_exchanges == 1, f"expected 1 shuffle, got {n_exchanges}:\n{plan[:2000]}"
