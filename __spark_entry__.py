@@ -74,6 +74,11 @@ from amonaly_detection_in_time_series_data_spark.operators.similarity import (
     shingles,
     simhash64,
 )
+from amonaly_detection_in_time_series_data_spark.operators.timeseries import (
+    asof_join,
+    resample_grid,
+    sessionize,
+)
 from amonaly_detection_in_time_series_data_spark.plans.pipeline import anomaly_pipeline
 
 SF_SMOKE = "/root/testdata/sf0.001"
@@ -587,6 +592,115 @@ def q_multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------------
+# queries — time-series relational extensions (sessionize / as-of / resample)
+# ---------------------------------------------------------------------------
+
+
+def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _events(spark, sf_dir)
+    out = sessionize(
+        ev, ["user_id"], "ts", gap="30 minutes", order_tiebreak=["event_id"]
+    )
+    return out.select(
+        "event_id", "user_id", _ts_str("ts").alias("ts"), "session_id"
+    )
+
+
+def q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # for each event, the user's latest order at-or-before the event time
+    # (user_id maps to o_custkey - 1 in the synthetic star schema)
+    ev = _events(spark, sf_dir)
+    orders = load_table(spark, sf_dir, "orders").select(
+        (F.col("o_custkey") - 1).alias("user_id"),
+        "o_orderdate",
+        "o_orderkey",
+        "o_totalprice",
+    )
+    # deterministic: one right row per (user, ts) — keep max o_orderkey
+    right = orders.groupBy("user_id", "o_orderdate").agg(
+        F.max_by("o_orderkey", "o_orderkey").alias("o_orderkey"),
+        F.max_by("o_totalprice", "o_orderkey").alias("o_totalprice"),
+    )
+    out = asof_join(
+        ev.select("event_id", "user_id", "ts"),
+        right,
+        ["user_id"],
+        "ts",
+        "o_orderdate",
+        ["o_orderkey", "o_totalprice"],
+    )
+    return out.select(
+        "event_id", "user_id", _ts_str("ts").alias("ts"),
+        "o_orderkey", "o_totalprice",
+    )
+
+
+def q_resample_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _events(spark, sf_dir)
+    out = resample_grid(
+        ev, ["user_id"], "ts", ["value"], step="1 hour", agg="avg", fill="ffill"
+    )
+    return out.select(
+        "user_id",
+        _ts_str("bucket_ts").alias("bucket_ts"),
+        F.round("value", 6).alias("value"),
+    )
+
+
+def q_ranking_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _events(spark, sf_dir)
+    w_ties = Window.partitionBy("event_type").orderBy(F.col("value").desc())
+    w_total = Window.partitionBy("event_type").orderBy(
+        F.col("value").desc(), F.col("event_id").asc()
+    )
+    return ev.select(
+        "event_id",
+        "event_type",
+        "value",
+        F.rank().over(w_ties).cast("bigint").alias("rnk"),
+        F.dense_rank().over(w_ties).cast("bigint").alias("drnk"),
+        F.ntile(4).over(w_total).cast("bigint").alias("tile"),
+        F.lead("value").over(w_total).alias("next_value"),
+    )
+
+
+def q_cube_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    joined = orders.join(cust, orders.o_custkey == cust.c_custkey)
+    return joined.cube("c_mktsegment", "o_orderpriority").agg(
+        F.round(F.sum("o_totalprice"), 2).alias("total"),
+        F.count("*").alias("n_orders"),
+    )
+
+
+def q_distinct_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _events(spark, sf_dir)
+    return ev.groupBy("event_type").agg(
+        F.countDistinct("user_id").alias("n_users"),
+        F.count("*").alias("n_events"),
+        F.round(F.sum("value"), 2).alias("total_value"),
+    )
+
+
+def q_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # real mapInPandas decode plumbing over opaque binary payloads; the
+    # decode kernel is the deterministic stub (see sources.multimodal),
+    # which is exactly what makes this oracle-checkable.
+    from amonaly_detection_in_time_series_data_spark.sources.multimodal import (
+        decode_media,
+        with_binary_payload,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    media = with_binary_payload(docs, "text", modality="image")
+    decoded = decode_media(media)
+    return decoded.select(
+        "doc_id", "width", "height", "n_channels", "byte_len", "sha256"
+    )
+
+
 # --- rows-only (not SQL-expressible): LSH / SimHash / sequences ------------
 
 
@@ -635,6 +749,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "topk_per_group": q_topk_per_group,
         "events_hourly_join": q_events_hourly_join,
         "json_extract": q_json_extract,
+        "sessionize": q_sessionize,
+        "asof_join": q_asof_join,
+        "resample_hourly": q_resample_hourly,
+        "ranking_functions": q_ranking_functions,
+        "cube_revenue": q_cube_revenue,
+        "distinct_agg": q_distinct_agg,
         "column_cleanup": q_column_cleanup,
         "doc_dedup_exact": q_doc_dedup_exact,
         "doc_fingerprint": q_doc_fingerprint,
@@ -644,6 +764,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_knn": q_embedding_knn,
         "ngram_jaccard": q_ngram_jaccard,
         "multimodal_meta": q_multimodal_meta,
+        "multimodal_decode": q_multimodal_decode,
         "minhash_pairs": q_minhash_pairs,
         "simhash": q_simhash,
     }
@@ -915,6 +1036,74 @@ SELECT event_id, TRY_CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_val
 FROM events
 """
 
+    sql["sessionize"] = f"""
+SELECT event_id, user_id, strftime(ts, '{fmt}') AS ts,
+       CAST(sum(CASE WHEN prev_ts IS NULL OR ts - prev_ts > INTERVAL 30 MINUTE
+                     THEN 1 ELSE 0 END)
+            OVER (PARTITION BY user_id ORDER BY ts, event_id
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
+FROM (
+  SELECT *, lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+  FROM events
+)
+"""
+
+    sql["asof_join"] = f"""
+WITH r AS (
+  SELECT o_custkey - 1 AS user_id, o_orderdate,
+         arg_max(o_orderkey, o_orderkey) AS o_orderkey,
+         arg_max(o_totalprice, o_orderkey) AS o_totalprice
+  FROM orders GROUP BY 1, 2
+)
+SELECT e.event_id, e.user_id, strftime(e.ts, '{fmt}') AS ts,
+       r.o_orderkey, r.o_totalprice
+FROM events e ASOF LEFT JOIN r
+  ON e.user_id = r.user_id AND e.ts >= r.o_orderdate
+"""
+
+    sql["resample_hourly"] = f"""
+WITH b AS (
+  SELECT user_id, date_trunc('hour', ts) AS bucket_ts, avg(value) AS value
+  FROM events GROUP BY 1, 2
+),
+spans AS (SELECT user_id, min(bucket_ts) AS lo, max(bucket_ts) AS hi FROM b GROUP BY 1),
+grid AS (
+  SELECT user_id, unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS bucket_ts
+  FROM spans
+)
+SELECT g.user_id, strftime(g.bucket_ts, '{fmt}') AS bucket_ts,
+       round(last_value(b.value IGNORE NULLS) OVER (
+         PARTITION BY g.user_id ORDER BY g.bucket_ts
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 6) AS value
+FROM grid g LEFT JOIN b ON g.user_id = b.user_id AND g.bucket_ts = b.bucket_ts
+"""
+
+    sql["ranking_functions"] = """
+SELECT event_id, event_type, value,
+       CAST(rank() OVER (PARTITION BY event_type ORDER BY value DESC) AS BIGINT) AS rnk,
+       CAST(dense_rank() OVER (PARTITION BY event_type ORDER BY value DESC) AS BIGINT) AS drnk,
+       CAST(ntile(4) OVER (PARTITION BY event_type ORDER BY value DESC, event_id) AS BIGINT) AS tile,
+       lead(value) OVER (PARTITION BY event_type ORDER BY value DESC, event_id) AS next_value
+FROM events
+"""
+
+    sql["cube_revenue"] = """
+SELECT c_mktsegment, o_orderpriority,
+       round(sum(o_totalprice), 2) AS total,
+       count(*) AS n_orders
+FROM orders JOIN customer ON o_custkey = c_custkey
+GROUP BY CUBE(c_mktsegment, o_orderpriority)
+"""
+
+    sql["distinct_agg"] = """
+SELECT event_type,
+       count(DISTINCT user_id) AS n_users,
+       count(*) AS n_events,
+       round(sum(value), 2) AS total_value
+FROM events
+GROUP BY event_type
+"""
+
     sql["doc_dedup_exact"] = f"""
 WITH {_DOC_DUP_CTE.strip()}
 SELECT arg_min(doc_id, doc_id) AS doc_id, text,
@@ -1012,6 +1201,16 @@ FROM sh a JOIN sh b ON a.source = b.source AND a.doc_id < b.doc_id
 SELECT doc_id,
        CAST(octet_length(encode(text)) AS BIGINT) AS byte_len,
        sha256(text) AS content_hash
+FROM documents
+"""
+
+    sql["multimodal_decode"] = """
+SELECT doc_id,
+       CAST(1 + octet_length(encode(text)) % 640 AS BIGINT) AS width,
+       CAST(1 + octet_length(encode(text)) % 480 AS BIGINT) AS height,
+       CAST(3 AS BIGINT) AS n_channels,
+       CAST(octet_length(encode(text)) AS BIGINT) AS byte_len,
+       sha256(text) AS sha256
 FROM documents
 """
 

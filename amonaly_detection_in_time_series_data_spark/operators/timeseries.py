@@ -1,0 +1,163 @@
+"""Time-series relational operators beyond the reference surface
+(SURVEY.md §2.4 "not in reference" + log-analytics staples): gap-based
+sessionization, as-of join, and regular-grid resampling.
+
+All are pure DataFrame compositions — the as-of join uses the
+union-and-ffill formulation, which scales as one window pass instead of a
+range join (no per-row candidate explosion at 100 TB).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def sessionize(
+    df: DataFrame,
+    key_cols: Sequence[str],
+    ts_col: str,
+    gap: str = "30 minutes",
+    order_tiebreak: Sequence[str] = (),
+    session_col: str = "session_id",
+) -> DataFrame:
+    """Gap-based sessions: a new session starts when the time since the
+    previous event of the same key exceeds ``gap``.
+
+    session_id = running count of session starts per key (1-based) —
+    the standard lag/cumsum formulation; one window exchange on the key.
+    """
+    order = [F.col(ts_col).asc()] + [F.col(c).asc() for c in order_tiebreak]
+    w = Window.partitionBy(*key_cols).orderBy(*order)
+    prev_ts = F.lag(ts_col).over(w)
+    gap_expr = F.expr(f"INTERVAL {gap}")
+    is_start = F.when(
+        prev_ts.isNull() | (F.col(ts_col).cast("timestamp") - prev_ts > gap_expr),
+        F.lit(1),
+    ).otherwise(F.lit(0))
+    running = F.sum(is_start).over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return df.withColumn(session_col, running.cast("bigint"))
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    key_cols: Sequence[str],
+    left_ts: str,
+    right_ts: str,
+    value_cols: Sequence[str],
+    tolerance: str | None = None,
+) -> DataFrame:
+    """As-of join: for each left row, attach the latest right row of the
+    same key with ``right_ts <= left_ts`` (merge-asof 'backward').
+
+    Implementation (scale-first): union both sides on (key, ts), one
+    window sort per key, forward-fill the right-side values, keep left
+    rows. Exactly one shuffle; no inequality-join candidate blowup.
+    Right-side ties on the same timestamp resolve to the LAST right row
+    (right rows sort before left rows at equal ts so an equal-ts right
+    row is visible to the left row — DuckDB ASOF `>=` semantics).
+
+    ``tolerance``: optional max staleness (e.g. '2 days') — matches with
+    an older right row are nulled, mirroring pandas merge_asof tolerance.
+    """
+    keys = list(key_cols)
+    lcols = [c for c in left.columns]
+    vals = list(value_cols)
+
+    l = left.select(
+        *keys,
+        F.col(left_ts).alias("__ts"),
+        F.lit(1).alias("__side"),  # left sorts after right at equal ts
+        F.struct(*[F.col(c) for c in lcols]).alias("__lrow"),
+        *[F.lit(None).cast(right.schema[c].dataType).alias(c) for c in vals],
+        F.lit(None).cast("timestamp").alias("__rts"),
+    )
+    r = right.select(
+        *keys,
+        F.col(right_ts).alias("__ts"),
+        F.lit(0).alias("__side"),
+        F.lit(None)
+        .cast(l.schema["__lrow"].dataType)
+        .alias("__lrow"),
+        *[F.col(c) for c in vals],
+        F.col(right_ts).cast("timestamp").alias("__rts"),
+    )
+    unioned = l.unionByName(r)
+    w = (
+        Window.partitionBy(*keys)
+        .orderBy(F.col("__ts").asc(), F.col("__side").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    filled = unioned.withColumns(
+        {
+            **{c: F.last(F.col(c), ignorenulls=True).over(w) for c in vals},
+            "__rts_f": F.last(F.col("__rts"), ignorenulls=True).over(w),
+        }
+    )
+    out = filled.filter(F.col("__side") == 1)
+    if tolerance is not None:
+        stale = F.col("__ts") - F.col("__rts_f") > F.expr(f"INTERVAL {tolerance}")
+        out = out.withColumns(
+            {c: F.when(stale, F.lit(None)).otherwise(F.col(c)) for c in vals}
+        )
+    return out.select(
+        *[F.col("__lrow")[c].alias(c) for c in lcols],
+        *[F.col(c) for c in vals],
+    )
+
+
+def resample_grid(
+    df: DataFrame,
+    key_cols: Sequence[str],
+    ts_col: str,
+    value_cols: Sequence[str],
+    step: str = "1 hour",
+    agg: str = "avg",
+    fill: str | None = "ffill",
+) -> DataFrame:
+    """Resample each key's series onto a regular grid (per-key min..max
+    timestamp, truncated to the step), aggregating in-bucket values and
+    optionally forward-filling empty buckets.
+
+    The grid is built with sequence() + explode per key — O(grid size)
+    rows, no driver loop; the bucket aggregate and the fill share the
+    per-key exchange.
+
+    Not in the reference (its data is assumed gap-free hourly —
+    SURVEY §2.4); required for real telemetry.
+    """
+    unit = step.split()[1].rstrip("s")  # '1 hour' -> 'hour'
+    aggs = {"avg": F.avg, "sum": F.sum, "min": F.min, "max": F.max,
+            "count": F.count, "first": F.first, "last": F.last}[agg]
+    bucket = F.date_trunc(unit, F.col(ts_col))
+
+    binned = df.withColumn("__bucket", bucket)
+    per_bucket = binned.groupBy(*key_cols, "__bucket").agg(
+        *[aggs(c).alias(c) for c in value_cols]
+    )
+
+    spans = binned.groupBy(*key_cols).agg(
+        F.min("__bucket").alias("__lo"), F.max("__bucket").alias("__hi")
+    )
+    grid = spans.select(
+        *key_cols,
+        F.explode(
+            F.sequence(F.col("__lo"), F.col("__hi"), F.expr(f"INTERVAL {step}"))
+        ).alias("__bucket"),
+    )
+    joined = grid.join(per_bucket, [*key_cols, "__bucket"], "left")
+    if fill == "ffill":
+        w = (
+            Window.partitionBy(*key_cols)
+            .orderBy(F.col("__bucket").asc())
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        joined = joined.withColumns(
+            {c: F.last(F.col(c), ignorenulls=True).over(w) for c in value_cols}
+        )
+    return joined.withColumnRenamed("__bucket", "bucket_ts")

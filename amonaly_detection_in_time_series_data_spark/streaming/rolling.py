@@ -25,14 +25,39 @@ from pyspark.sql import functions as F
 def replay_events_stream(
     spark: SparkSession, sf_dir: str, max_files_per_trigger: int = 1
 ) -> DataFrame:
-    """Read the events parquet directory as a bounded file stream."""
-    schema = spark.read.parquet(os.path.join(sf_dir, "events.parquet")).schema
-    return (
+    """Replay the events table as a bounded file stream.
+
+    The file stream source requires a directory, so the single parquet
+    file is symlinked into a scratch dir. The testdata's ns-precision
+    timestamp arrives as an int64 (legacy nanosAsLong) and is converted
+    to TimestampType by integer division to µs — same rule as the batch
+    reader (sources.readers.load_table); a plain cast would misread it
+    as seconds.
+    """
+    import tempfile
+
+    src = os.path.join(sf_dir, "events.parquet")
+    stream_dir = os.path.join(
+        tempfile.gettempdir(), f"events_stream_{abs(hash(sf_dir)) % 10**8}"
+    )
+    os.makedirs(stream_dir, exist_ok=True)
+    link = os.path.join(stream_dir, "events.parquet")
+    if not os.path.exists(link):
+        os.symlink(src, link)
+
+    schema = spark.read.parquet(src).schema
+    stream = (
         spark.readStream.schema(schema)
         .option("maxFilesPerTrigger", max_files_per_trigger)
-        .parquet(os.path.join(sf_dir, "events.parquet"))
-        .withColumn("ts", F.col("ts").cast("timestamp"))
+        .parquet(stream_dir)
     )
+    from pyspark.sql import types as T
+
+    if isinstance(stream.schema["ts"].dataType, T.LongType):
+        stream = stream.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    else:
+        stream = stream.withColumn("ts", F.col("ts").cast("timestamp"))
+    return stream
 
 
 def streaming_windowed_stats(

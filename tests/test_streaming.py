@@ -1,0 +1,82 @@
+"""Structured Streaming tier (SURVEY.md §2.11): the streaming variants
+must agree with their batch equivalents when the whole dataset is
+replayed — the parity contract that makes the streaming tier trustworthy.
+"""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from amonaly_detection_in_time_series_data_spark.sources.readers import load_table
+from amonaly_detection_in_time_series_data_spark.streaming.rolling import (
+    replay_events_stream,
+    streaming_windowed_stats,
+    streaming_zscore_flags,
+)
+from amonaly_detection_in_time_series_data_spark.operators.anomaly import rolling_zscore
+
+
+def _run_stream_to_memory(stream_df, name, output_mode):
+    q = (
+        stream_df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(output_mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    return q
+
+
+class TestStreamingParity:
+    def test_windowed_stats_match_batch(self, spark, sf_dir):
+        stream = replay_events_stream(spark, sf_dir)
+        out = streaming_windowed_stats(stream, "24 hours", "1 hour", "2 hours")
+        _run_stream_to_memory(out, "win_stats", "complete")
+        streamed = {
+            (r["window_start"], r["user_id"]): (r["mean_value"], r["n"])
+            for r in spark.sql("SELECT * FROM win_stats").collect()
+        }
+
+        ev = load_table(spark, sf_dir, "events")
+        batch = (
+            ev.groupBy(F.window("ts", "24 hours", "1 hour").alias("win"), "user_id")
+            .agg(F.avg("value").alias("mean_value"), F.count("*").alias("n"))
+            .select(F.col("win.start").alias("window_start"), "user_id", "mean_value", "n")
+        )
+        expected = {
+            (r["window_start"], r["user_id"]): (r["mean_value"], r["n"])
+            for r in batch.collect()
+        }
+        assert len(streamed) == len(expected) > 0
+        for k, (m, n) in expected.items():
+            sm, sn = streamed[k]
+            assert sn == n
+            assert sm == pytest.approx(m, rel=1e-9)
+
+    def test_stateful_zscore_matches_batch(self, spark, sf_dir):
+        stream = replay_events_stream(spark, sf_dir)
+        flags = streaming_zscore_flags(stream, window_rows=24, threshold=3.0)
+        _run_stream_to_memory(flags, "z_flags", "append")
+        streamed = {
+            r["event_id"]: (r["zscore"], r["is_anomaly"])
+            for r in spark.sql("SELECT * FROM z_flags").collect()
+        }
+
+        ev = load_table(spark, sf_dir, "events")
+        batch = rolling_zscore(ev, "value", 24, ["user_id"], ["ts", "event_id"], 3.0)
+        expected = {
+            r["event_id"]: (r["value_zscore"], r["is_anomaly"])
+            for r in batch.collect()
+        }
+        assert len(streamed) == len(expected) > 0
+        for eid, (z, flag) in expected.items():
+            sz, sflag = streamed[eid]
+            if z is None:
+                assert sz is None or (isinstance(sz, float) and math.isnan(sz))
+            else:
+                assert sz == pytest.approx(z, rel=1e-6), eid
+            assert sflag == flag, eid
