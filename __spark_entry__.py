@@ -68,12 +68,18 @@ from amonaly_detection_in_time_series_data_spark.operators.relational import (
     top_k_global,
     top_k_per_group,
 )
+from amonaly_detection_in_time_series_data_spark.operators.anomaly import (
+    pca_reconstruction_error,
+)
 from amonaly_detection_in_time_series_data_spark.operators.similarity import (
+    ivf_cosine_topk,
+    lsh_cosine_topk,
     minhash_lsh_pairs,
     minhash_signatures,
     shingles,
     simhash64,
 )
+from amonaly_detection_in_time_series_data_spark.sources.readers import load_csv
 from amonaly_detection_in_time_series_data_spark.operators.timeseries import (
     asof_join,
     resample_grid,
@@ -701,7 +707,102 @@ def q_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_embedding_knn_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN scale path: random-hyperplane LSH bucketing + in-bucket exact
+    re-rank. Oracle-checked — the deterministic plane matrix is embedded
+    as literals in the DuckDB SQL (see oracle_sql)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < 10)
+    out = lsh_cosine_topk(
+        emb, q, k=5, dim=64, n_planes=6, seed=42, round_digits=4
+    )
+    return out.withColumn("rank", F.col("rank").cast("bigint"))
+
+
+def q_rolling_time_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RANGE (time-interval) frame — per-user trailing-3h mean/count at
+    every event, frame bounded by event time, not row position."""
+    ev = _events(spark, sf_dir)
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.unix_micros(F.col("ts")))
+        .rangeBetween(-3 * 3600 * 1_000_000, 0)
+    )
+    return ev.select(
+        "event_id",
+        "user_id",
+        _ts_str("ts").alias("ts"),
+        F.round(F.avg("value").over(w), 6).alias("avg_3h"),
+        F.count("*").over(w).cast("bigint").alias("n_3h"),
+    )
+
+
+def q_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S1+S2+C1+C2 end-to-end: events staged as a reference-style CSV
+    (sep=';', 'MMM dd, yyyy hh:mm a' timestamps, German decimal numbers),
+    re-ingested with the raw-string two-phase scan, then parsed/cleaned
+    with the engine's coercion operators. Oracle = the identity transform
+    on events (minute truncation from the format, 2-decimal values)."""
+    import tempfile
+
+    ev = _events(spark, sf_dir)
+    staged = ev.select(
+        F.col("event_id").cast("string").alias("event_id"),
+        F.date_format("ts", REF_TIMESTAMP_FORMAT).alias("Start date"),
+        F.translate(F.format_number(F.col("value"), 2), ",.", ".,").alias(
+            "value_de"
+        ),
+    )
+    out_dir = os.path.join(
+        tempfile.gettempdir(),
+        f"csv_roundtrip_{os.path.basename(sf_dir.rstrip('/'))}",
+    )
+    (
+        staged.coalesce(1)
+        .write.mode("overwrite")
+        .option("sep", ";")
+        .option("header", "true")
+        .csv(out_dir)
+    )
+    back = load_csv(spark, out_dir)
+    return back.select(
+        F.col("event_id").cast("bigint").alias("event_id"),
+        _ts_str(parse_timestamp_ref(F.col("Start date"))).alias("ts_min"),
+        F.round(clean_numeric_de(F.col("value_de")), 2).alias("value"),
+    )
+
+
 # --- rows-only (not SQL-expressible): LSH / SimHash / sequences ------------
+
+
+def q_ivf_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN: seeded-KMeans coarse quantizer + n_probe nearest lists,
+    exact re-rank within probed lists (rows-only: centroids are an
+    iterative MLlib fit, not SQL-reproducible)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < 10)
+    out = ivf_cosine_topk(
+        emb, q, k=5, n_clusters=8, n_probe=2, seed=42, round_digits=4
+    )
+    return out.withColumn("rank", F.col("rank").cast("bigint"))
+
+
+def q_pca_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ML3 reconstruction-error tier, pure MLlib (the autoencoder
+    contract without torch): PCA(k) over event features, per-row squared
+    reconstruction error as the anomaly score (rows-only: eigenvectors
+    are not SQL-reproducible)."""
+    ev = _events(spark, sf_dir)
+    feats = ev.select(
+        "event_id",
+        F.col("value").cast("double").alias("value"),
+        F.hour("ts").cast("double").alias("hod"),
+        F.dayofweek("ts").cast("double").alias("dow"),
+    )
+    scored, _model = pca_reconstruction_error(feats, ["value", "hod", "dow"], k=2)
+    return scored.select(
+        "event_id", F.round("recon_error", 4).alias("recon_error")
+    )
 
 
 def q_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -762,11 +863,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_quality": q_text_quality,
         "lang_id": q_lang_id,
         "embedding_knn": q_embedding_knn,
+        "embedding_knn_lsh": q_embedding_knn_lsh,
+        "rolling_time_window": q_rolling_time_window,
+        "csv_roundtrip": q_csv_roundtrip,
         "ngram_jaccard": q_ngram_jaccard,
         "multimodal_meta": q_multimodal_meta,
         "multimodal_decode": q_multimodal_decode,
         "minhash_pairs": q_minhash_pairs,
         "simhash": q_simhash,
+        "ivf_knn": q_ivf_knn,
+        "pca_anomaly": q_pca_anomaly,
     }
 
 
@@ -1214,6 +1320,59 @@ SELECT doc_id,
 FROM documents
 """
 
-    # rows-only (nested arrays / Spark-side hashing): sequences,
-    # column_cleanup, minhash_pairs, simhash — intentionally omitted.
+    # --- LSH ANN: same deterministic plane matrix as the Spark side ----
+    from amonaly_detection_in_time_series_data_spark.operators.similarity import (
+        _random_hyperplanes,
+    )
+
+    planes = _random_hyperplanes(64, 6, 42)
+    bit_terms = " + ".join(
+        "(CASE WHEN list_sum(list_transform(range(1, 65), "
+        f"i -> v[i] * ([{', '.join(repr(x) for x in row)}])[i])) >= 0 "
+        f"THEN {1 << p} ELSE 0 END)"
+        for p, row in enumerate(planes)
+    )
+    sql["embedding_knn_lsh"] = f"""
+WITH sigs AS (
+  SELECT vec_id, embedding::DOUBLE[] AS v,
+         ({bit_terms}) AS bucket
+  FROM embeddings
+),
+c AS (SELECT vec_id AS cid, v AS cv, bucket FROM sigs),
+q AS (SELECT vec_id AS qid, v AS qv, bucket FROM sigs WHERE vec_id < 10),
+scored AS (
+  SELECT qid AS query_id, cid AS neighbor_id,
+         round(
+           list_sum(list_transform(range(1, len(cv) + 1), i -> cv[i] * qv[i])) /
+           nullif(sqrt(list_sum(list_transform(range(1, len(cv) + 1), i -> cv[i] * cv[i]))) *
+                  sqrt(list_sum(list_transform(range(1, len(qv) + 1), i -> qv[i] * qv[i]))), 0),
+           4) AS cosine
+  FROM c JOIN q USING (bucket)
+  WHERE cid <> qid
+)
+SELECT query_id, neighbor_id, cosine, CAST(rn AS BIGINT) AS rank FROM (
+  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rn
+  FROM scored
+) WHERE rn <= 5
+"""
+
+    sql["rolling_time_window"] = f"""
+SELECT event_id, user_id, strftime(ts, '{fmt}') AS ts,
+       round(avg(value) OVER w, 6) AS avg_3h,
+       CAST(count(*) OVER w AS BIGINT) AS n_3h
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY ts
+             RANGE BETWEEN INTERVAL 3 HOUR PRECEDING AND CURRENT ROW)
+"""
+
+    sql["csv_roundtrip"] = f"""
+SELECT event_id,
+       strftime(date_trunc('minute', ts), '{fmt}') AS ts_min,
+       round(value, 2) AS value
+FROM events
+"""
+
+    # rows-only (nested arrays / Spark-side hashing / iterative fits):
+    # sequences, column_cleanup, minhash_pairs, simhash, ivf_knn,
+    # pca_anomaly — intentionally omitted.
     return sql

@@ -88,11 +88,15 @@ def lsh_cosine_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     query_id_col: str = "query_id",
+    round_digits: int | None = None,
 ) -> DataFrame:
     """Approximate cosine kNN: sign-of-projection bucketing (n_planes-bit
     signature) on both sides, join on bucket, exact cosine re-rank within
     bucket. Recall grows with fewer planes / multiple tables; at 100 TB
     this replaces the corpus-wide scan with a bucket-local one.
+
+    ``round_digits`` rounds the cosine BEFORE ranking so the result is
+    reproducible across engines (oracle determinism convention).
     """
     planes = _random_hyperplanes(dim, n_planes, seed)
 
@@ -113,8 +117,87 @@ def lsh_cosine_topk(
         signature(F.col(vec_col)).alias("__bucket"),
     )
     sim = cosine_similarity(F.col(vec_col), F.col("__qvec"))
+    if round_digits is not None:
+        sim = F.round(sim, round_digits)
     scored = (
         c.join(F.broadcast(q), "__bucket")
+        .filter(F.col(id_col) != F.col(query_id_col))
+        .select(
+            F.col(query_id_col),
+            F.col(id_col).alias("neighbor_id"),
+            sim.alias("cosine"),
+        )
+    )
+    w = Window.partitionBy(query_id_col).orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+    )
+
+
+def ivf_cosine_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int,
+    n_clusters: int = 16,
+    n_probe: int = 2,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    round_digits: int | None = None,
+) -> DataFrame:
+    """IVF-style approximate cosine kNN (the scale path next to
+    :func:`cosine_topk`'s brute force and :func:`lsh_cosine_topk`).
+
+    Coarse quantizer = MLlib KMeans (seeded, deterministic) over the
+    corpus; each corpus vector is assigned to its nearest centroid
+    (the "inverted list"). At query time each query probes its
+    ``n_probe`` nearest centroids and re-ranks exactly within those
+    lists only — at 100 TB the corpus stays partitioned by centroid id
+    (one shuffle at index-build), and a query touches
+    ``n_probe/n_clusters`` of the data instead of all of it. Queries
+    and the centroid table are broadcast; no corpus-side shuffle at
+    query time.
+    """
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    # --- index build: KMeans centroids + inverted-list assignment -----
+    train = corpus.select(
+        F.col(id_col), F.col(vec_col), array_to_vector(F.col(vec_col)).alias("__fv")
+    )
+    km = KMeans(k=n_clusters, seed=seed, featuresCol="__fv", predictionCol="__list")
+    model = km.fit(train)
+    inv = model.transform(train).select(id_col, vec_col, "__list")
+
+    # --- probe: per-query n_probe nearest centroids (tiny, driver-side)
+    centroids = [(i, [float(x) for x in c]) for i, c in enumerate(model.clusterCenters())]
+    spark = corpus.sparkSession
+    cent_df = spark.createDataFrame(centroids, "__list int, __centroid array<double>")
+    q = queries.select(
+        F.col(id_col).alias(query_id_col), F.col(vec_col).alias("__qvec")
+    )
+    qc = q.crossJoin(F.broadcast(cent_df)).withColumn(
+        "__cdist", cosine_similarity(F.col("__qvec"), F.col("__centroid"))
+    )
+    w_probe = Window.partitionBy(query_id_col).orderBy(
+        F.col("__cdist").desc(), F.col("__list").asc()
+    )
+    probed = (
+        qc.withColumn("__pr", F.row_number().over(w_probe))
+        .filter(F.col("__pr") <= n_probe)
+        .select(query_id_col, "__qvec", "__list")
+    )
+
+    # --- exact re-rank within probed lists only ------------------------
+    sim = cosine_similarity(F.col(vec_col), F.col("__qvec"))
+    if round_digits is not None:
+        sim = F.round(sim, round_digits)
+    scored = (
+        inv.join(F.broadcast(probed), "__list")
         .filter(F.col(id_col) != F.col(query_id_col))
         .select(
             F.col(query_id_col),

@@ -17,6 +17,9 @@ from amonaly_detection_in_time_series_data_spark.streaming.rolling import (
     streaming_zscore_flags,
 )
 from amonaly_detection_in_time_series_data_spark.operators.anomaly import rolling_zscore
+from amonaly_detection_in_time_series_data_spark.streaming.sequences import (
+    streaming_sequences,
+)
 
 
 def _run_stream_to_memory(stream_df, name, output_mode):
@@ -80,3 +83,39 @@ class TestStreamingParity:
             else:
                 assert sz == pytest.approx(z, rel=1e-6), eid
             assert sflag == flag, eid
+
+    def test_stateful_sequences_match_batch(self, spark, sf_dir):
+        stream = replay_events_stream(spark, sf_dir)
+        seqs = streaming_sequences(stream, value_col="value", seq_len=8)
+        _run_stream_to_memory(seqs, "seqs", "append")
+        streamed = {
+            (r["user_id"], r["end_ts"]): r["seq"]
+            for r in spark.sql("SELECT * FROM seqs").collect()
+        }
+
+        # batch equivalent keyed by the sequence's LAST element's ts
+        # (the streaming emit point); matches create_sequences content
+        ev = load_table(spark, sf_dir, "events")
+        from pyspark.sql import Window as W
+
+        w_end = (
+            W.partitionBy("user_id")
+            .orderBy("ts", "event_id")
+            .rowsBetween(0, 7)
+        )
+        batch = (
+            ev.select(
+                "user_id",
+                "ts",
+                "event_id",
+                F.collect_list(F.col("value").cast("double")).over(w_end).alias("seq"),
+                F.last("ts").over(w_end).alias("end_ts"),
+            )
+            .filter(F.size("seq") == 8)
+        )
+        expected = {
+            (r["user_id"], r["end_ts"]): r["seq"] for r in batch.collect()
+        }
+        assert len(streamed) == len(expected) > 0
+        for k, seq in expected.items():
+            assert streamed[k] == pytest.approx(seq, rel=1e-9), k
