@@ -79,7 +79,7 @@ from amonaly_detection_in_time_series_data_spark.operators.similarity import (
     shingles,
     simhash64,
 )
-from amonaly_detection_in_time_series_data_spark.sources.readers import load_csv
+from amonaly_detection_in_time_series_data_spark.sources.readers import load_csv, spread_small
 from amonaly_detection_in_time_series_data_spark.operators.timeseries import (
     asof_join,
     resample_grid,
@@ -514,14 +514,14 @@ def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents")
+    docs = spread_small(load_table(spark, sf_dir, "documents"))
     toks = docs.select(F.explode(tokenize("text")).alias("token"))
     counted = toks.groupBy("token").agg(F.count("*").alias("cnt"))
     return top_k_global(counted, [F.col("cnt").desc(), F.col("token").asc()], 20)
 
 
 def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents")
+    docs = spread_small(load_table(spark, sf_dir, "documents"))
     toks = tokenize("text")
     stops = LANG_STOPWORDS["en"]
     stop_hits = F.size(F.filter(toks, lambda t: t.isin(*stops)))
@@ -538,12 +538,12 @@ def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents")
+    docs = spread_small(load_table(spark, sf_dir, "documents"))
     return docs.select("doc_id", "lang", lang_id_expr("text").alias("lang_pred"))
 
 
 def q_embedding_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
-    emb = load_table(spark, sf_dir, "embeddings")
+    emb = spread_small(load_table(spark, sf_dir, "embeddings"))
     q = emb.filter(F.col("vec_id") < 10).select(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("__qvec")
     )
@@ -568,7 +568,7 @@ def q_embedding_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents")
+    docs = spread_small(load_table(spark, sf_dir, "documents"))
     sh = docs.select("doc_id", "source", shingles("text", 3).alias("grams"))
     a = sh.select(
         F.col("doc_id").alias("id_a"), "source", F.col("grams").alias("g_a")
@@ -806,13 +806,13 @@ def q_pca_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = _docs_with_dups(spark, sf_dir)
+    docs = spread_small(_docs_with_dups(spark, sf_dir))
     sigs = minhash_signatures(docs, "text", "doc_id", n_hashes=16, shingle_n=3)
     return minhash_lsh_pairs(sigs, n_bands=4, id_col="doc_id")
 
 
 def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents")
+    docs = spread_small(load_table(spark, sf_dir, "documents"))
     return simhash64(docs, "text", "doc_id")
 
 

@@ -51,18 +51,23 @@ def rolling_zscore(
         .orderBy(*[F.col(c).asc() for c in order_cols])
         .rowsBetween(-window_rows, -1)
     )
-    mean = F.avg(target).over(w)
-    std = F.stddev_samp(target).over(w)
-    z = (F.col(target) - mean) / F.nullif(std, F.lit(0.0))
-    return df.withColumns(
+    # derived columns reference the materialized window outputs by NAME —
+    # rebuilding the .over(w) expression inside z would make WindowExec
+    # evaluate each aggregate three times (verified via explain)
+    df = df.withColumns(
         {
-            f"{p}_roll_mean": mean,
-            f"{p}_roll_std": std,
-            f"{p}_zscore": z,
-            "is_anomaly": F.coalesce(
-                (F.abs(z) > F.lit(threshold)).cast("int"), F.lit(0)
-            ),
+            f"{p}_roll_mean": F.avg(target).over(w),
+            f"{p}_roll_std": F.stddev_samp(target).over(w),
         }
+    )
+    z = (F.col(target) - F.col(f"{p}_roll_mean")) / F.nullif(
+        F.col(f"{p}_roll_std"), F.lit(0.0)
+    )
+    return df.withColumn(f"{p}_zscore", z).withColumn(
+        "is_anomaly",
+        F.coalesce(
+            (F.abs(F.col(f"{p}_zscore")) > F.lit(threshold)).cast("int"), F.lit(0)
+        ),
     )
 
 

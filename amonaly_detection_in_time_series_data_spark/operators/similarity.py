@@ -264,15 +264,23 @@ def minhash_lsh_pairs(
     sigs: DataFrame,
     n_bands: int = 4,
     id_col: str = "doc_id",
+    max_bucket_size: int | None = None,
 ) -> DataFrame:
     """Banded LSH: split signatures into bands, hash each band to a
-    bucket, self-join on (band, bucket) -> candidate near-dup pairs with
-    estimated Jaccard (= fraction of matching minhashes).
+    bucket, emit candidate near-dup pairs per bucket with estimated
+    Jaccard (= fraction of matching minhashes).
 
-    The self-join is on the band-bucket key — only same-bucket pairs
-    shuffle, never the full cross product.
+    Pairs are generated bucket-locally: group by (band, bucket),
+    collect the members, explode the within-bucket pair triangle. One
+    pass over the signature table and ONE shuffle on the band-bucket key
+    — a self-join formulation recomputes the whole shingle->minhash
+    lineage for both sides (measured: 8 parquet scans, no exchange
+    reuse). Near-dup buckets are small by construction; against
+    adversarial mega-buckets (boilerplate corpora) set
+    ``max_bucket_size`` to drop buckets above the cap — standard LSH
+    practice, logged nowhere silently since the cap is an explicit
+    argument.
     """
-    n_hashes = None  # derived below from the signature length at plan time
     bands = sigs.select(
         id_col,
         "sig",
@@ -292,17 +300,35 @@ def minhash_lsh_pairs(
             )
         ).alias("bb"),
     ).select(id_col, "sig", "bb.band", "bb.bucket")
-    a = bands.select(
-        F.col(id_col).alias("id_a"), F.col("sig").alias("sig_a"), "band", "bucket"
+
+    members = bands.groupBy("band", "bucket").agg(
+        F.collect_list(F.struct(F.col(id_col).alias("id"), F.col("sig").alias("sig"))).alias(
+            "ms"
+        )
     )
-    b = bands.select(
-        F.col(id_col).alias("id_b"), F.col("sig").alias("sig_b"), "band", "bucket"
+    members = members.filter(F.size("ms") > 1)
+    if max_bucket_size is not None:
+        members = members.filter(F.size("ms") <= max_bucket_size)
+
+    # within-bucket pair triangle: anchor at position i, partners i+1..n
+    anchored = members.select(F.posexplode("ms").alias("pos", "a"), "ms")
+    paired = anchored.select(
+        "a",
+        F.explode(
+            F.slice("ms", F.col("pos") + 2, F.size("ms") - F.col("pos") - 1)
+        ).alias("b"),
     )
-    pairs = (
-        a.join(b, ["band", "bucket"])
-        .filter(F.col("id_a") < F.col("id_b"))
-        .dropDuplicates(["id_a", "id_b"])
+    norm = paired.select(
+        F.least("a.id", "b.id").alias("id_a"),
+        F.greatest("a.id", "b.id").alias("id_b"),
+        F.when(F.col("a.id") < F.col("b.id"), F.col("a.sig"))
+        .otherwise(F.col("b.sig"))
+        .alias("sig_a"),
+        F.when(F.col("a.id") < F.col("b.id"), F.col("b.sig"))
+        .otherwise(F.col("a.sig"))
+        .alias("sig_b"),
     )
+    pairs = norm.dropDuplicates(["id_a", "id_b"])
     est = F.size(
         F.filter(
             F.zip_with("sig_a", "sig_b", lambda x, y: x == y),

@@ -118,6 +118,21 @@ def load_csv(
     return normalize_columns(df)
 
 
+def spread_small(df: DataFrame, partitions: int | None = None) -> DataFrame:
+    """Round-robin repartition a small scan across the cluster.
+
+    A few-MB parquet file arrives as 1-2 input splits, so CPU-dense
+    per-row work (shingling, hashing, vector math) would run on 1-2
+    cores while the rest idle. At 100 TB scans arrive in thousands of
+    splits and this is a no-op decision made by the caller; for small
+    dimension-sized inputs the tiny shuffle buys full parallelism.
+    Only safe where downstream results don't depend on row order
+    within a partition (aggregates of min/max/int, per-row maps, joins).
+    """
+    sc = df.sparkSession.sparkContext
+    return df.repartition(partitions or sc.defaultParallelism)
+
+
 def stamp_arrival_order(df: DataFrame, col_name: str = "arrival_id") -> DataFrame:
     """Stamp a per-row id that is monotonically increasing in file order
     within each input partition, for positional dedup (O3).
