@@ -772,6 +772,110 @@ def q_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_bucketed_rolling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SURVEY §4.2 hard part #1: the reference's data is ONE global
+    series, where partitionBy(series) would be a single task at any
+    cluster size. Time-bucket + overlap restores full parallelism with
+    EXACT results — the oracle is the plain (single-partition) global
+    window, so the parity check proves the equivalence."""
+    from amonaly_detection_in_time_series_data_spark.operators.features import (
+        bucketed_rolling,
+    )
+
+    ev = _events(spark, sf_dir)
+    # precondition: every bucket must hold >= window_rows rows (the
+    # overlap ships exactly one preceding bucket). events has ~33
+    # rows/day at sf0.001, so '7 days' gives >=160-row buckets at
+    # every sf while still yielding 4+ parallel buckets.
+    out = bucketed_rolling(
+        ev,
+        "value",
+        24,
+        aggs=("mean", "std"),
+        order_cols=["ts", "event_id"],
+        bucket="7 days",
+    )
+    return out.select(
+        "event_id",
+        _ts_str("ts").alias("ts"),
+        F.round("value_roll_mean_24h", 6).alias("roll_mean"),
+        F.round("value_roll_std_24h", 6).alias("roll_std"),
+    )
+
+
+def q_salted_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-resistant two-phase aggregation (salt on a unique column,
+    partial on (key, salt), final on key). Oracle = the plain single-
+    shuffle GROUP BY — parity proves the decomposition is exact."""
+    from amonaly_detection_in_time_series_data_spark.operators.relational import (
+        salted_agg,
+    )
+
+    ev = _events(spark, sf_dir)
+    out = salted_agg(ev, ["event_type"], "value", salt_source="event_id")
+    return out.select(
+        "event_type",
+        F.round("value_sum", 2).alias("value_sum"),
+        F.col("value_count").cast("bigint").alias("value_count"),
+        F.round("value_avg", 4).alias("value_avg"),
+        "value_min",
+        "value_max",
+    )
+
+
+def q_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    orders.join(cust, orders.o_custkey == cust.c_custkey).createOrReplaceTempView(
+        "__oc"
+    )
+    return spark.sql(
+        """
+        SELECT c_mktsegment, o_orderpriority,
+               round(sum(o_totalprice), 2) AS total,
+               count(*) AS n_orders
+        FROM __oc
+        GROUP BY GROUPING SETS ((c_mktsegment), (o_orderpriority), ())
+        """
+    )
+
+
+def q_set_op_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    urgent = orders.filter(F.col("o_orderpriority") == "1-URGENT").select(
+        "o_custkey"
+    )
+    high = orders.filter(F.col("o_orderpriority") == "2-HIGH").select("o_custkey")
+    return urgent.intersect(high)
+
+
+def q_json_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON source/sink: events staged as JSON lines, re-read with an
+    explicit schema (no inference in the committed path), typed back.
+    Oracle = identity over events."""
+    import tempfile
+
+    ev = _events(spark, sf_dir)
+    staged = ev.select(
+        "event_id", _ts_str("ts").alias("ts_s"), "user_id", "event_type", "value"
+    )
+    out_dir = os.path.join(
+        tempfile.gettempdir(),
+        f"json_roundtrip_{os.path.basename(sf_dir.rstrip('/'))}",
+    )
+    staged.write.mode("overwrite").json(out_dir)
+    back = spark.read.schema(
+        "event_id bigint, ts_s string, user_id bigint, event_type string, value double"
+    ).json(out_dir)
+    return back.select(
+        "event_id",
+        _ts_str(F.to_timestamp("ts_s")).alias("ts"),
+        "user_id",
+        "event_type",
+        "value",
+    )
+
+
 # --- rows-only (not SQL-expressible): LSH / SimHash / sequences ------------
 
 
@@ -785,6 +889,30 @@ def q_ivf_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
         emb, q, k=5, n_clusters=8, n_probe=2, seed=42, round_digits=4
     )
     return out.withColumn("rank", F.col("rank").cast("bigint"))
+
+
+def q_sequence_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's stage-4/5 contract end-to-end, distributed:
+    sequence windows -> broadcast linear-AE (PCA) reconstruction error
+    via Arrow-batched mapInPandas -> 3-sigma flags (rows-only: 3-D
+    sequence input + driver-fit model)."""
+    from amonaly_detection_in_time_series_data_spark.operators.inference import (
+        flag_sequence_anomalies,
+        sequence_reconstruction_scores,
+    )
+
+    ev = _events(spark, sf_dir)
+    seqs = create_sequences(ev, ["value"], 12, KEY, ORDER)
+    scored = sequence_reconstruction_scores(
+        seqs, "seq", k=2, fit_rows=512, order_cols=["user_id", "seq_start_ts"]
+    )
+    flagged = flag_sequence_anomalies(scored)
+    return flagged.select(
+        "user_id",
+        _ts_str("seq_start_ts").alias("seq_start_ts"),
+        F.round("recon_error", 6).alias("recon_error"),
+        F.col("is_anomaly").cast("bigint").alias("is_anomaly"),
+    )
 
 
 def q_pca_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -866,6 +994,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_knn_lsh": q_embedding_knn_lsh,
         "rolling_time_window": q_rolling_time_window,
         "csv_roundtrip": q_csv_roundtrip,
+        "json_roundtrip": q_json_roundtrip,
+        "bucketed_rolling": q_bucketed_rolling,
+        "salted_agg": q_salted_agg,
+        "grouping_sets": q_grouping_sets,
+        "set_op_intersect": q_set_op_intersect,
         "ngram_jaccard": q_ngram_jaccard,
         "multimodal_meta": q_multimodal_meta,
         "multimodal_decode": q_multimodal_decode,
@@ -873,6 +1006,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash": q_simhash,
         "ivf_knn": q_ivf_knn,
         "pca_anomaly": q_pca_anomaly,
+        "sequence_scores": q_sequence_scores,
     }
 
 
@@ -1370,6 +1504,45 @@ SELECT event_id,
        strftime(date_trunc('minute', ts), '{fmt}') AS ts_min,
        round(value, 2) AS value
 FROM events
+"""
+
+    sql["json_roundtrip"] = f"""
+SELECT event_id, strftime(date_trunc('second', ts), '{fmt}') AS ts,
+       user_id, event_type, value
+FROM events
+"""
+
+    sql["bucketed_rolling"] = f"""
+SELECT event_id, strftime(ts, '{fmt}') AS ts,
+       round(avg(value) OVER w, 6) AS roll_mean,
+       round(stddev_samp(value) OVER w, 6) AS roll_std
+FROM events
+WINDOW w AS (ORDER BY ts, event_id ROWS BETWEEN 24 PRECEDING AND 1 PRECEDING)
+"""
+
+    sql["salted_agg"] = """
+SELECT event_type,
+       round(sum(value), 2) AS value_sum,
+       count(value) AS value_count,
+       round(avg(value), 4) AS value_avg,
+       min(value) AS value_min,
+       max(value) AS value_max
+FROM events
+GROUP BY event_type
+"""
+
+    sql["grouping_sets"] = """
+SELECT c_mktsegment, o_orderpriority,
+       round(sum(o_totalprice), 2) AS total,
+       count(*) AS n_orders
+FROM orders JOIN customer ON o_custkey = c_custkey
+GROUP BY GROUPING SETS ((c_mktsegment), (o_orderpriority), ())
+"""
+
+    sql["set_op_intersect"] = """
+SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT'
+INTERSECT
+SELECT o_custkey FROM orders WHERE o_orderpriority = '2-HIGH'
 """
 
     # rows-only (nested arrays / Spark-side hashing / iterative fits):

@@ -133,6 +133,11 @@ def bucketed_rolling(
 
     This trades a 2x map-side blowup for full parallelism on a key-less
     series — the right trade at 100 TB.
+
+    PRECONDITION: every bucket must contain >= ``window_rows`` rows
+    (the overlap ships exactly one preceding bucket of history). Pick
+    ``bucket`` so the sparsest bucket still clears the window — e.g.
+    w=24 on hourly data needs buckets well above 24 hours.
     """
     bucket_col = F.window(F.col(ts_col), bucket).getField("start")
     owned = df.withColumn("_bucket", bucket_col).withColumn("_owned", F.lit(True))

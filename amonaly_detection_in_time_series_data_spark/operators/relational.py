@@ -48,3 +48,39 @@ def top_k_global(df: DataFrame, order_exprs: Sequence, k: int) -> DataFrame:
     """Global top-k: orderBy + limit — Spark plans TakeOrderedAndProject,
     a per-partition heap + driver merge, never a full sort."""
     return df.orderBy(*order_exprs).limit(k)
+
+
+def salted_agg(
+    df: DataFrame,
+    key_cols: Sequence[str],
+    value_col: str,
+    salt_source: str,
+    n_salt: int = 16,
+) -> DataFrame:
+    """Skew-resistant two-phase aggregate of sum/count/avg/min/max.
+
+    A hot grouping key (one key owning a large share of rows) makes the
+    single-shuffle ``groupBy(key)`` reduce into one straggler task. Here
+    the partial aggregate runs on ``(key, salt)`` — the hot key's rows
+    spread over ``n_salt`` reducers — and the final aggregate combines
+    the tiny partial table on ``key`` alone. ``salt_source`` is any
+    roughly-uniform existing column (a unique id); deterministic, so
+    results are reproducible. AQE's skew handling covers sort-merge
+    JOINS; aggregation skew still needs this pattern.
+    """
+    salted = df.withColumn(
+        "_salt", F.pmod(F.xxhash64(F.col(salt_source)), F.lit(n_salt))
+    )
+    partial = salted.groupBy(*key_cols, "_salt").agg(
+        F.sum(value_col).alias("_sum"),
+        F.count(value_col).alias("_cnt"),
+        F.min(value_col).alias("_min"),
+        F.max(value_col).alias("_max"),
+    )
+    return partial.groupBy(*key_cols).agg(
+        F.sum("_sum").alias(f"{value_col}_sum"),
+        F.sum("_cnt").alias(f"{value_col}_count"),
+        (F.sum("_sum") / F.sum("_cnt")).alias(f"{value_col}_avg"),
+        F.min("_min").alias(f"{value_col}_min"),
+        F.max("_max").alias(f"{value_col}_max"),
+    )

@@ -178,3 +178,42 @@ class TestPlanShape:
         plan = feats._jdf.queryExecution().executedPlan().toString()
         n_exchanges = plan.count("Exchange hashpartitioning")
         assert n_exchanges == 1, f"expected 1 shuffle, got {n_exchanges}:\n{plan[:2000]}"
+
+
+class TestSequenceInference:
+    def test_reconstruction_errors_match_numpy(self, spark, sf_dir):
+        """mapInPandas scoring == pure-numpy PCA on the same fit sample."""
+        import numpy as np
+
+        from amonaly_detection_in_time_series_data_spark.operators.inference import (
+            sequence_reconstruction_scores,
+        )
+        from amonaly_detection_in_time_series_data_spark.operators.sequences import (
+            create_sequences,
+        )
+
+        ev = load_table(spark, sf_dir, "events")
+        seqs = create_sequences(ev, ["value"], 6, ["user_id"], ["ts", "event_id"])
+        n = seqs.count()
+        scored = sequence_reconstruction_scores(
+            seqs, "seq", k=2, fit_rows=n, order_cols=["user_id", "seq_start_ts"]
+        )
+        got = {
+            (r["user_id"], r["seq_start_ts"]): r["recon_error"]
+            for r in scored.collect()
+        }
+
+        rows = seqs.orderBy("user_id", "seq_start_ts").collect()
+        x = np.array([np.array(r["seq"], dtype=np.float64).ravel() for r in rows])
+        mean = x.mean(axis=0)
+        _, _, vt = np.linalg.svd(x - mean, full_matrices=False)
+        comps = vt[:2]
+        centered = x - mean
+        recon = (centered @ comps.T) @ comps
+        resid = centered - recon
+        want = np.einsum("ij,ij->i", resid, resid)
+        assert len(got) == len(rows) == n > 0
+        for r, w in zip(rows, want):
+            assert got[(r["user_id"], r["seq_start_ts"])] == pytest.approx(
+                w, rel=1e-9, abs=1e-12
+            )
