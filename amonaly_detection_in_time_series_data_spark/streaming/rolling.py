@@ -90,7 +90,7 @@ def streaming_zscore_flags(
     events: DataFrame,
     window_rows: int = 24,
     threshold: float = 3.0,
-    timeout_minutes: int = 60,
+    timeout_minutes: int | None = 60,
 ) -> DataFrame:
     """Online rolling z-score per user via per-key state.
 
@@ -142,7 +142,8 @@ def streaming_zscore_flags(
                 if r["value"] is not None:
                     buf.append(float(r["value"]))
         state.update((buf[-window_rows:],))
-        state.setTimeoutDuration(timeout_minutes * 60 * 1000)
+        if timeout_minutes is not None:
+            state.setTimeoutDuration(timeout_minutes * 60 * 1000)
         yield pd.DataFrame(
             rows,
             columns=["user_id", "event_id", "ts", "value", "zscore", "is_anomaly"],
@@ -156,6 +157,10 @@ def streaming_zscore_flags(
             outputStructType=out_schema,
             stateStructType=state_schema,
             outputMode="append",
-            timeoutConf=GroupStateTimeout.ProcessingTimeTimeout,
+            timeoutConf=(
+                GroupStateTimeout.ProcessingTimeTimeout
+                if timeout_minutes is not None
+                else GroupStateTimeout.NoTimeout
+            ),
         )
     )

@@ -21,7 +21,7 @@ def streaming_sequences(
     events: DataFrame,
     value_col: str = "value",
     seq_len: int = 24,
-    timeout_minutes: int = 60,
+    timeout_minutes: int | None = 60,
 ) -> DataFrame:
     """Per-user overlapping length-``seq_len`` sequences, assembled online.
 
@@ -58,7 +58,8 @@ def streaming_sequences(
                     tss = tss[-seq_len:]
                     out.append((user_id, tss[0], tss[-1], list(vals)))
         state.update((vals[-(seq_len - 1):], tss[-(seq_len - 1):]))
-        state.setTimeoutDuration(timeout_minutes * 60 * 1000)
+        if timeout_minutes is not None:
+            state.setTimeoutDuration(timeout_minutes * 60 * 1000)
         yield pd.DataFrame(out, columns=["user_id", "start_ts", "end_ts", "seq"])
 
     return (
@@ -69,6 +70,10 @@ def streaming_sequences(
             outputStructType=out_schema,
             stateStructType=state_schema,
             outputMode="append",
-            timeoutConf=GroupStateTimeout.ProcessingTimeTimeout,
+            timeoutConf=(
+                GroupStateTimeout.ProcessingTimeTimeout
+                if timeout_minutes is not None
+                else GroupStateTimeout.NoTimeout
+            ),
         )
     )

@@ -30,7 +30,13 @@ def _run_stream_to_memory(stream_df, name, output_mode):
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(300)
+    # stateful queries with processing-time timeouts stay active after
+    # draining the input (timeout bookkeeping batches), so wait for the
+    # data explicitly and stop — awaitTermination would burn its full
+    # timeout on every test
+    q.processAllAvailable()
+    q.stop()
+    q.awaitTermination(60)
     return q
 
 
@@ -62,7 +68,7 @@ class TestStreamingParity:
 
     def test_stateful_zscore_matches_batch(self, spark, sf_dir):
         stream = replay_events_stream(spark, sf_dir)
-        flags = streaming_zscore_flags(stream, window_rows=24, threshold=3.0)
+        flags = streaming_zscore_flags(stream, window_rows=24, threshold=3.0, timeout_minutes=None)
         _run_stream_to_memory(flags, "z_flags", "append")
         streamed = {
             r["event_id"]: (r["zscore"], r["is_anomaly"])
@@ -86,7 +92,7 @@ class TestStreamingParity:
 
     def test_stateful_sequences_match_batch(self, spark, sf_dir):
         stream = replay_events_stream(spark, sf_dir)
-        seqs = streaming_sequences(stream, value_col="value", seq_len=8)
+        seqs = streaming_sequences(stream, value_col="value", seq_len=8, timeout_minutes=None)
         _run_stream_to_memory(seqs, "seqs", "append")
         streamed = {
             (r["user_id"], r["end_ts"]): r["seq"]
