@@ -3,7 +3,23 @@ from .missing import ffill, bfill, fill_with_global, fill_zero, drop_nulls
 from .features import add_lag_features, add_rolling_features, featurize
 from .scaling import minmax_scale
 from .sequences import create_sequences
-from .anomaly import rolling_zscore, global_zscore_flags
+from .anomaly import rolling_zscore, global_zscore_flags, pca_reconstruction_error
+from .features import bucketed_rolling
+from .inference import (
+    flag_sequence_anomalies,
+    sequence_reconstruction_scores,
+)
+from .relational import join_dim, salted_agg, top_k_global, top_k_per_group
+from .similarity import (
+    cosine_topk,
+    ivf_cosine_topk,
+    lsh_cosine_topk,
+    minhash_lsh_pairs,
+    minhash_signatures,
+    ngram_jaccard_pairs,
+    simhash64,
+)
+from .timeseries import asof_join, resample_grid, sessionize
 
 __all__ = [
     "dedup_keep_positional",
@@ -21,4 +37,22 @@ __all__ = [
     "create_sequences",
     "rolling_zscore",
     "global_zscore_flags",
+    "pca_reconstruction_error",
+    "bucketed_rolling",
+    "flag_sequence_anomalies",
+    "sequence_reconstruction_scores",
+    "join_dim",
+    "salted_agg",
+    "top_k_global",
+    "top_k_per_group",
+    "cosine_topk",
+    "ivf_cosine_topk",
+    "lsh_cosine_topk",
+    "minhash_lsh_pairs",
+    "minhash_signatures",
+    "ngram_jaccard_pairs",
+    "simhash64",
+    "asof_join",
+    "resample_grid",
+    "sessionize",
 ]

@@ -99,16 +99,27 @@ def lsh_cosine_topk(
     reproducible across engines (oracle determinism convention).
     """
     planes = _random_hyperplanes(dim, n_planes, seed)
+    planes_lit = F.lit(planes)  # one array<array<double>> literal node —
+    # a per-element scalar expansion (n_planes*dim nodes) costs seconds
+    # of analysis/codegen time per query (measured)
+    weights_lit = F.lit([1 << p for p in range(n_planes)])
 
     def signature(vec: Column) -> Column:
-        bits = []
-        for p, row in enumerate(planes):
-            proj = sum(
-                (vec[i].cast("double") * F.lit(row[i]) for i in range(dim)),
-                F.lit(0.0),
-            )
-            bits.append(F.when(proj >= 0, F.lit(1 << p)).otherwise(F.lit(0)))
-        return sum(bits[1:], bits[0])
+        bits = F.transform(
+            F.sequence(F.lit(0), F.lit(n_planes - 1)),
+            lambda p: F.when(
+                F.aggregate(
+                    F.zip_with(
+                        vec, planes_lit[p], lambda x, y: x.cast("double") * y
+                    ),
+                    F.lit(0.0),
+                    lambda acc, x: acc + x,
+                )
+                >= 0,
+                weights_lit[p],
+            ).otherwise(F.lit(0)),
+        )
+        return F.aggregate(bits, F.lit(0), lambda acc, x: acc + x)
 
     c = corpus.withColumn("__bucket", signature(F.col(vec_col)))
     q = queries.select(

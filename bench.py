@@ -29,7 +29,11 @@ HEADLINE = [
     "doc_dedup_exact",
     "token_counts",
     "embedding_knn",
+    "embedding_knn_lsh",
     "minhash_pairs",
+    "bucketed_rolling",
+    "salted_agg",
+    "sequence_scores",
 ]
 
 
