@@ -707,6 +707,24 @@ def q_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_doc_winnow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling-hash document fingerprint (winnowing primitive): per-doc
+    k-gram Rabin-Karp hashes; fingerprint = (count, min, max) over the
+    gram-hash set — identical integer arithmetic in the DuckDB oracle."""
+    from amonaly_detection_in_time_series_data_spark.functions.text import (
+        rolling_hash_grams,
+    )
+
+    docs = spread_small(load_table(spark, sf_dir, "documents"))
+    hashes = rolling_hash_grams(F.col("text"), k=8)
+    return docs.select(
+        "doc_id",
+        F.size(hashes).cast("bigint").alias("n_grams"),
+        F.array_min(hashes).alias("fp_min"),
+        F.array_max(hashes).alias("fp_max"),
+    )
+
+
 def q_embedding_knn_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ANN scale path: random-hyperplane LSH bucketing + in-bucket exact
     re-rank. Oracle-checked — the deterministic plane matrix is embedded
@@ -987,6 +1005,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "column_cleanup": q_column_cleanup,
         "doc_dedup_exact": q_doc_dedup_exact,
         "doc_fingerprint": q_doc_fingerprint,
+        "doc_winnow": q_doc_winnow,
         "token_counts": q_token_counts,
         "text_quality": q_text_quality,
         "lang_id": q_lang_id,
@@ -1488,6 +1507,23 @@ SELECT query_id, neighbor_id, cosine, CAST(rn AS BIGINT) AS rank FROM (
   SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rn
   FROM scored
 ) WHERE rn <= 5
+"""
+
+    sql["doc_winnow"] = """
+WITH h AS (
+  SELECT doc_id,
+         list_transform(
+           range(1, greatest(length(text) - 8 + 1, 0) + 1),
+           i -> list_reduce(
+                  list_prepend(CAST(0 AS BIGINT),
+                    list_transform(string_split(substring(text, i, 8), ''),
+                                   ch -> CAST(ascii(ch) AS BIGINT))),
+                  (acc, c) -> (acc*257 + c) % 2147483647)) AS hs
+  FROM documents
+)
+SELECT doc_id, CAST(len(hs) AS BIGINT) AS n_grams,
+       list_min(hs) AS fp_min, list_max(hs) AS fp_max
+FROM h
 """
 
     sql["rolling_time_window"] = f"""

@@ -93,3 +93,36 @@ def lang_id_expr(text: Column | str) -> Column:
         ),
     )[0]
     return best["lang"]
+
+
+def rolling_hash_grams(
+    text: Column | str, k: int = 8, base: int = 257, mod: int = 2147483647
+) -> Column:
+    """Rabin-Karp-style polynomial rolling hash of every k-char gram:
+    ``h(g) = fold(acc*base + codepoint(c) mod M)`` — the document-
+    fingerprinting primitive (winnowing selects minima over these).
+
+    Plain integer arithmetic over built-in array expressions, so the
+    exact hash is reproducible in ANSI SQL (oracle-checked) and stays
+    inside whole-stage codegen. Documents shorter than k yield an empty
+    array.
+    """
+    s = F.col(text) if isinstance(text, str) else text
+    n_grams = F.length(s) - k + 1
+    starts = (
+        F.when(n_grams >= 1, F.sequence(F.lit(1), n_grams))
+        .otherwise(F.array().cast("array<int>"))
+    )
+
+    def ghash(i: Column) -> Column:
+        codes = F.transform(
+            F.split(s.substr(i, F.lit(k)), ""),
+            lambda ch: F.ascii(ch).cast("bigint"),
+        )
+        return F.aggregate(
+            codes,
+            F.lit(0).cast("bigint"),
+            lambda acc, c: (acc * base + c) % mod,
+        )
+
+    return F.transform(starts, ghash)
