@@ -1,0 +1,115 @@
+"""Property-based tests (SURVEY.md §5.2 item 4) — hypothesis-generated
+series through the Spark operators, invariants asserted exactly:
+
+- lag_k(x)[i] == x[i-k]
+- rolling mean over a constant series == that constant
+- minmax-scaled output ∈ [0, 1] (constant column -> 0.0, sklearn rule)
+- sequence count == max(0, n - L + 1)
+- positional dedup output has unique keys and keeps the FIRST arrival
+"""
+
+from __future__ import annotations
+
+import math
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+
+from amonaly_detection_in_time_series_data_spark.operators.dedup import (
+    dedup_keep_positional,
+)
+from amonaly_detection_in_time_series_data_spark.operators.features import (
+    add_lag_features,
+    add_rolling_features,
+)
+from amonaly_detection_in_time_series_data_spark.operators.scaling import minmax_scale
+from amonaly_detection_in_time_series_data_spark.operators.sequences import (
+    create_sequences,
+)
+
+FINITE = st.floats(
+    min_value=-1e6, max_value=1e6, allow_nan=False, allow_infinity=False
+)
+SERIES = st.lists(FINITE, min_size=1, max_size=40)
+
+PROP = settings(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+
+
+def _series_df(spark, xs):
+    return spark.createDataFrame(
+        [(i, float(x)) for i, x in enumerate(xs)], "i int, x double"
+    )
+
+
+class TestOperatorProperties:
+    @PROP
+    @given(xs=SERIES, k=st.integers(min_value=1, max_value=5))
+    def test_lag_is_shift(self, spark, xs, k):
+        df = _series_df(spark, xs)
+        out = add_lag_features(df, "x", [k], key_cols=[], order_cols=["i"])
+        rows = {r["i"]: r[f"x_lag_{k}"] for r in out.collect()}
+        for i in range(len(xs)):
+            expected = xs[i - k] if i - k >= 0 else None
+            assert rows[i] == expected
+
+    @PROP
+    @given(
+        c=FINITE,
+        n=st.integers(min_value=2, max_value=30),
+        w=st.integers(min_value=1, max_value=8),
+    )
+    def test_rolling_mean_of_constant_is_constant(self, spark, c, n, w):
+        df = _series_df(spark, [c] * n)
+        out = add_rolling_features(
+            df, "x", windows=[w], aggs=["mean"], key_cols=[], order_cols=["i"]
+        )
+        rows = {r["i"]: r[f"x_roll_mean_{w}h"] for r in out.collect()}
+        assert rows[0] is None  # empty past-only frame at row 0
+        for i in range(1, n):
+            assert rows[i] == c
+
+    @PROP
+    @given(xs=SERIES)
+    def test_minmax_scale_bounds(self, spark, xs):
+        df = _series_df(spark, xs)
+        out = minmax_scale(df, ["x"])
+        vals = [r["x"] for r in out.collect()]
+        if max(xs) == min(xs):
+            assert all(v == 0.0 for v in vals)  # sklearn constant-column rule
+        else:
+            assert all(0.0 <= v <= 1.0 for v in vals)
+            assert math.isclose(min(vals), 0.0) and math.isclose(max(vals), 1.0)
+
+    @PROP
+    @given(xs=SERIES, L=st.integers(min_value=1, max_value=10))
+    def test_sequence_count(self, spark, xs, L):
+        df = _series_df(spark, xs).withColumn("ts", F.col("i").cast("timestamp"))
+        out = create_sequences(df, ["x"], L, key_cols=[], order_cols=["i"])
+        assert out.count() == max(0, len(xs) - L + 1)
+
+    @PROP
+    @given(
+        pairs=st.lists(
+            st.tuples(st.integers(min_value=0, max_value=5), FINITE),
+            min_size=1,
+            max_size=40,
+        )
+    )
+    def test_dedup_first_keeps_first_arrival(self, spark, pairs):
+        df = spark.createDataFrame(
+            [(i, int(k), float(v)) for i, (k, v) in enumerate(pairs)],
+            "arrival int, k int, v double",
+        )
+        out = dedup_keep_positional(df, ["k"], arrival_col="arrival")
+        got = {r["k"]: (r["arrival"], r["v"]) for r in out.collect()}
+        first = {}
+        for i, (k, v) in enumerate(pairs):
+            first.setdefault(k, (i, v))
+        assert len(got) == len(first)
+        for k, (i, v) in first.items():
+            assert got[k] == (i, v)
