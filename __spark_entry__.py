@@ -313,6 +313,27 @@ def q_minmax_scale(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("event_id", F.round("value", 6).alias("value_scaled"))
 
 
+def q_minmax_scale_ml(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F4 scale path: MLlib MinMaxScaler (one aggregate job + one map,
+    persistable model) instead of the min/max-over-() SQL window. On a
+    non-constant column the fitted transform equals the SQL formula, so
+    the MLlib path itself is oracle-checked."""
+    from pyspark.ml.functions import vector_to_array
+
+    from amonaly_detection_in_time_series_data_spark.operators.scaling import (
+        minmax_scale_ml,
+    )
+
+    ev = _events(spark, sf_dir)
+    scaled, _model = minmax_scale_ml(ev, ["value"])
+    return scaled.select(
+        "event_id",
+        F.round(vector_to_array(F.col("features_scaled"))[0], 6).alias(
+            "value_scaled"
+        ),
+    )
+
+
 def q_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     # F5 — nested 3-D output; rows-only check (no oracle).
     ev = _events(spark, sf_dir)
@@ -707,6 +728,31 @@ def q_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated percentiles per group (Spark ``percentile`` ==
+    SQL quantile_cont; percentile_approx is the documented 100 TB
+    alternative)."""
+    ev = _events(spark, sf_dir)
+    pct = F.percentile("value", F.lit([0.5, 0.9]))
+    return ev.groupBy("event_type").agg(
+        F.round(pct[0], 6).alias("p50"),
+        F.round(pct[1], 6).alias("p90"),
+        F.count("*").alias("n"),
+    )
+
+
+def q_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-width binning by arithmetic (bin = floor(value/step)) —
+    identical in any SQL engine, partial-aggregated map-side."""
+    ev = _events(spark, sf_dir)
+    b = F.floor(F.col("value") / 50).cast("bigint")
+    return ev.groupBy(b.alias("bin")).agg(
+        F.count("*").alias("n"),
+        F.round(F.min("value"), 2).alias("lo"),
+        F.round(F.max("value"), 2).alias("hi"),
+    )
+
+
 def q_doc_winnow(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Rolling-hash document fingerprint (winnowing primitive): per-doc
     k-gram Rabin-Karp hashes; fingerprint = (count, min, max) over the
@@ -983,6 +1029,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lag_features": q_lag_features,
         "rolling_features": q_rolling_features,
         "minmax_scale": q_minmax_scale,
+        "minmax_scale_ml": q_minmax_scale_ml,
         "sequences": q_sequences,
         "pricing_summary": q_pricing_summary,
         "revenue_by_nation": q_revenue_by_nation,
@@ -1006,6 +1053,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_dedup_exact": q_doc_dedup_exact,
         "doc_fingerprint": q_doc_fingerprint,
         "doc_winnow": q_doc_winnow,
+        "percentiles": q_percentiles,
+        "histogram": q_histogram,
         "token_counts": q_token_counts,
         "text_quality": q_text_quality,
         "lang_id": q_lang_id,
@@ -1181,6 +1230,12 @@ FROM events
 """
 
     sql["minmax_scale"] = """
+SELECT event_id,
+       round(CASE WHEN mx = mn THEN 0.0 ELSE (value - mn) / (mx - mn) END, 6) AS value_scaled
+FROM events, (SELECT min(value) AS mn, max(value) AS mx FROM events)
+"""
+
+    sql["minmax_scale_ml"] = """
 SELECT event_id,
        round(CASE WHEN mx = mn THEN 0.0 ELSE (value - mn) / (mx - mn) END, 6) AS value_scaled
 FROM events, (SELECT min(value) AS mn, max(value) AS mx FROM events)
@@ -1507,6 +1562,22 @@ SELECT query_id, neighbor_id, cosine, CAST(rn AS BIGINT) AS rank FROM (
   SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rn
   FROM scored
 ) WHERE rn <= 5
+"""
+
+    sql["percentiles"] = """
+SELECT event_type,
+       round(quantile_cont(value, 0.5), 6) AS p50,
+       round(quantile_cont(value, 0.9), 6) AS p90,
+       count(*) AS n
+FROM events GROUP BY event_type
+"""
+
+    sql["histogram"] = """
+SELECT CAST(floor(value / 50) AS BIGINT) AS bin,
+       count(*) AS n,
+       round(min(value), 2) AS lo,
+       round(max(value), 2) AS hi
+FROM events GROUP BY 1
 """
 
     sql["doc_winnow"] = """

@@ -164,3 +164,21 @@ def streaming_zscore_flags(
             ),
         )
     )
+
+
+def streaming_dedup(
+    events: DataFrame, key_cols=("event_id",), watermark: str = "2 hours"
+) -> DataFrame:
+    """Streaming exact dedup: watermarked ``dropDuplicates`` on the key.
+
+    State = one entry per key seen within the watermark horizon, so
+    state size is bounded by (arrival rate x horizon), not stream
+    length — the streaming analogue of batch ``dedup_exact``/O3.
+    """
+    return events.withWatermark("ts", watermark).dropDuplicates(list(key_cols))
+
+
+def streaming_enrich(events: DataFrame, dim: DataFrame, on: str = "user_id") -> DataFrame:
+    """Stream-static broadcast join — each microbatch joins against the
+    (broadcast) static dimension; no stream-side state at all."""
+    return events.join(F.broadcast(dim), on)

@@ -217,3 +217,31 @@ class TestSequenceInference:
             assert got[(r["user_id"], r["seq_start_ts"])] == pytest.approx(
                 w, rel=1e-9, abs=1e-12
             )
+
+
+class TestSinks:
+    def test_partitioned_parquet_roundtrip_with_pruning(self, spark, sf_dir):
+        """write_parquet(partitionBy) -> re-read equals source; a filter
+        on the partition column prunes at the scan (PartitionFilters)."""
+        import tempfile, os
+
+        from amonaly_detection_in_time_series_data_spark.sources.writers import (
+            write_parquet,
+        )
+
+        ev = load_table(spark, sf_dir, "events").select(
+            "event_id", "event_type", "value"
+        )
+        out = os.path.join(tempfile.gettempdir(), "sink_test_parquet")
+        write_parquet(ev, out, partition_by=["event_type"])
+        back = spark.read.parquet(out)
+        assert back.count() == ev.count()
+        a = {r["event_id"]: (r["event_type"], r["value"]) for r in back.collect()}
+        b = {r["event_id"]: (r["event_type"], r["value"]) for r in ev.collect()}
+        assert a == b
+
+        one = back.filter(F.col("event_type") == "click")
+        plan = one._jdf.queryExecution().executedPlan().toString()
+        assert "PartitionFilters: [" in plan and "event_type" in plan.split(
+            "PartitionFilters"
+        )[1][:120]

@@ -12,6 +12,8 @@ from __future__ import annotations
 
 import math
 
+import pytest
+
 from hypothesis import HealthCheck, given, settings
 from hypothesis import strategies as st
 from pyspark.sql import functions as F
@@ -71,7 +73,8 @@ class TestOperatorProperties:
         rows = {r["i"]: r[f"x_roll_mean_{w}h"] for r in out.collect()}
         assert rows[0] is None  # empty past-only frame at row 0
         for i in range(1, n):
-            assert rows[i] == c
+            # approx: sum/count in IEEE754 (e.g. 1.9*3/3) is not exact
+            assert rows[i] == pytest.approx(c, rel=1e-12, abs=1e-12)
 
     @PROP
     @given(xs=SERIES)

@@ -165,3 +165,45 @@ class TestStreamingParity:
         assert len(streamed) == len(expected) > 0
         for k, seq in expected.items():
             assert streamed[k] == pytest.approx(seq, rel=1e-9), k
+
+    def test_streaming_dedup_matches_batch_distinct(self, spark, sf_dir):
+        from amonaly_detection_in_time_series_data_spark.streaming.rolling import (
+            streaming_dedup,
+        )
+
+        stream = replay_events_stream(spark, sf_dir)
+        doubled = stream.union(stream)  # every event arrives twice
+        out = streaming_dedup(doubled, key_cols=("event_id",))
+        _run_stream_to_memory(out.select("event_id", "value"), "dedup_s", "append")
+        streamed = {
+            r["event_id"]: r["value"]
+            for r in spark.sql("SELECT * FROM dedup_s").collect()
+        }
+        ev = load_table(spark, sf_dir, "events")
+        expected = {r["event_id"]: r["value"] for r in ev.collect()}
+        assert streamed == expected
+
+    def test_stream_static_join_matches_batch(self, spark, sf_dir):
+        from amonaly_detection_in_time_series_data_spark.streaming.rolling import (
+            streaming_enrich,
+        )
+
+        dim = (
+            load_table(spark, sf_dir, "customer")
+            .select((F.col("c_custkey") - 1).alias("user_id"), "c_mktsegment")
+        )
+        stream = replay_events_stream(spark, sf_dir)
+        out = streaming_enrich(stream, dim, on="user_id")
+        _run_stream_to_memory(
+            out.select("event_id", "c_mktsegment"), "enrich_s", "append"
+        )
+        streamed = {
+            r["event_id"]: r["c_mktsegment"]
+            for r in spark.sql("SELECT * FROM enrich_s").collect()
+        }
+        ev = load_table(spark, sf_dir, "events")
+        expected = {
+            r["event_id"]: r["c_mktsegment"]
+            for r in ev.join(dim, "user_id").collect()
+        }
+        assert len(expected) > 0 and streamed == expected
