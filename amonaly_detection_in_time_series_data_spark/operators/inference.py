@@ -42,19 +42,41 @@ class LinearAEModel:
 
 
 def fit_linear_ae(
-    df: DataFrame, seq_col: str, k: int, fit_rows: int, order_cols: list[str]
+    df: DataFrame, seq_col: str, k: int, fit_rows: int,
+    order_cols: list[str] | None = None,
 ) -> LinearAEModel:
-    """Driver-side fit on a deterministic bounded sample (first
-    ``fit_rows`` rows in ``order_cols`` order — at scale, any bounded
-    deterministic sample works; the model is tiny either way)."""
-    sample = (
-        df.orderBy(*order_cols).limit(fit_rows).select(seq_col).toPandas()[seq_col]
-    )
-    x = np.array([np.asarray(s, dtype=np.float64).ravel() for s in sample])
+    """Driver-side fit on a bounded sample: ``select(seq_col).limit(n)``.
+
+    A plain limit compiles to CollectLimit — only the first reduce
+    partitions of the (expensive) sequence-assembly lineage are computed,
+    instead of the full lineage plus a global sort that
+    ``orderBy().limit()`` (TakeOrderedAndProject) costs. Any bounded
+    sample is an acceptable fit set (the model is tiny either way), and
+    on a static source with a deterministic plan the limit is repeatable.
+    ``order_cols`` is kept for API compatibility; it no longer forces a
+    global sort of the whole sequence DataFrame just to pick a sample.
+    """
+    sample = df.select(seq_col).limit(fit_rows).toPandas()[seq_col]
+    x = _stack_sequences(sample)
     mean = x.mean(axis=0)
     # SVD of the centered sample; top-k right singular vectors
     _, _, vt = np.linalg.svd(x - mean, full_matrices=False)
     return LinearAEModel(mean, vt[:k])
+
+
+def _stack_sequences(seqs) -> np.ndarray:
+    """Flatten an iterable of L x f sequences into an (n, L*f) matrix.
+
+    ``np.stack`` (not ``np.array``) — building a 2-D array from a list of
+    1-D arrays via np.array trips NumPy's ragged-conversion deprecation
+    and will become a hard error."""
+    flat = [
+        np.stack([np.asarray(row, dtype=np.float64) for row in s]).ravel()
+        for s in seqs
+    ]
+    if not flat:
+        return np.empty((0, 0), dtype=np.float64)
+    return np.stack(flat)
 
 
 def sequence_reconstruction_scores(
@@ -89,9 +111,7 @@ def sequence_reconstruction_scores(
         mean, components = bc.value
         m = LinearAEModel(mean, components)
         for pdf in batches:
-            x = np.array(
-                [np.asarray(s, dtype=np.float64).ravel() for s in pdf[seq_col]]
-            )
+            x = _stack_sequences(pdf[seq_col])
             pdf = pdf.copy()
             pdf[error_col] = m.reconstruction_errors(x) if len(x) else []
             yield pdf[out_fields]

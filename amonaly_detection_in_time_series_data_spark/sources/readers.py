@@ -77,6 +77,15 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """
     path = os.path.join(sf_dir, f"{name}.parquet")
     ns_cols = _nanos_timestamp_cols(path)
+    if ns_cols:
+        # Must hold on ANY session we're handed (e.g. a harness-built one),
+        # not just our own session.py factory: without it the vectorized
+        # reader rejects TIMESTAMP(NANOS) at analysis (PARQUET_TYPE_ILLEGAL).
+        # Runtime-settable on PySpark 4.x.
+        try:
+            spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        except Exception:
+            pass  # conf removed/immutable -> fall through; read may still work
     df = spark.read.parquet(path)
     for f in df.schema.fields:
         if f.name in ns_cols and isinstance(f.dataType, T.LongType):

@@ -86,9 +86,18 @@ def compare(spark_pdf: pd.DataFrame, duck_pdf: pd.DataFrame) -> list[str]:
 
 def run_parity(sf_dir: str, only: list[str] | None = None) -> dict[str, list[str]]:
     import __spark_entry__ as entrymod
-    from amonaly_detection_in_time_series_data_spark.session import get_spark
+    from pyspark.sql import SparkSession
 
-    spark = get_spark(shuffle_partitions=8)
+    # Deliberately a VANILLA session (no engine confs like nanosAsLong):
+    # the driver harness calls queries() with its own plain session, and
+    # r1 proved a conf-dependent reader passes here but fails there.
+    spark = (
+        SparkSession.builder.master("local[8]")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.shuffle.partitions", "8")
+        .config("spark.ui.enabled", "false")
+        .getOrCreate()
+    )
     con = duck_connection(sf_dir)
     qs, oracles = entrymod.queries(), entrymod.oracle_sql()
     results: dict[str, list[str]] = {}
