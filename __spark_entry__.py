@@ -1083,9 +1083,13 @@ def oracle_sql() -> dict[str, str]:
     ref_fmt = "%b %d, %Y %I:%M %p"
     value_n = "CASE WHEN event_id % 7 = 0 THEN NULL ELSE value END"
     toks = "list_filter(string_split_regex(lower(trim(text)), '\\s+'), t -> t <> '')"
+    # docs with < 3 tokens -> EMPTY gram list (no truncated/'' gram) —
+    # matches operators.similarity.shingles
     grams = (
-        f"list_distinct(list_transform(range(1, greatest(len({toks}) - 2, 1) + 1), "
-        f"i -> array_to_string(list_slice({toks}, i, i + 2), ' ')))"
+        f"CASE WHEN len({toks}) >= 3 THEN "
+        f"list_distinct(list_transform(range(1, len({toks}) - 2 + 1), "
+        f"i -> array_to_string(list_slice({toks}, i, i + 2), ' '))) "
+        f"ELSE CAST([] AS VARCHAR[]) END"
     )
     sql: dict[str, str] = {}
 

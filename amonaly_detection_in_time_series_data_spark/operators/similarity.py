@@ -226,13 +226,19 @@ def ivf_cosine_topk(
 
 
 def shingles(text: Column | str, n: int = 3) -> Column:
-    """Word n-gram shingles as array<string> (distinct)."""
+    """Word n-gram shingles as array<string> (distinct).
+
+    Documents with fewer than ``n`` tokens yield an EMPTY array — not a
+    truncated gram, and not a ``''`` gram for empty docs — so that
+    "zero-shingle documents are dropped" holds downstream (minhash)."""
     toks = tokenize(text)
-    idx = F.sequence(F.lit(0), F.greatest(F.size(toks) - n, F.lit(0)))
+    idx = F.sequence(F.lit(0), F.size(toks) - n)
     grams = F.transform(
         idx, lambda i: F.array_join(F.slice(toks, i + 1, n), " ")
     )
-    return F.array_distinct(grams)
+    return F.when(F.size(toks) >= n, F.array_distinct(grams)).otherwise(
+        F.array().cast("array<string>")
+    )
 
 
 def minhash_signatures(

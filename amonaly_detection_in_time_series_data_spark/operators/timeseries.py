@@ -64,28 +64,37 @@ def asof_join(
 
     ``tolerance``: optional max staleness (e.g. '2 days') — matches with
     an older right row are nulled, mirroring pandas merge_asof tolerance.
+
+    The right side is carried as ONE struct (right_ts + all value cols)
+    and forward-filled as a unit, so every attached value comes from the
+    same right row even when right value columns contain legitimate
+    NULLs — per-column last(ignorenulls) could otherwise stitch values
+    from different right rows (and tolerance would check the wrong one).
     """
     keys = list(key_cols)
     lcols = [c for c in left.columns]
     vals = list(value_cols)
 
+    lrow_type = left.select(
+        F.struct(*[F.col(c) for c in lcols]).alias("__lrow")
+    ).schema["__lrow"].dataType
+
+    r = right.select(
+        *keys,
+        F.col(right_ts).alias("__ts"),
+        F.lit(0).alias("__side"),
+        F.lit(None).cast(lrow_type).alias("__lrow"),
+        F.struct(
+            F.col(right_ts).cast("timestamp").alias("__rts"),
+            *[F.col(c) for c in vals],
+        ).alias("__rrow"),
+    )
     l = left.select(
         *keys,
         F.col(left_ts).alias("__ts"),
         F.lit(1).alias("__side"),  # left sorts after right at equal ts
         F.struct(*[F.col(c) for c in lcols]).alias("__lrow"),
-        *[F.lit(None).cast(right.schema[c].dataType).alias(c) for c in vals],
-        F.lit(None).cast("timestamp").alias("__rts"),
-    )
-    r = right.select(
-        *keys,
-        F.col(right_ts).alias("__ts"),
-        F.lit(0).alias("__side"),
-        F.lit(None)
-        .cast(l.schema["__lrow"].dataType)
-        .alias("__lrow"),
-        *[F.col(c) for c in vals],
-        F.col(right_ts).cast("timestamp").alias("__rts"),
+        F.lit(None).cast(r.schema["__rrow"].dataType).alias("__rrow"),
     )
     unioned = l.unionByName(r)
     w = (
@@ -93,21 +102,17 @@ def asof_join(
         .orderBy(F.col("__ts").asc(), F.col("__side").asc())
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    filled = unioned.withColumns(
-        {
-            **{c: F.last(F.col(c), ignorenulls=True).over(w) for c in vals},
-            "__rts_f": F.last(F.col("__rts"), ignorenulls=True).over(w),
-        }
+    filled = unioned.withColumn(
+        "__rrow_f", F.last(F.col("__rrow"), ignorenulls=True).over(w)
     )
     out = filled.filter(F.col("__side") == 1)
+    attached = F.col("__rrow_f")
     if tolerance is not None:
-        stale = F.col("__ts") - F.col("__rts_f") > F.expr(f"INTERVAL {tolerance}")
-        out = out.withColumns(
-            {c: F.when(stale, F.lit(None)).otherwise(F.col(c)) for c in vals}
-        )
+        stale = F.col("__ts") - attached["__rts"] > F.expr(f"INTERVAL {tolerance}")
+        attached = F.when(stale, F.lit(None)).otherwise(attached)
     return out.select(
         *[F.col("__lrow")[c].alias(c) for c in lcols],
-        *[F.col(c) for c in vals],
+        *[attached[c].alias(c) for c in vals],
     )
 
 
@@ -131,10 +136,15 @@ def resample_grid(
     Not in the reference (its data is assumed gap-free hourly —
     SURVEY §2.4); required for real telemetry.
     """
-    unit = step.split()[1].rstrip("s")  # '1 hour' -> 'hour'
     aggs = {"avg": F.avg, "sum": F.sum, "min": F.min, "max": F.max,
             "count": F.count, "first": F.first, "last": F.last}[agg]
-    bucket = F.date_trunc(unit, F.col(ts_col))
+    # Bucket with F.window(ts, step).start, not date_trunc: date_trunc is
+    # 1-unit granularity, so a multi-unit step like '15 minutes' would put
+    # per-bucket aggregates on timestamps that are NOT on the
+    # sequence(lo, hi, step) grid and the left join would silently drop
+    # them. window() starts are epoch-aligned multiples of the step, and
+    # stepping from an aligned __lo stays on that grid for any step.
+    bucket = F.window(F.col(ts_col), step)["start"]
 
     binned = df.withColumn("__bucket", bucket)
     per_bucket = binned.groupBy(*key_cols, "__bucket").agg(

@@ -57,7 +57,10 @@ def streaming_sequences(
                     vals = vals[-seq_len:]
                     tss = tss[-seq_len:]
                     out.append((user_id, tss[0], tss[-1], list(vals)))
-        state.update((vals[-(seq_len - 1):], tss[-(seq_len - 1):]))
+        # Keep the last L-1 rows; for L=1 keep NOTHING — vals[-0:] is the
+        # whole list, which would grow per-key state without bound.
+        keep = seq_len - 1 if seq_len > 1 else 0
+        state.update((vals[-keep:] if keep else [], tss[-keep:] if keep else []))
         if timeout_minutes is not None:
             state.setTimeoutDuration(timeout_minutes * 60 * 1000)
         yield pd.DataFrame(out, columns=["user_id", "start_ts", "end_ts", "seq"])

@@ -65,7 +65,9 @@ class SequenceAssembler(StatefulProcessor):
                 if len(vals) >= L:
                     vals, ts_us = vals[-L:], ts_us[-L:]
                     out.append((user_id, ts_us[0], ts_us[-1], list(vals)))
-        self._buf.update((vals[-(L - 1):], ts_us[-(L - 1):]))
+        # L=1 guard: vals[-0:] would keep the whole history (unbounded state)
+        keep = L - 1 if L > 1 else 0
+        self._buf.update((vals[-keep:] if keep else [], ts_us[-keep:] if keep else []))
         yield pd.DataFrame(out, columns=["user_id", "start_us", "end_us", "seq"])
 
     def close(self) -> None:

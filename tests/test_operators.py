@@ -245,3 +245,105 @@ class TestSinks:
         assert "PartitionFilters: [" in plan and "event_type" in plan.split(
             "PartitionFilters"
         )[1][:120]
+
+
+class TestTimeseriesOps:
+    def test_asof_join_null_right_values_whole_row(self, spark):
+        """Right value columns with legitimate NULLs: the attached values
+        must all come from the SAME (latest) right row, matching pandas
+        merge_asof — not per-column forward-fill that stitches rows."""
+        import datetime as dt
+
+        import pandas as pd
+
+        from amonaly_detection_in_time_series_data_spark.operators.timeseries import (
+            asof_join,
+        )
+
+        t = lambda s: dt.datetime.fromisoformat(s)
+        left = spark.createDataFrame(
+            [(1, t("2024-01-01 00:05:00")), (1, t("2024-01-01 00:20:00"))],
+            "k int, lts timestamp",
+        )
+        # latest right row before 00:20 has a NULL in `a`; pandas attaches
+        # that NULL, not the older row's a=10.
+        right = spark.createDataFrame(
+            [
+                (1, t("2024-01-01 00:01:00"), 10.0, 100.0),
+                (1, t("2024-01-01 00:10:00"), None, 200.0),
+            ],
+            "k int, rts timestamp, a double, b double",
+        )
+        got = {
+            r["lts"]: (r["a"], r["b"])
+            for r in asof_join(
+                left, right, ["k"], "lts", "rts", ["a", "b"]
+            ).collect()
+        }
+        lp = pd.DataFrame({"k": [1, 1],
+                           "lts": [t("2024-01-01 00:05:00"), t("2024-01-01 00:20:00")]})
+        rp = pd.DataFrame({"k": [1, 1],
+                           "rts": [t("2024-01-01 00:01:00"), t("2024-01-01 00:10:00")],
+                           "a": [10.0, None], "b": [100.0, 200.0]})
+        want = pd.merge_asof(lp.sort_values("lts"), rp.sort_values("rts"),
+                             left_on="lts", right_on="rts", by="k")
+        for _, row in want.iterrows():
+            ga, gb = got[row["lts"].to_pydatetime()]
+            assert (ga is None) == pd.isna(row["a"]) and (
+                ga is None or ga == row["a"]
+            )
+            assert gb == row["b"]
+
+    def test_asof_tolerance_checks_attached_row(self, spark):
+        """Tolerance must be evaluated against the attached right row's
+        ts, which with whole-row fill is the row the values came from."""
+        import datetime as dt
+
+        from amonaly_detection_in_time_series_data_spark.operators.timeseries import (
+            asof_join,
+        )
+
+        t = lambda s: dt.datetime.fromisoformat(s)
+        left = spark.createDataFrame(
+            [(1, t("2024-01-01 01:00:00"))], "k int, lts timestamp"
+        )
+        right = spark.createDataFrame(
+            [(1, t("2024-01-01 00:00:00"), 1.0)], "k int, rts timestamp, a double"
+        )
+        ok = asof_join(left, right, ["k"], "lts", "rts", ["a"],
+                       tolerance="2 hours").collect()
+        assert ok[0]["a"] == 1.0
+        stale = asof_join(left, right, ["k"], "lts", "rts", ["a"],
+                          tolerance="30 minutes").collect()
+        assert stale[0]["a"] is None
+
+    def test_resample_multi_unit_step(self, spark):
+        """'15 minutes' buckets must land on the sequence() grid (the
+        date_trunc formulation silently dropped every aggregate)."""
+        import datetime as dt
+
+        from amonaly_detection_in_time_series_data_spark.operators.timeseries import (
+            resample_grid,
+        )
+
+        t = lambda s: dt.datetime.fromisoformat(s)
+        df = spark.createDataFrame(
+            [
+                (1, t("2024-01-01 00:03:00"), 1.0),
+                (1, t("2024-01-01 00:17:00"), 3.0),
+                (1, t("2024-01-01 00:47:00"), 5.0),
+            ],
+            "k int, ts timestamp, v double",
+        )
+        out = {
+            r["bucket_ts"]: r["v"]
+            for r in resample_grid(
+                df, ["k"], "ts", ["v"], step="15 minutes", agg="avg"
+            ).collect()
+        }
+        assert out == {
+            t("2024-01-01 00:00:00"): 1.0,
+            t("2024-01-01 00:15:00"): 3.0,
+            t("2024-01-01 00:30:00"): 3.0,  # empty bucket forward-filled
+            t("2024-01-01 00:45:00"): 5.0,
+        }
