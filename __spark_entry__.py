@@ -346,6 +346,24 @@ def q_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_sequences_digest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # F5, hash-checkable tier: scalar digest of each assembled sequence,
+    # computed FROM the nested array itself (so the oracle exercises the
+    # real 3-D output, not a parallel reimplementation).
+    ev = _events(spark, sf_dir)
+    out = create_sequences(ev, ["value"], 24, KEY, ORDER)
+    return out.select(
+        "user_id",
+        _ts_str("seq_start_ts").alias("seq_start_ts"),
+        F.size("seq").cast("bigint").alias("seq_len"),
+        F.round(
+            F.aggregate("seq", F.lit(0.0), lambda acc, x: acc + x[0]), 6
+        ).alias("seq_sum"),
+        F.round(F.element_at(F.element_at("seq", 1), 1), 6).alias("seq_first"),
+        F.round(F.element_at(F.element_at("seq", -1), 1), 6).alias("seq_last"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # queries — relational capability (§2.7-§2.10)
 # ---------------------------------------------------------------------------
@@ -449,6 +467,15 @@ def q_project_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
         "l_orderkey", F.col("l_linenumber").cast("bigint").alias("l_linenumber"),
         "l_quantity",
     )
+
+
+def q_select_numeric(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # P2 — type-based projection (reference main.py:112
+    # select_dtypes(include=[np.number])): keep only numeric columns.
+    from amonaly_detection_in_time_series_data_spark.sources.readers import select_dtypes
+
+    ev = _events(spark, sf_dir)
+    return select_dtypes(ev, include=("numeric",))
 
 
 def q_set_op_except(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1031,6 +1058,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minmax_scale": q_minmax_scale,
         "minmax_scale_ml": q_minmax_scale_ml,
         "sequences": q_sequences,
+        "sequences_digest": q_sequences_digest,
         "pricing_summary": q_pricing_summary,
         "revenue_by_nation": q_revenue_by_nation,
         "top_customers": q_top_customers,
@@ -1039,6 +1067,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "customers_with_big_orders": q_customers_with_big_orders,
         "filter_predicate": q_filter_predicate,
         "project_columns": q_project_columns,
+        "select_numeric": q_select_numeric,
         "set_op_except": q_set_op_except,
         "topk_per_group": q_topk_per_group,
         "events_hourly_join": q_events_hourly_join,
@@ -1322,6 +1351,10 @@ WHERE event_type = 'error' AND value > 50
     sql["project_columns"] = """
 SELECT l_orderkey, CAST(l_linenumber AS BIGINT) AS l_linenumber, l_quantity
 FROM lineitem
+"""
+
+    sql["select_numeric"] = """
+SELECT event_id, user_id, value FROM events
 """
 
     sql["set_op_except"] = """
@@ -1656,7 +1689,26 @@ INTERSECT
 SELECT o_custkey FROM orders WHERE o_orderpriority = '2-HIGH'
 """
 
+    sql["sequences_digest"] = f"""
+WITH w AS (
+  SELECT user_id, ts, value,
+         count(value) OVER win AS n,
+         sum(value)   OVER win AS s,
+         first_value(value) OVER win AS v_first,
+         last_value(value)  OVER win AS v_last
+  FROM events
+  WINDOW win AS (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN CURRENT ROW AND 23 FOLLOWING)
+)
+SELECT user_id, strftime(ts, '{fmt}') AS seq_start_ts,
+       CAST(24 AS BIGINT) AS seq_len,
+       round(s, 6) AS seq_sum,
+       round(v_first, 6) AS seq_first,
+       round(v_last, 6) AS seq_last
+FROM w WHERE n = 24
+"""
+
     # rows-only (nested arrays / Spark-side hashing / iterative fits):
-    # sequences, column_cleanup, minhash_pairs, simhash, ivf_knn,
-    # pca_anomaly — intentionally omitted.
+    # sequences (hash-checked via sequences_digest), column_cleanup,
+    # minhash_pairs, simhash, ivf_knn, pca_anomaly — intentionally omitted.
     return sql

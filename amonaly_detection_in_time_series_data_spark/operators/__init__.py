@@ -20,6 +20,13 @@ from .similarity import (
     simhash64,
 )
 from .timeseries import asof_join, resample_grid, sessionize
+from .artifacts import (
+    BestCheckpoint,
+    load_linear_ae,
+    load_ml,
+    save_linear_ae,
+    save_ml,
+)
 
 __all__ = [
     "dedup_keep_positional",
@@ -55,4 +62,9 @@ __all__ = [
     "asof_join",
     "resample_grid",
     "sessionize",
+    "BestCheckpoint",
+    "load_linear_ae",
+    "load_ml",
+    "save_linear_ae",
+    "save_ml",
 ]

@@ -1,0 +1,99 @@
+"""S3/S4 — model and scaler artifact round-trip.
+
+Reference behavior reproduced:
+
+- S3  checkpoint save during training + reload-best-at-the-end
+      (reference: main.py:48-55 — ModelCheckpoint(save_best_only=True)
+      then load the saved weights before scoring).
+- S4  persistable scaler (reference: main.py:177-179 — joblib dump of
+      the fitted MinMaxScaler).
+
+Spark-first shapes:
+
+- MLlib models/pipelines already carry an MLWritable artifact format
+  (a directory of parquet + JSON metadata, readable from any executor
+  or a different cluster); :func:`save_ml` / :func:`load_ml` are the
+  engine's blessed entry points so callers don't touch class internals.
+- The driver-fit :class:`~.inference.LinearAEModel` persists as a
+  single ``.npz`` (mean + components) — tiny, dependency-free, and
+  broadcastable after reload exactly like a freshly fit model.
+- :class:`BestCheckpoint` reproduces save_best_only semantics for any
+  npz-persistable model: ``offer(loss, model)`` keeps the artifact of
+  the lowest loss seen; ``load_best`` returns that model.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+import numpy as np
+
+from .inference import LinearAEModel
+
+
+# ---------------------------------------------------------------------------
+# S4 — MLlib artifact round-trip
+# ---------------------------------------------------------------------------
+
+def save_ml(model, path: str) -> None:
+    """Persist any MLWritable (PipelineModel, MinMaxScalerModel, ...)."""
+    model.write().overwrite().save(path)
+
+
+def load_ml(path: str, cls=None):
+    """Reload an MLlib artifact. ``cls`` defaults to PipelineModel —
+    the type :func:`~.scaling.minmax_scale_ml` returns."""
+    if cls is None:
+        from pyspark.ml import PipelineModel as cls  # noqa: N813
+    return cls.load(path)
+
+
+# ---------------------------------------------------------------------------
+# S3 — LinearAE (npz) round-trip + best-checkpoint semantics
+# ---------------------------------------------------------------------------
+
+def save_linear_ae(model: LinearAEModel, path: str) -> None:
+    np.savez(path, mean=model.mean, components=model.components)
+
+
+def load_linear_ae(path: str) -> LinearAEModel:
+    with np.load(path) as z:
+        return LinearAEModel(z["mean"].copy(), z["components"].copy())
+
+
+class BestCheckpoint:
+    """save_best_only checkpointing for the driver-fit model tier.
+
+    ``offer(loss, model)`` persists the model iff ``loss`` improves on
+    the best seen (strictly lower); ``load_best()`` reloads that
+    artifact. The best loss survives process restarts via a JSON
+    sidecar, mirroring the reference's on-disk checkpoint file.
+    """
+
+    def __init__(self, directory: str):
+        self.directory = directory
+        os.makedirs(directory, exist_ok=True)
+        self._meta_path = os.path.join(directory, "best.json")
+        self._model_path = os.path.join(directory, "best_model.npz")
+
+    @property
+    def best_loss(self) -> float | None:
+        if not os.path.exists(self._meta_path):
+            return None
+        with open(self._meta_path) as f:
+            return json.load(f)["loss"]
+
+    def offer(self, loss: float, model: LinearAEModel) -> bool:
+        best = self.best_loss
+        if best is not None and loss >= best:
+            return False
+        save_linear_ae(model, self._model_path)
+        with open(self._meta_path, "w") as f:
+            json.dump({"loss": float(loss)}, f)
+        return True
+
+    def load_best(self) -> LinearAEModel:
+        if not os.path.exists(self._model_path):
+            raise FileNotFoundError(f"no checkpoint in {self.directory}")
+        return load_linear_ae(self._model_path)

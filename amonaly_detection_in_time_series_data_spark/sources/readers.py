@@ -50,6 +50,34 @@ def normalize_columns(df: DataFrame) -> DataFrame:
     return df.toDF(*[c.strip() for c in df.columns])
 
 
+_DTYPE_CATEGORIES = {
+    "numeric": (T.NumericType,),
+    "string": (T.StringType,),
+    "timestamp": (T.TimestampType, T.TimestampNTZType, T.DateType),
+    "boolean": (T.BooleanType,),
+    "binary": (T.BinaryType,),
+    "array": (T.ArrayType,),
+}
+
+
+def select_dtypes(df: DataFrame, include=("numeric",)) -> DataFrame:
+    """P2: type-based projection — the ``select_dtypes(include=[np.number])``
+    step of the reference pipeline (reference: main.py:112).
+
+    ``include``: category names from ``numeric | string | timestamp |
+    boolean | binary | array``, and/or ``pyspark.sql.types.DataType``
+    subclasses. Pure metadata projection — prunes columns at the scan.
+    """
+    wanted: list[type] = []
+    for item in include:
+        if isinstance(item, str):
+            wanted.extend(_DTYPE_CATEGORIES[item])
+        else:
+            wanted.append(item)
+    cols = [f.name for f in df.schema.fields if isinstance(f.dataType, tuple(wanted))]
+    return df.select(*cols)
+
+
 def _nanos_timestamp_cols(path: str) -> set[str]:
     """Columns stored as parquet TIMESTAMP(NANOS) — one footer read."""
     try:
@@ -143,13 +171,26 @@ def spread_small(df: DataFrame, partitions: int | None = None) -> DataFrame:
 
 
 def stamp_arrival_order(df: DataFrame, col_name: str = "arrival_id") -> DataFrame:
-    """Stamp a per-row id that is monotonically increasing in file order
-    within each input partition, for positional dedup (O3).
+    """Stamp a per-row orderable arrival id for positional dedup (O3).
 
-    ``monotonically_increasing_id`` encodes (partition_id << 33) | row#, so
-    ordering by it reproduces "file order" as long as input partitions are
-    listed deterministically (true for a sorted file listing). For testdata
-    queries we instead use the natural ``event_id`` arrival key when one
-    exists — fully deterministic across engines.
+    The id is a struct ``(file, pos)``: ``input_file_name()`` plus
+    ``monotonically_increasing_id()``. Ordering/min-ing by it reproduces
+    "file order" with the file name as the primary key, so the id does
+    NOT depend on Spark's partition listing order across files (which
+    sorts splits by size, not name). The remaining assumption is
+    intra-file: ``pos`` follows file offset only when each file arrives
+    as a single split — guaranteed when file size <=
+    ``spark.sql.files.maxPartitionBytes`` (raise it for big single
+    files, as a pandas-parity positional read implies whole-file
+    semantics anyway). Multi-split files with no natural arrival key
+    cannot be positionally ordered faithfully by ANY distributed scan;
+    prefer a real key (e.g. ``event_id``) when one exists — the declared
+    testdata queries do.
     """
-    return df.withColumn(col_name, F.monotonically_increasing_id())
+    return df.withColumn(
+        col_name,
+        F.struct(
+            F.input_file_name().alias("file"),
+            F.monotonically_increasing_id().alias("pos"),
+        ),
+    )

@@ -347,3 +347,91 @@ class TestTimeseriesOps:
             t("2024-01-01 00:30:00"): 3.0,  # empty bucket forward-filled
             t("2024-01-01 00:45:00"): 5.0,
         }
+
+
+class TestArtifacts:
+    def test_mllib_scaler_roundtrip(self, spark, sf_dir, tmp_path):
+        """S4: save + reload the fitted MinMaxScaler pipeline; reloaded
+        model transforms identically (reference main.py:177-179)."""
+        from amonaly_detection_in_time_series_data_spark.operators.artifacts import (
+            load_ml,
+            save_ml,
+        )
+        from amonaly_detection_in_time_series_data_spark.operators.scaling import (
+            minmax_scale_ml,
+        )
+
+        ev = load_table(spark, sf_dir, "events").select("event_id", "value")
+        scaled, model = minmax_scale_ml(ev, ["value"])
+        path = str(tmp_path / "scaler_model")
+        save_ml(model, path)
+        reloaded = load_ml(path)
+        a = {
+            r["event_id"]: r["features_scaled"][0]
+            for r in scaled.collect()
+        }
+        b = {
+            r["event_id"]: r["features_scaled"][0]
+            for r in reloaded.transform(ev).drop("__features").collect()
+        }
+        assert a == b and len(a) > 0
+
+    def test_linear_ae_roundtrip_and_best_checkpoint(self, spark, sf_dir, tmp_path):
+        """S3: npz round-trip gives identical reconstruction errors;
+        BestCheckpoint keeps only the lowest-loss artifact
+        (reference main.py:48-55 save_best_only)."""
+        import numpy as np
+
+        from amonaly_detection_in_time_series_data_spark.operators.artifacts import (
+            BestCheckpoint,
+            load_linear_ae,
+            save_linear_ae,
+        )
+        from amonaly_detection_in_time_series_data_spark.operators.inference import (
+            LinearAEModel,
+            fit_linear_ae,
+        )
+        from amonaly_detection_in_time_series_data_spark.operators.sequences import (
+            create_sequences,
+        )
+
+        ev = load_table(spark, sf_dir, "events")
+        seqs = create_sequences(ev, ["value"], 6, ["user_id"], ["ts", "event_id"])
+        model = fit_linear_ae(seqs, "seq", k=2, fit_rows=256)
+        p = str(tmp_path / "ae.npz")
+        save_linear_ae(model, p)
+        back = load_linear_ae(p)
+        x = np.random.default_rng(0).normal(size=(32, model.mean.shape[0]))
+        np.testing.assert_array_equal(
+            model.reconstruction_errors(x), back.reconstruction_errors(x)
+        )
+
+        ckpt = BestCheckpoint(str(tmp_path / "ckpt"))
+        worse = LinearAEModel(model.mean + 1.0, model.components)
+        assert ckpt.offer(0.5, model) is True
+        assert ckpt.offer(0.9, worse) is False  # not an improvement
+        best = ckpt.load_best()
+        np.testing.assert_array_equal(best.mean, model.mean)
+        assert ckpt.best_loss == 0.5
+        assert ckpt.offer(0.1, worse) is True  # improvement replaces
+        np.testing.assert_array_equal(ckpt.load_best().mean, worse.mean)
+
+
+class TestArrivalOrder:
+    def test_stamp_arrival_order_file_major(self, spark, tmp_path):
+        """arrival_id orders by (file, intra-file position): rows from
+        b.csv sort after every row from a.csv regardless of which split
+        Spark schedules first."""
+        from pyspark.sql import types as T
+
+        from amonaly_detection_in_time_series_data_spark.sources.readers import (
+            load_csv,
+            stamp_arrival_order,
+        )
+
+        (tmp_path / "a.csv").write_text("x\n1\n2\n")
+        (tmp_path / "b.csv").write_text("x\n3\n4\n")
+        schema = T.StructType([T.StructField("x", T.StringType())])
+        df = stamp_arrival_order(load_csv(spark, str(tmp_path), schema=schema))
+        rows = df.orderBy("arrival_id").select("x").collect()
+        assert [r["x"] for r in rows] == ["1", "2", "3", "4"]
