@@ -994,9 +994,11 @@ def q_sequence_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ev = _events(spark, sf_dir)
     seqs = create_sequences(ev, ["value"], 12, KEY, ORDER)
-    scored = sequence_reconstruction_scores(
-        seqs, "seq", k=2, fit_rows=512, order_cols=["user_id", "seq_start_ts"]
-    )
+    # fit via limit on the SAME lineage: the fit job materializes the
+    # (user_id) exchange once and the scoring/stats jobs reuse those
+    # shuffle files — a filtered fit_df would add a second, non-reusable
+    # exchange (measured slower at sf0.1)
+    scored = sequence_reconstruction_scores(seqs, "seq", k=2, fit_rows=512)
     flagged = flag_sequence_anomalies(scored)
     return flagged.select(
         "user_id",

@@ -79,6 +79,87 @@ def _stack_sequences(seqs) -> np.ndarray:
     return np.stack(flat)
 
 
+def score_linear_ae_sql(
+    df: DataFrame,
+    model: LinearAEModel,
+    seq_col: str = "seq",
+    error_col: str = "recon_error",
+) -> DataFrame:
+    """Linear-AE reconstruction error as PURE Catalyst expressions.
+
+    The fitted parameters (mean (d,) + k orthonormal components (k, d),
+    a few hundred doubles) are embedded as array literals; the error is
+    computed with ``flatten`` + ``zip_with`` + ``aggregate`` — JVM-side,
+    whole-stage-codegen, zero Python in the hot path, and the scoring
+    projection fuses into the same stage as the sequence-assembly
+    window instead of adding an Arrow round-trip.
+
+    Math (explicit residual, same as :meth:`LinearAEModel.
+    reconstruction_errors`): c = flat(seq) - mean; p_j = c . V_j;
+    recon = sum_j p_j * V_j; error = ||c - recon||^2.
+
+    For small models (d = L*f <= 64) the algebra is expanded into flat
+    per-index arithmetic over ``element_at`` — higher-order functions
+    (zip_with/aggregate) evaluate their lambda per element OUTSIDE
+    whole-stage codegen and measured ~2x slower end-to-end; the flat
+    expansion is ordinary codegen'd arithmetic. Larger models fall back
+    to the higher-order form (still JVM-side) to keep the generated
+    method size bounded.
+    """
+    mean = [float(v) for v in model.mean]
+    comps = [[float(v) for v in row] for row in model.components]
+    d = len(mean)
+    flat = F.flatten(F.col(seq_col))
+
+    if d <= 64:
+        cs = [F.element_at(flat, i + 1) - F.lit(mean[i]) for i in range(d)]
+        projs = []
+        for row in comps:
+            terms = [cs[i] * F.lit(row[i]) for i in range(d)]
+            p = terms[0]
+            for t in terms[1:]:
+                p = p + t
+            projs.append(p)
+        # name the k projections so the residual reuses them as column
+        # references instead of duplicating each dot product d times
+        tmp = df.withColumn("__flat_seq", flat).withColumns(
+            {f"__proj_{j}": p for j, p in enumerate(projs)}
+        )
+        flat2 = F.col("__flat_seq")
+        cs2 = [F.element_at(flat2, i + 1) - F.lit(mean[i]) for i in range(d)]
+        sq = []
+        for i in range(d):
+            recon_i = F.lit(0.0)
+            for j, row in enumerate(comps):
+                recon_i = recon_i + F.col(f"__proj_{j}") * F.lit(row[i])
+            r = cs2[i] - recon_i
+            sq.append(r * r)
+        err = sq[0]
+        for t in sq[1:]:
+            err = err + t
+        return tmp.withColumn(error_col, err).drop(
+            "__flat_seq", *[f"__proj_{j}" for j in range(len(comps))]
+        )
+
+    mean_lit = F.array(*[F.lit(v) for v in mean])
+    comp_lits = [F.array(*[F.lit(v) for v in row]) for row in comps]
+    c = F.zip_with(flat, mean_lit, lambda x, m: x - m)
+    projs = [
+        F.aggregate(
+            F.zip_with(c, comp, lambda a, b: a * b),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        for comp in comp_lits
+    ]
+    recon = F.transform(mean_lit, lambda _: F.lit(0.0))
+    for p_j, comp in zip(projs, comp_lits):
+        recon = F.zip_with(recon, comp, lambda r, v: r + p_j * v)
+    resid = F.zip_with(c, recon, lambda a, b: a - b)
+    err = F.aggregate(resid, F.lit(0.0), lambda acc, x: acc + x * x)
+    return df.withColumn(error_col, err)
+
+
 def sequence_reconstruction_scores(
     df: DataFrame,
     seq_col: str = "seq",
@@ -86,15 +167,29 @@ def sequence_reconstruction_scores(
     fit_rows: int = 2048,
     order_cols: list[str] | None = None,
     error_col: str = "recon_error",
+    fit_df: DataFrame | None = None,
+    scorer: str = "sql",
 ) -> DataFrame:
     """Score every sequence with its reconstruction error under a
-    driver-fit, executor-broadcast linear autoencoder.
+    driver-fit linear autoencoder.
 
     Input is the output of ``operators.sequences.create_sequences``
     (``seq``: array<array<double>>, L x f). Output adds ``error_col``.
+
+    ``fit_df``: optional cheaper source for the fit sample — e.g. the
+    sequence lineage filtered to a slice of the partition keys, which
+    Catalyst pushes below the window so the fit pass touches a fraction
+    of the data instead of the full assembly.
+
+    ``scorer``: 'sql' (default) embeds the linear model as Catalyst
+    expressions via :func:`score_linear_ae_sql` — no Python per row;
+    'pandas' uses the broadcast + Arrow ``mapInPandas`` path, which is
+    the slot a non-linear (e.g. torch state_dict) model drops into.
     """
-    order_cols = order_cols or [c for c in df.columns if c != seq_col]
-    model = fit_linear_ae(df, seq_col, k, fit_rows, order_cols)
+    model = fit_linear_ae(fit_df if fit_df is not None else df,
+                          seq_col, k, fit_rows)
+    if scorer == "sql":
+        return score_linear_ae_sql(df, model, seq_col, error_col)
 
     bc = df.sparkSession.sparkContext.broadcast(
         (model.mean, model.components)

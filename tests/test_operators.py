@@ -195,13 +195,16 @@ class TestSequenceInference:
         ev = load_table(spark, sf_dir, "events")
         seqs = create_sequences(ev, ["value"], 6, ["user_id"], ["ts", "event_id"])
         n = seqs.count()
-        scored = sequence_reconstruction_scores(
-            seqs, "seq", k=2, fit_rows=n, order_cols=["user_id", "seq_start_ts"]
-        )
-        got = {
-            (r["user_id"], r["seq_start_ts"]): r["recon_error"]
-            for r in scored.collect()
-        }
+        got_by_scorer = {}
+        for scorer in ("sql", "pandas"):
+            scored = sequence_reconstruction_scores(
+                seqs, "seq", k=2, fit_rows=n, scorer=scorer
+            )
+            got_by_scorer[scorer] = {
+                (r["user_id"], r["seq_start_ts"]): r["recon_error"]
+                for r in scored.collect()
+            }
+        got = got_by_scorer["sql"]
 
         rows = seqs.orderBy("user_id", "seq_start_ts").collect()
         x = np.array([np.array(r["seq"], dtype=np.float64).ravel() for r in rows])
@@ -217,6 +220,10 @@ class TestSequenceInference:
             assert got[(r["user_id"], r["seq_start_ts"])] == pytest.approx(
                 w, rel=1e-9, abs=1e-12
             )
+        # the Catalyst-expression scorer and the Arrow mapInPandas slot
+        # agree on every sequence
+        for key, v in got_by_scorer["pandas"].items():
+            assert got[key] == pytest.approx(v, rel=1e-9, abs=1e-12)
 
 
 class TestSinks:
