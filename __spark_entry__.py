@@ -1037,6 +1037,56 @@ def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return simhash64(docs, "text", "doc_id")
 
 
+def q_minhash_pairs_md5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Banded MinHash-LSH near-dup pairs with the engine-portable md5
+    hash family — same plan shape as q_minhash_pairs (explode-once
+    signatures, one band-bucket shuffle, bucket-local pair triangle) but
+    every number is reproducible in the DuckDB oracle."""
+    docs = spread_small(_docs_with_dups(spark, sf_dir))
+    sigs = minhash_signatures(
+        docs, "text", "doc_id", n_hashes=8, shingle_n=3, hash_fn="md5"
+    )
+    return minhash_lsh_pairs(sigs, n_bands=4, id_col="doc_id")
+
+
+def q_simhash_md5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """60-bit SimHash fingerprints with the md5 hash family —
+    oracle-checked bit-for-bit."""
+    docs = spread_small(load_table(spark, sf_dir, "documents"))
+    return simhash64(docs, "text", "doc_id", hash_fn="md5")
+
+
+def q_ae_training_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ML2 — distributed epoch training loop (orthogonal iteration):
+    one aggregation job per epoch computes the full-data loss and the
+    subspace update; returns the loss curve (rows-only: iterative fit,
+    loss values carry distributed-sum float jitter)."""
+    from amonaly_detection_in_time_series_data_spark.operators.inference import (
+        fit_linear_ae_epochs,
+    )
+
+    ev = _events(spark, sf_dir)
+    seqs = create_sequences(ev, ["value"], 12, KEY, ORDER)
+    _, losses = fit_linear_ae_epochs(seqs, "seq", k=2, epochs=4, seed=0)
+    return spark.createDataFrame(
+        [(i, float(l)) for i, l in enumerate(losses)], "epoch int, loss double"
+    ).select(F.col("epoch").cast("bigint").alias("epoch"), "loss")
+
+
+def q_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs: one-shuffle LSH bucketing
+    + exact in-bucket cosine threshold; deterministic plane matrix is
+    embedded in the oracle SQL."""
+    from amonaly_detection_in_time_series_data_spark.operators.similarity import (
+        embedding_neardup_pairs,
+    )
+
+    emb = spread_small(load_table(spark, sf_dir, "embeddings"))
+    return embedding_neardup_pairs(
+        emb, threshold=0.2, dim=64, n_planes=4, seed=7, round_digits=4
+    )
+
+
 # ---------------------------------------------------------------------------
 # contract
 # ---------------------------------------------------------------------------
@@ -1103,6 +1153,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_decode": q_multimodal_decode,
         "minhash_pairs": q_minhash_pairs,
         "simhash": q_simhash,
+        "minhash_pairs_md5": q_minhash_pairs_md5,
+        "simhash_md5": q_simhash_md5,
+        "embedding_neardup": q_embedding_neardup,
+        "ae_training_curve": q_ae_training_curve,
         "ivf_knn": q_ivf_knn,
         "pca_anomaly": q_pca_anomaly,
         "sequence_scores": q_sequence_scores,
@@ -1601,6 +1655,80 @@ SELECT query_id, neighbor_id, cosine, CAST(rn AS BIGINT) AS rank FROM (
   SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rn
   FROM scored
 ) WHERE rn <= 5
+"""
+
+    # --- md5-hash-family near-dup tier: engine-portable hashing --------
+    md5h = (
+        "CAST(('0x' || substr(md5(CAST({j} AS VARCHAR) || ':' || {s}), 1, 15)) "
+        "AS BIGINT)"
+    )
+    sql["minhash_pairs_md5"] = f"""
+WITH docs2 AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 10000 AS doc_id, text FROM documents WHERE doc_id % 10 = 0
+),
+g AS (SELECT doc_id, unnest({grams}) AS gram FROM docs2),
+h AS (
+  SELECT doc_id, j, min({md5h.format(j='j', s='gram')}) AS mh
+  FROM g, range(8) t(j)
+  GROUP BY doc_id, j
+),
+sig AS (SELECT doc_id, list(mh ORDER BY j) AS sig FROM h GROUP BY doc_id),
+bands AS (
+  SELECT doc_id, sig, b, sig[b*2+1 : b*2+2] AS slice
+  FROM sig, range(4) t(b)
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+         a.sig AS sa, b.sig AS sb
+  FROM bands a
+  JOIN bands b ON a.b = b.b AND a.slice = b.slice AND a.doc_id < b.doc_id
+)
+SELECT id_a, id_b,
+       list_sum(list_transform(range(1, 9),
+                i -> CASE WHEN sa[i] = sb[i] THEN 1 ELSE 0 END)) / 8.0
+           AS jaccard_est
+FROM cand
+"""
+
+    sql["simhash_md5"] = f"""
+WITH t AS (SELECT doc_id, unnest({toks}) AS tok FROM documents),
+h AS (SELECT doc_id, {md5h.format(j='0', s='tok')} AS h FROM t),
+votes AS (
+  SELECT doc_id, b,
+         sum(CASE WHEN (h >> b) & 1 = 1 THEN 1 ELSE -1 END) AS v
+  FROM h, range(60) t2(b)
+  GROUP BY doc_id, b
+)
+SELECT doc_id,
+       CAST(sum(CASE WHEN v > 0 THEN CAST(1 AS BIGINT) << b ELSE 0 END)
+            AS BIGINT) AS simhash
+FROM votes GROUP BY doc_id
+"""
+
+    nd_planes = _random_hyperplanes(64, 4, 7)
+    nd_bits = " + ".join(
+        "(CASE WHEN list_sum(list_transform(range(1, 65), "
+        f"i -> v[i] * ([{', '.join(repr(x) for x in row)}])[i])) >= 0 "
+        f"THEN {1 << p} ELSE 0 END)"
+        for p, row in enumerate(nd_planes)
+    )
+    sql["embedding_neardup"] = f"""
+WITH sigs AS (
+  SELECT vec_id, embedding::DOUBLE[] AS v, ({nd_bits}) AS bucket
+  FROM embeddings
+),
+pairs AS (
+  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+         round(
+           list_sum(list_transform(range(1, 65), i -> a.v[i] * b.v[i])) /
+           nullif(sqrt(list_sum(list_transform(range(1, 65), i -> a.v[i] * a.v[i]))) *
+                  sqrt(list_sum(list_transform(range(1, 65), i -> b.v[i] * b.v[i]))), 0),
+           4) AS cosine
+  FROM sigs a JOIN sigs b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+)
+SELECT id_a, id_b, cosine FROM pairs WHERE cosine >= 0.2
 """
 
     sql["percentiles"] = """

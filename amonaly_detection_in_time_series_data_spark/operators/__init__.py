@@ -6,13 +6,17 @@ from .sequences import create_sequences
 from .anomaly import rolling_zscore, global_zscore_flags, pca_reconstruction_error
 from .features import bucketed_rolling
 from .inference import (
+    fit_linear_ae_epochs,
     flag_sequence_anomalies,
+    score_linear_ae_sql,
     sequence_reconstruction_scores,
 )
 from .relational import join_dim, salted_agg, top_k_global, top_k_per_group
 from .similarity import (
     cosine_topk,
+    embedding_neardup_pairs,
     ivf_cosine_topk,
+    lsh_bucket,
     lsh_cosine_topk,
     minhash_lsh_pairs,
     minhash_signatures,
@@ -46,14 +50,18 @@ __all__ = [
     "global_zscore_flags",
     "pca_reconstruction_error",
     "bucketed_rolling",
+    "fit_linear_ae_epochs",
     "flag_sequence_anomalies",
+    "score_linear_ae_sql",
     "sequence_reconstruction_scores",
     "join_dim",
     "salted_agg",
     "top_k_global",
     "top_k_per_group",
     "cosine_topk",
+    "embedding_neardup_pairs",
     "ivf_cosine_topk",
+    "lsh_bucket",
     "lsh_cosine_topk",
     "minhash_lsh_pairs",
     "minhash_signatures",

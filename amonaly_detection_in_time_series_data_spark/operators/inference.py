@@ -160,6 +160,92 @@ def score_linear_ae_sql(
     return df.withColumn(error_col, err)
 
 
+def fit_linear_ae_epochs(
+    df: DataFrame,
+    seq_col: str = "seq",
+    k: int = 2,
+    epochs: int = 5,
+    seed: int = 0,
+    checkpoint=None,
+) -> tuple[LinearAEModel, list[float]]:
+    """ML2 — the reference's epoch training loop (main.py:20-56), as a
+    genuinely DISTRIBUTED iterative fit: orthogonal (power) iteration
+    toward the top-k principal subspace, which is the linear
+    autoencoder's optimum.
+
+    Per epoch, ONE aggregation job over the full dataset computes
+    - the epoch loss: mean reconstruction error under the CURRENT model
+      (the reference's per-epoch loss reduction, A5), and
+    - the power-iteration update M[i][j] = sum_rows c_i * (c . V_j),
+      i.e. M = (sum c c^T) V without ever materializing the covariance.
+    The driver then orthonormalizes M (QR on a tiny d x k matrix) into
+    the next V. Everything row-wise stays JVM-side (the same flat
+    Catalyst expressions as :func:`score_linear_ae_sql`); per epoch only
+    d*k + 2 scalars cross to the driver, and epochs after the first
+    reuse the lineage's shuffle files.
+
+    ``checkpoint``: optional :class:`~.artifacts.BestCheckpoint` —
+    save_best_only semantics per the reference's ModelCheckpoint
+    (main.py:48-55).
+
+    Returns (model, per-epoch losses). Loss[i] is measured BEFORE the
+    i-th update, so a converging fit shows a (noisily) decreasing curve
+    with loss[0] = the random-init error.
+    """
+    # pass 0: exact global mean + dimensionality (one agg job)
+    first = df.select(F.flatten(F.col(seq_col)).alias("f")).limit(1).collect()
+    if not first:
+        raise ValueError("empty input")
+    d = len(first[0]["f"])
+    if d > 64:
+        raise NotImplementedError(
+            "epoch trainer expands d*k update expressions inline; for "
+            "d > 64 use fit_linear_ae (sample SVD) or batch the update "
+            "via mapInPandas partial sums"
+        )
+    flat = F.flatten(F.col(seq_col))
+    mean_row = df.agg(
+        *[F.avg(F.element_at(flat, i + 1)).alias(f"m{i}") for i in range(d)]
+    ).collect()[0]
+    mean = np.array([mean_row[f"m{i}"] for i in range(d)], dtype=np.float64)
+
+    rng = np.random.default_rng(seed)
+    v, _ = np.linalg.qr(rng.normal(size=(d, k)))
+    comps = v.T  # (k, d), rows orthonormal
+
+    losses: list[float] = []
+    for _ in range(epochs):
+        model = LinearAEModel(mean, comps)
+        scored = score_linear_ae_sql(
+            df.select(seq_col), model, seq_col, "__err"
+        ).withColumn("__flat", flat)
+        cs = [F.element_at(F.col("__flat"), i + 1) - F.lit(float(mean[i]))
+              for i in range(d)]
+        projs = [
+            sum((cs[i] * F.lit(float(comps[j][i])) for i in range(1, d)),
+                cs[0] * F.lit(float(comps[j][0])))
+            for j in range(k)
+        ]
+        row = scored.agg(
+            F.avg("__err").alias("loss"),
+            *[
+                F.sum(cs[i] * projs[j]).alias(f"M_{i}_{j}")
+                for i in range(d)
+                for j in range(k)
+            ],
+        ).collect()[0]
+        losses.append(float(row["loss"]))
+        if checkpoint is not None:
+            checkpoint.offer(losses[-1], model)
+        m = np.array(
+            [[row[f"M_{i}_{j}"] for j in range(k)] for i in range(d)],
+            dtype=np.float64,
+        )
+        q, _ = np.linalg.qr(m)
+        comps = q.T
+    return LinearAEModel(mean, comps), losses
+
+
 def sequence_reconstruction_scores(
     df: DataFrame,
     seq_col: str = "seq",

@@ -78,6 +78,90 @@ def _random_hyperplanes(dim: int, n_planes: int, seed: int) -> list[list[float]]
     return planes
 
 
+def lsh_bucket(vec: Column, planes: list[list[float]]) -> Column:
+    """Random-hyperplane LSH bucket id: the sign-of-projection bit per
+    plane, packed into an int. The plane matrix rides as ONE
+    array<array<double>> literal node — a per-element scalar expansion
+    (n_planes*dim nodes) costs seconds of analysis/codegen time per
+    query (measured)."""
+    n_planes = len(planes)
+    planes_lit = F.lit(planes)
+    weights_lit = F.lit([1 << p for p in range(n_planes)])
+    bits = F.transform(
+        F.sequence(F.lit(0), F.lit(n_planes - 1)),
+        lambda p: F.when(
+            F.aggregate(
+                F.zip_with(
+                    vec, planes_lit[p], lambda x, y: x.cast("double") * y
+                ),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            )
+            >= 0,
+            weights_lit[p],
+        ).otherwise(F.lit(0)),
+    )
+    return F.aggregate(bits, F.lit(0), lambda acc, x: acc + x)
+
+
+def embedding_neardup_pairs(
+    emb: DataFrame,
+    threshold: float,
+    dim: int,
+    n_planes: int = 6,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_digits: int | None = None,
+    max_bucket_size: int | None = None,
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs, LSH-bucketed: bucket every
+    vector by its hyperplane signature, generate the pair triangle
+    bucket-locally, keep pairs with exact cosine >= ``threshold``.
+
+    One shuffle on the bucket id; no all-pairs join anywhere. Every
+    vector lands in exactly one bucket (the full signature), so emitted
+    pairs are unique by construction. Single-table LSH trades recall for
+    that one-shuffle shape (pairs split by any plane are missed — lower
+    ``n_planes`` or union multiple seeds for higher recall); the bucket
+    assignment is deterministic given (dim, n_planes, seed), which is
+    what makes the operator oracle-reproducible.
+
+    ``max_bucket_size`` caps adversarial mega-buckets (e.g. zero-vector
+    floods) exactly like :func:`minhash_lsh_pairs`.
+    """
+    planes = _random_hyperplanes(dim, n_planes, seed)
+    b = emb.select(
+        F.col(id_col).alias("id"),
+        F.col(vec_col).alias("vec"),
+        lsh_bucket(F.col(vec_col), planes).alias("__bucket"),
+    )
+    members = b.groupBy("__bucket").agg(
+        F.collect_list(F.struct("id", "vec")).alias("ms")
+    )
+    members = members.filter(F.size("ms") > 1)
+    if max_bucket_size is not None:
+        members = members.filter(F.size("ms") <= max_bucket_size)
+    anchored = members.select(F.posexplode("ms").alias("pos", "a"), "ms")
+    paired = anchored.select(
+        "a",
+        F.explode(
+            F.slice("ms", F.col("pos") + 2, F.size("ms") - F.col("pos") - 1)
+        ).alias("b"),
+    )
+    cos = cosine_similarity(F.col("a.vec"), F.col("b.vec"))
+    if round_digits is not None:
+        cos = F.round(cos, round_digits)
+    return (
+        paired.select(
+            F.least("a.id", "b.id").alias("id_a"),
+            F.greatest("a.id", "b.id").alias("id_b"),
+            cos.alias("cosine"),
+        )
+        .filter(F.col("cosine") >= threshold)
+    )
+
+
 def lsh_cosine_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -99,27 +183,9 @@ def lsh_cosine_topk(
     reproducible across engines (oracle determinism convention).
     """
     planes = _random_hyperplanes(dim, n_planes, seed)
-    planes_lit = F.lit(planes)  # one array<array<double>> literal node —
-    # a per-element scalar expansion (n_planes*dim nodes) costs seconds
-    # of analysis/codegen time per query (measured)
-    weights_lit = F.lit([1 << p for p in range(n_planes)])
 
     def signature(vec: Column) -> Column:
-        bits = F.transform(
-            F.sequence(F.lit(0), F.lit(n_planes - 1)),
-            lambda p: F.when(
-                F.aggregate(
-                    F.zip_with(
-                        vec, planes_lit[p], lambda x, y: x.cast("double") * y
-                    ),
-                    F.lit(0.0),
-                    lambda acc, x: acc + x,
-                )
-                >= 0,
-                weights_lit[p],
-            ).otherwise(F.lit(0)),
-        )
-        return F.aggregate(bits, F.lit(0), lambda acc, x: acc + x)
+        return lsh_bucket(vec, planes)
 
     c = corpus.withColumn("__bucket", signature(F.col(vec_col)))
     q = queries.select(
@@ -241,18 +307,38 @@ def shingles(text: Column | str, n: int = 3) -> Column:
     )
 
 
+def _seeded_hash64(col: Column, seed: int, hash_fn: str) -> Column:
+    """Seeded 64-bit-ish hash of a string column.
+
+    ``xxhash64``: native JVM hash — fastest, engine-specific.
+    ``md5``: first 15 hex digits (60 bits) of md5('<seed>:' || s) as a
+    bigint — bit-identical in any engine with standard md5 (DuckDB:
+    ``CAST('0x' || substr(md5(...), 1, 15) AS BIGINT)``), so results are
+    oracle-reproducible.
+    """
+    if hash_fn == "xxhash64":
+        return F.xxhash64(F.lit(seed), col)
+    if hash_fn == "md5":
+        return F.conv(
+            F.substring(F.md5(F.concat(F.lit(f"{seed}:"), col)), 1, 15), 16, 10
+        ).cast("bigint")
+    raise ValueError(f"unknown hash_fn {hash_fn!r}")
+
+
 def minhash_signatures(
     df: DataFrame,
     text_col: str = "text",
     id_col: str = "doc_id",
     n_hashes: int = 16,
     shingle_n: int = 3,
+    hash_fn: str = "xxhash64",
 ) -> DataFrame:
     """MinHash signature per document: for each of ``n_hashes`` seeded
-    xxhash64 functions, the min hash over the doc's shingle set.
+    hash functions, the min hash over the doc's shingle set.
 
     Output: id_col, ``sig`` array<bigint>. Documents with zero shingles
-    (empty text) are dropped.
+    (empty text) are dropped. ``hash_fn='md5'`` gives engine-portable
+    (oracle-reproducible) signatures; default xxhash64 is the fast path.
 
     Shape chosen for scale: explode shingles once, compute the n hash
     columns per (doc, shingle) row, then min-aggregate per doc. This
@@ -266,7 +352,10 @@ def minhash_signatures(
     )
     hashed = exploded.select(
         id_col,
-        *[F.xxhash64(F.lit(i), F.col("gram")).alias(f"__h{i}") for i in range(n_hashes)],
+        *[
+            _seeded_hash64(F.col("gram"), i, hash_fn).alias(f"__h{i}")
+            for i in range(n_hashes)
+        ],
     )
     sigs = hashed.groupBy(id_col).agg(
         *[F.min(f"__h{i}").alias(f"__h{i}") for i in range(n_hashes)]
@@ -356,16 +445,27 @@ def minhash_lsh_pairs(
 
 
 def simhash64(
-    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    hash_fn: str = "xxhash64",
 ) -> DataFrame:
-    """64-bit SimHash: per token, xxhash64; per bit, vote +1/-1 weighted by
-    token frequency; sign of the vote sets the bit. Expressed as 64
-    aggregate expressions over the exploded token table — one shuffle on
-    id (or none when fused with an existing per-doc stage).
+    """SimHash: per token, a 64-bit hash; per bit, vote +1/-1 weighted by
+    token frequency; sign of the vote sets the bit. Expressed as one
+    aggregate expression per bit over the exploded token table — one
+    shuffle on id (or none when fused with an existing per-doc stage).
+
+    ``hash_fn='md5'`` uses the engine-portable 60-bit md5-derived hash
+    (so the fingerprint is oracle-reproducible); default xxhash64 gives
+    the full 64 bits on the fast path.
     """
+    n_bits = 64 if hash_fn == "xxhash64" else 60
     one = F.lit(1).cast("bigint")
     toks = df.select(id_col, F.explode(tokenize(F.col(text_col))).alias("tok"))
-    hashed = toks.withColumn("h", F.xxhash64("tok"))
+    if hash_fn == "xxhash64":
+        hashed = toks.withColumn("h", F.xxhash64("tok"))
+    else:
+        hashed = toks.withColumn("h", _seeded_hash64(F.col("tok"), 0, hash_fn))
     votes = hashed.groupBy(id_col).agg(
         *[
             F.sum(
@@ -373,7 +473,7 @@ def simhash64(
                     F.col("h").bitwiseAND(F.shiftleft(one, b)) != 0, 1
                 ).otherwise(-1)
             ).alias(f"b{b}")
-            for b in range(64)
+            for b in range(n_bits)
         ]
     )
     # bit 63 contributes Long.MIN_VALUE; summing signed contributions yields
@@ -381,7 +481,7 @@ def simhash64(
     sim = sum(
         (
             F.when(F.col(f"b{b}") > 0, F.shiftleft(one, b)).otherwise(F.lit(0).cast("bigint"))
-            for b in range(1, 64)
+            for b in range(1, n_bits)
         ),
         F.when(F.col("b0") > 0, one).otherwise(F.lit(0).cast("bigint")),
     )

@@ -442,3 +442,39 @@ class TestArrivalOrder:
         df = stamp_arrival_order(load_csv(spark, str(tmp_path), schema=schema))
         rows = df.orderBy("arrival_id").select("x").collect()
         assert [r["x"] for r in rows] == ["1", "2", "3", "4"]
+
+
+class TestEpochTraining:
+    def test_orthogonal_iteration_converges_to_pca(self, spark, sf_dir, tmp_path):
+        """ML2: the distributed epoch loop's loss decreases from random
+        init and converges to the PCA optimum; BestCheckpoint keeps the
+        best epoch."""
+        import numpy as np
+
+        from amonaly_detection_in_time_series_data_spark.operators.artifacts import (
+            BestCheckpoint,
+        )
+        from amonaly_detection_in_time_series_data_spark.operators.inference import (
+            fit_linear_ae_epochs,
+        )
+        from amonaly_detection_in_time_series_data_spark.operators.sequences import (
+            create_sequences,
+        )
+
+        ev = load_table(spark, sf_dir, "events")
+        seqs = create_sequences(ev, ["value"], 6, ["user_id"], ["ts", "event_id"])
+        ckpt = BestCheckpoint(str(tmp_path / "ck"))
+        model, losses = fit_linear_ae_epochs(
+            seqs, "seq", k=2, epochs=5, seed=0, checkpoint=ckpt
+        )
+        assert len(losses) == 5
+        assert losses[-1] < losses[0]  # random init -> fitted subspace
+        assert ckpt.best_loss == min(losses)
+
+        # optimal loss via numpy SVD on the full data
+        rows = seqs.select("seq").collect()
+        x = np.array([np.array(r["seq"], dtype=np.float64).reshape(-1) for r in rows])
+        mean = x.mean(axis=0)
+        _, s, _ = np.linalg.svd(x - mean, full_matrices=False)
+        opt = (s[2:] ** 2).sum() / len(x)  # residual variance beyond top-2
+        assert losses[-1] <= opt * 1.10  # within 10% of the PCA optimum
