@@ -646,6 +646,36 @@ def q_multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Feature extraction over binary payloads via mapInPandas (Arrow
+    batch in, fixed-dim vector out); deterministic fake extractor, so
+    the whole path — payload adapter, batching, vector schema — is
+    hash-checked. Output exploded to scalars for engine-portable
+    comparison."""
+    from amonaly_detection_in_time_series_data_spark.sources.multimodal import (
+        extract_media_features,
+        with_binary_payload,
+    )
+
+    docs = spread_small(load_table(spark, sf_dir, "documents"))
+    feats = extract_media_features(with_binary_payload(docs), dim=16)
+    return feats.select(
+        "doc_id", F.posexplode("features").alias("j", "feature")
+    ).select("doc_id", F.col("j").cast("bigint").alias("j"), "feature")
+
+
+def q_multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame sampling: row-exploding mapInPandas (one row per sampled
+    frame, stride 4), deterministic frame count + fingerprint."""
+    from amonaly_detection_in_time_series_data_spark.sources.multimodal import (
+        sample_frames,
+        with_binary_payload,
+    )
+
+    docs = spread_small(load_table(spark, sf_dir, "documents"))
+    return sample_frames(with_binary_payload(docs, modality="video"), stride=4)
+
+
 # ---------------------------------------------------------------------------
 # queries — time-series relational extensions (sessionize / as-of / resample)
 # ---------------------------------------------------------------------------
@@ -1151,6 +1181,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ngram_jaccard": q_ngram_jaccard,
         "multimodal_meta": q_multimodal_meta,
         "multimodal_decode": q_multimodal_decode,
+        "multimodal_features": q_multimodal_features,
+        "multimodal_frames": q_multimodal_frames,
         "minhash_pairs": q_minhash_pairs,
         "simhash": q_simhash,
         "minhash_pairs_md5": q_minhash_pairs_md5,
@@ -1619,6 +1651,21 @@ SELECT doc_id,
        CAST(octet_length(encode(text)) AS BIGINT) AS byte_len,
        sha256(text) AS sha256
 FROM documents
+"""
+
+    sql["multimodal_features"] = """
+SELECT doc_id, CAST(j AS BIGINT) AS j,
+       CAST(('0x' || substr(sha256(text), (j % 64) + 1, 1)) AS INT) / 15.0
+           AS feature
+FROM documents, range(16) t(j)
+"""
+
+    sql["multimodal_frames"] = """
+SELECT doc_id, CAST(frame_idx AS BIGINT) AS frame_idx,
+       sha256(text || ':' || CAST(frame_idx AS VARCHAR)) AS frame_sha
+FROM documents,
+     LATERAL (SELECT unnest(range(0, 1 + octet_length(encode(text)) % 32, 4))
+              AS frame_idx) f
 """
 
     # --- LSH ANN: same deterministic plane matrix as the Spark side ----

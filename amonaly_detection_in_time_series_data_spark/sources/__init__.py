@@ -6,6 +6,14 @@ from .readers import (
     stamp_arrival_order,
 )
 from .writers import write_parquet
+from .multimodal import (
+    decode_media,
+    extract_media_features,
+    sample_frames,
+    set_decoder,
+    set_feature_extractor,
+    with_binary_payload,
+)
 
 __all__ = [
     "load_csv",
@@ -14,4 +22,10 @@ __all__ = [
     "select_dtypes",
     "stamp_arrival_order",
     "write_parquet",
+    "decode_media",
+    "extract_media_features",
+    "sample_frames",
+    "set_decoder",
+    "set_feature_extractor",
+    "with_binary_payload",
 ]

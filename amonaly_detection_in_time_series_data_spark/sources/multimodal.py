@@ -111,3 +111,88 @@ def with_binary_payload(
     return df.withColumn("payload", F.encode(F.col(source_col), "UTF-8")).withColumn(
         "modality", F.lit(modality)
     )
+
+
+def fake_feature_extractor(payload: bytes, dim: int) -> list[float]:
+    """Deterministic stand-in for an image/audio feature model: feature j
+    = j-th hex digit of sha256(payload) / 15.0. Pure function of the
+    bytes (oracle-reproducible); a real CLIP/VGG-ish extractor drops into
+    :func:`set_feature_extractor` and emits the same array<double>."""
+    hx = hashlib.sha256(payload).hexdigest()
+    return [int(hx[j % 64], 16) / 15.0 for j in range(dim)]
+
+
+_FEATURE_EXTRACTOR: Callable[[bytes, int], list[float]] = fake_feature_extractor
+
+
+def set_feature_extractor(fn: Callable[[bytes, int], list[float]]) -> None:
+    global _FEATURE_EXTRACTOR
+    _FEATURE_EXTRACTOR = fn
+
+
+def extract_media_features(
+    df: DataFrame,
+    dim: int = 16,
+    payload_col: str = "payload",
+    feature_col: str = "features",
+) -> DataFrame:
+    """Media feature extraction over ``mapInPandas``: binary payload in,
+    fixed-``dim`` ``array<double>`` out, batch-at-a-time.
+
+    The payload never leaves the executor; downstream similarity stages
+    (:mod:`~..operators.similarity`) consume only the small vector. The
+    batch shape is exactly what a real model wants (one forward pass per
+    Arrow batch).
+    """
+    extractor = _FEATURE_EXTRACTOR
+    out_schema = ", ".join(
+        f"{f.name} {f.dataType.simpleString()}" for f in df.schema.fields
+    ) + f", {feature_col} array<double>"
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            pdf[feature_col] = [
+                extractor(bytes(p) if p is not None else b"", dim)
+                for p in pdf[payload_col]
+            ]
+            yield pdf
+
+    return df.mapInPandas(run, schema=out_schema)
+
+
+def sample_frames(
+    df: DataFrame,
+    stride: int = 4,
+    id_col: str = "doc_id",
+    payload_col: str = "payload",
+) -> DataFrame:
+    """Frame sampling: one row per sampled frame of each video payload —
+    the row-exploding ``mapInPandas`` shape (N payload rows in, ~N *
+    frames/stride frame rows out; Arrow bounds the inflation per batch).
+
+    Frame count and bytes are the deterministic stub (frames = 1 +
+    byte_len % 32, frame fingerprint = sha256(payload || ':' || idx));
+    a real ffmpeg-style sampler replaces the inner loop and emits real
+    frame payloads with the same schema.
+    """
+    out_schema = f"{id_col} bigint, frame_idx bigint, frame_sha string"
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, idxs, shas = [], [], []
+            for did, p in zip(pdf[id_col], pdf[payload_col]):
+                payload = bytes(p) if p is not None else b""
+                n_frames = 1 + len(payload) % 32
+                for i in range(0, n_frames, stride):
+                    ids.append(did)
+                    idxs.append(i)
+                    shas.append(
+                        hashlib.sha256(
+                            payload + b":" + str(i).encode()
+                        ).hexdigest()
+                    )
+            yield pd.DataFrame(
+                {id_col: ids, "frame_idx": idxs, "frame_sha": shas}
+            )
+
+    return df.select(id_col, payload_col).mapInPandas(run, schema=out_schema)
