@@ -1,3 +1,8 @@
 from .rolling import streaming_windowed_stats, replay_events_stream
+from .sinks import write_anomaly_alerts
 
-__all__ = ["streaming_windowed_stats", "replay_events_stream"]
+__all__ = [
+    "streaming_windowed_stats",
+    "replay_events_stream",
+    "write_anomaly_alerts",
+]

@@ -207,3 +207,46 @@ class TestStreamingParity:
             for r in ev.join(dim, "user_id").collect()
         }
         assert len(expected) > 0 and streamed == expected
+
+
+class TestStreamingSinks:
+    def test_alert_sink_writes_partitioned_parquet(self, spark, sf_dir, tmp_path):
+        """Replay -> stateful z-score -> native parquet file sink: the
+        alerts on disk equal the flagged rows the stream computed, land
+        date-partitioned, and a date filter prunes at the scan."""
+        from amonaly_detection_in_time_series_data_spark.streaming.rolling import (
+            replay_events_stream,
+            streaming_zscore_flags,
+        )
+        from amonaly_detection_in_time_series_data_spark.streaming.sinks import (
+            write_anomaly_alerts,
+        )
+
+        stream = replay_events_stream(spark, sf_dir)
+        # NoTimeout state: with a processing-time timeout the availableNow
+        # query stays alive to fire timeouts and never self-terminates
+        flags = streaming_zscore_flags(
+            stream, window_rows=24, threshold=2.0, timeout_minutes=None
+        )
+        out = str(tmp_path / "alerts")
+        q = write_anomaly_alerts(
+            flags, out, str(tmp_path / "ckpt"), available_now=True
+        )
+        assert q.awaitTermination(240), "sink query did not drain in time"
+
+        written = spark.read.parquet(out)
+        n = written.count()
+        assert n > 0
+        assert written.filter(F.col("is_anomaly") != 1).count() == 0
+        # partition column present and populated
+        assert "alert_date" in written.columns
+        assert written.filter(F.col("alert_date").isNull()).count() == 0
+        # date filter prunes partitions at the scan
+        one_day = written.select("alert_date").first()["alert_date"]
+        plan = (
+            written.filter(F.col("alert_date") == F.lit(one_day))
+            ._jdf.queryExecution().executedPlan().toString()
+        )
+        assert "PartitionFilters: [" in plan and "alert_date" in plan.split(
+            "PartitionFilters"
+        )[1][:160]
