@@ -88,9 +88,19 @@ class BestCheckpoint:
         best = self.best_loss
         if best is not None and loss >= best:
             return False
-        save_linear_ae(model, self._model_path)
-        with open(self._meta_path, "w") as f:
+        # crash-safe ordering: stage both files, publish the model first,
+        # the meta sidecar LAST — a crash mid-offer leaves either the old
+        # (artifact, loss) pair intact or the new artifact with the old
+        # sidecar (harmless: the next offer re-compares against the old,
+        # higher loss and re-publishes), never a loss claiming a model
+        # that isn't on disk.
+        tmp_model = self._model_path + ".tmp.npz"
+        tmp_meta = self._meta_path + ".tmp"
+        save_linear_ae(model, tmp_model)
+        with open(tmp_meta, "w") as f:
             json.dump({"loss": float(loss)}, f)
+        os.replace(tmp_model, self._model_path)
+        os.replace(tmp_meta, self._meta_path)
         return True
 
     def load_best(self) -> LinearAEModel:

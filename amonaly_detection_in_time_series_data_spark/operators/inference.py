@@ -53,10 +53,19 @@ def fit_linear_ae(
     ``orderBy().limit()`` (TakeOrderedAndProject) costs. Any bounded
     sample is an acceptable fit set (the model is tiny either way), and
     on a static source with a deterministic plan the limit is repeatable.
-    ``order_cols`` is kept for API compatibility; it no longer forces a
-    global sort of the whole sequence DataFrame just to pick a sample.
+
+    ``order_cols``: when provided, the sample IS taken via
+    ``orderBy(*order_cols).limit(n)`` (TakeOrderedAndProject) — fully
+    deterministic across shuffle-partition configs, at the cost of
+    computing the whole lineage. Pass None (default) for the cheap path.
     """
-    sample = df.select(seq_col).limit(fit_rows).toPandas()[seq_col]
+    if order_cols:
+        sample = (
+            df.orderBy(*order_cols).limit(fit_rows).select(seq_col)
+            .toPandas()[seq_col]
+        )
+    else:
+        sample = df.select(seq_col).limit(fit_rows).toPandas()[seq_col]
     x = _stack_sequences(sample)
     mean = x.mean(axis=0)
     # SVD of the centered sample; top-k right singular vectors
@@ -272,8 +281,12 @@ def sequence_reconstruction_scores(
     'pandas' uses the broadcast + Arrow ``mapInPandas`` path, which is
     the slot a non-linear (e.g. torch state_dict) model drops into.
     """
+    if scorer not in ("sql", "pandas"):
+        raise ValueError(
+            f"scorer must be 'sql' or 'pandas', got {scorer!r}"
+        )
     model = fit_linear_ae(fit_df if fit_df is not None else df,
-                          seq_col, k, fit_rows)
+                          seq_col, k, fit_rows, order_cols=order_cols)
     if scorer == "sql":
         return score_linear_ae_sql(df, model, seq_col, error_col)
 

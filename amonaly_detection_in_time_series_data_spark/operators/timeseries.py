@@ -138,13 +138,27 @@ def resample_grid(
     """
     aggs = {"avg": F.avg, "sum": F.sum, "min": F.min, "max": F.max,
             "count": F.count, "first": F.first, "last": F.last}[agg]
-    # Bucket with F.window(ts, step).start, not date_trunc: date_trunc is
-    # 1-unit granularity, so a multi-unit step like '15 minutes' would put
-    # per-bucket aggregates on timestamps that are NOT on the
-    # sequence(lo, hi, step) grid and the left join would silently drop
-    # them. window() starts are epoch-aligned multiples of the step, and
-    # stepping from an aligned __lo stays on that grid for any step.
-    bucket = F.window(F.col(ts_col), step)["start"]
+    # Two bucketing regimes, branched on the step unit:
+    # - fixed-duration steps (minutes/hours/days/weeks, any multiplier):
+    #   F.window(ts, step).start — epoch-aligned multiples of the step, so
+    #   stepping sequence(lo, hi, step) from an aligned __lo stays on the
+    #   grid for multi-unit steps like '15 minutes' (date_trunc would not).
+    # - calendar steps (month/quarter/year): F.window rejects them
+    #   ("Intervals greater than a month is not supported"); date_trunc
+    #   truncation and INTERVAL stepping stay aligned for 1-unit steps.
+    parts = step.strip().split()
+    if len(parts) != 2:
+        raise ValueError(f"step must be '<n> <unit>', got {step!r}")
+    step_n, step_unit = parts[0], parts[1].lower().rstrip("s")
+    if step_unit in ("month", "quarter", "year"):
+        if step_n != "1":
+            raise ValueError(
+                f"calendar steps support only a single unit ('1 {step_unit}'); "
+                f"got {step!r} — multi-month grids are not epoch-alignable"
+            )
+        bucket = F.date_trunc(step_unit, F.col(ts_col))
+    else:
+        bucket = F.window(F.col(ts_col), step)["start"]
 
     binned = df.withColumn("__bucket", bucket)
     per_bucket = binned.groupBy(*key_cols, "__bucket").agg(

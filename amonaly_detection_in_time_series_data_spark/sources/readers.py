@@ -186,6 +186,17 @@ def stamp_arrival_order(df: DataFrame, col_name: str = "arrival_id") -> DataFram
     cannot be positionally ordered faithfully by ANY distributed scan;
     prefer a real key (e.g. ``event_id``) when one exists — the declared
     testdata queries do.
+
+    .. note:: BREAKING CHANGE (round 2): ``col_name`` was previously a
+       plain ``bigint`` (``monotonically_increasing_id`` alone, which
+       silently depended on partition listing order). It is now a
+       ``struct<file: string, pos: bigint>``. Struct ordering works
+       with every in-repo consumer (``row_number``/``min_by``
+       ordering); external consumers doing arithmetic or numeric
+       comparisons on the column must switch to field access
+       (``arrival_id.pos``) or ordering comparisons. File-name
+       lexicographic order equals arrival order only for
+       zero-padded/sorted listings.
     """
     return df.withColumn(
         col_name,

@@ -225,6 +225,53 @@ class TestSequenceInference:
         for key, v in got_by_scorer["pandas"].items():
             assert got[key] == pytest.approx(v, rel=1e-9, abs=1e-12)
 
+    def test_scorer_validated(self, spark, sf_dir):
+        """A typo like scorer='SQL' must raise, not silently take the
+        slower Arrow path."""
+        from amonaly_detection_in_time_series_data_spark.operators.inference import (
+            sequence_reconstruction_scores,
+        )
+        from amonaly_detection_in_time_series_data_spark.operators.sequences import (
+            create_sequences,
+        )
+
+        ev = load_table(spark, sf_dir, "events")
+        seqs = create_sequences(ev, ["value"], 6, ["user_id"], ["ts", "event_id"])
+        with pytest.raises(ValueError, match="scorer"):
+            sequence_reconstruction_scores(seqs, "seq", scorer="SQL")
+
+    def test_fit_order_cols_honored(self, spark, sf_dir):
+        """An explicit order_cols takes the deterministic
+        TakeOrderedAndProject sample — same model regardless of the
+        session's shuffle-partition count."""
+        from amonaly_detection_in_time_series_data_spark.operators.inference import (
+            fit_linear_ae,
+        )
+        from amonaly_detection_in_time_series_data_spark.operators.sequences import (
+            create_sequences,
+        )
+
+        ev = load_table(spark, sf_dir, "events")
+        seqs = create_sequences(ev, ["value"], 6, ["user_id"], ["ts", "event_id"])
+        models = []
+        for parts in ("2", "7"):
+            spark.conf.set("spark.sql.shuffle.partitions", parts)
+            try:
+                models.append(
+                    fit_linear_ae(
+                        seqs, "seq", k=2, fit_rows=64,
+                        order_cols=["user_id", "seq_start_ts"],
+                    )
+                )
+            finally:
+                spark.conf.unset("spark.sql.shuffle.partitions")
+        import numpy as np
+
+        assert np.allclose(models[0].mean, models[1].mean)
+        assert np.allclose(
+            np.abs(models[0].components), np.abs(models[1].components)
+        )
+
 
 class TestSinks:
     def test_partitioned_parquet_roundtrip_with_pruning(self, spark, sf_dir):
@@ -354,6 +401,39 @@ class TestTimeseriesOps:
             t("2024-01-01 00:30:00"): 3.0,  # empty bucket forward-filled
             t("2024-01-01 00:45:00"): 5.0,
         }
+
+    def test_resample_calendar_step(self, spark):
+        """'1 month' must use the date_trunc branch (F.window rejects
+        calendar intervals); multi-unit calendar steps raise loudly."""
+        import datetime as dt
+
+        import pytest
+
+        from amonaly_detection_in_time_series_data_spark.operators.timeseries import (
+            resample_grid,
+        )
+
+        t = lambda s: dt.datetime.fromisoformat(s)
+        df = spark.createDataFrame(
+            [
+                (1, t("2024-01-15 12:00:00"), 2.0),
+                (1, t("2024-03-02 00:00:00"), 6.0),
+            ],
+            "k int, ts timestamp, v double",
+        )
+        out = {
+            r["bucket_ts"]: r["v"]
+            for r in resample_grid(
+                df, ["k"], "ts", ["v"], step="1 month", agg="avg"
+            ).collect()
+        }
+        assert out == {
+            t("2024-01-01 00:00:00"): 2.0,
+            t("2024-02-01 00:00:00"): 2.0,  # empty month forward-filled
+            t("2024-03-01 00:00:00"): 6.0,
+        }
+        with pytest.raises(ValueError, match="calendar steps"):
+            resample_grid(df, ["k"], "ts", ["v"], step="2 months")
 
 
 class TestArtifacts:
