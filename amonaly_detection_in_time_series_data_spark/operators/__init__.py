@@ -1,5 +1,5 @@
 from .dedup import dedup_keep_positional, dedup_mean, dedup_exact_text
-from .missing import ffill, bfill, fill_with_global, fill_zero, drop_nulls
+from .missing import ffill, bfill, fill_with_global, fill_with_strategies, fill_zero, drop_nulls
 from .features import add_lag_features, add_rolling_features, featurize
 from .scaling import minmax_scale
 from .sequences import create_sequences
@@ -39,6 +39,7 @@ __all__ = [
     "ffill",
     "bfill",
     "fill_with_global",
+    "fill_with_strategies",
     "fill_zero",
     "drop_nulls",
     "add_lag_features",

@@ -84,6 +84,30 @@ def fill_with_global(
     return out.drop(*[f"__stat_{c}" for c in cols])
 
 
+def fill_with_strategies(
+    df: DataFrame,
+    strategies: dict[str, str],
+) -> DataFrame:
+    """Per-column mean/median fills with ONE stats aggregate.
+
+    Same semantics as calling :func:`fill_with_global` once per column,
+    but all scalar statistics come from a single aggregate job and ride
+    one broadcast — at scale, n strategy columns would otherwise cost n
+    full-input aggregate jobs (reference dispatches per-column too:
+    src/preprocessing.py:125-173, but on one in-memory frame where the
+    repeated passes are cheap).
+    """
+    aggs = {"mean": F.avg, "median": F.median}
+    stats = df.agg(
+        *[aggs[s](F.col(c)).alias(f"__stat_{c}") for c, s in strategies.items()]
+    )
+    out = df.crossJoin(F.broadcast(stats))
+    out = out.withColumns(
+        {c: F.coalesce(F.col(c), F.col(f"__stat_{c}")) for c in strategies}
+    )
+    return out.drop(*[f"__stat_{c}" for c in strategies])
+
+
 def fill_zero(df: DataFrame, cols: Sequence[str] | None = None) -> DataFrame:
     """M5 + M7: fill nulls with 0 (per-column strategy, and the residual
     whole-frame ``fillna(0)`` after ffill — reference

@@ -43,7 +43,10 @@ def main() -> None:
     from amonaly_detection_in_time_series_data_spark.session import get_spark
 
     spark = get_spark(app_name="bench")
-    qs = entrymod.queries()
+    # resolve q_<name> functions directly (not via queries()) so the
+    # headline set and its per-round timing series stay stable even when
+    # the declared-query dict merges/renames entries between rounds
+    qs = {name: getattr(entrymod, f"q_{name}") for name in HEADLINE}
 
     # warm the JVM, file listings, page cache, and the noop committer
     # once, outside timing — per-query numbers then measure engine work,

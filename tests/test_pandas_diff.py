@@ -146,6 +146,27 @@ class TestFfillEdges:
         out = bfill(df, ["value"], ["sid"], ["ts", "pos"])
         _assert_close(_sorted_col(out, "value"), [1.0, 1.0, 2.0, 2.0, None])
 
+    def test_fill_with_strategies_single_aggregate(self, spark):
+        """Multi-column mean/median fill == per-column fill_with_global,
+        with exactly ONE aggregate in the plan."""
+        from amonaly_detection_in_time_series_data_spark.operators.missing import (
+            fill_with_global,
+            fill_with_strategies,
+        )
+
+        df = _series_df(spark, [None, 1.0, 4.0, 2.0, None]).select(
+            "sid", "ts", "pos",
+            F.col("value").alias("a"), F.col("value").alias("b"),
+        )
+        got = fill_with_strategies(df, {"a": "mean", "b": "median"})
+        want = fill_with_global(
+            fill_with_global(df, ["a"], strategy="mean"), ["b"], strategy="median"
+        )
+        _assert_close(_sorted_col(got, "a"), _sorted_col(want, "a"))
+        _assert_close(_sorted_col(got, "b"), _sorted_col(want, "b"))
+        plan = got._jdf.queryExecution().executedPlan().toString()
+        assert plan.count("HashAggregate") <= 2  # partial + final of ONE agg
+
 
 class TestDedup:
     def test_keep_first_is_file_order(self, spark):
