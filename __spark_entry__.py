@@ -85,6 +85,14 @@ from amonaly_detection_in_time_series_data_spark.operators.timeseries import (
     resample_grid,
     sessionize,
 )
+from amonaly_detection_in_time_series_data_spark.operators.corpus import (
+    decontaminate,
+    hash_split,
+    pack_chunks,
+    quality_rules,
+    stratified_sample,
+    tfidf_top_terms,
+)
 from amonaly_detection_in_time_series_data_spark.plans.pipeline import anomaly_pipeline
 
 SF_SMOKE = "/root/testdata/sf0.001"
@@ -538,10 +546,16 @@ def q_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_column_cleanup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # P1 demo: dirty headers -> normalized (rows-only; names are the point)
-    ev = _events(spark, sf_dir).select("event_id", "value")
-    dirty = ev.toDF(" event_id ", "  value")
-    return normalize_columns(dirty)
+    # P1 + P2 composed (merged r3: absorbs select_numeric): dirty headers
+    # -> normalized names (P1, reference data_loader.py:28-33), then
+    # type-based projection keeps only numeric columns (P2, reference
+    # main.py:112 select_dtypes) — the string event_type column must drop
+    # out and the cleaned names must match the oracle's exactly.
+    from amonaly_detection_in_time_series_data_spark.sources.readers import select_dtypes
+
+    ev = _events(spark, sf_dir).select("event_id", "user_id", "event_type", "value")
+    dirty = ev.toDF(" event_id ", "  user_id", "event_type ", "  value  ")
+    return select_dtypes(normalize_columns(dirty), include=("numeric",))
 
 
 # ---------------------------------------------------------------------------
@@ -696,6 +710,17 @@ def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_sessionize_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Merged r3 (sessionize + events_hourly_join): gap-based session
+    assignment AND the event's hour-bucket aggregate join, one row per
+    event — both time-series enrichments share the per-event grain."""
+    sessions = q_sessionize(spark, sf_dir)
+    hourly = q_events_hourly_join(spark, sf_dir).select(
+        "event_id", "hour_avg", "hour_n"
+    )
+    return sessions.join(hourly, "event_id")
+
+
 def q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     # for each event, the user's latest order at-or-before the event time
     # (user_id maps to o_custkey - 1 in the synthetic star schema)
@@ -755,9 +780,11 @@ def q_ranking_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_cube_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # §2.10 multi-dimensional aggregation: CUBE (DataFrame API) and an
-    # explicit GROUPING SETS (SQL API) over the same join, tagged and
-    # unioned — one query checks both grouping surfaces.
+    # §2.10 multi-dimensional aggregation (merged r3: also carries the
+    # ROLLUP surface previously checked standalone as rollup_revenue):
+    # CUBE and ROLLUP (DataFrame API) and an explicit GROUPING SETS
+    # (SQL API) over the same join, tagged and unioned — one query
+    # checks all three grouping surfaces.
     cust = load_table(spark, sf_dir, "customer")
     orders = load_table(spark, sf_dir, "orders")
     joined = orders.join(cust, orders.o_custkey == cust.c_custkey)
@@ -769,6 +796,14 @@ def q_cube_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .withColumn("op", F.lit("cube"))
     )
+    rollup = (
+        joined.rollup("c_mktsegment", "o_orderpriority")
+        .agg(
+            F.round(F.sum("o_totalprice"), 2).alias("total"),
+            F.count("*").alias("n_orders"),
+        )
+        .withColumn("op", F.lit("rollup"))
+    )
     joined.createOrReplaceTempView("__oc")
     gsets = spark.sql(
         """
@@ -779,7 +814,7 @@ def q_cube_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
         GROUP BY GROUPING SETS ((c_mktsegment), (o_orderpriority), ())
         """
     ).withColumn("op", F.lit("gsets"))
-    return cube.unionByName(gsets).select(
+    return cube.unionByName(rollup).unionByName(gsets).select(
         "op", "c_mktsegment", "o_orderpriority", "total", "n_orders"
     )
 
@@ -846,6 +881,24 @@ def q_doc_winnow(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.array_min(hashes).alias("fp_min"),
         F.array_max(hashes).alias("fp_max"),
     )
+
+
+def q_doc_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Merged r3 (doc_fingerprint + doc_winnow): both fingerprint tiers
+    in one per-doc row — the whole-document sha256 content hash and the
+    Rabin-Karp k-gram rolling-hash summary (winnowing primitive), with
+    identical integer arithmetic in the DuckDB oracle."""
+    sha = q_doc_fingerprint(spark, sf_dir)
+    winnow = q_doc_winnow(spark, sf_dir)
+    return sha.join(winnow, "doc_id")
+
+
+def q_text_quality_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Merged r3 (text_quality + lang_id): per-doc quality metrics and
+    the stopword-hit language-ID prediction in one row."""
+    quality = q_text_quality(spark, sf_dir)
+    langs = q_lang_id(spark, sf_dir)
+    return quality.join(langs, "doc_id")
 
 
 def q_embedding_knn_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1164,6 +1217,70 @@ def q_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# queries — training-data pipeline (corpus) operators, new in r3
+# ---------------------------------------------------------------------------
+
+
+def q_sampling_splits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic corpus partitioning, two ops in one per-doc row:
+    hash-based train/val/test split (md5 bucket, 80/10/10) and
+    per-language stratified sampling (20% quota by seeded md5 order) —
+    the split/mixing primitives of a training-data pipeline."""
+    docs = spread_small(load_table(spark, sf_dir, "documents"))
+    split = hash_split(docs, "doc_id", seed=42)
+    sampled = stratified_sample(split, ["lang"], "doc_id", 0.2, seed=7)
+    return sampled.select(
+        "doc_id", "lang", "bucket", "split",
+        F.col("strat_keep").cast("bigint").alias("strat_keep"),
+    )
+
+
+def q_doc_quality_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher/C4-style heuristic quality filter: per-doc token stats,
+    symbol ratio, repetition metrics (top-token share, duplicate-bigram
+    fraction) and the resulting keep flag. Map-only — no shuffle."""
+    docs = spread_small(load_table(spark, sf_dir, "documents"))
+    out = quality_rules(docs, "text")
+    return out.select(
+        "doc_id", "n_tokens", "mean_word_len", "symbol_ratio",
+        "top_token_frac", "dup_bigram_frac",
+        F.col("keep").cast("bigint").alias("keep"),
+    )
+
+
+def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark n-gram decontamination: docs with doc_id % 50 == 0 play
+    the eval benchmark; every other doc is flagged if it shares any word
+    4-gram with the benchmark. Benchmark grams broadcast; corpus side
+    map-joined."""
+    docs = spread_small(load_table(spark, sf_dir, "documents"))
+    benchmark = docs.filter(F.col("doc_id") % 50 == 0)
+    corpus = docs.filter(F.col("doc_id") % 50 != 0)
+    out = decontaminate(corpus, benchmark, "text", "doc_id", shingle_n=4)
+    return out.select(
+        "doc_id", "n_hit_grams",
+        F.col("contaminated").cast("bigint").alias("contaminated"),
+    )
+
+
+def q_pack_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Concat-and-chunk sequence packing: docs concatenated per language
+    in doc_id order and cut every 256 tokens; each doc reports its
+    token count, running offset, and destination chunk."""
+    docs = spread_small(load_table(spark, sf_dir, "documents"))
+    out = pack_chunks(docs, ["lang"], ["doc_id"], "text", budget=256)
+    return out.select("doc_id", "lang", "n_tokens", "tokens_before", "chunk_id")
+
+
+def q_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 TF-IDF terms per document (smooth idf), ranked on the
+    rounded score with the term as tiebreak so the ordering is
+    engine-portable."""
+    docs = spread_small(load_table(spark, sf_dir, "documents"))
+    return tfidf_top_terms(docs, "text", "doc_id", k=3)
+
+
+# ---------------------------------------------------------------------------
 # contract
 # ---------------------------------------------------------------------------
 
@@ -1193,20 +1310,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pricing_summary": q_pricing_summary,
         "revenue_by_nation": q_revenue_by_nation,
         "top_customers": q_top_customers,
-        "rollup_revenue": q_rollup_revenue,
         "cube_grouping_sets": q_cube_grouping_sets,
         "orders_no_recent_lineitems": q_orders_no_recent_lineitems,
         "customers_with_big_orders": q_customers_with_big_orders,
         "filter_predicate": q_filter_predicate,
         "project_columns": q_project_columns,
-        "select_numeric": q_select_numeric,
         "column_cleanup": q_column_cleanup,
         "set_ops": q_set_ops,
         "topk_per_group": q_topk_per_group,
         "pivot_events": q_pivot_events,
-        "events_hourly_join": q_events_hourly_join,
         "json_extract": q_json_extract,
-        "sessionize": q_sessionize,
+        "sessionize_enrich": q_sessionize_enrich,
         "asof_join": q_asof_join,
         "resample_hourly": q_resample_hourly,
         "ranking_functions": q_ranking_functions,
@@ -1216,11 +1330,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "roundtrip_sources": q_roundtrip_sources,
         # -- LLM-pipeline extensions --
         "doc_dedup_exact": q_doc_dedup_exact,
-        "doc_fingerprint": q_doc_fingerprint,
-        "doc_winnow": q_doc_winnow,
+        "doc_fingerprints": q_doc_fingerprints,
         "token_counts": q_token_counts,
-        "text_quality": q_text_quality,
-        "lang_id": q_lang_id,
+        "text_quality_lang": q_text_quality_lang,
         "embedding_knn_tiers": q_embedding_knn_tiers,
         "embedding_neardup": q_embedding_neardup,
         "ngram_jaccard": q_ngram_jaccard,
@@ -1229,6 +1341,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_decode": q_multimodal_decode,
         "multimodal_features": q_multimodal_features,
         "multimodal_frames": q_multimodal_frames,
+        # -- training-data pipeline (corpus) operators, new r3 --
+        "sampling_splits": q_sampling_splits,
+        "doc_quality_rules": q_doc_quality_rules,
+        "decontaminate": q_decontaminate,
+        "pack_chunks": q_pack_chunks,
+        "tfidf_top_terms": q_tfidf_top_terms,
         # -- scale-path equivalence proofs --
         "bucketed_rolling": q_bucketed_rolling,
         "salted_agg": q_salted_agg,
@@ -1417,17 +1535,6 @@ ORDER BY revenue DESC, c_custkey
 LIMIT 10
 """
 
-    sql["rollup_revenue"] = """
-SELECT r_name, n_name,
-       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
-FROM lineitem
-JOIN orders ON l_orderkey = o_orderkey
-JOIN customer ON o_custkey = c_custkey
-JOIN nation ON c_nationkey = n_nationkey
-JOIN region ON n_regionkey = r_regionkey
-GROUP BY ROLLUP(r_name, n_name)
-"""
-
     sql["orders_no_recent_lineitems"] = """
 SELECT o_orderkey, o_totalprice
 FROM orders
@@ -1457,10 +1564,6 @@ SELECT l_orderkey, CAST(l_linenumber AS BIGINT) AS l_linenumber, l_quantity
 FROM lineitem
 """
 
-    sql["select_numeric"] = """
-SELECT event_id, user_id, value FROM events
-"""
-
     sql["set_ops"] = """
 SELECT 'except' AS op, o_custkey FROM (
   SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT'
@@ -1476,7 +1579,7 @@ SELECT 'intersect' AS op, o_custkey FROM (
 """
 
     sql["column_cleanup"] = """
-SELECT event_id, value FROM events
+SELECT event_id, user_id, value FROM events
 """
 
     sql["pivot_events"] = """
@@ -1498,32 +1601,31 @@ SELECT event_type, event_id, value, CAST(rn AS BIGINT) AS rank FROM (
 ) WHERE rn <= 3
 """
 
-    sql["events_hourly_join"] = f"""
+    sql["sessionize_enrich"] = f"""
 WITH hourly AS (
   SELECT date_trunc('hour', ts) AS h,
          round(avg(value), 6) AS hour_avg,
          count(*) AS hour_n
   FROM events GROUP BY 1
+),
+sess AS (
+  SELECT event_id, user_id, ts,
+         CAST(sum(CASE WHEN prev_ts IS NULL OR ts - prev_ts > INTERVAL 30 MINUTE
+                       THEN 1 ELSE 0 END)
+              OVER (PARTITION BY user_id ORDER BY ts, event_id
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
+  FROM (
+    SELECT *, lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+    FROM events
+  )
 )
-SELECT event_id, strftime(e.ts, '{fmt}') AS ts, value, hour_avg, hour_n
-FROM events e JOIN hourly ON date_trunc('hour', e.ts) = hourly.h
+SELECT event_id, user_id, strftime(sess.ts, '{fmt}') AS ts, session_id, hour_avg, hour_n
+FROM sess JOIN hourly ON date_trunc('hour', sess.ts) = hourly.h
 """
 
     sql["json_extract"] = """
 SELECT event_id, TRY_CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_val
 FROM events
-"""
-
-    sql["sessionize"] = f"""
-SELECT event_id, user_id, strftime(ts, '{fmt}') AS ts,
-       CAST(sum(CASE WHEN prev_ts IS NULL OR ts - prev_ts > INTERVAL 30 MINUTE
-                     THEN 1 ELSE 0 END)
-            OVER (PARTITION BY user_id ORDER BY ts, event_id
-                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
-FROM (
-  SELECT *, lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
-  FROM events
-)
 """
 
     sql["asof_join"] = f"""
@@ -1572,6 +1674,12 @@ SELECT 'cube' AS op, c_mktsegment, o_orderpriority,
 FROM orders JOIN customer ON o_custkey = c_custkey
 GROUP BY CUBE(c_mktsegment, o_orderpriority)
 UNION ALL
+SELECT 'rollup' AS op, c_mktsegment, o_orderpriority,
+       round(sum(o_totalprice), 2) AS total,
+       count(*) AS n_orders
+FROM orders JOIN customer ON o_custkey = c_custkey
+GROUP BY ROLLUP(c_mktsegment, o_orderpriority)
+UNION ALL
 SELECT 'gsets' AS op, c_mktsegment, o_orderpriority,
        round(sum(o_totalprice), 2) AS total,
        count(*) AS n_orders
@@ -1600,10 +1708,23 @@ FROM docs
 GROUP BY text
 """
 
-    sql["doc_fingerprint"] = r"""
-SELECT doc_id,
-       sha256(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fingerprint
-FROM documents
+    sql["doc_fingerprints"] = r"""
+WITH h AS (
+  SELECT doc_id,
+         list_transform(
+           range(1, greatest(length(text) - 8 + 1, 0) + 1),
+           i -> list_reduce(
+                  list_prepend(CAST(0 AS BIGINT),
+                    list_transform(string_split(substring(text, i, 8), ''),
+                                   ch -> CAST(ascii(ch) AS BIGINT))),
+                  (acc, c) -> (acc*257 + c) % 2147483647)) AS hs
+  FROM documents
+)
+SELECT d.doc_id,
+       sha256(regexp_replace(lower(trim(d.text)), '\s+', ' ', 'g')) AS fingerprint,
+       CAST(len(hs) AS BIGINT) AS n_grams,
+       list_min(hs) AS fp_min, list_max(hs) AS fp_max
+FROM documents d JOIN h ON d.doc_id = h.doc_id
 """
 
     sql["token_counts"] = f"""
@@ -1615,18 +1736,6 @@ LIMIT 20
 """
 
     stop_list = ", ".join(f"'{s}'" for s in LANG_STOPWORDS["en"])
-    sql["text_quality"] = f"""
-SELECT doc_id,
-       CAST(length(text) AS BIGINT) AS n_chars_calc,
-       CAST(len({toks}) AS BIGINT) AS n_tokens,
-       CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')) AS BIGINT) AS bpe_tokens,
-       round(length(regexp_replace(text, '[A-Za-z0-9\\s]', '', 'g')) /
-             nullif(length(text), 0), 4) AS punct_ratio,
-       round(len(list_filter({toks}, t -> t IN ({stop_list}))) /
-             nullif(len({toks}), 0), 4) AS stopword_ratio_en
-FROM documents
-"""
-
     lang_hits = ",\n       ".join(
         f"len(list_filter({toks}, t -> t IN ("
         + ", ".join(f"'{s}'" for s in stops)
@@ -1638,13 +1747,21 @@ FROM documents
         f"WHEN hits_{lang} = m THEN '{lang}'" for lang in langs_sorted
     )
     max_expr = "greatest(" + ", ".join(f"hits_{lang}" for lang in langs_sorted) + ")"
-    sql["lang_id"] = f"""
+    sql["text_quality_lang"] = f"""
 WITH scored AS (
-  SELECT doc_id, lang,
+  SELECT doc_id, lang, text,
        {lang_hits}
   FROM documents
 )
-SELECT doc_id, lang,
+SELECT doc_id,
+       CAST(length(text) AS BIGINT) AS n_chars_calc,
+       CAST(len({toks}) AS BIGINT) AS n_tokens,
+       CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')) AS BIGINT) AS bpe_tokens,
+       round(length(regexp_replace(text, '[A-Za-z0-9\\s]', '', 'g')) /
+             nullif(length(text), 0), 4) AS punct_ratio,
+       round(len(list_filter({toks}, t -> t IN ({stop_list}))) /
+             nullif(len({toks}), 0), 4) AS stopword_ratio_en,
+       lang,
        CASE {best_case} END AS lang_pred
 FROM (SELECT *, {max_expr} AS m FROM scored)
 """
@@ -1831,21 +1948,121 @@ SELECT CAST(floor(value / 50) AS BIGINT) AS bin,
 FROM events GROUP BY 1
 """
 
-    sql["doc_winnow"] = """
-WITH h AS (
-  SELECT doc_id,
-         list_transform(
-           range(1, greatest(length(text) - 8 + 1, 0) + 1),
-           i -> list_reduce(
-                  list_prepend(CAST(0 AS BIGINT),
-                    list_transform(string_split(substring(text, i, 8), ''),
-                                   ch -> CAST(ascii(ch) AS BIGINT))),
-                  (acc, c) -> (acc*257 + c) % 2147483647)) AS hs
+    grams4 = (
+        f"CASE WHEN len({toks}) >= 4 THEN "
+        f"list_distinct(list_transform(range(1, len({toks}) - 4 + 1 + 1), "
+        f"i -> array_to_string(list_slice({toks}, i, i + 3), ' '))) "
+        f"ELSE CAST([] AS VARCHAR[]) END"
+    )
+
+    sql["sampling_splits"] = """
+WITH base AS (
+  SELECT doc_id, lang,
+         CAST('0x' || substr(md5('42:' || CAST(doc_id AS VARCHAR)), 1, 15) AS BIGINT) % 100 AS bucket,
+         CAST('0x' || substr(md5('7:' || CAST(doc_id AS VARCHAR)), 1, 15) AS BIGINT) % 1000000007 AS h7
   FROM documents
 )
-SELECT doc_id, CAST(len(hs) AS BIGINT) AS n_grams,
-       list_min(hs) AS fp_min, list_max(hs) AS fp_max
-FROM h
+SELECT doc_id, lang, bucket,
+       CASE WHEN bucket < 80 THEN 'train'
+            WHEN bucket < 90 THEN 'val'
+            ELSE 'test' END AS split,
+       CAST(row_number() OVER (PARTITION BY lang ORDER BY h7, doc_id)
+            <= ceil(0.2 * count(*) OVER (PARTITION BY lang)) AS BIGINT) AS strat_keep
+FROM base
+"""
+
+    sql["doc_quality_rules"] = f"""
+WITH t AS (
+  SELECT doc_id, text, {toks} AS tk FROM documents
+),
+m AS (
+  SELECT doc_id,
+    CAST(len(tk) AS BIGINT) AS n_tokens,
+    round(list_sum(list_transform(tk, u -> length(u))) / nullif(len(tk), 0), 4) AS mean_word_len,
+    round(length(regexp_replace(text, '[A-Za-z0-9\\s]', '', 'g')) /
+          nullif(length(text), 0), 4) AS symbol_ratio,
+    round(list_max(list_transform(list_distinct(tk),
+                                  u -> len(list_filter(tk, x -> x = u)))) /
+          nullif(len(tk), 0), 4) AS top_token_frac,
+    CASE WHEN len(tk) >= 2
+         THEN list_transform(range(1, len(tk)), i -> tk[i] || ' ' || tk[i+1])
+         ELSE CAST([] AS VARCHAR[]) END AS bigrams
+  FROM t
+),
+m2 AS (
+  SELECT doc_id, n_tokens, mean_word_len, symbol_ratio, top_token_frac,
+    round(CASE WHEN len(bigrams) > 0
+               THEN 1 - len(list_distinct(bigrams)) / CAST(len(bigrams) AS DOUBLE)
+               ELSE 0.0 END, 4) AS dup_bigram_frac
+  FROM m
+)
+SELECT *,
+  CAST(n_tokens BETWEEN 10 AND 100000
+   AND mean_word_len BETWEEN 2.0 AND 12.0
+   AND symbol_ratio <= 0.30
+   AND top_token_frac <= 0.125
+   AND dup_bigram_frac <= 0.60 AS BIGINT) AS keep
+FROM m2
+"""
+
+    sql["decontaminate"] = f"""
+WITH sh AS (
+  SELECT doc_id, {grams4} AS grams FROM documents
+),
+bench AS (
+  SELECT DISTINCT unnest(grams) AS gram FROM sh WHERE doc_id % 50 = 0
+),
+corpus AS (
+  SELECT * FROM sh WHERE doc_id % 50 <> 0
+),
+hits AS (
+  SELECT doc_id, count(DISTINCT gram) AS n_hit_grams
+  FROM (SELECT doc_id, unnest(grams) AS gram FROM corpus) cg
+  JOIN bench USING (gram)
+  GROUP BY doc_id
+)
+SELECT c.doc_id,
+       CAST(coalesce(n_hit_grams, 0) AS BIGINT) AS n_hit_grams,
+       CAST(coalesce(n_hit_grams, 0) > 0 AS BIGINT) AS contaminated
+FROM corpus c LEFT JOIN hits USING (doc_id)
+"""
+
+    sql["pack_chunks"] = f"""
+WITH t AS (
+  SELECT doc_id, lang, CAST(len({toks}) AS BIGINT) AS n_tokens FROM documents
+),
+cum AS (
+  SELECT doc_id, lang, n_tokens,
+         CAST(coalesce(sum(n_tokens) OVER (
+              PARTITION BY lang ORDER BY doc_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS tokens_before
+  FROM t
+)
+SELECT *, CAST(floor(tokens_before / 256.0) AS BIGINT) AS chunk_id FROM cum
+"""
+
+    sql["tfidf_top_terms"] = f"""
+WITH tok AS (
+  SELECT doc_id, unnest({toks}) AS term FROM documents
+),
+tf AS (
+  SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY doc_id, term
+),
+dfreq AS (
+  SELECT term, count(DISTINCT doc_id) AS df FROM tf GROUP BY term
+),
+n AS (SELECT count(*) AS n_docs FROM documents),
+scored AS (
+  SELECT doc_id, term, tf, df,
+         round(tf * (ln((1.0 + n_docs) / (1.0 + df)) + 1.0), 6) AS score
+  FROM tf JOIN dfreq USING (term), n
+)
+SELECT doc_id, term, CAST(tf AS BIGINT) AS tf, CAST(df AS BIGINT) AS df,
+       score, CAST(rn AS BIGINT) AS rank
+FROM (
+  SELECT *, row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, term) AS rn
+  FROM scored
+) WHERE rn <= 3
 """
 
     sql["rolling_time_window"] = f"""

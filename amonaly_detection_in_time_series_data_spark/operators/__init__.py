@@ -24,6 +24,14 @@ from .similarity import (
     simhash64,
 )
 from .timeseries import asof_join, resample_grid, sessionize
+from .corpus import (
+    decontaminate,
+    hash_split,
+    pack_chunks,
+    quality_rules,
+    stratified_sample,
+    tfidf_top_terms,
+)
 from .artifacts import (
     BestCheckpoint,
     load_linear_ae,
@@ -71,6 +79,12 @@ __all__ = [
     "asof_join",
     "resample_grid",
     "sessionize",
+    "decontaminate",
+    "hash_split",
+    "pack_chunks",
+    "quality_rules",
+    "stratified_sample",
+    "tfidf_top_terms",
     "BestCheckpoint",
     "load_linear_ae",
     "load_ml",

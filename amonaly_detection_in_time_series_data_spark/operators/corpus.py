@@ -1,0 +1,310 @@
+"""Training-data pipeline operators: deterministic splits, stratified
+sampling, quality-rule filtering, benchmark decontamination, token-budget
+packing, and TF-IDF term scoring.
+
+These extend the reference's surface (it has none of these — it is a
+single-series anomaly pipeline, see SURVEY.md §2.14) with the operations
+a large-scale LLM training-data pipeline needs. Everything here compiles
+to built-in Catalyst expressions — no Python UDFs — and the hashing is
+md5-derived so every operator is bit-reproducible in the DuckDB oracle.
+
+Scale notes (100 TB):
+- ``hash_split`` / ``stratified_sample`` are map-only except the
+  per-stratum window in the latter (one shuffle keyed by the stratum —
+  strata counts are computed by the same window, no extra pass).
+- ``quality_rules`` is strictly map-only: every metric (token stats,
+  symbol ratio, top-token fraction, duplicate-bigram fraction) is a
+  per-row array expression, so it runs at scan speed with zero shuffle.
+  The top-token fraction is O(distinct_tokens * tokens) per row — chosen
+  over explode+groupBy, which would shuffle EVERY token of the corpus.
+- ``decontaminate`` broadcasts the benchmark gram set (eval suites are
+  tiny relative to the corpus) so the corpus-side join is map-side; only
+  the *hits* (rare) are shuffled for the per-doc count.
+- ``pack_chunks`` is one window (cumulative sum) per packing key.
+- ``tfidf_top_terms`` shuffles exploded tokens once on (doc, term); the
+  document-frequency table is tiny (vocab-sized) and broadcast back.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from amonaly_detection_in_time_series_data_spark.functions.text import tokenize
+from amonaly_detection_in_time_series_data_spark.operators.similarity import shingles
+
+__all__ = [
+    "hash_split",
+    "stratified_sample",
+    "quality_rules",
+    "decontaminate",
+    "pack_chunks",
+    "tfidf_top_terms",
+]
+
+
+def _md5_bucket(col: Column, seed: int, n_buckets: int) -> Column:
+    """Deterministic engine-portable bucket in [0, n_buckets): first 15
+    hex digits of md5('<seed>:' || value) as a bigint, mod n_buckets.
+    DuckDB equivalent: CAST('0x' || substr(md5(...), 1, 15) AS BIGINT).
+    """
+    h = F.conv(
+        F.substring(F.md5(F.concat(F.lit(f"{seed}:"), col.cast("string"))), 1, 15),
+        16,
+        10,
+    ).cast("bigint")
+    return h % n_buckets
+
+
+def hash_split(
+    df: DataFrame,
+    id_col: str,
+    weights: dict[str, float] | None = None,
+    seed: int = 42,
+    bucket_col: str = "bucket",
+    split_col: str = "split",
+) -> DataFrame:
+    """Deterministic train/val/test assignment by hashing a stable id.
+
+    Each row gets ``bucket`` = md5-derived value in [0, 100) and
+    ``split`` by cumulative weight thresholds (default 80/10/10). The
+    assignment is a pure function of (id, seed): stable across runs,
+    partitionings, and engines — the property a training pipeline needs
+    so examples never migrate between splits as the corpus grows.
+    Map-only; no shuffle.
+    """
+    weights = weights or {"train": 0.8, "val": 0.1, "test": 0.1}
+    if abs(sum(weights.values()) - 1.0) > 1e-9:
+        raise ValueError(f"split weights must sum to 1, got {weights}")
+    bucket = _md5_bucket(F.col(id_col), seed, 100)
+    expr = None
+    cum = 0.0
+    for name, w in weights.items():
+        cum += w
+        cond = bucket < int(round(cum * 100))
+        expr = F.when(cond, name) if expr is None else expr.when(cond, name)
+    return df.withColumn(bucket_col, bucket).withColumn(
+        split_col, expr.otherwise(list(weights)[-1])
+    )
+
+
+def stratified_sample(
+    df: DataFrame,
+    strata_cols: list[str],
+    id_col: str,
+    fraction: float | dict[str, float],
+    seed: int = 7,
+    keep_col: str = "strat_keep",
+) -> DataFrame:
+    """Deterministic per-stratum sampling: within each stratum, rank rows
+    by a seeded md5 hash of the id and keep the top ``ceil(frac * n)``.
+
+    Unlike ``df.sample``, the selection is exactly sized per stratum and
+    reproducible across engines — this is the "mixing quota" primitive
+    (e.g. per-language proportions) of a training-data pipeline.
+    ``fraction`` may be one float or a per-stratum-value dict keyed by
+    the FIRST strata column's value. One shuffle (the stratum window).
+    """
+    h = _md5_bucket(F.col(id_col), seed, 1_000_000_007)
+    w = Window.partitionBy(*strata_cols).orderBy(h.asc(), F.col(id_col).asc())
+    n = F.count("*").over(Window.partitionBy(*strata_cols))
+    if isinstance(fraction, dict):
+        frac = None
+        for k, v in fraction.items():
+            cond = F.col(strata_cols[0]) == k
+            frac = F.when(cond, v) if frac is None else frac.when(cond, v)
+        frac = frac.otherwise(0.0)
+    else:
+        frac = F.lit(float(fraction))
+    quota = F.ceil(frac * n)
+    return df.withColumn(
+        keep_col, (F.row_number().over(w) <= quota).cast("int")
+    )
+
+
+def quality_rules(
+    df: DataFrame,
+    text_col: str = "text",
+    min_tokens: int = 10,
+    max_tokens: int = 100_000,
+    min_mean_word_len: float = 2.0,
+    max_mean_word_len: float = 12.0,
+    max_symbol_ratio: float = 0.30,
+    max_top_token_frac: float = 0.125,
+    max_dup_bigram_frac: float = 0.60,
+) -> DataFrame:
+    """Gopher/C4-style heuristic quality metrics + keep flag, per doc.
+
+    Metrics (all map-only array/regex expressions; thresholds follow the
+    published Gopher rules, adapted to word-level):
+    - ``n_tokens``: whitespace token count — in [min_tokens, max_tokens]
+    - ``mean_word_len``: mean characters per token — in [2, 12]
+    - ``symbol_ratio``: non-alphanumeric-non-space chars / chars
+    - ``top_token_frac``: most frequent token's share of all tokens
+      (repetition signal — boilerplate and degenerate text score high)
+    - ``dup_bigram_frac``: 1 - distinct/total word bigrams (the Gopher
+      "duplicate n-gram fraction" repetition rule)
+    ``keep`` = 1 iff every rule passes.
+    """
+    toks = tokenize(text_col)
+    n_tok = F.size(toks)
+    mean_wl = F.round(
+        F.aggregate(
+            toks, F.lit(0).cast("bigint"), lambda acc, t: acc + F.length(t)
+        )
+        / F.nullif(n_tok, F.lit(0)),
+        4,
+    )
+    symbol_ratio = F.round(
+        F.length(F.regexp_replace(F.col(text_col), r"[A-Za-z0-9\s]", ""))
+        / F.nullif(F.length(F.col(text_col)), F.lit(0)),
+        4,
+    )
+    top_frac = F.round(
+        F.array_max(
+            F.transform(
+                F.array_distinct(toks),
+                lambda t: F.size(F.filter(toks, lambda x: x == t)),
+            )
+        )
+        / F.nullif(n_tok, F.lit(0)),
+        4,
+    )
+    bigrams = F.when(
+        n_tok >= 2,
+        F.transform(
+            F.sequence(F.lit(1), n_tok - 1),
+            lambda i: F.concat(
+                F.element_at(toks, i), F.lit(" "), F.element_at(toks, i + 1)
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    dup_bigram = F.round(
+        F.when(
+            F.size(bigrams) > 0,
+            1 - F.size(F.array_distinct(bigrams)) / F.size(bigrams).cast("double"),
+        ).otherwise(F.lit(0.0)),
+        4,
+    )
+    out = df.select(
+        *df.columns,
+        n_tok.cast("bigint").alias("n_tokens"),
+        mean_wl.alias("mean_word_len"),
+        symbol_ratio.alias("symbol_ratio"),
+        top_frac.alias("top_token_frac"),
+        dup_bigram.alias("dup_bigram_frac"),
+    )
+    keep = (
+        F.col("n_tokens").between(min_tokens, max_tokens)
+        & F.col("mean_word_len").between(min_mean_word_len, max_mean_word_len)
+        & (F.col("symbol_ratio") <= max_symbol_ratio)
+        & (F.col("top_token_frac") <= max_top_token_frac)
+        & (F.col("dup_bigram_frac") <= max_dup_bigram_frac)
+    )
+    return out.withColumn("keep", keep.cast("int"))
+
+
+def decontaminate(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingle_n: int = 5,
+) -> DataFrame:
+    """Benchmark decontamination: flag corpus docs sharing any word
+    ``shingle_n``-gram with the benchmark (eval) set.
+
+    Standard LLM-pretraining hygiene (n-gram overlap decontamination):
+    any training document that contains a verbatim n-gram from an eval
+    benchmark is flagged for removal. Returns one row per corpus doc
+    with ``n_hit_grams`` (distinct overlapping grams) and
+    ``contaminated`` (0/1).
+
+    Scale: the benchmark gram set is exploded, deduped, and BROADCAST —
+    eval suites are MBs against a 100 TB corpus — so the corpus side is
+    a map-side semi-join of each doc's grams; only matching (doc, gram)
+    hits reach the per-doc count shuffle.
+    """
+    bench_grams = (
+        benchmark.select(F.explode(shingles(text_col, shingle_n)).alias("gram"))
+        .distinct()
+    )
+    corpus_grams = corpus.select(
+        F.col(id_col), F.explode(shingles(text_col, shingle_n)).alias("gram")
+    )
+    hits = (
+        corpus_grams.join(F.broadcast(bench_grams), "gram")
+        .groupBy(id_col)
+        .agg(F.count_distinct("gram").alias("n_hit_grams"))
+    )
+    out = corpus.join(hits, id_col, "left")
+    return out.withColumn(
+        "n_hit_grams", F.coalesce("n_hit_grams", F.lit(0)).cast("bigint")
+    ).withColumn("contaminated", (F.col("n_hit_grams") > 0).cast("int"))
+
+
+def pack_chunks(
+    df: DataFrame,
+    key_cols: list[str],
+    order_cols: list[str],
+    text_col: str = "text",
+    budget: int = 256,
+    chunk_col: str = "chunk_id",
+) -> DataFrame:
+    """Concat-and-chunk sequence packing: assign each doc the training
+    chunk its FIRST token lands in when docs are concatenated in
+    (key, order) order and cut every ``budget`` tokens.
+
+    This is the deterministic, SQL-expressible formulation of GPT-style
+    example packing: ``chunk_id = floor(tokens_before / budget)`` where
+    ``tokens_before`` is the running token total of all preceding docs in
+    the stream. Adds ``n_tokens``, ``tokens_before``, ``chunk_id``.
+    One window (running sum) per packing key — a single shuffle.
+    """
+    n_tok = F.size(tokenize(text_col)).cast("bigint")
+    w = (
+        Window.partitionBy(*key_cols)
+        .orderBy(*order_cols)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    tokens_before = F.coalesce(F.sum(n_tok).over(w), F.lit(0)).cast("bigint")
+    return df.select(
+        *df.columns,
+        n_tok.alias("n_tokens"),
+        tokens_before.alias("tokens_before"),
+    ).withColumn(chunk_col, (F.col("tokens_before") / budget).cast("bigint"))
+
+
+def tfidf_top_terms(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 3,
+) -> DataFrame:
+    """Top-k TF-IDF terms per document (sklearn-style smooth idf:
+    ``idf = ln((1+N)/(1+df)) + 1``).
+
+    Per-doc keyword extraction for corpus analysis / topic tagging.
+    Plan: explode tokens → count per (doc, term) [the one big shuffle]
+    → term document-frequency (vocab-sized, broadcast back) → score →
+    per-doc top-k window. Ties and cross-engine float safety: ranked by
+    the ROUNDED score (6 dp) with the term as tiebreak.
+    """
+    toks = df.select(F.col(id_col), F.explode(tokenize(text_col)).alias("term"))
+    tf = toks.groupBy(id_col, "term").agg(F.count("*").alias("tf"))
+    n_docs = df.agg(F.count("*").alias("n_docs"))
+    dfreq = tf.groupBy("term").agg(F.count_distinct(id_col).alias("df"))
+    idf = F.log((1.0 + F.col("n_docs")) / (1.0 + F.col("df"))) + 1.0
+    scored = (
+        tf.join(F.broadcast(dfreq), "term")
+        .crossJoin(F.broadcast(n_docs))
+        .withColumn("score", F.round(F.col("tf") * idf, 6))
+    )
+    w = Window.partitionBy(id_col).orderBy(
+        F.col("score").desc(), F.col("term").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rank") <= k)
+        .select(id_col, "term", "tf", "df", "score", "rank")
+    )

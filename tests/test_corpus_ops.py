@@ -1,0 +1,179 @@
+"""Unit tests for the training-data pipeline (corpus) operators:
+deterministic splits, stratified quotas, quality rules, decontamination,
+packing, and TF-IDF. Small in-memory fixtures assert exact semantics;
+oracle value parity runs separately via tools/parity.py."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from amonaly_detection_in_time_series_data_spark.operators.corpus import (
+    decontaminate,
+    hash_split,
+    pack_chunks,
+    quality_rules,
+    stratified_sample,
+    tfidf_top_terms,
+)
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = [
+        (1, "the quick brown fox jumps over the lazy dog", "en"),
+        (2, "a completely different sentence with many unique words here", "en"),
+        (3, "spam spam spam spam spam spam spam spam spam spam", "en"),
+        (4, "der schnelle braune fuchs springt gern", "de"),
+        (5, "ein ganz anderer satz mit anderen worten", "de"),
+        (6, "!!! ### $$$ %%% ^^^ &&& *** ((( ))) @@@", "en"),
+    ]
+    return spark.createDataFrame(rows, ["doc_id", "text", "lang"])
+
+
+class TestHashSplit:
+    def test_deterministic_and_partition_invariant(self, docs):
+        a = hash_split(docs, "doc_id").select("doc_id", "bucket", "split")
+        b = hash_split(docs.repartition(5), "doc_id").select(
+            "doc_id", "bucket", "split"
+        )
+        assert sorted(a.collect()) == sorted(b.collect())
+
+    def test_thresholds(self, docs):
+        out = hash_split(docs, "doc_id").collect()
+        for r in out:
+            expected = (
+                "train" if r.bucket < 80 else "val" if r.bucket < 90 else "test"
+            )
+            assert r.split == expected
+
+    def test_bad_weights_rejected(self, docs):
+        with pytest.raises(ValueError, match="sum to 1"):
+            hash_split(docs, "doc_id", weights={"train": 0.5, "test": 0.4})
+
+
+class TestStratifiedSample:
+    def test_quota_exact_per_stratum(self, docs):
+        out = stratified_sample(docs, ["lang"], "doc_id", 0.5)
+        kept = out.groupBy("lang").agg(
+            F.sum("strat_keep").alias("k"), F.count("*").alias("n")
+        )
+        for r in kept.collect():
+            assert r.k == math.ceil(0.5 * r.n)
+
+    def test_per_stratum_fraction_dict(self, docs):
+        out = stratified_sample(
+            docs, ["lang"], "doc_id", {"en": 0.25, "de": 1.0}
+        )
+        kept = {r.lang: r.k for r in out.groupBy("lang").agg(
+            F.sum("strat_keep").alias("k")).collect()}
+        assert kept["de"] == 2  # 100% of the 2 de docs
+        assert kept["en"] == 1  # ceil(0.25 * 4)
+
+    def test_deterministic_selection(self, docs):
+        a = stratified_sample(docs, ["lang"], "doc_id", 0.5).collect()
+        b = stratified_sample(docs.repartition(7), ["lang"], "doc_id", 0.5).collect()
+        assert {(r.doc_id, r.strat_keep) for r in a} == {
+            (r.doc_id, r.strat_keep) for r in b
+        }
+
+
+class TestQualityRules:
+    def test_repetition_flagged(self, docs):
+        out = {r.doc_id: r for r in quality_rules(docs, min_tokens=5).collect()}
+        # doc 3 is one token repeated 10x: top_token_frac = 1.0,
+        # dup_bigram_frac = 1 - 1/9
+        assert out[3].top_token_frac == 1.0
+        assert out[3].dup_bigram_frac == round(1 - 1 / 9, 4)
+        assert out[3].keep == 0
+        # doc 2 is all-unique words: no repetition, keeps
+        assert out[2].top_token_frac == round(1 / 9, 4)
+        assert out[2].dup_bigram_frac == 0.0
+        assert out[2].keep == 1
+
+    def test_symbol_ratio_flagged(self, docs):
+        out = {r.doc_id: r for r in quality_rules(docs, min_tokens=5).collect()}
+        assert out[6].symbol_ratio > 0.5
+        assert out[6].keep == 0
+
+    def test_token_bounds(self, docs):
+        out = {r.doc_id: r for r in quality_rules(docs, min_tokens=8).collect()}
+        assert out[4].n_tokens == 6
+        assert out[4].keep == 0  # below min_tokens
+
+
+class TestDecontaminate:
+    def test_overlap_detected_and_counted(self, spark):
+        bench = spark.createDataFrame(
+            [(100, "alpha beta gamma delta epsilon")], ["doc_id", "text"]
+        )
+        corpus = spark.createDataFrame(
+            [
+                (1, "prefix alpha beta gamma delta suffix"),  # shares 4-gram
+                (2, "totally clean document with other words"),
+                (3, "alpha beta gamma delta epsilon zeta"),  # shares two 4-grams
+            ],
+            ["doc_id", "text"],
+        )
+        out = {
+            r.doc_id: r
+            for r in decontaminate(corpus, bench, shingle_n=4).collect()
+        }
+        assert out[1].contaminated == 1 and out[1].n_hit_grams == 1
+        assert out[2].contaminated == 0 and out[2].n_hit_grams == 0
+        assert out[3].contaminated == 1 and out[3].n_hit_grams == 2
+
+    def test_short_benchmark_docs_yield_no_grams(self, spark):
+        bench = spark.createDataFrame([(100, "too short")], ["doc_id", "text"])
+        corpus = spark.createDataFrame([(1, "too short as well ok")], ["doc_id", "text"])
+        out = decontaminate(corpus, bench, shingle_n=4).collect()
+        assert out[0].contaminated == 0
+
+
+class TestPackChunks:
+    def test_running_offsets_and_chunks(self, spark):
+        rows = [(i, "w " * 10, "en") for i in range(1, 7)]  # 10 tokens each
+        df = spark.createDataFrame(rows, ["doc_id", "text", "lang"])
+        out = {
+            r.doc_id: r
+            for r in pack_chunks(df, ["lang"], ["doc_id"], budget=25).collect()
+        }
+        assert [out[i].tokens_before for i in range(1, 7)] == [0, 10, 20, 30, 40, 50]
+        assert [out[i].chunk_id for i in range(1, 7)] == [0, 0, 0, 1, 1, 2]
+
+    def test_partitioned_by_key(self, docs):
+        out = pack_chunks(docs, ["lang"], ["doc_id"], budget=10)
+        firsts = (
+            out.groupBy("lang").agg(F.min("tokens_before").alias("m")).collect()
+        )
+        assert all(r.m == 0 for r in firsts)  # each key restarts the stream
+
+
+class TestTfIdf:
+    def test_scores_match_formula(self, spark):
+        df = spark.createDataFrame(
+            [
+                (1, "apple banana apple"),
+                (2, "banana cherry"),
+                (3, "cherry durian cherry durian"),
+            ],
+            ["doc_id", "text"],
+        )
+        out = tfidf_top_terms(df, k=10).collect()
+        n_docs = 3
+        by_key = {(r.doc_id, r.term): r for r in out}
+        # apple: tf=2 in doc 1, df=1
+        r = by_key[(1, "apple")]
+        assert r.tf == 2 and r.df == 1
+        assert r.score == round(2 * (math.log((1 + n_docs) / (1 + 1)) + 1), 6)
+        # banana appears in 2 docs
+        assert by_key[(1, "banana")].df == 2
+        # rank 1 in doc 1 is apple (highest score)
+        assert min((r.rank, r.term) for r in out if r.doc_id == 1)[1] == "apple"
+
+    def test_k_limits_rows(self, docs):
+        out = tfidf_top_terms(docs, k=2)
+        counts = out.groupBy("doc_id").count().collect()
+        assert all(r["count"] <= 2 for r in counts)
