@@ -1790,15 +1790,46 @@ SELECT query_id, neighbor_id, cosine, CAST(rn AS BIGINT) AS rank FROM (
 ) WHERE rn <= 5
 """
 
+    # engine-portable md5 hash family (shared by the minhash/simhash
+    # oracles below and the ngram_jaccard candidate CTE)
+    md5h = (
+        "CAST(('0x' || substr(md5(CAST({j} AS VARCHAR) || ':' || {s}), 1, 15)) "
+        "AS BIGINT)"
+    )
+
+    # Candidates mirror the md5 MinHash-LSH banding of minhash_pairs_md5
+    # (n_hashes=8, 4 bands of 2) — bucket-local, never quadratic in any
+    # source/group size; exact 3-gram Jaccard re-ranks only survivors.
     sql["ngram_jaccard"] = f"""
-WITH sh AS (
-  SELECT doc_id, source, {grams} AS grams FROM documents
-)
-SELECT a.doc_id AS id_a, b.doc_id AS id_b,
-       round(len(list_intersect(a.grams, b.grams)) /
-             nullif(CAST(len(a.grams) + len(b.grams) - len(list_intersect(a.grams, b.grams)) AS DOUBLE), 0),
+WITH docs2 AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 10000 AS doc_id, text FROM documents WHERE doc_id % 10 = 0
+),
+g AS (SELECT doc_id, unnest({grams}) AS gram FROM docs2),
+h AS (
+  SELECT doc_id, j, min({md5h.format(j='j', s='gram')}) AS mh
+  FROM g, range(8) t(j)
+  GROUP BY doc_id, j
+),
+sig AS (SELECT doc_id, list(mh ORDER BY j) AS sig FROM h GROUP BY doc_id),
+bands AS (
+  SELECT doc_id, b, sig[b*2+1 : b*2+2] AS slice
+  FROM sig, range(4) t(b)
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM bands a
+  JOIN bands b ON a.b = b.b AND a.slice = b.slice AND a.doc_id < b.doc_id
+),
+sh AS (SELECT doc_id, {grams} AS grams FROM docs2)
+SELECT c.id_a, c.id_b,
+       round(len(list_intersect(x.grams, y.grams)) /
+             nullif(CAST(len(x.grams) + len(y.grams) - len(list_intersect(x.grams, y.grams)) AS DOUBLE), 0),
              4) AS jaccard
-FROM sh a JOIN sh b ON a.source = b.source AND a.doc_id < b.doc_id
+FROM cand c
+JOIN sh x ON c.id_a = x.doc_id
+JOIN sh y ON c.id_b = y.doc_id
 """
 
     sql["multimodal_decode"] = """
@@ -1867,11 +1898,7 @@ SELECT query_id, neighbor_id, cosine, CAST(rn AS BIGINT) AS rank FROM (
         f"UNION ALL\nSELECT 'lsh' AS tier, * FROM ({knn_lsh})"
     )
 
-    # --- md5-hash-family near-dup tier: engine-portable hashing --------
-    md5h = (
-        "CAST(('0x' || substr(md5(CAST({j} AS VARCHAR) || ':' || {s}), 1, 15)) "
-        "AS BIGINT)"
-    )
+    # --- md5-hash-family near-dup tier (md5h defined above) ------------
     sql["minhash_pairs_md5"] = f"""
 WITH docs2 AS (
   SELECT doc_id, text FROM documents
