@@ -160,13 +160,31 @@ def quality_rules(
         / F.nullif(F.length(F.col(text_col)), F.lit(0)),
         4,
     )
+    # Most-frequent-token count = longest run of equal adjacent tokens
+    # after array_sort: O(n log n) per row, map-only. The naive
+    # array_distinct x filter-count form is O(distinct_tokens x tokens)
+    # per row — with max_tokens=100k a boilerplate-heavy doc costs ~1e9
+    # comparisons inside one task (a straggler at scale).
+    sorted_toks = F.array_sort(toks)
+    run_acc = F.aggregate(
+        sorted_toks,
+        F.struct(
+            F.lit(None).cast("string").alias("prev"),
+            F.lit(0).alias("run"),
+            F.lit(0).alias("best"),
+        ),
+        lambda acc, t: F.struct(
+            t.alias("prev"),
+            F.when(t == acc["prev"], acc["run"] + 1).otherwise(F.lit(1)).alias("run"),
+            F.greatest(
+                acc["best"],
+                F.when(t == acc["prev"], acc["run"] + 1).otherwise(F.lit(1)),
+            ).alias("best"),
+        ),
+        lambda acc: acc["best"],
+    )
     top_frac = F.round(
-        F.array_max(
-            F.transform(
-                F.array_distinct(toks),
-                lambda t: F.size(F.filter(toks, lambda x: x == t)),
-            )
-        )
+        F.when(n_tok > 0, run_acc).otherwise(F.lit(None).cast("int"))
         / F.nullif(n_tok, F.lit(0)),
         4,
     )

@@ -103,6 +103,38 @@ class TestQualityRules:
         assert out[4].n_tokens == 6
         assert out[4].keep == 0  # below min_tokens
 
+    def test_pathological_repeated_tokens_fast(self, spark):
+        # 50k tokens, 40k of one word: the sort+longest-run form is
+        # O(n log n); the old distinct x count-filter form was
+        # O(distinct x tokens) (~4e8 comparisons here) and stalled.
+        import time
+
+        text = " ".join(["boiler"] * 40_000 + [f"w{i}" for i in range(10_000)])
+        big = spark.createDataFrame([(1, text)], ["doc_id", "text"])
+        t0 = time.monotonic()
+        row = quality_rules(big).collect()[0]
+        elapsed = time.monotonic() - t0
+        assert row.n_tokens == 50_000
+        assert row.top_token_frac == round(40_000 / 50_000, 4)
+        assert row.keep == 0  # repetition rule trips
+        assert elapsed < 30, f"quality_rules took {elapsed:.1f}s on 50k tokens"
+
+    def test_top_token_frac_matches_naive(self, spark):
+        # longest-equal-run-after-sort == max multiplicity, incl. ties
+        # and the single/empty-token edges
+        rows = [
+            (1, "a b a c a b"),      # a:3 of 6
+            (2, "x"),                # 1 of 1
+            (3, ""),                 # empty -> null frac
+            (4, "t t s s"),          # tie 2 of 4
+        ]
+        df = spark.createDataFrame(rows, ["doc_id", "text"])
+        out = {r.doc_id: r for r in quality_rules(df).collect()}
+        assert out[1].top_token_frac == 0.5
+        assert out[2].top_token_frac == 1.0
+        assert out[3].top_token_frac is None
+        assert out[4].top_token_frac == 0.5
+
 
 class TestDecontaminate:
     def test_overlap_detected_and_counted(self, spark):
