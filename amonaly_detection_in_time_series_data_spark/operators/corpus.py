@@ -146,7 +146,16 @@ def quality_rules(
       "duplicate n-gram fraction" repetition rule)
     ``keep`` = 1 iff every rule passes.
     """
-    toks = tokenize(text_col)
+    # Tokens are materialized ONCE as a projected column and every
+    # downstream expression references the bound attribute. A free
+    # *expression* (the regex split of the whole document) captured
+    # inside a higher-order-function lambda is re-evaluated per element
+    # in Spark's interpreted HOF path — O(doc_len^2) per row; a bound
+    # attribute is an O(1) lookup. Referenced >1 time and non-cheap, so
+    # CollapseProject keeps the projection materialized.
+    base_cols = df.columns
+    d = df.withColumn("__toks", tokenize(text_col))
+    toks = F.col("__toks")
     n_tok = F.size(toks)
     mean_wl = F.round(
         F.aggregate(
@@ -188,24 +197,30 @@ def quality_rules(
         / F.nullif(n_tok, F.lit(0)),
         4,
     )
+    # Bigrams via zip_with over two slices of the bound token column:
+    # zip_with INPUTS are evaluated once per row (unlike lambda-captured
+    # free expressions), and the lambda touches only its arguments —
+    # O(n_tok) per row. Materialized as a column so array_distinct/size
+    # below don't re-run the zip.
     bigrams = F.when(
         n_tok >= 2,
-        F.transform(
-            F.sequence(F.lit(1), n_tok - 1),
-            lambda i: F.concat(
-                F.element_at(toks, i), F.lit(" "), F.element_at(toks, i + 1)
-            ),
+        F.zip_with(
+            F.slice(toks, 1, n_tok - 1),
+            F.slice(toks, 2, n_tok - 1),
+            lambda a, b: F.concat(a, F.lit(" "), b),
         ),
     ).otherwise(F.array().cast("array<string>"))
+    d = d.withColumn("__bigrams", bigrams)
+    bg = F.col("__bigrams")
     dup_bigram = F.round(
         F.when(
-            F.size(bigrams) > 0,
-            1 - F.size(F.array_distinct(bigrams)) / F.size(bigrams).cast("double"),
+            F.size(bg) > 0,
+            1 - F.size(F.array_distinct(bg)) / F.size(bg).cast("double"),
         ).otherwise(F.lit(0.0)),
         4,
     )
-    out = df.select(
-        *df.columns,
+    out = d.select(
+        *base_cols,
         n_tok.cast("bigint").alias("n_tokens"),
         mean_wl.alias("mean_word_len"),
         symbol_ratio.alias("symbol_ratio"),

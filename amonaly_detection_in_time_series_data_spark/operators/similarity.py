@@ -296,12 +296,25 @@ def shingles(text: Column | str, n: int = 3) -> Column:
 
     Documents with fewer than ``n`` tokens yield an EMPTY array — not a
     truncated gram, and not a ``''`` gram for empty docs — so that
-    "zero-shingle documents are dropped" holds downstream (minhash)."""
+    "zero-shingle documents are dropped" holds downstream (minhash).
+
+    Built as ``n-1`` iterated ``zip_with`` calls over offset slices of
+    the token array. zip_with INPUTS are evaluated once per row; the
+    lambda touches only its arguments. The earlier ``transform(sequence,
+    i -> slice(toks, i, n))`` form captured the tokenization as a free
+    expression inside the lambda, which Spark's interpreted HOF path
+    re-evaluates PER ELEMENT — O(doc_len^2) per row (measured: 5k tokens
+    3.9 s, 10k 16.4 s in one task). This form is O(doc_len * n).
+    """
     toks = tokenize(text)
-    idx = F.sequence(F.lit(0), F.size(toks) - n)
-    grams = F.transform(
-        idx, lambda i: F.array_join(F.slice(toks, i + 1, n), " ")
-    )
+    n_grams = F.size(toks) - (n - 1)
+    grams = F.slice(toks, 1, n_grams)
+    for j in range(1, n):
+        grams = F.zip_with(
+            grams,
+            F.slice(toks, j + 1, n_grams),
+            lambda a, b: F.concat(a, F.lit(" "), b),
+        )
     return F.when(F.size(toks) >= n, F.array_distinct(grams)).otherwise(
         F.array().cast("array<string>")
     )

@@ -80,6 +80,38 @@ class TestSimilarity:
         assert out[(1, 2)] == 1.0
         assert out[(1, 3)] == 0.0
 
+    def test_shingles_big_doc_linear(self, spark):
+        # 20k tokens in ONE row/task: the zip_with-over-slices form is
+        # O(n); the old transform(sequence, i -> slice(toks,...)) form
+        # re-evaluated the free tokenize() expression per element
+        # (interpreted HOF path) — measured quadratic (10k tokens 16.4s).
+        import time
+
+        from amonaly_detection_in_time_series_data_spark.operators.similarity import shingles
+
+        toks = [f"w{i % 1000}" for i in range(20_000)]
+        df = spark.createDataFrame([(1, " ".join(toks))], "doc_id long, text string")
+        t0 = time.monotonic()
+        row = df.select(F.size(shingles(F.col("text"), 3)).alias("n")).collect()[0]
+        elapsed = time.monotonic() - t0
+        expected_distinct = len({" ".join(toks[i : i + 3]) for i in range(len(toks) - 2)})
+        assert row["n"] == expected_distinct
+        assert elapsed < 10, f"shingles took {elapsed:.1f}s on 20k tokens"
+
+    def test_shingles_short_doc_edges(self, spark):
+        # < n tokens -> EMPTY array (no truncated or '' grams)
+        from amonaly_detection_in_time_series_data_spark.operators.similarity import shingles
+
+        df = spark.createDataFrame(
+            [(1, "a b"), (2, ""), (3, "a b c"), (4, "  x   y  z ")],
+            "doc_id long, text string",
+        )
+        out = {r["doc_id"]: r["g"] for r in df.select("doc_id", shingles(F.col("text"), 3).alias("g")).collect()}
+        assert out[1] == []
+        assert out[2] == []
+        assert out[3] == ["a b c"]
+        assert out[4] == ["x y z"]
+
 
 class TestAnomalyTiers:
     def test_global_zscore_flags(self, spark):
