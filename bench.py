@@ -10,8 +10,10 @@ work being measured).
 
 from __future__ import annotations
 
+import hashlib
 import json
 import os
+import re
 import sys
 import time
 
@@ -37,6 +39,31 @@ HEADLINE = [
 ]
 
 
+def plan_fingerprint(df) -> str:
+    """Stable hash of the physical plan, for cross-round comparison.
+
+    Expression IDs (``#123``) and exchange/subquery ids are session
+    counters that differ run-to-run for an identical plan — strip them
+    before hashing so the fingerprint changes iff the plan SHAPE does.
+    """
+    s = df._jdf.queryExecution().executedPlan().toString()
+    s = re.sub(r"#\d+", "#", s)
+    # HOF lambda variables carry a session-global counter: `lambda x_7`
+    # in a fresh session is `lambda x_186` after other queries planned
+    s = re.sub(r"(lambda [A-Za-z]+)_\d+", r"\1_", s)
+    # ...as does the with-expression CSE alias (`_common_expr_0` vs `_2`)
+    s = re.sub(r"_common_expr_\d+", "_common_expr_", s)
+    # FileScan metadata is width-truncated with `...`; the cut point
+    # shifts when an embedded counter's digit count changes — collapse
+    # the truncated token so the fingerprint ignores where the cut fell
+    s = re.sub(r"\S+\.\.\.", "<trunc>", s)
+    s = re.sub(r"plan_id=\d+", "plan_id=", s)
+    s = re.sub(r"\[id=#?\d+\]", "[id=]", s)
+    s = re.sub(r"exprId=\d+", "exprId=", s)
+    s = re.sub(r"cachedrdd-\d+", "cachedrdd-", s)
+    return hashlib.md5(s.encode()).hexdigest()[:16]
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     import __spark_entry__ as entrymod
@@ -58,17 +85,21 @@ def main() -> None:
         spark.read.parquet(os.path.join(sf_dir, f"{t}.parquet")).count()
     spark.range(1).write.format("noop").mode("overwrite").save()
 
-    # best-of-2 per query: this container shows bursty host-level noise
+    # best-of-3 per query: this container shows bursty host-level noise
     # (the same binary measured 24s..59s total across runs); the min of
-    # two materializations measures the engine, not the neighbor. The
-    # first-run times are reported alongside as "queries_cold" so the
-    # methodology is transparent.
+    # three materializations measures the engine, not the neighbor. The
+    # first-run times are reported alongside as "queries_cold", and a
+    # normalized physical-plan fingerprint as "plans", so a cross-round
+    # time drift can be attributed: fingerprint unchanged -> host noise,
+    # fingerprint changed -> the plan actually changed.
     timings: dict[str, float] = {}
     cold: dict[str, float] = {}
+    plans: dict[str, str] = {}
     for name in HEADLINE:
         fn = qs[name]
+        plans[name] = plan_fingerprint(fn(spark, sf_dir))
         best = float("inf")
-        for i in range(2):
+        for i in range(3):
             start = time.perf_counter()
             fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
             elapsed = time.perf_counter() - start
@@ -87,6 +118,7 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "queries_cold": cold,
+                "plans": plans,
                 "sf": float(sf) if sf else sf_dir,
             }
         )
