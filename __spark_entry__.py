@@ -903,13 +903,15 @@ def q_text_quality_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_embedding_knn_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """ANN scale path: random-hyperplane LSH bucketing + in-bucket exact
-    re-rank. Oracle-checked — the deterministic plane matrix is embedded
-    as literals in the DuckDB SQL (see oracle_sql)."""
+    """ANN scale path: multi-table random-hyperplane LSH (8 tables of
+    4-bit signatures — recall@5 0.71 vs brute force at sf0.01; a single
+    6-bit table measures 0.06, the (1-theta/pi)^b math) + exact in-bucket
+    re-rank. Oracle-checked — all 8 deterministic plane matrices are
+    embedded as literals in the DuckDB SQL (see oracle_sql)."""
     emb = load_table(spark, sf_dir, "embeddings")
     q = emb.filter(F.col("vec_id") < 10)
     out = lsh_cosine_topk(
-        emb, q, k=5, dim=64, n_planes=6, seed=42, round_digits=4
+        emb, q, k=5, dim=64, n_planes=4, seed=42, round_digits=4, n_tables=8
     )
     return out.withColumn("rank", F.col("rank").cast("bigint"))
 
@@ -1862,23 +1864,31 @@ FROM documents,
         _random_hyperplanes,
     )
 
-    planes = _random_hyperplanes(64, 6, 42)
-    bit_terms = " + ".join(
-        "(CASE WHEN list_sum(list_transform(range(1, 65), "
-        f"i -> v[i] * ([{', '.join(repr(x) for x in row)}])[i])) >= 0 "
-        f"THEN {1 << p} ELSE 0 END)"
-        for p, row in enumerate(planes)
-    )
+    # 8 tables of 4-bit signatures (mirrors q_embedding_knn_lsh's
+    # n_planes=4, n_tables=8, seed offsets seed + 7919*t); bucket ids
+    # are table-tagged (t << 4) and unnested so a candidate pair joins
+    # if it shares a bucket in ANY table, then de-duplicated.
+    lsh_n_planes, lsh_n_tables = 4, 8
+    bucket_exprs = []
+    for t in range(lsh_n_tables):
+        planes = _random_hyperplanes(64, lsh_n_planes, 42 + 7919 * t)
+        bit_terms = " + ".join(
+            "(CASE WHEN list_sum(list_transform(range(1, 65), "
+            f"i -> v[i] * ([{', '.join(repr(x) for x in row)}])[i])) >= 0 "
+            f"THEN {1 << p} ELSE 0 END)"
+            for p, row in enumerate(planes)
+        )
+        bucket_exprs.append(f"(({bit_terms}) + {t << lsh_n_planes})")
     knn_lsh = f"""
 WITH sigs AS (
   SELECT vec_id, embedding::DOUBLE[] AS v,
-         ({bit_terms}) AS bucket
+         unnest([{', '.join(bucket_exprs)}]) AS bucket
   FROM embeddings
 ),
 c AS (SELECT vec_id AS cid, v AS cv, bucket FROM sigs),
 q AS (SELECT vec_id AS qid, v AS qv, bucket FROM sigs WHERE vec_id < 10),
 scored AS (
-  SELECT qid AS query_id, cid AS neighbor_id,
+  SELECT DISTINCT qid AS query_id, cid AS neighbor_id,
          round(
            list_sum(list_transform(range(1, len(cv) + 1), i -> cv[i] * qv[i])) /
            nullif(sqrt(list_sum(list_transform(range(1, len(cv) + 1), i -> cv[i] * cv[i]))) *

@@ -173,26 +173,49 @@ def lsh_cosine_topk(
     vec_col: str = "embedding",
     query_id_col: str = "query_id",
     round_digits: int | None = None,
+    n_tables: int = 1,
 ) -> DataFrame:
     """Approximate cosine kNN: sign-of-projection bucketing (n_planes-bit
     signature) on both sides, join on bucket, exact cosine re-rank within
-    bucket. Recall grows with fewer planes / multiple tables; at 100 TB
-    this replaces the corpus-wide scan with a bucket-local one.
+    bucket. At 100 TB this replaces the corpus-wide scan with a
+    bucket-local one.
+
+    Single-table recall is ``(1 - theta/pi)^n_planes`` per true neighbor
+    — low when neighbors sit at moderate angles. ``n_tables`` is the
+    standard recall lever: L independent plane sets, a candidate is kept
+    if it shares a bucket in ANY table (recall ``1-(1-p^b)^L``). The
+    corpus side explodes to L rows per vector (map-only before the
+    broadcast join); duplicate candidates from multiple tables collapse
+    via max_by in one aggregation keyed like the ranking window.
 
     ``round_digits`` rounds the cosine BEFORE ranking so the result is
     reproducible across engines (oracle determinism convention).
     """
-    planes = _random_hyperplanes(dim, n_planes, seed)
+    tables = [
+        _random_hyperplanes(dim, n_planes, seed + 7919 * t)
+        for t in range(n_tables)
+    ]
 
-    def signature(vec: Column) -> Column:
-        return lsh_bucket(vec, planes)
+    def signature(vec: Column, planes: list[list[float]], t: int) -> Column:
+        return lsh_bucket(vec, planes) + F.lit(t << n_planes)
 
-    c = corpus.withColumn("__bucket", signature(F.col(vec_col)))
-    q = queries.select(
-        F.col(id_col).alias(query_id_col),
-        F.col(vec_col).alias("__qvec"),
-        signature(F.col(vec_col)).alias("__bucket"),
-    )
+    def buckets(vec: Column) -> Column:
+        return F.array(*[signature(vec, p, t) for t, p in enumerate(tables)])
+
+    if n_tables == 1:
+        c = corpus.withColumn("__bucket", signature(F.col(vec_col), tables[0], 0))
+        q = queries.select(
+            F.col(id_col).alias(query_id_col),
+            F.col(vec_col).alias("__qvec"),
+            signature(F.col(vec_col), tables[0], 0).alias("__bucket"),
+        )
+    else:
+        c = corpus.withColumn("__bucket", F.explode(buckets(F.col(vec_col))))
+        q = queries.select(
+            F.col(id_col).alias(query_id_col),
+            F.col(vec_col).alias("__qvec"),
+            F.explode(buckets(F.col(vec_col))).alias("__bucket"),
+        )
     sim = cosine_similarity(F.col(vec_col), F.col("__qvec"))
     if round_digits is not None:
         sim = F.round(sim, round_digits)
@@ -205,6 +228,12 @@ def lsh_cosine_topk(
             sim.alias("cosine"),
         )
     )
+    if n_tables > 1:
+        # same (query, neighbor) pair can surface from several tables;
+        # collapse before ranking (cosine is identical across copies)
+        scored = scored.groupBy(query_id_col, "neighbor_id").agg(
+            F.first("cosine").alias("cosine")
+        )
     w = Window.partitionBy(query_id_col).orderBy(
         F.col("cosine").desc(), F.col("neighbor_id").asc()
     )

@@ -61,6 +61,64 @@ class TestSimilarity:
             per_q.setdefault(r["query_id"], []).append(r)
         assert all(len(v) <= 3 for v in per_q.values())
 
+    def test_ann_recall_vs_brute_force(self, spark):
+        # Recall@5 pins: a regression in the hyperplane or centroid
+        # logic cannot ship green. Ground truth = exact cosine_topk.
+        # All inputs are seeded/deterministic; measured values at sf0.01
+        # (20 queries): multi-table LSH b=4 L=8 -> 0.710, L=16 -> 0.900;
+        # single-table b=6 -> 0.060 (matches the (1-theta/pi)^b math —
+        # that's why n_tables exists); IVF 16/4 -> 0.690, 8/2 -> 0.510.
+        # Pinned at sf0.01 (the oracle SF, where those were measured —
+        # sf0.001's vectors differ and give e.g. IVF 16/4 -> 0.51).
+        import os
+
+        from amonaly_detection_in_time_series_data_spark.operators.similarity import (
+            ivf_cosine_topk,
+        )
+
+        oracle_sf = os.environ.get(
+            "SPARK_GRAFT_ORACLE_SF", "/root/testdata/sf0.01"
+        )
+        emb = load_table(spark, oracle_sf, "embeddings")
+        q = emb.filter(F.col("vec_id") < 20)
+
+        def neighbors(df):
+            out = {}
+            for r in df.collect():
+                out.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+            return out
+
+        truth = neighbors(cosine_topk(emb, q, k=5))
+
+        def recall(approx):
+            per = [
+                len(approx.get(qid, set()) & t) / len(t)
+                for qid, t in truth.items()
+            ]
+            return sum(per) / len(per)
+
+        lsh_multi = recall(
+            neighbors(
+                lsh_cosine_topk(
+                    emb, q, k=5, dim=64, n_planes=4, seed=42, n_tables=8
+                )
+            )
+        )
+        assert lsh_multi >= 0.6, f"multi-table LSH recall@5 {lsh_multi:.3f}"
+        ivf = recall(
+            neighbors(
+                ivf_cosine_topk(emb, q, k=5, n_clusters=16, n_probe=4, seed=42)
+            )
+        )
+        assert ivf >= 0.6, f"IVF recall@5 {ivf:.3f}"
+        # query-default IVF config: looser floor, still a regression pin
+        ivf_default = recall(
+            neighbors(
+                ivf_cosine_topk(emb, q, k=5, n_clusters=8, n_probe=2, seed=42)
+            )
+        )
+        assert ivf_default >= 0.4, f"IVF 8/2 recall@5 {ivf_default:.3f}"
+
     def test_simhash_identical_docs_equal(self, spark):
         df = spark.createDataFrame(
             [(1, "the quick brown fox"), (2, "the quick brown fox"), (3, "totally different words here")],
