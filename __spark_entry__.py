@@ -1173,12 +1173,18 @@ def q_minhash_pairs_md5(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Banded MinHash-LSH near-dup pairs with the engine-portable md5
     hash family — same plan shape as q_minhash_pairs (explode-once
     signatures, one band-bucket shuffle, bucket-local pair triangle) but
-    every number is reproducible in the DuckDB oracle."""
+    every number is reproducible in the DuckDB oracle.
+
+    ``max_bucket_size`` is the anti-straggler cap (bucket-local pair
+    triangles are O(bucket^2); boilerplate corpora produce mega-buckets).
+    Set to 2 here — deliberately small enough to BIND at test scale
+    (sf0.01 bucket sizes are 1..3), so the cap semantics are
+    oracle-proven, mirrored as a HAVING count(*) filter in the SQL."""
     docs = spread_small(_docs_with_dups(spark, sf_dir))
     sigs = minhash_signatures(
         docs, "text", "doc_id", n_hashes=8, shingle_n=3, hash_fn="md5"
     )
-    return minhash_lsh_pairs(sigs, n_bands=4, id_col="doc_id")
+    return minhash_lsh_pairs(sigs, n_bands=4, id_col="doc_id", max_bucket_size=2)
 
 
 def q_simhash_md5(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1926,11 +1932,16 @@ bands AS (
   SELECT doc_id, sig, b, sig[b*2+1 : b*2+2] AS slice
   FROM sig, range(4) t(b)
 ),
+kept AS (
+  -- max_bucket_size=2 mirror: drop band-buckets above the cap
+  SELECT b, slice FROM bands GROUP BY b, slice HAVING count(*) <= 2
+),
 cand AS (
   SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
          a.sig AS sa, b.sig AS sb
   FROM bands a
   JOIN bands b ON a.b = b.b AND a.slice = b.slice AND a.doc_id < b.doc_id
+  JOIN kept k ON k.b = a.b AND k.slice = a.slice
 )
 SELECT id_a, id_b,
        list_sum(list_transform(range(1, 9),

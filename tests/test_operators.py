@@ -45,6 +45,28 @@ class TestSimilarity:
         est = {(r["id_a"], r["id_b"]): r["jaccard_est"] for r in pairs}
         assert all(est[p] == 1.0 for p in expected)
 
+    def test_minhash_max_bucket_size_drops_mega_bucket(self, spark):
+        # 30 identical "boilerplate" docs form one mega-bucket per band
+        # (O(bucket^2) pair triangle = the straggler at scale); a
+        # distinct near-dup pair lives in small buckets. The cap must
+        # drop every mega-bucket pair and keep the small-bucket pair.
+        boiler = [(i, "spam " * 20) for i in range(30)]
+        near = [
+            (100, "alpha beta gamma delta epsilon zeta eta theta"),
+            (101, "alpha beta gamma delta epsilon zeta eta theta"),
+        ]
+        df = spark.createDataFrame(boiler + near, "doc_id long, text string")
+        sigs = minhash_signatures(df, "text", "doc_id", n_hashes=16)
+        uncapped = minhash_lsh_pairs(sigs, n_bands=4).collect()
+        capped = minhash_lsh_pairs(sigs, n_bands=4, max_bucket_size=10).collect()
+        uncapped_pairs = {(r["id_a"], r["id_b"]) for r in uncapped}
+        capped_pairs = {(r["id_a"], r["id_b"]) for r in capped}
+        assert (100, 101) in uncapped_pairs
+        assert (100, 101) in capped_pairs
+        # all 30*29/2 boilerplate pairs present uncapped, gone capped
+        assert sum(1 for a, b in uncapped_pairs if a < 100 and b < 100) == 435
+        assert not any(a < 100 and b < 100 for a, b in capped_pairs)
+
     def test_lsh_topk_vs_brute_force_self_hit(self, spark, sf_dir):
         emb = load_table(spark, sf_dir, "embeddings")
         queries = emb.filter(F.col("vec_id") < 5)
