@@ -27,6 +27,7 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 from amonaly_detection_in_time_series_data_spark.sources.readers import load_table, normalize_columns
 from amonaly_detection_in_time_series_data_spark.functions.cleaning import (
@@ -1063,7 +1064,13 @@ def q_roundtrip_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
     """S1+S2 both file formats in one check: the reference-dialect CSV
     round-trip and the explicit-schema JSON round-trip, joined on
     event_id so every staged column from both formats is hash-checked.
-    Oracle = identity transforms over events."""
+
+    S2 (missing file -> EMPTY table, reference src/data_loader.py:10-12,
+    24-26) is driver-checked here too: a guaranteed-absent path is read
+    through load_csv and its row count (= 0) rides on every output row
+    as ``missing_rows`` — if the missing-path contract ever changed to
+    raise or return rows, this query errors or hash-mismatches.
+    Oracle = identity transforms over events + a literal 0."""
     csv = q_csv_roundtrip(spark, sf_dir).select(
         "event_id",
         F.col("ts_min").alias("csv_ts_min"),
@@ -1076,7 +1083,13 @@ def q_roundtrip_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_type",
         F.col("value").alias("json_value"),
     )
-    return csv.join(js, "event_id")
+    absent = load_csv(
+        spark,
+        os.path.join(sf_dir, "__no_such_file__.csv"),
+        empty_schema=T.StructType([T.StructField("x", T.StringType())]),
+    )
+    missing = absent.agg(F.count("*").alias("missing_rows"))
+    return csv.join(js, "event_id").crossJoin(F.broadcast(missing))
 
 
 def q_pivot_events(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2128,7 +2141,8 @@ SELECT event_id,
        strftime(date_trunc('minute', ts), '{fmt}') AS csv_ts_min,
        round(value, 2) AS csv_value,
        strftime(date_trunc('second', ts), '{fmt}') AS json_ts,
-       user_id, event_type, value AS json_value
+       user_id, event_type, value AS json_value,
+       CAST(0 AS BIGINT) AS missing_rows
 FROM events
 """
 
