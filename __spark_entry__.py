@@ -1208,20 +1208,43 @@ def q_simhash_md5(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_ae_training_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """ML2 — distributed epoch training loop (orthogonal iteration):
-    one aggregation job per epoch computes the full-data loss and the
-    subspace update; returns the loss curve (rows-only: iterative fit,
-    loss values carry distributed-sum float jitter)."""
+    """ML2 + S3 — distributed epoch training loop (orthogonal
+    iteration): one aggregation job per epoch computes the full-data
+    loss and the subspace update; returns the loss curve (rows-only:
+    iterative fit, loss values carry distributed-sum float jitter).
+
+    The loop runs through a BestCheckpoint (save_best_only semantics,
+    reference main.py:48-55) and the query reloads the best artifact
+    from disk: ``ckpt_reload_ok`` = 1 iff the persisted best loss equals
+    min(losses) and the artifact loads — so S3 runs inside a declared,
+    driver-checked query, not just pytest."""
+    import tempfile
+
+    from amonaly_detection_in_time_series_data_spark.operators.artifacts import (
+        BestCheckpoint,
+    )
     from amonaly_detection_in_time_series_data_spark.operators.inference import (
         fit_linear_ae_epochs,
     )
 
     ev = _events(spark, sf_dir)
     seqs = create_sequences(ev, ["value"], 12, KEY, ORDER)
-    _, losses = fit_linear_ae_epochs(seqs, "seq", k=2, epochs=4, seed=0)
+    ckpt = BestCheckpoint(tempfile.mkdtemp(prefix="ae_ckpt_"))
+    _, losses = fit_linear_ae_epochs(
+        seqs, "seq", k=2, epochs=4, seed=0, checkpoint=ckpt
+    )
+    reloaded = ckpt.load_best()  # raises if the artifact didn't persist
+    ckpt_ok = int(
+        ckpt.best_loss == min(losses) and reloaded.components.shape[0] == 2
+    )
     return spark.createDataFrame(
-        [(i, float(l)) for i, l in enumerate(losses)], "epoch int, loss double"
-    ).select(F.col("epoch").cast("bigint").alias("epoch"), "loss")
+        [(i, float(l), ckpt_ok) for i, l in enumerate(losses)],
+        "epoch int, loss double, ckpt_reload_ok int",
+    ).select(
+        F.col("epoch").cast("bigint").alias("epoch"),
+        "loss",
+        F.col("ckpt_reload_ok").cast("bigint").alias("ckpt_reload_ok"),
+    )
 
 
 def q_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:

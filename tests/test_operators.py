@@ -663,6 +663,21 @@ class TestEpochTraining:
         assert losses[-1] < losses[0]  # random init -> fitted subspace
         assert ckpt.best_loss == min(losses)
 
+        # S3 reload-best contract (reference main.py:48-55): the model
+        # read back from disk scores the SAME loss the in-memory best
+        # epoch measured (rel tol for distributed-sum float jitter)
+        from amonaly_detection_in_time_series_data_spark.operators.inference import (
+            score_linear_ae_sql,
+        )
+
+        best = ckpt.load_best()
+        rescored = (
+            score_linear_ae_sql(seqs.select("seq"), best, "seq", "__err")
+            .agg(F.avg("__err"))
+            .collect()[0][0]
+        )
+        assert abs(rescored - min(losses)) <= 1e-6 * max(1.0, abs(min(losses)))
+
         # optimal loss via numpy SVD on the full data
         rows = seqs.select("seq").collect()
         x = np.array([np.array(r["seq"], dtype=np.float64).reshape(-1) for r in rows])
