@@ -14,9 +14,14 @@ Scale notes (100 TB):
   strata counts are computed by the same window, no extra pass).
 - ``quality_rules`` is strictly map-only: every metric (token stats,
   symbol ratio, top-token fraction, duplicate-bigram fraction) is a
-  per-row array expression, so it runs at scan speed with zero shuffle.
-  The top-token fraction is O(distinct_tokens * tokens) per row — chosen
-  over explode+groupBy, which would shuffle EVERY token of the corpus.
+  per-row array expression, so it runs at scan speed with zero shuffle —
+  chosen over explode+groupBy, which would shuffle EVERY token of the
+  corpus. Per-row costs are kept linear-ish in doc length: the top-token
+  fraction is the longest equal-run after ``array_sort`` (O(n log n)),
+  and bigrams are ``zip_with`` over two slices of a token array that is
+  materialized ONCE as a column — a free tokenize() expression captured
+  in a HOF lambda is re-evaluated per element (quadratic; measured 2933s
+  on one 50k-token doc before the fix, 1.3s after).
 - ``decontaminate`` broadcasts the benchmark gram set (eval suites are
   tiny relative to the corpus) so the corpus-side join is map-side; only
   the *hits* (rare) are shuffled for the per-doc count.
