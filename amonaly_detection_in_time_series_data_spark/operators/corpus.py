@@ -36,7 +36,9 @@ from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from amonaly_detection_in_time_series_data_spark.functions.text import tokenize
-from amonaly_detection_in_time_series_data_spark.operators.similarity import shingles
+from amonaly_detection_in_time_series_data_spark.operators.similarity import (
+    shingles_from_tokens,
+)
 
 __all__ = [
     "hash_split",
@@ -264,11 +266,17 @@ def decontaminate(
     hits reach the per-doc count shuffle.
     """
     bench_grams = (
-        benchmark.select(F.explode(shingles(text_col, shingle_n)).alias("gram"))
+        benchmark.withColumn("__toks", tokenize(text_col))
+        .select(
+            F.explode(
+                shingles_from_tokens(F.col("__toks"), shingle_n)
+            ).alias("gram")
+        )
         .distinct()
     )
-    corpus_grams = corpus.select(
-        F.col(id_col), F.explode(shingles(text_col, shingle_n)).alias("gram")
+    corpus_grams = corpus.withColumn("__toks", tokenize(text_col)).select(
+        F.col(id_col),
+        F.explode(shingles_from_tokens(F.col("__toks"), shingle_n)).alias("gram"),
     )
     hits = (
         corpus_grams.join(F.broadcast(bench_grams), "gram")

@@ -320,12 +320,13 @@ def ivf_cosine_topk(
     )
 
 
-def shingles(text: Column | str, n: int = 3) -> Column:
-    """Word n-gram shingles as array<string> (distinct).
+def shingles_from_tokens(toks: Column, n: int = 3) -> Column:
+    """Word n-gram shingles over a token-array column (distinct).
 
-    Documents with fewer than ``n`` tokens yield an EMPTY array — not a
-    truncated gram, and not a ``''`` gram for empty docs — so that
-    "zero-shingle documents are dropped" holds downstream (minhash).
+    Prefer passing a MATERIALIZED token column (bound attribute): the
+    token expression appears ``n + 2`` times below, so a raw
+    ``tokenize(text)`` argument re-runs the whole-document regex split
+    that many times per row (still linear, but a ~6x constant at n=3).
 
     Built as ``n-1`` iterated ``zip_with`` calls over offset slices of
     the token array. zip_with INPUTS are evaluated once per row; the
@@ -335,7 +336,6 @@ def shingles(text: Column | str, n: int = 3) -> Column:
     re-evaluates PER ELEMENT — O(doc_len^2) per row (measured: 5k tokens
     3.9 s, 10k 16.4 s in one task). This form is O(doc_len * n).
     """
-    toks = tokenize(text)
     n_grams = F.size(toks) - (n - 1)
     grams = F.slice(toks, 1, n_grams)
     for j in range(1, n):
@@ -347,6 +347,21 @@ def shingles(text: Column | str, n: int = 3) -> Column:
     return F.when(F.size(toks) >= n, F.array_distinct(grams)).otherwise(
         F.array().cast("array<string>")
     )
+
+
+def shingles(text: Column | str, n: int = 3) -> Column:
+    """Word n-gram shingles as array<string> (distinct).
+
+    Documents with fewer than ``n`` tokens yield an EMPTY array — not a
+    truncated gram, and not a ``''`` gram for empty docs — so that
+    "zero-shingle documents are dropped" holds downstream (minhash).
+
+    Expression-level convenience over :func:`shingles_from_tokens`;
+    DataFrame-level callers (minhash, decontaminate) materialize the
+    token array as a column first and call the ``_from_tokens`` form so
+    the regex tokenization runs once per row, not once per slice.
+    """
+    return shingles_from_tokens(tokenize(text), n)
 
 
 def _seeded_hash64(col: Column, seed: int, hash_fn: str) -> Column:
@@ -389,8 +404,11 @@ def minhash_signatures(
     n_hashes times inside one projection (measured 45x slower at sf0.1) —
     and the aggregate gets map-side partial combine for free.
     """
-    exploded = df.select(
-        F.col(id_col), F.explode(shingles(F.col(text_col), shingle_n)).alias("gram")
+    exploded = df.withColumn("__toks", tokenize(F.col(text_col))).select(
+        F.col(id_col),
+        F.explode(
+            shingles_from_tokens(F.col("__toks"), shingle_n)
+        ).alias("gram"),
     )
     hashed = exploded.select(
         id_col,
@@ -538,8 +556,8 @@ def ngram_jaccard_pairs(
     n: int = 3,
 ) -> DataFrame:
     """Exact n-gram Jaccard for candidate pairs (id_a, id_b)."""
-    sh = docs.select(
-        F.col(id_col), shingles(F.col(text_col), n).alias("grams")
+    sh = docs.withColumn("__toks", tokenize(F.col(text_col))).select(
+        F.col(id_col), shingles_from_tokens(F.col("__toks"), n).alias("grams")
     )
     a = sh.select(F.col(id_col).alias("id_a"), F.col("grams").alias("g_a"))
     b = sh.select(F.col(id_col).alias("id_b"), F.col("grams").alias("g_b"))
