@@ -1248,16 +1248,19 @@ def q_ae_training_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Embedding-cosine near-duplicate pairs: one-shuffle LSH bucketing
-    + exact in-bucket cosine threshold; deterministic plane matrix is
-    embedded in the oracle SQL."""
+    """Embedding-cosine near-duplicate pairs: LSH bucketing + exact
+    in-bucket cosine threshold, over 8 independent hyperplane tables
+    (single-table pair recall at threshold 0.2 is 0.117; 8 tables
+    measure 0.632 — see SCALING.md). All 8 deterministic plane matrices
+    are embedded in the oracle SQL."""
     from amonaly_detection_in_time_series_data_spark.operators.similarity import (
         embedding_neardup_pairs,
     )
 
     emb = spread_small(load_table(spark, sf_dir, "embeddings"))
     return embedding_neardup_pairs(
-        emb, threshold=0.2, dim=64, n_planes=4, seed=7, round_digits=4
+        emb, threshold=0.2, dim=64, n_planes=4, seed=7, round_digits=4,
+        n_tables=8,
     )
 
 
@@ -2001,20 +2004,27 @@ SELECT doc_id,
 FROM votes GROUP BY doc_id
 """
 
-    nd_planes = _random_hyperplanes(64, 4, 7)
-    nd_bits = " + ".join(
-        "(CASE WHEN list_sum(list_transform(range(1, 65), "
-        f"i -> v[i] * ([{', '.join(repr(x) for x in row)}])[i])) >= 0 "
-        f"THEN {1 << p} ELSE 0 END)"
-        for p, row in enumerate(nd_planes)
-    )
+    # 8 tables of 4-bit signatures, seeds 7 + 7919*t, table-tagged
+    # bucket ids — mirrors q_embedding_neardup's n_tables=8; DISTINCT
+    # dedups pairs co-bucketed in several tables.
+    nd_bucket_exprs = []
+    for t in range(8):
+        nd_planes = _random_hyperplanes(64, 4, 7 + 7919 * t)
+        nd_bits = " + ".join(
+            "(CASE WHEN list_sum(list_transform(range(1, 65), "
+            f"i -> v[i] * ([{', '.join(repr(x) for x in row)}])[i])) >= 0 "
+            f"THEN {1 << p} ELSE 0 END)"
+            for p, row in enumerate(nd_planes)
+        )
+        nd_bucket_exprs.append(f"(({nd_bits}) + {t << 4})")
     sql["embedding_neardup"] = f"""
 WITH sigs AS (
-  SELECT vec_id, embedding::DOUBLE[] AS v, ({nd_bits}) AS bucket
+  SELECT vec_id, embedding::DOUBLE[] AS v,
+         unnest([{', '.join(nd_bucket_exprs)}]) AS bucket
   FROM embeddings
 ),
 pairs AS (
-  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+  SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b,
          round(
            list_sum(list_transform(range(1, 65), i -> a.v[i] * b.v[i])) /
            nullif(sqrt(list_sum(list_transform(range(1, 65), i -> a.v[i] * a.v[i]))) *

@@ -114,27 +114,48 @@ def embedding_neardup_pairs(
     vec_col: str = "embedding",
     round_digits: int | None = None,
     max_bucket_size: int | None = None,
+    n_tables: int = 1,
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs, LSH-bucketed: bucket every
     vector by its hyperplane signature, generate the pair triangle
     bucket-locally, keep pairs with exact cosine >= ``threshold``.
 
-    One shuffle on the bucket id; no all-pairs join anywhere. Every
-    vector lands in exactly one bucket (the full signature), so emitted
-    pairs are unique by construction. Single-table LSH trades recall for
-    that one-shuffle shape (pairs split by any plane are missed — lower
-    ``n_planes`` or union multiple seeds for higher recall); the bucket
-    assignment is deterministic given (dim, n_planes, seed), which is
-    what makes the operator oracle-reproducible.
+    One shuffle on the bucket id; no all-pairs join anywhere. Per-pair
+    recall in one table is ``(1-theta/pi)^n_planes`` (measured 0.117 at
+    threshold 0.2 / 4 planes on sf0.01) — ``n_tables`` unions L
+    independent plane sets for recall ``1-(1-p)^L`` (measured 0.632 at
+    L=8, 0.861 at L=16) at Lx bucketing compute, deduping pairs
+    found by several tables on (id_a, id_b). With one table every
+    vector lands in exactly one bucket, so pairs are unique by
+    construction and no dedup shuffle exists. Bucket assignment is
+    deterministic given (dim, n_planes, seed), which is what makes the
+    operator oracle-reproducible.
 
     ``max_bucket_size`` caps adversarial mega-buckets (e.g. zero-vector
-    floods) exactly like :func:`minhash_lsh_pairs`.
+    floods) exactly like :func:`minhash_lsh_pairs` — applied per
+    (table, bucket).
     """
-    planes = _random_hyperplanes(dim, n_planes, seed)
+    if n_tables == 1:
+        bucket = lsh_bucket(
+            F.col(vec_col), _random_hyperplanes(dim, n_planes, seed)
+        )
+    else:
+        bucket = F.explode(
+            F.array(
+                *[
+                    lsh_bucket(
+                        F.col(vec_col),
+                        _random_hyperplanes(dim, n_planes, seed + 7919 * t),
+                    )
+                    + F.lit(t << n_planes)
+                    for t in range(n_tables)
+                ]
+            )
+        )
     b = emb.select(
         F.col(id_col).alias("id"),
         F.col(vec_col).alias("vec"),
-        lsh_bucket(F.col(vec_col), planes).alias("__bucket"),
+        bucket.alias("__bucket"),
     )
     members = b.groupBy("__bucket").agg(
         F.collect_list(F.struct("id", "vec")).alias("ms")
@@ -152,7 +173,7 @@ def embedding_neardup_pairs(
     cos = cosine_similarity(F.col("a.vec"), F.col("b.vec"))
     if round_digits is not None:
         cos = F.round(cos, round_digits)
-    return (
+    pairs = (
         paired.select(
             F.least("a.id", "b.id").alias("id_a"),
             F.greatest("a.id", "b.id").alias("id_b"),
@@ -160,6 +181,11 @@ def embedding_neardup_pairs(
         )
         .filter(F.col("cosine") >= threshold)
     )
+    if n_tables > 1:
+        # a pair can be co-bucketed in several tables; dedup AFTER the
+        # threshold filter so the shuffle carries only surviving pairs
+        pairs = pairs.dropDuplicates(["id_a", "id_b"])
+    return pairs
 
 
 def lsh_cosine_topk(
