@@ -1207,6 +1207,23 @@ def q_simhash_md5(spark: SparkSession, sf_dir: str) -> DataFrame:
     return simhash64(docs, "text", "doc_id", hash_fn="md5")
 
 
+def q_simhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash Hamming near-dup pairs over the dup-injected corpus:
+    60-bit md5-family fingerprints, 4 bands of 15 bits — by pigeonhole
+    EXACT for Hamming <= 3 (unlike the probabilistic minhash/hyperplane
+    tiers), verified with bit_count(xor). Oracle mirrors the banding and
+    the Hamming check bit-for-bit."""
+    from amonaly_detection_in_time_series_data_spark.operators.similarity import (
+        simhash_neardup_pairs,
+    )
+
+    docs = spread_small(_docs_with_dups(spark, sf_dir))
+    sims = simhash64(docs, "text", "doc_id", hash_fn="md5")
+    return simhash_neardup_pairs(
+        sims, max_hamming=3, n_bands=4, bits=60, id_col="doc_id"
+    )
+
+
 def q_ae_training_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ML2 + S3 — distributed epoch training loop (orthogonal
     iteration): one aggregation job per epoch computes the full-data
@@ -1353,7 +1370,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "window_features": q_window_features,
         "minmax_scale_both": q_minmax_scale_both,
         "sequences_digest": q_sequences_digest,
-        "sequence_scores": q_sequence_scores,
         # -- relational capability --
         "pricing_summary": q_pricing_summary,
         "revenue_by_nation": q_revenue_by_nation,
@@ -1386,6 +1402,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ngram_jaccard": q_ngram_jaccard,
         "minhash_pairs_md5": q_minhash_pairs_md5,
         "simhash_md5": q_simhash_md5,
+        "simhash_neardup": q_simhash_neardup,
         "multimodal_decode": q_multimodal_decode,
         "multimodal_features": q_multimodal_features,
         "multimodal_frames": q_multimodal_frames,
@@ -1399,7 +1416,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bucketed_rolling": q_bucketed_rolling,
         "salted_agg": q_salted_agg,
         # ---- past the driver's 50-query window: rows-only tier whose
-        # ---- values pytest pins (oracle-free by nature: iterative fits)
+        # ---- values pytest pins (oracle-free by nature: nested-array
+        # ---- output / iterative or driver-fit models)
+        "sequence_scores": q_sequence_scores,
         "sequences": q_sequences,
         "ae_training_curve": q_ae_training_curve,
         "ivf_knn": q_ivf_knn,
@@ -2007,6 +2026,36 @@ FROM votes GROUP BY doc_id
     # 8 tables of 4-bit signatures, seeds 7 + 7919*t, table-tagged
     # bucket ids — mirrors q_embedding_neardup's n_tables=8; DISTINCT
     # dedups pairs co-bucketed in several tables.
+    sql["simhash_neardup"] = f"""
+WITH {_DOC_DUP_CTE.strip().rstrip()},
+t AS (SELECT doc_id, unnest({toks}) AS tok FROM docs),
+h AS (SELECT doc_id, {md5h.format(j='0', s='tok')} AS h FROM t),
+votes AS (
+  SELECT doc_id, b,
+         sum(CASE WHEN (h >> b) & 1 = 1 THEN 1 ELSE -1 END) AS v
+  FROM h, range(60) t2(b)
+  GROUP BY doc_id, b
+),
+sims AS (
+  SELECT doc_id,
+         CAST(sum(CASE WHEN v > 0 THEN CAST(1 AS BIGINT) << b ELSE 0 END)
+              AS BIGINT) AS simhash
+  FROM votes GROUP BY doc_id
+),
+bands AS (
+  SELECT doc_id, simhash, b, (simhash >> (b * 15)) & 32767 AS key
+  FROM sims, range(4) t3(b)
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+         a.simhash AS sa, b.simhash AS sb
+  FROM bands a
+  JOIN bands b ON a.b = b.b AND a.key = b.key AND a.doc_id < b.doc_id
+)
+SELECT id_a, id_b, CAST(bit_count(xor(sa, sb)) AS BIGINT) AS hamming
+FROM cand WHERE bit_count(xor(sa, sb)) <= 3
+"""
+
     nd_bucket_exprs = []
     for t in range(8):
         nd_planes = _random_hyperplanes(64, 4, 7 + 7919 * t)

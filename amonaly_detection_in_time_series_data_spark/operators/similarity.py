@@ -574,6 +574,76 @@ def simhash64(
     return votes.select(F.col(id_col), sim.alias("simhash"))
 
 
+def simhash_neardup_pairs(
+    sims: DataFrame,
+    max_hamming: int = 3,
+    n_bands: int = 4,
+    bits: int = 64,
+    id_col: str = "doc_id",
+    sim_col: str = "simhash",
+    max_bucket_size: int | None = None,
+) -> DataFrame:
+    """Near-duplicate pairs by SimHash Hamming distance, banded.
+
+    Split the ``bits``-bit fingerprint into ``n_bands`` equal bands and
+    bucket-join on (band, band value): by pigeonhole, any pair within
+    Hamming distance ``n_bands - 1`` agrees on at least one full band,
+    so for ``max_hamming < n_bands`` the banding is EXACT (recall 1.0)
+    — unlike the probabilistic hyperplane/minhash tiers. Candidates are
+    verified with ``bit_count(xor)``.
+
+    Output: id_a, id_b, ``hamming`` (bigint), one row per unordered
+    pair. Same one-shuffle bucket-triangle shape as
+    :func:`minhash_lsh_pairs`, with the same ``max_bucket_size`` cap
+    against adversarial mega-buckets (e.g. many identical docs).
+    """
+    if bits % n_bands != 0:
+        raise ValueError(f"bits={bits} not divisible by n_bands={n_bands}")
+    band_bits = bits // n_bands
+    mask = (1 << band_bits) - 1
+    sim = F.col(sim_col)
+    bands = sims.select(
+        F.col(id_col).alias("id"),
+        sim.alias("sim"),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.shiftrightunsigned(sim, b * band_bits)
+                        .bitwiseAND(F.lit(mask))
+                        .alias("key"),
+                    )
+                    for b in range(n_bands)
+                ]
+            )
+        ).alias("bk"),
+    ).select("id", "sim", "bk.band", "bk.key")
+    members = bands.groupBy("band", "key").agg(
+        F.collect_list(F.struct("id", "sim")).alias("ms")
+    )
+    members = members.filter(F.size("ms") > 1)
+    if max_bucket_size is not None:
+        members = members.filter(F.size("ms") <= max_bucket_size)
+    anchored = members.select(F.posexplode("ms").alias("pos", "a"), "ms")
+    paired = anchored.select(
+        "a",
+        F.explode(
+            F.slice("ms", F.col("pos") + 2, F.size("ms") - F.col("pos") - 1)
+        ).alias("b"),
+    )
+    norm = paired.select(
+        F.least("a.id", "b.id").alias("id_a"),
+        F.greatest("a.id", "b.id").alias("id_b"),
+        F.bit_count(
+            F.col("a.sim").bitwiseXOR(F.col("b.sim"))
+        ).cast("bigint").alias("hamming"),
+    )
+    return norm.filter(F.col("hamming") <= max_hamming).dropDuplicates(
+        ["id_a", "id_b"]
+    )
+
+
 def ngram_jaccard_pairs(
     docs: DataFrame,
     candidates: DataFrame,

@@ -141,6 +141,45 @@ class TestSimilarity:
         )
         assert ivf_default >= 0.4, f"IVF 8/2 recall@5 {ivf_default:.3f}"
 
+    def test_simhash_neardup_banding_is_exact(self, spark, sf_dir):
+        # Pigeonhole: with 4 bands, any pair within Hamming 3 shares at
+        # least one full band — the banded result must EQUAL the brute
+        # force all-pairs answer, not approximate it.
+        from amonaly_detection_in_time_series_data_spark.operators.similarity import (
+            simhash_neardup_pairs,
+        )
+
+        docs = load_table(spark, sf_dir, "documents")
+        dup = docs.filter(F.col("doc_id") % 7 == 0).withColumn(
+            "doc_id", F.col("doc_id") + 50000
+        )
+        sims = simhash64(docs.unionByName(dup), "text", "doc_id")
+        banded = {
+            (r["id_a"], r["id_b"]): r["hamming"]
+            for r in simhash_neardup_pairs(
+                sims, max_hamming=3, n_bands=4, bits=64
+            ).collect()
+        }
+        a = sims.select(F.col("doc_id").alias("id_a"), F.col("simhash").alias("sa"))
+        b = sims.select(F.col("doc_id").alias("id_b"), F.col("simhash").alias("sb"))
+        brute = {
+            (r["id_a"], r["id_b"]): r["h"]
+            for r in (
+                a.crossJoin(b)
+                .filter(F.col("id_a") < F.col("id_b"))
+                .select(
+                    "id_a",
+                    "id_b",
+                    F.bit_count(F.col("sa").bitwiseXOR(F.col("sb")))
+                    .cast("bigint")
+                    .alias("h"),
+                )
+                .filter(F.col("h") <= 3)
+            ).collect()
+        }
+        assert banded == brute
+        assert len(brute) > 0  # exact dups exist -> hamming 0 pairs
+
     def test_neardup_pair_recall(self, spark):
         # Pair recall of the multi-table near-dup operator vs the exact
         # all-pairs answer (measured at sf0.01: 1 table 0.117, 8 tables
