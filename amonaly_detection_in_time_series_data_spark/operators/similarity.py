@@ -78,6 +78,23 @@ def _random_hyperplanes(dim: int, n_planes: int, seed: int) -> list[list[float]]
     return planes
 
 
+def _nested_double_literal(values) -> Column:
+    """Nested float list -> ONE Catalyst array literal via a single SQL
+    expression string. ``F.lit(nested_list)`` builds every scalar as its
+    own JVM Literal through py4j — at 8 tables x 4 planes x 64 dims
+    that is ~2k py4j round trips, ~2 s of pure query-CONSTRUCTION time
+    per call (measured; it dwarfed the query's own execution). One
+    parsed string is one round trip. repr() of a Python float is exact
+    (shortest round-trip decimal), so no precision is lost."""
+
+    def fmt(x) -> str:
+        if isinstance(x, list):
+            return "array(" + ",".join(fmt(v) for v in x) + ")"
+        return repr(float(x)) + "D"
+
+    return F.expr(fmt(values))
+
+
 def lsh_bucket(vec: Column, planes: list[list[float]]) -> Column:
     """Random-hyperplane LSH bucket id: the sign-of-projection bit per
     plane, packed into an int. The plane matrix rides as ONE
@@ -85,7 +102,7 @@ def lsh_bucket(vec: Column, planes: list[list[float]]) -> Column:
     (n_planes*dim nodes) costs seconds of analysis/codegen time per
     query (measured)."""
     n_planes = len(planes)
-    planes_lit = F.lit(planes)
+    planes_lit = _nested_double_literal(planes)
     weights_lit = F.lit([1 << p for p in range(n_planes)])
     bits = F.transform(
         F.sequence(F.lit(0), F.lit(n_planes - 1)),
@@ -102,6 +119,44 @@ def lsh_bucket(vec: Column, planes: list[list[float]]) -> Column:
         ).otherwise(F.lit(0)),
     )
     return F.aggregate(bits, F.lit(0), lambda acc, x: acc + x)
+
+
+def lsh_buckets_multi(vec: Column, tables: list[list[list[float]]]) -> Column:
+    """Table-tagged bucket ids for L hash tables as ONE expression tree.
+
+    Returns array<int> of length L where element t =
+    ``lsh_bucket(vec, tables[t]) + (t << n_planes)``. Building L separate
+    :func:`lsh_bucket` trees ships L plane-matrix literals through the
+    Python->JVM boundary and gives Catalyst L copies to analyze — at 8
+    tables that construction+analysis cost exceeded the query's own
+    execution time in bench (measured ~2.5 s of a 4 s wall). One tree
+    with one 3-D literal amortizes both. Lambdas reference only their
+    arguments, enclosing lambda variables, and O(1) literals/attributes.
+    """
+    n_tables = len(tables)
+    n_planes = len(tables[0])
+    tab_lit = _nested_double_literal(tables)  # one [table][plane][dim] node
+    weights_lit = F.lit([1 << p for p in range(n_planes)])
+    return F.transform(
+        F.sequence(F.lit(0), F.lit(n_tables - 1)),
+        lambda t: F.aggregate(
+            F.sequence(F.lit(0), F.lit(n_planes - 1)),
+            F.lit(0),
+            lambda acc, p: acc
+            + F.when(
+                F.aggregate(
+                    F.zip_with(
+                        vec, tab_lit[t][p], lambda x, y: x.cast("double") * y
+                    ),
+                    F.lit(0.0),
+                    lambda a, x: a + x,
+                )
+                >= 0,
+                weights_lit[p],
+            ).otherwise(F.lit(0)),
+        )
+        + F.shiftleft(t, n_planes),
+    )
 
 
 def embedding_neardup_pairs(
@@ -141,15 +196,12 @@ def embedding_neardup_pairs(
         )
     else:
         bucket = F.explode(
-            F.array(
-                *[
-                    lsh_bucket(
-                        F.col(vec_col),
-                        _random_hyperplanes(dim, n_planes, seed + 7919 * t),
-                    )
-                    + F.lit(t << n_planes)
+            lsh_buckets_multi(
+                F.col(vec_col),
+                [
+                    _random_hyperplanes(dim, n_planes, seed + 7919 * t)
                     for t in range(n_tables)
-                ]
+                ],
             )
         )
     b = emb.select(
@@ -222,25 +274,26 @@ def lsh_cosine_topk(
         for t in range(n_tables)
     ]
 
-    def signature(vec: Column, planes: list[list[float]], t: int) -> Column:
-        return lsh_bucket(vec, planes) + F.lit(t << n_planes)
-
-    def buckets(vec: Column) -> Column:
-        return F.array(*[signature(vec, p, t) for t, p in enumerate(tables)])
-
     if n_tables == 1:
-        c = corpus.withColumn("__bucket", signature(F.col(vec_col), tables[0], 0))
+        c = corpus.withColumn(
+            "__bucket", lsh_bucket(F.col(vec_col), tables[0])
+        )
         q = queries.select(
             F.col(id_col).alias(query_id_col),
             F.col(vec_col).alias("__qvec"),
-            signature(F.col(vec_col), tables[0], 0).alias("__bucket"),
+            lsh_bucket(F.col(vec_col), tables[0]).alias("__bucket"),
         )
     else:
-        c = corpus.withColumn("__bucket", F.explode(buckets(F.col(vec_col))))
+        c = corpus.withColumn(
+            "__bucket",
+            F.explode(lsh_buckets_multi(F.col(vec_col), tables)),
+        )
         q = queries.select(
             F.col(id_col).alias(query_id_col),
             F.col(vec_col).alias("__qvec"),
-            F.explode(buckets(F.col(vec_col))).alias("__bucket"),
+            F.explode(lsh_buckets_multi(F.col(vec_col), tables)).alias(
+                "__bucket"
+            ),
         )
     sim = cosine_similarity(F.col(vec_col), F.col("__qvec"))
     if round_digits is not None:
