@@ -16,6 +16,23 @@ def _to_double(v: Column) -> Column:
     return F.transform(v, lambda x: x.cast("double"))
 
 
+def nested_double_literal(values) -> Column:
+    """Nested float list -> ONE Catalyst array literal via a single SQL
+    expression string. ``F.lit(nested_list)`` builds every scalar as its
+    own JVM Literal through py4j — a few thousand round trips for a
+    plane/component matrix, seconds of pure query-CONSTRUCTION time
+    (measured in the multi-table LSH path). One parsed string is one
+    round trip. repr() of a Python float round-trips exactly, so no
+    precision is lost."""
+
+    def fmt(x) -> str:
+        if isinstance(x, (list, tuple)):
+            return "array(" + ",".join(fmt(v) for v in x) + ")"
+        return repr(float(x)) + "D"
+
+    return F.expr(fmt(values))
+
+
 def dot(a: Column, b: Column) -> Column:
     """Dot product of two array columns (computed in double)."""
     prods = F.zip_with(_to_double(a), _to_double(b), lambda x, y: x * y)

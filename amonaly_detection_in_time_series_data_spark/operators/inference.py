@@ -150,23 +150,42 @@ def score_linear_ae_sql(
             "__flat_seq", *[f"__proj_{j}" for j in range(len(comps))]
         )
 
-    mean_lit = F.array(*[F.lit(v) for v in mean])
-    comp_lits = [F.array(*[F.lit(v) for v in row]) for row in comps]
-    c = F.zip_with(flat, mean_lit, lambda x, m: x - m)
-    projs = [
-        F.aggregate(
-            F.zip_with(c, comp, lambda a, b: a * b),
-            F.lit(0.0),
-            lambda acc, x: acc + x,
-        )
-        for comp in comp_lits
-    ]
+    # d > 64 higher-order fallback. The centered vector and the k
+    # projections are materialized as COLUMNS first: a projection
+    # aggregate captured as a free expression inside the recon zip_with
+    # lambda would be re-evaluated per element by the interpreted HOF
+    # path — O(d^2 k) per row (the same anti-pattern measured quadratic
+    # in shingles/quality_rules); a bound attribute is O(1).
+    from amonaly_detection_in_time_series_data_spark.functions.vectors import (
+        nested_double_literal,
+    )
+
+    mean_lit = nested_double_literal(mean)
+    comp_lits = [nested_double_literal(row) for row in comps]
+    tmp = df.withColumn("__c", F.zip_with(flat, mean_lit, lambda x, m: x - m))
+    tmp = tmp.withColumns(
+        {
+            f"__proj_{j}": F.aggregate(
+                F.zip_with(F.col("__c"), comp, lambda a, b: a * b),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            )
+            for j, comp in enumerate(comp_lits)
+        }
+    )
+    def _add_component(j: int):
+        # closure (not a default arg — PySpark infers lambda arity from
+        # the full parameter list) binding the j-th projection COLUMN
+        return lambda r, v: r + F.col(f"__proj_{j}") * v
+
     recon = F.transform(mean_lit, lambda _: F.lit(0.0))
-    for p_j, comp in zip(projs, comp_lits):
-        recon = F.zip_with(recon, comp, lambda r, v: r + p_j * v)
-    resid = F.zip_with(c, recon, lambda a, b: a - b)
+    for j, comp in enumerate(comp_lits):
+        recon = F.zip_with(recon, comp, _add_component(j))
+    resid = F.zip_with(F.col("__c"), recon, lambda a, b: a - b)
     err = F.aggregate(resid, F.lit(0.0), lambda acc, x: acc + x * x)
-    return df.withColumn(error_col, err)
+    return tmp.withColumn(error_col, err).drop(
+        "__c", *[f"__proj_{j}" for j in range(len(comp_lits))]
+    )
 
 
 def fit_linear_ae_epochs(

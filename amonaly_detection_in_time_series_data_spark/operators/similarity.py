@@ -26,7 +26,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-from ..functions.vectors import cosine_similarity
+from ..functions.vectors import cosine_similarity, nested_double_literal
 from ..functions.text import tokenize
 
 
@@ -78,23 +78,6 @@ def _random_hyperplanes(dim: int, n_planes: int, seed: int) -> list[list[float]]
     return planes
 
 
-def _nested_double_literal(values) -> Column:
-    """Nested float list -> ONE Catalyst array literal via a single SQL
-    expression string. ``F.lit(nested_list)`` builds every scalar as its
-    own JVM Literal through py4j — at 8 tables x 4 planes x 64 dims
-    that is ~2k py4j round trips, ~2 s of pure query-CONSTRUCTION time
-    per call (measured; it dwarfed the query's own execution). One
-    parsed string is one round trip. repr() of a Python float is exact
-    (shortest round-trip decimal), so no precision is lost."""
-
-    def fmt(x) -> str:
-        if isinstance(x, list):
-            return "array(" + ",".join(fmt(v) for v in x) + ")"
-        return repr(float(x)) + "D"
-
-    return F.expr(fmt(values))
-
-
 def lsh_bucket(vec: Column, planes: list[list[float]]) -> Column:
     """Random-hyperplane LSH bucket id: the sign-of-projection bit per
     plane, packed into an int. The plane matrix rides as ONE
@@ -102,7 +85,7 @@ def lsh_bucket(vec: Column, planes: list[list[float]]) -> Column:
     (n_planes*dim nodes) costs seconds of analysis/codegen time per
     query (measured)."""
     n_planes = len(planes)
-    planes_lit = _nested_double_literal(planes)
+    planes_lit = nested_double_literal(planes)
     weights_lit = F.lit([1 << p for p in range(n_planes)])
     bits = F.transform(
         F.sequence(F.lit(0), F.lit(n_planes - 1)),
@@ -135,7 +118,7 @@ def lsh_buckets_multi(vec: Column, tables: list[list[list[float]]]) -> Column:
     """
     n_tables = len(tables)
     n_planes = len(tables[0])
-    tab_lit = _nested_double_literal(tables)  # one [table][plane][dim] node
+    tab_lit = nested_double_literal(tables)  # one [table][plane][dim] node
     weights_lit = F.lit([1 << p for p in range(n_planes)])
     return F.transform(
         F.sequence(F.lit(0), F.lit(n_tables - 1)),

@@ -417,6 +417,37 @@ class TestSequenceInference:
         for key, v in got_by_scorer["pandas"].items():
             assert got[key] == pytest.approx(v, rel=1e-9, abs=1e-12)
 
+    def test_sql_scorer_large_d_hof_path(self, spark, sf_dir):
+        """d = L*f > 64 takes the higher-order (zip_with/aggregate)
+        fallback instead of flat expansion; it must agree with the
+        Arrow mapInPandas scorer. Also guards the HOF path against the
+        free-expression-in-lambda quadratic: the projections are bound
+        columns, so a 70-wide sequence scores in the same pass shape as
+        a 6-wide one."""
+        from amonaly_detection_in_time_series_data_spark.operators.inference import (
+            sequence_reconstruction_scores,
+        )
+        from amonaly_detection_in_time_series_data_spark.operators.sequences import (
+            create_sequences,
+        )
+
+        ev = load_table(spark, sf_dir, "events")
+        seqs = create_sequences(ev, ["value"], 70, ["user_id"], ["ts", "event_id"])
+        n = seqs.count()
+        assert n > 0
+        by_scorer = {}
+        for scorer in ("sql", "pandas"):
+            scored = sequence_reconstruction_scores(
+                seqs, "seq", k=2, fit_rows=n, scorer=scorer
+            )
+            by_scorer[scorer] = {
+                (r["user_id"], r["seq_start_ts"]): r["recon_error"]
+                for r in scored.collect()
+            }
+        assert by_scorer["sql"].keys() == by_scorer["pandas"].keys()
+        for key, v in by_scorer["pandas"].items():
+            assert by_scorer["sql"][key] == pytest.approx(v, rel=1e-9, abs=1e-12)
+
     def test_scorer_validated(self, spark, sf_dir):
         """A typo like scorer='SQL' must raise, not silently take the
         slower Arrow path."""
