@@ -305,6 +305,42 @@ def lsh_cosine_topk(
     )
 
 
+def ivf_build_index(
+    corpus: DataFrame,
+    n_clusters: int = 16,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> tuple[DataFrame, DataFrame]:
+    """Build the IVF index once: (inverted lists, centroid table).
+
+    Coarse quantizer = MLlib KMeans (seeded, deterministic) over the
+    corpus; each corpus vector is assigned to its nearest centroid. The
+    returned ``inv`` DataFrame is ``id, vec, __list`` and ``centroids``
+    is ``__list, __centroid`` — both plain DataFrames, so at 100 TB the
+    index is built ONCE, written out partitioned/bucketed by ``__list``
+    (parquet `partitionBy('__list')`), and every later query batch runs
+    against it with zero refit and zero corpus-side shuffle
+    (:func:`ivf_query_index`).
+    """
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    train = corpus.select(
+        F.col(id_col), F.col(vec_col), array_to_vector(F.col(vec_col)).alias("__fv")
+    )
+    km = KMeans(k=n_clusters, seed=seed, featuresCol="__fv", predictionCol="__list")
+    model = km.fit(train)
+    inv = model.transform(train).select(id_col, vec_col, "__list")
+    centroids = [
+        (i, [float(x) for x in c]) for i, c in enumerate(model.clusterCenters())
+    ]
+    cent_df = corpus.sparkSession.createDataFrame(
+        centroids, "__list int, __centroid array<double>"
+    )
+    return inv, cent_df
+
+
 def ivf_cosine_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -320,31 +356,36 @@ def ivf_cosine_topk(
     """IVF-style approximate cosine kNN (the scale path next to
     :func:`cosine_topk`'s brute force and :func:`lsh_cosine_topk`).
 
-    Coarse quantizer = MLlib KMeans (seeded, deterministic) over the
-    corpus; each corpus vector is assigned to its nearest centroid
-    (the "inverted list"). At query time each query probes its
-    ``n_probe`` nearest centroids and re-ranks exactly within those
-    lists only — at 100 TB the corpus stays partitioned by centroid id
-    (one shuffle at index-build), and a query touches
+    Convenience composition of :func:`ivf_build_index` +
+    :func:`ivf_query_index`; for repeated query batches build the index
+    once and call :func:`ivf_query_index` directly. At query time each
+    query probes its ``n_probe`` nearest centroids and re-ranks exactly
+    within those lists only — at 100 TB the corpus stays partitioned by
+    centroid id (one shuffle at index-build), and a query touches
     ``n_probe/n_clusters`` of the data instead of all of it. Queries
     and the centroid table are broadcast; no corpus-side shuffle at
     query time.
     """
-    from pyspark.ml.clustering import KMeans
-    from pyspark.ml.functions import array_to_vector
-
-    # --- index build: KMeans centroids + inverted-list assignment -----
-    train = corpus.select(
-        F.col(id_col), F.col(vec_col), array_to_vector(F.col(vec_col)).alias("__fv")
+    inv, cent_df = ivf_build_index(corpus, n_clusters, seed, id_col, vec_col)
+    return ivf_query_index(
+        inv, cent_df, queries, k, n_probe, id_col, vec_col,
+        query_id_col, round_digits,
     )
-    km = KMeans(k=n_clusters, seed=seed, featuresCol="__fv", predictionCol="__list")
-    model = km.fit(train)
-    inv = model.transform(train).select(id_col, vec_col, "__list")
 
-    # --- probe: per-query n_probe nearest centroids (tiny, driver-side)
-    centroids = [(i, [float(x) for x in c]) for i, c in enumerate(model.clusterCenters())]
-    spark = corpus.sparkSession
-    cent_df = spark.createDataFrame(centroids, "__list int, __centroid array<double>")
+
+def ivf_query_index(
+    inv: DataFrame,
+    cent_df: DataFrame,
+    queries: DataFrame,
+    k: int,
+    n_probe: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    round_digits: int | None = None,
+) -> DataFrame:
+    """Query a prebuilt IVF index (:func:`ivf_build_index`, possibly
+    reloaded from a ``partitionBy('__list')`` parquet sink)."""
     q = queries.select(
         F.col(id_col).alias(query_id_col), F.col(vec_col).alias("__qvec")
     )

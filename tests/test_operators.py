@@ -141,6 +141,37 @@ class TestSimilarity:
         )
         assert ivf_default >= 0.4, f"IVF 8/2 recall@5 {ivf_default:.3f}"
 
+    def test_ivf_index_persist_and_requery(self, spark, sf_dir, tmp_path):
+        # 100 TB contract: build the IVF index ONCE, write it out
+        # partitioned by inverted list, reload, and serve query batches
+        # with no refit — results identical to the one-shot API.
+        from amonaly_detection_in_time_series_data_spark.operators.similarity import (
+            ivf_build_index,
+            ivf_cosine_topk,
+            ivf_query_index,
+        )
+
+        emb = load_table(spark, sf_dir, "embeddings")
+        q = emb.filter(F.col("vec_id") < 5)
+        want = {
+            (r["query_id"], r["rank"]): (r["neighbor_id"], r["cosine"])
+            for r in ivf_cosine_topk(
+                emb, q, k=3, n_clusters=8, n_probe=2, seed=42, round_digits=4
+            ).collect()
+        }
+        inv, cents = ivf_build_index(emb, n_clusters=8, seed=42)
+        inv.write.partitionBy("__list").parquet(str(tmp_path / "inv"))
+        cents.write.parquet(str(tmp_path / "cents"))
+        inv2 = spark.read.parquet(str(tmp_path / "inv"))
+        cents2 = spark.read.parquet(str(tmp_path / "cents"))
+        got = {
+            (r["query_id"], r["rank"]): (r["neighbor_id"], r["cosine"])
+            for r in ivf_query_index(
+                inv2, cents2, q, k=3, n_probe=2, round_digits=4
+            ).collect()
+        }
+        assert got == want
+
     def test_simhash_neardup_banding_is_exact(self, spark, sf_dir):
         # Pigeonhole: with 4 bands, any pair within Hamming 3 shares at
         # least one full band — the banded result must EQUAL the brute
