@@ -45,6 +45,33 @@ class TestSimilarity:
         est = {(r["id_a"], r["id_b"]): r["jaccard_est"] for r in pairs}
         assert all(est[p] == 1.0 for p in expected)
 
+    def test_minhash_banding_finds_high_jaccard_neardups(self, spark):
+        # The banding S-curve: P(candidate | jaccard j) = 1-(1-j^r)^b
+        # (r=4 hashes/band, b=4 bands). The existing exact-dup test only
+        # covers j=1; this pins that HIGH-jaccard (~0.85+) NEAR-dups are
+        # found at the predicted rate (>= 70%), so a hashing/banding
+        # regression that silently kills near-dup (not exact-dup) recall
+        # cannot ship green. Deterministic: fixed texts, xxhash64.
+        base_docs = []
+        near_pairs = []
+        for i in range(40):
+            toks = [f"w{i}_{j}" for j in range(60)]
+            base_docs.append((i, " ".join(toks)))
+            # mutate 3 tokens near the end -> ~6/63 shingles differ
+            mut = list(toks)
+            for m in range(3):
+                mut[50 + m * 3] = f"MUT{i}_{m}"
+            base_docs.append((1000 + i, " ".join(mut)))
+            near_pairs.append((i, 1000 + i))
+        df = spark.createDataFrame(base_docs, "doc_id long, text string")
+        sigs = minhash_signatures(df, "text", "doc_id", n_hashes=16)
+        found = {
+            (r["id_a"], r["id_b"])
+            for r in minhash_lsh_pairs(sigs, n_bands=4).collect()
+        }
+        hit = sum(1 for p in near_pairs if p in found)
+        assert hit / len(near_pairs) >= 0.70, f"near-dup recall {hit}/40"
+
     def test_minhash_max_bucket_size_drops_mega_bucket(self, spark):
         # 30 identical "boilerplate" docs form one mega-bucket per band
         # (O(bucket^2) pair triangle = the straggler at scale); a
