@@ -116,3 +116,62 @@ class TestOperatorProperties:
         assert len(got) == len(first)
         for k, (i, v) in first.items():
             assert got[k] == (i, v)
+
+
+class TestTextProperties:
+    """Random token streams through the r5-rewritten text primitives,
+    pinned against exact Python oracles — guards the zip_with-over-slices
+    formulations (shingles, quality_rules bigrams) against semantic
+    regressions on arbitrary inputs, not just the fixtures."""
+
+    @PROP
+    @given(
+        toks=st.lists(
+            st.text(alphabet="abcX", min_size=1, max_size=3),
+            min_size=0,
+            max_size=30,
+        ),
+        n=st.integers(min_value=2, max_value=4),
+    )
+    def test_shingles_match_python_oracle(self, spark, toks, n):
+        from amonaly_detection_in_time_series_data_spark.operators.similarity import (
+            shingles,
+        )
+
+        text = " ".join(toks)
+        df = spark.createDataFrame([(1, text)], "id long, text string")
+        got = df.select(shingles(F.col("text"), n).alias("g")).collect()[0]["g"]
+        low = [t for t in text.lower().split() if t]
+        want, seen = [], set()
+        if len(low) >= n:
+            for i in range(len(low) - n + 1):
+                g = " ".join(low[i : i + n])
+                if g not in seen:
+                    seen.add(g)
+                    want.append(g)
+        assert got == want
+
+    @PROP
+    @given(
+        toks=st.lists(
+            st.text(alphabet="abyz", min_size=1, max_size=2),
+            min_size=0,
+            max_size=30,
+        )
+    )
+    def test_quality_rules_bigram_fraction_matches_oracle(self, spark, toks):
+        from amonaly_detection_in_time_series_data_spark.operators.corpus import (
+            quality_rules,
+        )
+
+        text = " ".join(toks)
+        df = spark.createDataFrame([(1, text)], "id long, text string")
+        row = quality_rules(df).collect()[0]
+        low = [t for t in text.lower().split() if t]
+        bigrams = [f"{a} {b}" for a, b in zip(low, low[1:])]
+        if bigrams:
+            want = round(1 - len(set(bigrams)) / len(bigrams), 4)
+        else:
+            want = 0.0
+        assert row["dup_bigram_frac"] == pytest.approx(want, abs=1e-9)
+        assert row["n_tokens"] == len(low)
