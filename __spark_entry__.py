@@ -1308,7 +1308,8 @@ def q_doc_quality_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = quality_rules(docs, "text")
     return out.select(
         "doc_id", "n_tokens", "mean_word_len", "symbol_ratio",
-        "top_token_frac", "dup_bigram_frac",
+        "top_token_frac", "dup_bigram_frac", "alpha_word_frac",
+        "bullet_line_frac",
         F.col("keep").cast("bigint").alias("keep"),
     )
 
@@ -2130,14 +2131,20 @@ m AS (
           nullif(len(tk), 0), 4) AS top_token_frac,
     CASE WHEN len(tk) >= 2
          THEN list_transform(range(1, len(tk)), i -> tk[i] || ' ' || tk[i+1])
-         ELSE CAST([] AS VARCHAR[]) END AS bigrams
+         ELSE CAST([] AS VARCHAR[]) END AS bigrams,
+    round(len(list_filter(tk, u -> regexp_matches(u, '[a-z]'))) /
+          nullif(len(tk), 0), 4) AS alpha_word_frac,
+    round(len(list_filter(string_split(text, chr(10)),
+                          l -> regexp_matches(ltrim(l), '^[-*]'))) /
+          nullif(len(string_split(text, chr(10))), 0), 4) AS bullet_line_frac
   FROM t
 ),
 m2 AS (
   SELECT doc_id, n_tokens, mean_word_len, symbol_ratio, top_token_frac,
     round(CASE WHEN len(bigrams) > 0
                THEN 1 - len(list_distinct(bigrams)) / CAST(len(bigrams) AS DOUBLE)
-               ELSE 0.0 END, 4) AS dup_bigram_frac
+               ELSE 0.0 END, 4) AS dup_bigram_frac,
+    alpha_word_frac, bullet_line_frac
   FROM m
 )
 SELECT *,
@@ -2145,7 +2152,9 @@ SELECT *,
    AND mean_word_len BETWEEN 2.0 AND 12.0
    AND symbol_ratio <= 0.30
    AND top_token_frac <= 0.125
-   AND dup_bigram_frac <= 0.60 AS BIGINT) AS keep
+   AND dup_bigram_frac <= 0.60
+   AND alpha_word_frac >= 0.80
+   AND bullet_line_frac <= 0.90 AS BIGINT) AS keep
 FROM m2
 """
 

@@ -139,6 +139,8 @@ def quality_rules(
     max_symbol_ratio: float = 0.30,
     max_top_token_frac: float = 0.125,
     max_dup_bigram_frac: float = 0.60,
+    min_alpha_word_frac: float = 0.80,
+    max_bullet_line_frac: float = 0.90,
 ) -> DataFrame:
     """Gopher/C4-style heuristic quality metrics + keep flag, per doc.
 
@@ -151,6 +153,10 @@ def quality_rules(
       (repetition signal — boilerplate and degenerate text score high)
     - ``dup_bigram_frac``: 1 - distinct/total word bigrams (the Gopher
       "duplicate n-gram fraction" repetition rule)
+    - ``alpha_word_frac``: share of tokens containing an alphabetic
+      character (Gopher's 80%-alpha-words rule)
+    - ``bullet_line_frac``: share of lines starting with a bullet
+      marker (the Gopher 90%-bullet-lines rule)
     ``keep`` = 1 iff every rule passes.
     """
     # Tokens are materialized ONCE as a projected column and every
@@ -226,6 +232,17 @@ def quality_rules(
         ).otherwise(F.lit(0.0)),
         4,
     )
+    alpha_frac = F.round(
+        F.size(F.filter(toks, lambda t: t.rlike("[a-z]")))
+        / F.nullif(n_tok, F.lit(0)),
+        4,
+    )
+    lines = F.split(F.col(text_col), "\n")
+    bullet_frac = F.round(
+        F.size(F.filter(lines, lambda l: F.ltrim(l).rlike("^[-*]")))
+        / F.nullif(F.size(lines), F.lit(0)),
+        4,
+    )
     out = d.select(
         *base_cols,
         n_tok.cast("bigint").alias("n_tokens"),
@@ -233,6 +250,8 @@ def quality_rules(
         symbol_ratio.alias("symbol_ratio"),
         top_frac.alias("top_token_frac"),
         dup_bigram.alias("dup_bigram_frac"),
+        alpha_frac.alias("alpha_word_frac"),
+        bullet_frac.alias("bullet_line_frac"),
     )
     keep = (
         F.col("n_tokens").between(min_tokens, max_tokens)
@@ -240,6 +259,8 @@ def quality_rules(
         & (F.col("symbol_ratio") <= max_symbol_ratio)
         & (F.col("top_token_frac") <= max_top_token_frac)
         & (F.col("dup_bigram_frac") <= max_dup_bigram_frac)
+        & (F.col("alpha_word_frac") >= min_alpha_word_frac)
+        & (F.col("bullet_line_frac") <= max_bullet_line_frac)
     )
     return out.withColumn("keep", keep.cast("int"))
 

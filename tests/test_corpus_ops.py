@@ -98,6 +98,24 @@ class TestQualityRules:
         assert out[6].symbol_ratio > 0.5
         assert out[6].keep == 0
 
+    def test_alpha_and_bullet_rules(self, spark):
+        rows = [
+            (1, "normal prose with plenty of ordinary words here today"),
+            (2, "1 2 3 4 5 6 7 8 9 10 11 12"),  # zero alpha words
+            (3, "- one\n- two\n- three\n- four\n- five\n* six\nprose line"),
+            (4, "first row here\nsecond group now\n- single bullet"),
+        ]
+        df = spark.createDataFrame(rows, ["doc_id", "text"])
+        out = {r.doc_id: r for r in quality_rules(df, min_tokens=5).collect()}
+        assert out[1].alpha_word_frac == 1.0
+        assert out[1].bullet_line_frac == 0.0
+        assert out[1].keep == 1
+        assert out[2].alpha_word_frac == 0.0
+        assert out[2].keep == 0  # Gopher 80%-alpha rule trips
+        assert out[3].bullet_line_frac == round(6 / 7, 4)
+        assert out[4].bullet_line_frac == round(1 / 3, 4)
+        assert out[4].keep == 1
+
     def test_token_bounds(self, docs):
         out = {r.doc_id: r for r in quality_rules(docs, min_tokens=8).collect()}
         assert out[4].n_tokens == 6
