@@ -22,35 +22,48 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 
+def replay_table_stream(
+    spark: SparkSession,
+    sf_dir: str,
+    table: str,
+    max_files_per_trigger: int = 1,
+) -> DataFrame:
+    """Replay any testdata table as a bounded file stream.
+
+    The file stream source requires a directory, so the single parquet
+    file is symlinked into a scratch dir. No type fixing — callers that
+    need the events ns-timestamp rule use :func:`replay_events_stream`.
+    """
+    import tempfile
+
+    src = os.path.join(sf_dir, f"{table}.parquet")
+    stream_dir = os.path.join(
+        tempfile.gettempdir(), f"{table}_stream_{abs(hash(sf_dir)) % 10**8}"
+    )
+    os.makedirs(stream_dir, exist_ok=True)
+    link = os.path.join(stream_dir, f"{table}.parquet")
+    if not os.path.exists(link):
+        os.symlink(src, link)
+
+    schema = spark.read.parquet(src).schema
+    return (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .parquet(stream_dir)
+    )
+
+
 def replay_events_stream(
     spark: SparkSession, sf_dir: str, max_files_per_trigger: int = 1
 ) -> DataFrame:
     """Replay the events table as a bounded file stream.
 
-    The file stream source requires a directory, so the single parquet
-    file is symlinked into a scratch dir. The testdata's ns-precision
-    timestamp arrives as an int64 (legacy nanosAsLong) and is converted
-    to TimestampType by integer division to µs — same rule as the batch
-    reader (sources.readers.load_table); a plain cast would misread it
-    as seconds.
+    The testdata's ns-precision timestamp arrives as an int64 (legacy
+    nanosAsLong) and is converted to TimestampType by integer division
+    to µs — same rule as the batch reader (sources.readers.load_table);
+    a plain cast would misread it as seconds.
     """
-    import tempfile
-
-    src = os.path.join(sf_dir, "events.parquet")
-    stream_dir = os.path.join(
-        tempfile.gettempdir(), f"events_stream_{abs(hash(sf_dir)) % 10**8}"
-    )
-    os.makedirs(stream_dir, exist_ok=True)
-    link = os.path.join(stream_dir, "events.parquet")
-    if not os.path.exists(link):
-        os.symlink(src, link)
-
-    schema = spark.read.parquet(src).schema
-    stream = (
-        spark.readStream.schema(schema)
-        .option("maxFilesPerTrigger", max_files_per_trigger)
-        .parquet(stream_dir)
-    )
+    stream = replay_table_stream(spark, sf_dir, "events", max_files_per_trigger)
     from pyspark.sql import types as T
 
     if isinstance(stream.schema["ts"].dataType, T.LongType):

@@ -250,3 +250,40 @@ class TestStreamingSinks:
         assert "PartitionFilters: [" in plan and "alert_date" in plan.split(
             "PartitionFilters"
         )[1][:160]
+
+
+class TestStreamingCorpus:
+    def test_quality_rules_streaming_parity(self, spark, sf_dir):
+        """The corpus quality tier is STATELESS (map-only Catalyst
+        expressions), so it must run unchanged on a readStream and emit
+        exactly the batch answer — the contract that lets the same
+        quality filter sit in an ingest pipeline."""
+        from amonaly_detection_in_time_series_data_spark.operators.corpus import (
+            quality_rules,
+        )
+        from amonaly_detection_in_time_series_data_spark.streaming.rolling import (
+            replay_table_stream,
+        )
+
+        stream = replay_table_stream(spark, sf_dir, "documents")
+        out = quality_rules(stream, "text").select(
+            "doc_id", "n_tokens", "top_token_frac", "dup_bigram_frac",
+            "alpha_word_frac", "bullet_line_frac", "keep",
+        )
+        _run_stream_to_memory(out, "stream_quality", "append")
+        streamed = {
+            r["doc_id"]: tuple(r)[1:]
+            for r in spark.sql("SELECT * FROM stream_quality").collect()
+        }
+        docs = load_table(spark, sf_dir, "documents")
+        batch = {
+            r["doc_id"]: tuple(r)[1:]
+            for r in quality_rules(docs, "text")
+            .select(
+                "doc_id", "n_tokens", "top_token_frac", "dup_bigram_frac",
+                "alpha_word_frac", "bullet_line_frac", "keep",
+            )
+            .collect()
+        }
+        assert streamed == batch
+        assert len(streamed) > 0
