@@ -897,10 +897,30 @@ def q_doc_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_text_quality_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Merged r3 (text_quality + lang_id): per-doc quality metrics and
-    the stopword-hit language-ID prediction in one row."""
-    quality = q_text_quality(spark, sf_dir)
-    langs = q_lang_id(spark, sf_dir)
-    return quality.join(langs, "doc_id")
+    the stopword-hit language-ID prediction in one row.
+
+    ONE scan, ONE tokenization: ``__toks`` is projected as a bound
+    column and every token metric (n_tokens, stopword ratio, all 5
+    language votes) references that attribute — r5 joined two separate
+    scans and re-tokenized ~5x inside the lang votes."""
+    docs = spread_small(load_table(spark, sf_dir, "documents")).withColumn(
+        "__toks", tokenize("text")
+    )
+    toks = F.col("__toks")
+    stops = LANG_STOPWORDS["en"]
+    stop_hits = F.size(F.filter(toks, lambda t: t.isin(*stops)))
+    return docs.select(
+        "doc_id",
+        F.length("text").cast("bigint").alias("n_chars_calc"),
+        F.size(toks).cast("bigint").alias("n_tokens"),
+        token_count_regex("text").cast("bigint").alias("bpe_tokens"),
+        F.round(punct_ratio("text"), 4).alias("punct_ratio"),
+        F.round(stop_hits / F.nullif(F.size(toks), F.lit(0)), 4).alias(
+            "stopword_ratio_en"
+        ),
+        "lang",
+        lang_id_expr("text", tokens=toks).alias("lang_pred"),
+    )
 
 
 def q_embedding_knn_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1246,14 +1266,17 @@ def q_ae_training_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ev = _events(spark, sf_dir)
     seqs = create_sequences(ev, ["value"], 12, KEY, ORDER)
-    ckpt = BestCheckpoint(tempfile.mkdtemp(prefix="ae_ckpt_"))
-    _, losses = fit_linear_ae_epochs(
-        seqs, "seq", k=2, epochs=4, seed=0, checkpoint=ckpt
-    )
-    reloaded = ckpt.load_best()  # raises if the artifact didn't persist
-    ckpt_ok = int(
-        ckpt.best_loss == min(losses) and reloaded.components.shape[0] == 2
-    )
+    # scoped scratch dir, removed after load_best — repeated harness
+    # invocations must not accumulate orphaned checkpoint dirs
+    with tempfile.TemporaryDirectory(prefix="ae_ckpt_") as d:
+        ckpt = BestCheckpoint(d)
+        _, losses = fit_linear_ae_epochs(
+            seqs, "seq", k=2, epochs=4, seed=0, checkpoint=ckpt
+        )
+        reloaded = ckpt.load_best()  # raises if the artifact didn't persist
+        ckpt_ok = int(
+            ckpt.best_loss == min(losses) and reloaded.components.shape[0] == 2
+        )
     return spark.createDataFrame(
         [(i, float(l), ckpt_ok) for i, l in enumerate(losses)],
         "epoch int, loss double, ckpt_reload_ok int",
@@ -1261,6 +1284,55 @@ def q_ae_training_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("epoch").cast("bigint").alias("epoch"),
         "loss",
         F.col("ckpt_reload_ok").cast("bigint").alias("ckpt_reload_ok"),
+    )
+
+
+def q_lstm_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ML1 closed — the reference's LSTM autoencoder
+    (deep_learning_models.py:6-94: 2-layer LSTM encoder -> Linear
+    128->64 bottleneck -> repeat -> 2-layer LSTM decoder -> output
+    head, config.py:27-29 dims) as pure-numpy inference math, broadcast
+    and applied via the same Arrow mapInPandas scoring slot as the
+    linear tier, then the 3-sigma flag contract (rows-only: nonlinear
+    recurrent model, not SQL-reproducible).
+
+    The seeded-Glorot model round-trips through the npz checkpoint
+    format (save_lstm_ae -> load_lstm_ae; torch state_dict key names)
+    before scoring, so the ML1 artifact path runs inside the declared
+    query too.
+    """
+    import tempfile
+
+    from amonaly_detection_in_time_series_data_spark.operators.artifacts import (
+        load_lstm_ae,
+        save_lstm_ae,
+    )
+    from amonaly_detection_in_time_series_data_spark.operators.inference import (
+        flag_sequence_anomalies,
+        sequence_reconstruction_scores,
+    )
+    from amonaly_detection_in_time_series_data_spark.operators.lstm import init_lstm_ae
+
+    ev = _events(spark, sf_dir)
+    # the reference scales features to [0,1] before sequencing
+    # (main.py:168-186: MinMaxScaler -> create_sequences -> model)
+    ev = minmax_scale(ev, ["value"])
+    seqs = create_sequences(ev, ["value"], 12, KEY, ORDER)
+    model = init_lstm_ae(
+        input_dim=1, hidden_dim=128, embedding_dim=64, n_layers=2, seed=42
+    )
+    with tempfile.TemporaryDirectory(prefix="lstm_ckpt_") as d:
+        save_lstm_ae(model, os.path.join(d, "model.npz"))
+        model = load_lstm_ae(os.path.join(d, "model.npz"))
+    scored = sequence_reconstruction_scores(
+        seqs, "seq", scorer="pandas", model=model
+    )
+    flagged = flag_sequence_anomalies(scored)
+    return flagged.select(
+        "user_id",
+        _ts_str("seq_start_ts").alias("seq_start_ts"),
+        F.round("recon_error", 6).alias("recon_error"),
+        F.col("is_anomaly").cast("bigint").alias("is_anomaly"),
     )
 
 
@@ -1424,6 +1496,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ae_training_curve": q_ae_training_curve,
         "ivf_knn": q_ivf_knn,
         "pca_anomaly": q_pca_anomaly,
+        "lstm_scores": q_lstm_scores,
     }
 
 
@@ -2275,7 +2348,8 @@ SELECT user_id, strftime(ts, '{fmt}') AS seq_start_ts,
 FROM w WHERE n = 24
 """
 
-    # rows-only (iterative fits, not SQL-reproducible): sequence_scores,
-    # sequences (values hash-checked via sequences_digest),
-    # ae_training_curve, ivf_knn, pca_anomaly — intentionally omitted.
+    # rows-only (iterative/nonlinear fits, not SQL-reproducible):
+    # sequence_scores, sequences (values hash-checked via
+    # sequences_digest), ae_training_curve, ivf_knn, pca_anomaly,
+    # lstm_scores — intentionally omitted.
     return sql

@@ -65,14 +65,20 @@ def sha_fingerprint(text: Column | str) -> Column:
     return F.sha2(normalized, 256)
 
 
-def lang_id_expr(text: Column | str) -> Column:
+def lang_id_expr(text: Column | str, tokens: Column | None = None) -> Column:
     """Stopword-vote language ID: argmax of per-language stopword hits,
     ties broken by language code order. Returns the language code.
 
     Expressed with map/filter/sort over an array of (hits, lang) structs —
     pure Catalyst, no UDF, oracle-expressible in SQL.
+
+    ``tokens``: pass an already-BOUND tokens column (projected once via
+    ``withColumn``) when the caller computes other token metrics over the
+    same text — Catalyst's CollapseProject will NOT inline a non-cheap
+    alias referenced many times, so the split work runs once instead of
+    once per language vote.
     """
-    toks = tokenize(text)
+    toks = tokenize(text) if tokens is None else tokens
 
     def hits(stops: tuple[str, ...]) -> Column:
         # single-parameter lambda: a second parameter would be interpreted

@@ -23,12 +23,28 @@ def nested_double_literal(values) -> Column:
     plane/component matrix, seconds of pure query-CONSTRUCTION time
     (measured in the multi-table LSH path). One parsed string is one
     round trip. repr() of a Python float round-trips exactly, so no
-    precision is lost."""
+    precision is lost.
+
+    Values must be finite and every (nested) list non-empty — repr(inf)
+    is not valid SQL and a bare ``array()`` is untyped; both are
+    rejected eagerly so misuse fails with a clear message instead of an
+    opaque downstream parse error."""
+    import math
 
     def fmt(x) -> str:
         if isinstance(x, (list, tuple)):
+            if not x:
+                raise ValueError(
+                    "nested_double_literal: empty array (untyped in SQL)"
+                )
             return "array(" + ",".join(fmt(v) for v in x) + ")"
-        return repr(float(x)) + "D"
+        f = float(x)
+        if not math.isfinite(f):
+            raise ValueError(
+                f"nested_double_literal: non-finite value {f!r} has no "
+                "SQL double literal form"
+            )
+        return repr(f) + "D"
 
     return F.expr(fmt(values))
 

@@ -62,6 +62,21 @@ def load_linear_ae(path: str) -> LinearAEModel:
         return LinearAEModel(z["mean"].copy(), z["components"].copy())
 
 
+def save_lstm_ae(model, path: str) -> None:
+    """Persist an ML1 :class:`~.lstm.LSTMAEModel` as one npz whose keys
+    are exactly the torch state_dict names (``encoder_lstm.weight_ih_l0``
+    ...), so a checkpoint exported from the reference's torch module
+    (state_dict -> numpy -> npz) loads here unchanged."""
+    np.savez(path, **model.state)
+
+
+def load_lstm_ae(path: str):
+    from .lstm import LSTMAEModel
+
+    with np.load(path) as z:
+        return LSTMAEModel({k: z[k].copy() for k in z.files})
+
+
 class BestCheckpoint:
     """save_best_only checkpointing for the driver-fit model tier.
 

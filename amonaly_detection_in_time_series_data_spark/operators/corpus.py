@@ -167,6 +167,12 @@ def quality_rules(
     # attribute is an O(1) lookup. Referenced >1 time and non-cheap, so
     # CollapseProject keeps the projection materialized.
     base_cols = df.columns
+    clash = {"__toks", "__bigrams"} & set(base_cols)
+    if clash:
+        raise ValueError(
+            f"quality_rules: input already has internal temp column(s) "
+            f"{sorted(clash)}; rename them before calling"
+        )
     d = df.withColumn("__toks", tokenize(text_col))
     toks = F.col("__toks")
     n_tok = F.size(toks)

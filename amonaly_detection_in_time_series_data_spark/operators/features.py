@@ -123,36 +123,68 @@ def bucketed_rolling(
     bucket: str = "30 days",
 ) -> DataFrame:
     """Single-global-series rolling aggregates WITHOUT a single-task window
-    (SURVEY §4.2 hard part #1): bucket by time with a w-row overlap, compute
-    per bucket, keep only rows owned by the bucket.
+    (SURVEY §4.2 hard part #1): bucket by time, ship each bucket exactly
+    the ``window_rows`` rows of global history that precede it, compute
+    per bucket in parallel, keep only rows owned by the bucket.
 
-    Each row is duplicated into its own bucket and (as overlap) into the
-    next bucket; window functions then run per-bucket in parallel. Rows
-    whose frame would cross the bucket's left edge get their full history
-    from the overlap copies; owned rows are emitted once.
+    EXACT for ANY bucket occupancy — gapped, bursty, or empty buckets
+    included (r5's overlap shipped only the one preceding bucket, which
+    silently under-filled frames whenever a bucket held fewer than
+    ``window_rows`` rows). Mechanics:
 
-    This trades a 2x map-side blowup for full parallelism on a key-less
-    series — the right trade at 100 TB.
+    1. per-bucket ``row_number`` + a prefix sum over the tiny per-bucket
+       count table (one row per time bucket; a single-partition window
+       over at most thousands of rows even at decade spans) = the exact
+       global row index of every row, with no single-task pass over the
+       DATA;
+    2. every bucket receives copies of the ``window_rows`` rows whose
+       global index immediately precedes the bucket's first owned row —
+       a broadcast range-join against the bucket-starts table, so the
+       copies may span any number of sparse predecessor buckets;
+    3. one per-bucket window sorted by global index computes the frame
+       ``rowsBetween(-w, -1)``; copies are dropped after serving as
+       history.
 
-    PRECONDITION: every bucket must contain >= ``window_rows`` rows
-    (the overlap ships exactly one preceding bucket of history). Pick
-    ``bucket`` so the sparsest bucket still clears the window — e.g.
-    w=24 on hourly data needs buckets well above 24 hours.
+    Shuffle cost: two exchanges on ``_bucket`` (index assignment +
+    windowing) carrying n + w*n_buckets rows total — versus the
+    single-partition global window this replaces, which is one task at
+    any cluster size. At 100 TB that trade IS the operator.
     """
     bucket_col = F.window(F.col(ts_col), bucket).getField("start")
-    owned = df.withColumn("_bucket", bucket_col).withColumn("_owned", F.lit(True))
-    # overlap copy: last `window_rows` rows of each bucket also join the
-    # next bucket (approximated by shifting ts forward one bucket length —
-    # exact for fixed-frequency series; conservative otherwise).
-    interval = F.expr(f"INTERVAL {bucket}")
-    shifted = df.withColumn(
-        "_bucket", F.window(F.col(ts_col) + interval, bucket).getField("start")
-    ).withColumn("_owned", F.lit(False))
-    unioned = owned.unionByName(shifted)
-
+    wb = Window.partitionBy("_bucket").orderBy(*_order_cols(order_cols))
+    b = df.withColumn("_bucket", bucket_col).withColumn(
+        "_rn", F.row_number().over(wb)
+    )
+    # exact global index: per-bucket counts -> prefix sum (tiny table)
+    counts = b.groupBy("_bucket").agg(F.max("_rn").alias("_cnt"))
+    wc = Window.orderBy("_bucket").rowsBetween(Window.unboundedPreceding, -1)
+    starts = counts.select(
+        "_bucket",
+        F.coalesce(F.sum("_cnt").over(wc), F.lit(0)).alias("_start"),
+    )
+    g = (
+        b.join(F.broadcast(starts), "_bucket")
+        .withColumn("_gidx", F.col("_start") + F.col("_rn") - 1)
+        .drop("_rn", "_start")
+    )
+    owned = g.withColumn("_recv", F.col("_bucket")).withColumn(
+        "_owned", F.lit(True)
+    )
+    # history copies: the w global predecessors of each bucket's first row
+    recv = starts.select(F.col("_bucket").alias("_recv"), "_start")
+    copies = (
+        g.join(
+            F.broadcast(recv),
+            (F.col("_gidx") >= F.col("_start") - window_rows)
+            & (F.col("_gidx") < F.col("_start")),
+        )
+        .drop("_start")
+        .withColumn("_owned", F.lit(False))
+    )
+    unioned = owned.unionByName(copies.select(*owned.columns))
     w = (
-        Window.partitionBy("_bucket")
-        .orderBy(*_order_cols(order_cols))
+        Window.partitionBy("_recv")
+        .orderBy("_gidx")
         .rowsBetween(-window_rows, -1)
     )
     out = unioned.withColumns(
@@ -161,4 +193,4 @@ def bucketed_rolling(
             for a in aggs
         }
     )
-    return out.filter(F.col("_owned")).drop("_bucket", "_owned")
+    return out.filter(F.col("_owned")).drop("_bucket", "_recv", "_owned", "_gidx")

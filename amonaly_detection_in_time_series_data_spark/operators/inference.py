@@ -274,6 +274,18 @@ def fit_linear_ae_epochs(
     return LinearAEModel(mean, comps), losses
 
 
+def _stack_sequences_3d(seqs) -> np.ndarray:
+    """Stack an iterable of L x f sequences into an (n, L, f) tensor —
+    the batch shape the LSTM autoencoder consumes."""
+    mats = [
+        np.stack([np.asarray(row, dtype=np.float64) for row in s])
+        for s in seqs
+    ]
+    if not mats:
+        return np.empty((0, 0, 0), dtype=np.float64)
+    return np.stack(mats)
+
+
 def sequence_reconstruction_scores(
     df: DataFrame,
     seq_col: str = "seq",
@@ -283,9 +295,10 @@ def sequence_reconstruction_scores(
     error_col: str = "recon_error",
     fit_df: DataFrame | None = None,
     scorer: str = "sql",
+    model=None,
 ) -> DataFrame:
     """Score every sequence with its reconstruction error under a
-    driver-fit linear autoencoder.
+    driver-fit linear autoencoder — or any supplied model.
 
     Input is the output of ``operators.sequences.create_sequences``
     (``seq``: array<array<double>>, L x f). Output adds ``error_col``.
@@ -298,20 +311,33 @@ def sequence_reconstruction_scores(
     ``scorer``: 'sql' (default) embeds the linear model as Catalyst
     expressions via :func:`score_linear_ae_sql` — no Python per row;
     'pandas' uses the broadcast + Arrow ``mapInPandas`` path, which is
-    the slot a non-linear (e.g. torch state_dict) model drops into.
+    the slot a non-linear model drops into.
+
+    ``model``: skip the fit and score with this model instead. The
+    :class:`~.lstm.LSTMAEModel` (ML1 — the reference's LSTM autoencoder
+    as numpy inference math) goes through here with ``scorer='pandas'``;
+    it is broadcast once and consumes 3-D (n, L, f) batches. A
+    :class:`LinearAEModel` may also be passed (either scorer).
     """
     if scorer not in ("sql", "pandas"):
         raise ValueError(
             f"scorer must be 'sql' or 'pandas', got {scorer!r}"
         )
-    model = fit_linear_ae(fit_df if fit_df is not None else df,
-                          seq_col, k, fit_rows, order_cols=order_cols)
+    if model is None:
+        model = fit_linear_ae(fit_df if fit_df is not None else df,
+                              seq_col, k, fit_rows, order_cols=order_cols)
     if scorer == "sql":
+        if not isinstance(model, LinearAEModel):
+            raise ValueError(
+                "scorer='sql' supports only LinearAEModel (the Catalyst "
+                "expression form); use scorer='pandas' for LSTM models"
+            )
         return score_linear_ae_sql(df, model, seq_col, error_col)
 
-    bc = df.sparkSession.sparkContext.broadcast(
-        (model.mean, model.components)
-    )
+    # broadcast the model object itself (a small dict of numpy arrays) —
+    # one task-broadcast fetch per executor, reused across Arrow batches
+    bc = df.sparkSession.sparkContext.broadcast(model)
+    is_3d = not isinstance(model, LinearAEModel)
     from pyspark.sql import types as T
 
     # fresh StructType — .add() would mutate the DataFrame's cached schema
@@ -321,10 +347,10 @@ def sequence_reconstruction_scores(
     )
 
     def score(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        mean, components = bc.value
-        m = LinearAEModel(mean, components)
+        m = bc.value
+        stack = _stack_sequences_3d if is_3d else _stack_sequences
         for pdf in batches:
-            x = _stack_sequences(pdf[seq_col])
+            x = stack(pdf[seq_col])
             pdf = pdf.copy()
             pdf[error_col] = m.reconstruction_errors(x) if len(x) else []
             yield pdf[out_fields]

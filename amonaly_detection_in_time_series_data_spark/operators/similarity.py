@@ -118,6 +118,11 @@ def lsh_buckets_multi(vec: Column, tables: list[list[list[float]]]) -> Column:
     """
     n_tables = len(tables)
     n_planes = len(tables[0])
+    if any(len(t) != n_planes for t in tables):
+        raise ValueError(
+            "lsh_buckets_multi: ragged tables (differing plane counts) "
+            "would silently alias table-tagged bucket ids"
+        )
     tab_lit = nested_double_literal(tables)  # one [table][plane][dim] node
     weights_lit = F.lit([1 << p for p in range(n_planes)])
     return F.transform(

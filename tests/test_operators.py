@@ -128,6 +128,8 @@ class TestSimilarity:
         oracle_sf = os.environ.get(
             "SPARK_GRAFT_ORACLE_SF", "/root/testdata/sf0.01"
         )
+        if not os.path.isdir(oracle_sf):
+            pytest.skip(f"oracle dataset {oracle_sf} not present")
         emb = load_table(spark, oracle_sf, "embeddings")
         q = emb.filter(F.col("vec_id") < 20)
 
@@ -255,6 +257,8 @@ class TestSimilarity:
         oracle_sf = os.environ.get(
             "SPARK_GRAFT_ORACLE_SF", "/root/testdata/sf0.01"
         )
+        if not os.path.isdir(oracle_sf):
+            pytest.skip(f"oracle dataset {oracle_sf} not present")
         emb = load_table(spark, oracle_sf, "embeddings")
         a = emb.select(F.col("vec_id").alias("id_a"), F.col("embedding").alias("va"))
         b = emb.select(F.col("vec_id").alias("id_b"), F.col("embedding").alias("vb"))
@@ -377,6 +381,47 @@ class TestBucketedRolling:
                 assert a is None
             else:
                 assert a == pytest.approx(b, rel=1e-9)
+
+    def test_exact_on_gapped_bursty_series(self, spark):
+        """Irregular occupancy: a dense burst, then buckets holding FAR
+        fewer than window_rows rows, then a completely empty bucket,
+        then a second burst whose early frames reach across the gap.
+        The r5 one-previous-bucket overlap under-filled these frames;
+        the global-index design must equal the single-partition window
+        on every row."""
+        offs = []
+        # burst: 60 rows over ~2 days
+        offs += [pd.Timedelta(minutes=45 * i) for i in range(60)]
+        # sparse tail: 5 rows across the next ~1.5 weeks (2-3 per bucket)
+        offs += [pd.Timedelta(days=3 + 2 * i, hours=i) for i in range(5)]
+        # >1 bucket of total silence, then a second burst
+        offs += [pd.Timedelta(days=23, hours=i) for i in range(40)]
+        rows = [
+            (i, (pd.Timestamp("2024-01-01") + o).to_pydatetime(),
+             float((i * 7) % 13))
+            for i, o in enumerate(offs)
+        ]
+        df = spark.createDataFrame(rows, "pos long, ts timestamp, value double")
+        bucketed = bucketed_rolling(
+            df, "value", 24, ["mean", "std"], ["ts", "pos"], bucket="7 days"
+        )
+        from pyspark.sql import Window
+
+        w = Window.orderBy("ts", "pos").rowsBetween(-24, -1)
+        expected = df.withColumn("em", F.avg("value").over(w)).withColumn(
+            "es", F.stddev_samp("value").over(w)
+        )
+        joined = bucketed.join(expected.select("pos", "em", "es"), "pos").collect()
+        assert len(joined) == len(rows)
+        for r in joined:
+            for got, want in (
+                (r["value_roll_mean_24h"], r["em"]),
+                (r["value_roll_std_24h"], r["es"]),
+            ):
+                if want is None:
+                    assert got is None, f"pos={r['pos']}"
+                else:
+                    assert got == pytest.approx(want, rel=1e-9), f"pos={r['pos']}"
 
 
 class TestSources:
@@ -854,3 +899,211 @@ class TestEpochTraining:
         _, s, _ = np.linalg.svd(x - mean, full_matrices=False)
         opt = (s[2:] ** 2).sum() / len(x)  # residual variance beyond top-2
         assert losses[-1] <= opt * 1.10  # within 10% of the PCA optimum
+
+
+class TestLSTMAutoencoder:
+    """ML1 — the numpy LSTM-AE (reference deep_learning_models.py:6-94)."""
+
+    def test_lstm_cell_two_step_hand_fixture(self):
+        """The cell recurrence against a hand-computed 2-step fixture:
+        1 unit, 1 input, all input weights 0.5, recurrent weights 0.25,
+        b_ih 0.1, b_hh 0; inputs 1.0 then 2.0. Expected values derived
+        by hand from the published LSTM equations (gates i=f=o=sigmoid,
+        g=tanh; c'=f*c+i*g; h'=o*tanh(c'))."""
+        import numpy as np
+
+        from amonaly_detection_in_time_series_data_spark.operators.lstm import (
+            lstm_cell_step,
+        )
+
+        w_ih = np.full((4, 1), 0.5)
+        w_hh = np.full((4, 1), 0.25)
+        b_ih = np.full(4, 0.1)
+        b_hh = np.zeros(4)
+        h = np.zeros((1, 1))
+        c = np.zeros((1, 1))
+        h, c = lstm_cell_step(np.array([[1.0]]), h, c, w_ih, w_hh, b_ih, b_hh)
+        # step 1: every gate pre-activation = 1.0*0.5 + 0.1 = 0.6
+        # c1 = sigmoid(0.6)*tanh(0.6), h1 = sigmoid(0.6)*tanh(c1)
+        assert c[0, 0] == pytest.approx(0.346749439688, abs=1e-10)
+        assert h[0, 0] == pytest.approx(0.215319685740, abs=1e-10)
+        h, c = lstm_cell_step(np.array([[2.0]]), h, c, w_ih, w_hh, b_ih, b_hh)
+        # step 2: pre-activation = 2*0.5 + 0.1 + h1*0.25 = 1.153829921435
+        assert c[0, 0] == pytest.approx(0.886228469041, abs=1e-10)
+        assert h[0, 0] == pytest.approx(0.539388521774, abs=1e-10)
+
+    def test_forward_matches_scalar_oracle(self):
+        """The full vectorized autoencoder forward (2-layer encoder ->
+        bottleneck -> repeat -> 2-layer decoder -> output head) against
+        a from-scratch scalar Python reimplementation that shares no
+        code with the operator."""
+        import math
+
+        import numpy as np
+
+        from amonaly_detection_in_time_series_data_spark.operators.lstm import (
+            init_lstm_ae,
+        )
+
+        in_dim, hid, emb, layers, seq_len = 2, 3, 2, 2, 4
+        m = init_lstm_ae(in_dim, hid, emb, layers, seed=7)
+        rng = np.random.default_rng(1)
+        x = rng.normal(size=(3, seq_len, in_dim))
+        got = m.forward(x)
+
+        def sig(v):
+            return 1.0 / (1.0 + math.exp(-v))
+
+        def run_lstm_scalar(seq, prefix):
+            s = m.state
+            for l in range(layers):
+                w_ih, w_hh = s[f"{prefix}.weight_ih_l{l}"], s[f"{prefix}.weight_hh_l{l}"]
+                b = s[f"{prefix}.bias_ih_l{l}"] + s[f"{prefix}.bias_hh_l{l}"]
+                h = [0.0] * hid
+                c = [0.0] * hid
+                out = []
+                for xt in seq:
+                    pre = [
+                        sum(w_ih[r][j] * xt[j] for j in range(len(xt)))
+                        + sum(w_hh[r][j] * h[j] for j in range(hid))
+                        + b[r]
+                        for r in range(4 * hid)
+                    ]
+                    i = [sig(pre[r]) for r in range(hid)]
+                    f = [sig(pre[hid + r]) for r in range(hid)]
+                    g = [math.tanh(pre[2 * hid + r]) for r in range(hid)]
+                    o = [sig(pre[3 * hid + r]) for r in range(hid)]
+                    c = [f[r] * c[r] + i[r] * g[r] for r in range(hid)]
+                    h = [o[r] * math.tanh(c[r]) for r in range(hid)]
+                    out.append(list(h))
+                seq = out
+            return seq
+
+        def linear_scalar(vec, prefix, out_dim):
+            w, b = m.state[f"{prefix}.weight"], m.state[f"{prefix}.bias"]
+            return [
+                sum(w[r][j] * vec[j] for j in range(len(vec))) + b[r]
+                for r in range(out_dim)
+            ]
+
+        for n in range(x.shape[0]):
+            enc = run_lstm_scalar([list(row) for row in x[n]], "encoder_lstm")
+            embv = linear_scalar(enc[-1], "encoder_fc", emb)
+            infl = linear_scalar(embv, "decoder_fc", hid)
+            dec = run_lstm_scalar([list(infl)] * seq_len, "decoder_lstm")
+            for t in range(seq_len):
+                want = linear_scalar(dec[t], "output_fc", in_dim)
+                for j in range(in_dim):
+                    assert got[n, t, j] == pytest.approx(want[j], rel=1e-10, abs=1e-12)
+
+    def test_checkpoint_roundtrip_and_spark_scoring(self, spark, sf_dir, tmp_path):
+        """npz round-trip (torch state_dict key names) is bit-exact; the
+        broadcast mapInPandas scoring slot reproduces the driver-side
+        numpy scores on every sequence; the sql scorer refuses the
+        nonlinear model."""
+        import numpy as np
+
+        from amonaly_detection_in_time_series_data_spark.operators.artifacts import (
+            load_lstm_ae,
+            save_lstm_ae,
+        )
+        from amonaly_detection_in_time_series_data_spark.operators.inference import (
+            sequence_reconstruction_scores,
+        )
+        from amonaly_detection_in_time_series_data_spark.operators.lstm import (
+            init_lstm_ae,
+        )
+        from amonaly_detection_in_time_series_data_spark.operators.sequences import (
+            create_sequences,
+        )
+
+        model = init_lstm_ae(input_dim=1, hidden_dim=8, embedding_dim=4,
+                             n_layers=2, seed=3)
+        p = str(tmp_path / "lstm.npz")
+        save_lstm_ae(model, p)
+        back = load_lstm_ae(p)
+        assert set(back.state) == set(model.state)
+        for k in model.state:
+            np.testing.assert_array_equal(back.state[k], model.state[k])
+
+        ev = load_table(spark, sf_dir, "events")
+        seqs = create_sequences(ev, ["value"], 6, ["user_id"], ["ts", "event_id"])
+        scored = sequence_reconstruction_scores(
+            seqs, "seq", scorer="pandas", model=back
+        )
+        got = {
+            (r["user_id"], r["seq_start_ts"]): r["recon_error"]
+            for r in scored.collect()
+        }
+        rows = seqs.collect()
+        assert len(got) == len(rows) > 0
+        x = np.stack(
+            [np.array([list(step) for step in r["seq"]], dtype=np.float64)
+             for r in rows]
+        )
+        want = model.reconstruction_errors(x)
+        for r, w in zip(rows, want):
+            assert got[(r["user_id"], r["seq_start_ts"])] == pytest.approx(
+                w, rel=1e-9, abs=1e-12
+            )
+
+        with pytest.raises(ValueError, match="LinearAEModel"):
+            sequence_reconstruction_scores(seqs, "seq", scorer="sql", model=back)
+
+    def test_reference_dims_score_digest_pinned(self):
+        """Determinism pin for the declared lstm_scores path: the
+        reference-dim model (128 hidden / 64 embedding / 2 layers,
+        config.py:27-29) on a fixed input batch reproduces the same
+        rounded error digest on every run/platform."""
+        import hashlib
+
+        import numpy as np
+
+        from amonaly_detection_in_time_series_data_spark.operators.lstm import (
+            init_lstm_ae,
+        )
+
+        m = init_lstm_ae(input_dim=1, hidden_dim=128, embedding_dim=64,
+                         n_layers=2, seed=42)
+        x = np.sin(np.arange(5 * 12, dtype=np.float64)).reshape(5, 12, 1)
+        errs = np.round(m.reconstruction_errors(x), 6)
+        digest = hashlib.md5(",".join(f"{e:.6f}" for e in errs).encode()).hexdigest()
+        assert digest == "8748182c4eb00bd75928e259540d9162"
+
+
+class TestInputValidation:
+    """Misuse of exported helpers must fail eagerly with clear messages
+    (ADVICE r5), not as opaque SQL parse errors or silent aliasing."""
+
+    def test_nested_double_literal_rejects_nonfinite_and_empty(self):
+        from amonaly_detection_in_time_series_data_spark.functions.vectors import (
+            nested_double_literal,
+        )
+
+        with pytest.raises(ValueError, match="non-finite"):
+            nested_double_literal([1.0, float("inf")])
+        with pytest.raises(ValueError, match="non-finite"):
+            nested_double_literal([[float("nan")]])
+        with pytest.raises(ValueError, match="empty"):
+            nested_double_literal([])
+        with pytest.raises(ValueError, match="empty"):
+            nested_double_literal([[1.0], []])
+
+    def test_lsh_buckets_multi_rejects_ragged_tables(self, spark):
+        from amonaly_detection_in_time_series_data_spark.operators.similarity import (
+            lsh_buckets_multi,
+        )
+
+        with pytest.raises(ValueError, match="ragged"):
+            lsh_buckets_multi(F.col("v"), [[[1.0, 0.0]], [[1.0, 0.0], [0.0, 1.0]]])
+
+    def test_quality_rules_rejects_temp_column_collision(self, spark):
+        from amonaly_detection_in_time_series_data_spark.operators.corpus import (
+            quality_rules,
+        )
+
+        df = spark.createDataFrame(
+            [("a", "hello world", 1)], "doc_id string, text string, __toks int"
+        )
+        with pytest.raises(ValueError, match="__toks"):
+            quality_rules(df, "text")
