@@ -1156,11 +1156,17 @@ def q_sequence_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ev = _events(spark, sf_dir)
     seqs = create_sequences(ev, ["value"], 12, KEY, ORDER)
-    # fit via limit on the SAME lineage: the fit job materializes the
-    # (user_id) exchange once and the scoring/stats jobs reuse those
-    # shuffle files — a filtered fit_df would add a second, non-reusable
-    # exchange (measured slower at sf0.1)
-    scored = sequence_reconstruction_scores(seqs, "seq", k=2, fit_rows=512)
+    # fit on the SAME lineage (the fit job materializes the (user_id)
+    # exchange once; scoring/stats reuse those shuffle files — a
+    # filtered fit_df would add a second, non-reusable exchange,
+    # measured slower at sf0.1). order_cols pins the sample to a
+    # TakeOrderedAndProject: the fitted model — and therefore this
+    # query's output — cannot shift when the session's
+    # shuffle-partition count or scheduling order changes.
+    scored = sequence_reconstruction_scores(
+        seqs, "seq", k=2, fit_rows=512,
+        order_cols=["user_id", "seq_start_ts"],
+    )
     flagged = flag_sequence_anomalies(scored)
     return flagged.select(
         "user_id",

@@ -381,3 +381,34 @@ def tfidf_top_terms(
         .filter(F.col("rank") <= k)
         .select(id_col, "term", "tf", "df", "score", "rank")
     )
+
+
+def make_longdoc_corpus(
+    docs: DataFrame,
+    n_docs: int = 16,
+    target_tokens: int = 200_000,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Deterministic long-document tier for the per-document scale
+    ladder: the first ``n_docs`` rows of the corpus with their text
+    repeated (boilerplate-style) up to ~``target_tokens`` tokens.
+
+    Exists because the linearity claims on the text operators
+    (quality_rules, shingling/minhash) must be MEASURED, not assumed —
+    a web crawl's tail has multi-hundred-k-token documents, and a
+    per-document quadratic that is invisible at the testdata's ~54
+    tokens/doc dominates wall-clock there (r4 shipped two such
+    quadratics). bench.py times quality_rules + minhash_signatures over
+    this corpus at 25k/50k/100k/200k tokens and reports the ladder;
+    the growth ratios are pinned loosely in tests/test_corpus_ops.py
+    and recorded in SCALING.md.
+    """
+    base = docs.filter(F.col(id_col) < n_docs)
+    n_tok = F.size(tokenize(text_col))
+    k = F.greatest(
+        F.lit(1), F.ceil(F.lit(target_tokens) / n_tok)
+    ).cast("int")
+    return base.withColumn(
+        text_col, F.repeat(F.concat(F.col(text_col), F.lit(" ")), k)
+    )

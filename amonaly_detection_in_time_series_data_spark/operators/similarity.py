@@ -388,9 +388,21 @@ def ivf_query_index(
     vec_col: str = "embedding",
     query_id_col: str = "query_id",
     round_digits: int | None = None,
+    static_prune: bool = False,
 ) -> DataFrame:
     """Query a prebuilt IVF index (:func:`ivf_build_index`, possibly
-    reloaded from a ``partitionBy('__list')`` parquet sink)."""
+    reloaded from a ``partitionBy('__list')`` parquet sink).
+
+    ``static_prune=True`` runs the (tiny: broadcast centroids x query
+    batch) probe phase eagerly, collects the distinct probed list ids
+    (at most ``n_queries * n_probe`` ints) and pushes a literal
+    ``__list IN (...)`` filter onto the index scan. Against a
+    ``partitionBy('__list')`` parquet index this becomes a STATIC
+    PartitionFilter — unprobed lists are never read from storage, which
+    is the point of the IVF layout at 100 TB (a probe of 2/16 lists
+    scans ~12% of the index). The default keeps the fully-lazy single
+    plan (the same pruning can still happen at runtime via dynamic
+    partition pruning)."""
     q = queries.select(
         F.col(id_col).alias(query_id_col), F.col(vec_col).alias("__qvec")
     )
@@ -405,6 +417,11 @@ def ivf_query_index(
         .filter(F.col("__pr") <= n_probe)
         .select(query_id_col, "__qvec", "__list")
     )
+    if static_prune:
+        lists = [r["__list"] for r in probed.select("__list").distinct().collect()]
+        inv = inv.filter(
+            F.col("__list").isin(*lists) if lists else F.lit(False)
+        )
 
     # --- exact re-rank within probed lists only ------------------------
     sim = cosine_similarity(F.col(vec_col), F.col("__qvec"))

@@ -108,6 +108,33 @@ def main() -> None:
             best = min(best, elapsed)
         timings[name] = round(best, 3)
 
+    # long-document scale ladder (NOT part of the headline total, which
+    # is the cross-round comparable series): quality_rules +
+    # minhash_signatures over 16 boilerplate docs at each token size.
+    # Linear per-doc operators should grow ~proportionally; a per-doc
+    # quadratic shows up as a superlinear jump at the 200k rung.
+    from amonaly_detection_in_time_series_data_spark.operators.corpus import (
+        make_longdoc_corpus,
+        quality_rules,
+    )
+    from amonaly_detection_in_time_series_data_spark.operators.similarity import (
+        minhash_signatures,
+    )
+    from amonaly_detection_in_time_series_data_spark.sources.readers import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    longdoc: dict[str, float] = {}
+    for tokens in (25_000, 50_000, 100_000, 200_000):
+        ld = make_longdoc_corpus(docs, 16, tokens).select(
+            "doc_id", "text"
+        ).localCheckpoint()  # materialize the input; time the operators
+        start = time.perf_counter()
+        quality_rules(ld, "text").write.format("noop").mode("overwrite").save()
+        minhash_signatures(
+            ld, "text", "doc_id", n_hashes=8, shingle_n=3
+        ).write.format("noop").mode("overwrite").save()
+        longdoc[f"{tokens // 1000}k"] = round(time.perf_counter() - start, 3)
+
     total = round(sum(timings.values()), 3)
     sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "")
     print(
@@ -119,6 +146,7 @@ def main() -> None:
                 "queries": timings,
                 "queries_cold": cold,
                 "plans": plans,
+                "longdoc_ladder_16docs": longdoc,
                 "sf": float(sf) if sf else sf_dir,
             }
         )

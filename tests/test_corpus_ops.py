@@ -227,3 +227,45 @@ class TestTfIdf:
         out = tfidf_top_terms(docs, k=2)
         counts = out.groupBy("doc_id").count().collect()
         assert all(r["count"] <= 2 for r in counts)
+
+
+class TestLongDocLadder:
+    def test_longdoc_growth_is_linear_not_quadratic(self, spark, sf_dir):
+        """Scale ladder pin: quality_rules + minhash_signatures over
+        200k-token boilerplate docs must cost at most ~2x the linear
+        prediction from the 50k rung (ratio < 8 for a 4x token
+        increase). The r4 per-doc quadratic measured ~59x per doubling
+        at this size — any reintroduction fails immediately. Absolute
+        floor also pinned: the 200k rung under 60 s."""
+        import time
+
+        from amonaly_detection_in_time_series_data_spark.operators.corpus import (
+            make_longdoc_corpus,
+        )
+        from amonaly_detection_in_time_series_data_spark.operators.similarity import (
+            minhash_signatures,
+        )
+        from amonaly_detection_in_time_series_data_spark.sources.readers import (
+            load_table,
+        )
+
+        docs = load_table(spark, sf_dir, "documents")
+
+        def rung(tokens: int) -> float:
+            ld = make_longdoc_corpus(docs, 8, tokens).select(
+                "doc_id", "text"
+            ).localCheckpoint()
+            t0 = time.monotonic()
+            assert quality_rules(ld, "text").count() == 8
+            assert minhash_signatures(
+                ld, "text", "doc_id", n_hashes=8, shingle_n=3
+            ).count() == 8
+            return time.monotonic() - t0
+
+        t50 = rung(50_000)
+        t200 = rung(200_000)
+        assert t200 < 60, f"200k-token rung took {t200:.1f}s"
+        assert t200 / t50 < 8, (
+            f"superlinear growth: 50k={t50:.1f}s 200k={t200:.1f}s "
+            f"(ratio {t200 / t50:.1f}, linear would be ~4)"
+        )

@@ -201,6 +201,26 @@ class TestSimilarity:
         }
         assert got == want
 
+        # static_prune pushes the probed list ids into the parquet scan
+        # as a PartitionFilter — unprobed lists are never read. Same
+        # results, and the plan proves the pruning reached the scan.
+        pruned = ivf_query_index(
+            inv2, cents2, q, k=3, n_probe=2, round_digits=4,
+            static_prune=True,
+        )
+        got_pruned = {
+            (r["query_id"], r["rank"]): (r["neighbor_id"], r["cosine"])
+            for r in pruned.collect()
+        }
+        assert got_pruned == want
+        plan = pruned._jdf.queryExecution().executedPlan().toString()
+        import re
+
+        m = re.search(r"PartitionFilters: \[([^\]]*)\]", plan)
+        assert m and "__list" in m.group(1), (
+            f"no __list PartitionFilter in scan:\n{plan[:3000]}"
+        )
+
     def test_simhash_neardup_banding_is_exact(self, spark, sf_dir):
         # Pigeonhole: with 4 bands, any pair within Hamming 3 shares at
         # least one full band — the banded result must EQUAL the brute

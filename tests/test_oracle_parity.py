@@ -47,3 +47,13 @@ def test_entry_smoke(spark):
     rows = df.limit(2000).collect()
     assert len(rows) > 0
     assert "is_anomaly" in df.columns
+
+
+def test_window_policy_no_oracle_query_outside_driver_window():
+    """The driver oracle-checks only the first 50 queries() entries; an
+    oracle-backed query drifting past that position would silently lose
+    its correctness coverage. Enforced here and in tools/parity.py."""
+    from tools.parity import check_window_policy
+
+    violations = check_window_policy(entrymod.queries(), ORACLES)
+    assert not violations, violations

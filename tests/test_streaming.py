@@ -287,3 +287,99 @@ class TestStreamingCorpus:
         }
         assert streamed == batch
         assert len(streamed) > 0
+
+
+class TestStreamingEndToEnd:
+    def test_alert_pipeline_equals_batch_anomaly_flags(self, spark, sf_dir, tmp_path):
+        """The full streaming anomaly pipeline — replay -> stateful
+        rolling z-score -> durable alert sink — produces EXACTLY the
+        alert set of the batch anomaly_zscore contract (same window=24,
+        threshold=3.0) on the same data: same flagged event_ids, same
+        z-scores. Closes the last untested streaming composition."""
+        from amonaly_detection_in_time_series_data_spark.operators.anomaly import (
+            rolling_zscore,
+        )
+        from amonaly_detection_in_time_series_data_spark.streaming.rolling import (
+            replay_events_stream,
+            streaming_zscore_flags,
+        )
+        from amonaly_detection_in_time_series_data_spark.streaming.sinks import (
+            write_anomaly_alerts,
+        )
+
+        stream = replay_events_stream(spark, sf_dir)
+        flags = streaming_zscore_flags(
+            stream, window_rows=24, threshold=3.0, timeout_minutes=None
+        )
+        out = str(tmp_path / "alerts")
+        q = write_anomaly_alerts(
+            flags, out, str(tmp_path / "ckpt"), available_now=True
+        )
+        assert q.awaitTermination(240), "alert pipeline did not drain in time"
+
+        streamed = {
+            r["event_id"]: r["zscore"]
+            for r in spark.read.parquet(out).collect()
+        }
+        ev = load_table(spark, sf_dir, "events")
+        batch = rolling_zscore(ev, "value", 24, ["user_id"], ["ts", "event_id"], 3.0)
+        expected = {
+            r["event_id"]: r["value_zscore"]
+            for r in batch.filter(F.col("is_anomaly") == 1).collect()
+        }
+        assert len(expected) > 0
+        assert set(streamed) == set(expected)
+        for eid, z in expected.items():
+            assert streamed[eid] == pytest.approx(z, rel=1e-6), eid
+
+
+class TestStreamingModelScoring:
+    def test_streaming_lstm_scores_match_batch(self, spark, sf_dir):
+        """ML3 serving online: a pre-fit LSTM-AE broadcast over the
+        streaming sequence assembly scores every sequence EXACTLY as
+        the batch path does — stateless mapInPandas composes with
+        streaming unchanged, so stream == batch per (user, start_ts),
+        including the fixed-threshold flags."""
+        from amonaly_detection_in_time_series_data_spark.operators.inference import (
+            sequence_reconstruction_scores,
+        )
+        from amonaly_detection_in_time_series_data_spark.operators.lstm import (
+            init_lstm_ae,
+        )
+        from amonaly_detection_in_time_series_data_spark.operators.sequences import (
+            create_sequences,
+        )
+        from amonaly_detection_in_time_series_data_spark.streaming.scoring import (
+            streaming_sequence_scores,
+        )
+        from amonaly_detection_in_time_series_data_spark.streaming.sequences import (
+            streaming_sequences,
+        )
+
+        model = init_lstm_ae(input_dim=1, hidden_dim=8, embedding_dim=4,
+                             n_layers=2, seed=11)
+        stream = replay_events_stream(spark, sf_dir)
+        seqs = streaming_sequences(
+            stream, value_col="value", seq_len=6, timeout_minutes=None
+        )
+        scored = streaming_sequence_scores(seqs, model, threshold=0.5)
+        _run_stream_to_memory(scored, "lstm_stream_scores", "append")
+        streamed = {
+            (r["user_id"], r["start_ts"]): (r["recon_error"], r["is_anomaly"])
+            for r in spark.sql("SELECT * FROM lstm_stream_scores").collect()
+        }
+
+        ev = load_table(spark, sf_dir, "events")
+        batch = sequence_reconstruction_scores(
+            create_sequences(ev, ["value"], 6, ["user_id"], ["ts", "event_id"]),
+            "seq", scorer="pandas", model=model,
+        )
+        expected = {
+            (r["user_id"], r["seq_start_ts"]): r["recon_error"]
+            for r in batch.collect()
+        }
+        assert len(streamed) == len(expected) > 0
+        for key, err in expected.items():
+            serr, sflag = streamed[key]
+            assert serr == pytest.approx(err, rel=1e-9), key
+            assert sflag == int(err > 0.5), key

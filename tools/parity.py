@@ -84,6 +84,30 @@ def compare(spark_pdf: pd.DataFrame, duck_pdf: pd.DataFrame) -> list[str]:
     return problems
 
 
+DRIVER_WINDOW = 50
+
+
+def check_window_policy(qs: dict, oracles: dict) -> list[str]:
+    """The driver verifies only the first ``DRIVER_WINDOW`` entries of
+    ``queries()`` against their oracles; later entries get at most a
+    rows-only check. Policy: every oracle-backed query MUST sit inside
+    the window (else its declared oracle silently never runs), and
+    every oracle key must name a real query. Returns violations."""
+    names = list(qs)
+    problems = []
+    for pos, name in enumerate(names):
+        if name in oracles and pos >= DRIVER_WINDOW:
+            problems.append(
+                f"'{name}' has an oracle but sits at queries() position "
+                f"{pos} (>= {DRIVER_WINDOW}) — outside the driver's "
+                "checked window; move it before the rows-only tier"
+            )
+    for name in oracles:
+        if name not in qs:
+            problems.append(f"oracle_sql() has '{name}' with no queries() entry")
+    return problems
+
+
 def run_parity(sf_dir: str, only: list[str] | None = None) -> dict[str, list[str]]:
     import __spark_entry__ as entrymod
     from pyspark.sql import SparkSession
@@ -100,6 +124,17 @@ def run_parity(sf_dir: str, only: list[str] | None = None) -> dict[str, list[str
     )
     con = duck_connection(sf_dir)
     qs, oracles = entrymod.queries(), entrymod.oracle_sql()
+    violations = check_window_policy(qs, oracles)
+    if violations:
+        for v in violations:
+            print(f"WINDOW-POLICY VIOLATION: {v}")
+        return {"__window_policy__": violations}
+    n_oracle = sum(1 for n in qs if n in oracles)
+    print(
+        f"window policy OK: {n_oracle} oracle-backed queries all inside "
+        f"the first {DRIVER_WINDOW}; "
+        f"{len(qs) - n_oracle} rows-only beyond"
+    )
     results: dict[str, list[str]] = {}
     for name, fn in qs.items():
         if only and name not in only:
