@@ -1381,13 +1381,21 @@ def q_sampling_splits(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_doc_quality_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gopher/C4-style heuristic quality filter: per-doc token stats,
     symbol ratio, repetition metrics (top-token share, duplicate-bigram
-    fraction) and the resulting keep flag. Map-only — no shuffle."""
+    fraction) and the resulting keep flag — all map-only — plus (merged
+    r6) the LM-style ``unigram_logprob`` score (mean per-token log
+    probability under the corpus unigram model; the SQL-expressible
+    reduction of CCNet/Gopher perplexity filtering), which adds the
+    query's single token shuffle."""
+    from amonaly_detection_in_time_series_data_spark.operators.corpus import (
+        unigram_logprob,
+    )
+
     docs = spread_small(load_table(spark, sf_dir, "documents"))
-    out = quality_rules(docs, "text")
+    out = unigram_logprob(quality_rules(docs, "text"), "text", "doc_id")
     return out.select(
         "doc_id", "n_tokens", "mean_word_len", "symbol_ratio",
         "top_token_frac", "dup_bigram_frac", "alpha_word_frac",
-        "bullet_line_frac",
+        "bullet_line_frac", "unigram_logprob",
         F.col("keep").cast("bigint").alias("keep"),
     )
 
@@ -2225,8 +2233,24 @@ m2 AS (
                ELSE 0.0 END, 4) AS dup_bigram_frac,
     alpha_word_frac, bullet_line_frac
   FROM m
+),
+u AS (
+  SELECT doc_id, unnest(tk) AS tok FROM t
+),
+vocab AS (
+  SELECT tok, count(*) AS cnt FROM u GROUP BY tok
+),
+tot AS (
+  SELECT sum(cnt) AS total FROM vocab
+),
+lp AS (
+  SELECT tok, ln(cnt) - ln(total) AS lp FROM vocab CROSS JOIN tot
+),
+ulp AS (
+  SELECT doc_id, round(avg(lp), 6) AS unigram_logprob
+  FROM u JOIN lp USING (tok) GROUP BY doc_id
 )
-SELECT *,
+SELECT m2.*, ulp.unigram_logprob,
   CAST(n_tokens BETWEEN 10 AND 100000
    AND mean_word_len BETWEEN 2.0 AND 12.0
    AND symbol_ratio <= 0.30
@@ -2234,7 +2258,7 @@ SELECT *,
    AND dup_bigram_frac <= 0.60
    AND alpha_word_frac >= 0.80
    AND bullet_line_frac <= 0.90 AS BIGINT) AS keep
-FROM m2
+FROM m2 LEFT JOIN ulp USING (doc_id)
 """
 
     sql["decontaminate"] = f"""

@@ -47,6 +47,8 @@ __all__ = [
     "decontaminate",
     "pack_chunks",
     "tfidf_top_terms",
+    "make_longdoc_corpus",
+    "unigram_logprob",
 ]
 
 
@@ -412,3 +414,46 @@ def make_longdoc_corpus(
     return base.withColumn(
         text_col, F.repeat(F.concat(F.col(text_col), F.lit(" ")), k)
     )
+
+
+def unigram_logprob(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    vocab_df: DataFrame | None = None,
+    score_col: str = "unigram_logprob",
+    round_digits: int | None = 6,
+) -> DataFrame:
+    """LM-style quality score: mean per-token natural-log probability
+    under a unigram model (CCNet/Gopher-family "perplexity filtering",
+    with the n-gram LM reduced to its SQL-expressible unigram form —
+    exactly reproducible in the DuckDB oracle, no external LM).
+
+    Very negative scores mark gibberish / out-of-distribution text
+    (tokens rare under the reference distribution); boilerplate scores
+    high. ``vocab_df``: optional (token, cnt) reference distribution —
+    at 100 TB estimate it ONCE from a sample or a curated corpus and
+    reuse; default estimates from ``df`` itself (adds one
+    explode+groupBy pass). Docs with zero tokens get a NULL score.
+
+    Plan: explode tokens -> (token) partial-agg vocab (vocab-sized,
+    broadcast back, same discipline as tfidf_top_terms) -> map-side
+    score join -> per-doc avg (one (doc) shuffle with map-side
+    combine).
+    """
+    toks = df.select(F.col(id_col), F.explode(tokenize(text_col)).alias("tok"))
+    if vocab_df is None:
+        vocab_df = toks.groupBy("tok").agg(F.count("*").alias("cnt"))
+    total = vocab_df.agg(F.sum("cnt").alias("__total"))
+    lp = vocab_df.crossJoin(F.broadcast(total)).select(
+        "tok", (F.log("cnt") - F.log("__total")).alias("__lp")
+    )
+    score = F.avg("__lp")
+    if round_digits is not None:
+        score = F.round(score, round_digits)
+    per_doc = (
+        toks.join(F.broadcast(lp), "tok")
+        .groupBy(id_col)
+        .agg(score.alias(score_col))
+    )
+    return df.join(per_doc, id_col, "left")

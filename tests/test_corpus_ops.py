@@ -269,3 +269,42 @@ class TestLongDocLadder:
             f"superlinear growth: 50k={t50:.1f}s 200k={t200:.1f}s "
             f"(ratio {t200 / t50:.1f}, linear would be ~4)"
         )
+
+
+class TestUnigramLogprob:
+    def test_matches_hand_computed_model(self, spark):
+        """4-token corpus 'a a a b': p(a)=3/4, p(b)=1/4; doc scores are
+        plain averages of ln(p). Zero-token doc -> NULL score."""
+        import math
+
+        from amonaly_detection_in_time_series_data_spark.operators.corpus import (
+            unigram_logprob,
+        )
+
+        rows = [(1, "a a a"), (2, "b"), (3, "a b"), (4, "")]
+        df = spark.createDataFrame(rows, ["doc_id", "text"])
+        out = {r.doc_id: r.unigram_logprob for r in unigram_logprob(df).collect()}
+        # corpus tokens: a x4, b x2, total 6 -> p(a)=2/3, p(b)=1/3
+        la, lb = math.log(4 / 6), math.log(2 / 6)
+        assert out[1] == pytest.approx(round(la, 6), abs=1e-9)
+        assert out[2] == pytest.approx(round(lb, 6), abs=1e-9)
+        assert out[3] == pytest.approx(round((la + lb) / 2, 6), abs=1e-9)
+        assert out[4] is None
+
+    def test_external_vocab_reference_distribution(self, spark):
+        """A provided (token, cnt) vocab is the 100 TB path — scores use
+        the reference distribution, not the scored corpus's own; tokens
+        absent from the vocab drop out of the average (inner join)."""
+        import math
+
+        from amonaly_detection_in_time_series_data_spark.operators.corpus import (
+            unigram_logprob,
+        )
+
+        docs = spark.createDataFrame([(1, "x y zzz")], ["doc_id", "text"])
+        vocab = spark.createDataFrame(
+            [("x", 9), ("y", 1)], ["tok", "cnt"]
+        )
+        out = unigram_logprob(docs, vocab_df=vocab).collect()[0]
+        want = (math.log(9 / 10) + math.log(1 / 10)) / 2  # zzz OOV, dropped
+        assert out.unigram_logprob == pytest.approx(round(want, 6), abs=1e-9)
