@@ -1081,16 +1081,22 @@ def q_json_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_roundtrip_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """S1+S2 both file formats in one check: the reference-dialect CSV
-    round-trip and the explicit-schema JSON round-trip, joined on
-    event_id so every staged column from both formats is hash-checked.
+    """S1+S2 all three file formats in one check: the reference-dialect
+    CSV round-trip, the explicit-schema JSON round-trip, and (merged r6)
+    a native ORC round-trip, joined on event_id so every staged column
+    from every format is hash-checked.
 
     S2 (missing file -> EMPTY table, reference src/data_loader.py:10-12,
     24-26) is driver-checked here too: a guaranteed-absent path is read
     through load_csv and its row count (= 0) rides on every output row
     as ``missing_rows`` — if the missing-path contract ever changed to
     raise or return rows, this query errors or hash-mismatches.
-    Oracle = identity transforms over events + a literal 0."""
+    Oracle = identity transforms over events + a literal 0 (the oracle
+    never reads the staged files; it reproduces the expected values from
+    the parquet source, so formats DuckDB can't read still get exact
+    value checks)."""
+    import tempfile
+
     csv = q_csv_roundtrip(spark, sf_dir).select(
         "event_id",
         F.col("ts_min").alias("csv_ts_min"),
@@ -1103,13 +1109,30 @@ def q_roundtrip_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_type",
         F.col("value").alias("json_value"),
     )
+    # ORC leg: columnar round-trip with full type fidelity (timestamp +
+    # double survive natively; no string staging needed)
+    ev = _events(spark, sf_dir)
+    orc_dir = os.path.join(
+        tempfile.gettempdir(),
+        f"orc_roundtrip_{os.path.basename(sf_dir.rstrip('/'))}",
+    )
+    ev.select("event_id", "ts", "value").write.mode("overwrite").orc(orc_dir)
+    orc = spark.read.orc(orc_dir).select(
+        "event_id",
+        _ts_str("ts").alias("orc_ts"),
+        F.col("value").alias("orc_value"),
+    )
     absent = load_csv(
         spark,
         os.path.join(sf_dir, "__no_such_file__.csv"),
         empty_schema=T.StructType([T.StructField("x", T.StringType())]),
     )
     missing = absent.agg(F.count("*").alias("missing_rows"))
-    return csv.join(js, "event_id").crossJoin(F.broadcast(missing))
+    return (
+        csv.join(js, "event_id")
+        .join(orc, "event_id")
+        .crossJoin(F.broadcast(missing))
+    )
 
 
 def q_pivot_events(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2336,6 +2359,8 @@ SELECT event_id,
        round(value, 2) AS csv_value,
        strftime(date_trunc('second', ts), '{fmt}') AS json_ts,
        user_id, event_type, value AS json_value,
+       strftime(date_trunc('second', ts), '{fmt}') AS orc_ts,
+       value AS orc_value,
        CAST(0 AS BIGINT) AS missing_rows
 FROM events
 """

@@ -12,6 +12,8 @@ from __future__ import annotations
 
 import math
 
+import pandas as pd
+
 import pytest
 
 from hypothesis import HealthCheck, given, settings
@@ -175,3 +177,54 @@ class TestTextProperties:
             want = 0.0
         assert row["dup_bigram_frac"] == pytest.approx(want, abs=1e-9)
         assert row["n_tokens"] == len(low)
+
+
+class TestBucketedRollingProperty:
+    @settings(
+        max_examples=8,
+        deadline=None,
+        suppress_health_check=[HealthCheck.function_scoped_fixture],
+    )
+    @given(
+        gaps=st.lists(
+            st.integers(min_value=1, max_value=500), min_size=5, max_size=60
+        ),
+        w=st.integers(min_value=1, max_value=10),
+    )
+    def test_equals_global_window_for_any_gap_pattern(self, spark, gaps, w):
+        """For ARBITRARY inter-arrival gaps (hours; up to ~20 days, so
+        buckets may be dense, sparse, or empty relative to the 7-day
+        bucket), the parallel bucketed rolling mean equals the
+        single-partition global window on every row."""
+        import itertools
+
+        from pyspark.sql import Window
+
+        from amonaly_detection_in_time_series_data_spark.operators.features import (
+            bucketed_rolling,
+        )
+
+        hours = list(itertools.accumulate(gaps))
+        rows = [
+            (i, (pd.Timestamp("2024-01-01") + pd.Timedelta(hours=h)).to_pydatetime(),
+             float((i * 13) % 7))
+            for i, h in enumerate(hours)
+        ]
+        df = spark.createDataFrame(rows, "pos long, ts timestamp, value double")
+        got = {
+            r["pos"]: r[f"value_roll_mean_{w}h"]
+            for r in bucketed_rolling(
+                df, "value", w, ["mean"], ["ts", "pos"], bucket="7 days"
+            ).collect()
+        }
+        wspec = Window.orderBy("ts", "pos").rowsBetween(-w, -1)
+        want = {
+            r["pos"]: r["exp"]
+            for r in df.withColumn("exp", F.avg("value").over(wspec)).collect()
+        }
+        assert len(got) == len(want) == len(rows)
+        for pos, exp in want.items():
+            if exp is None:
+                assert got[pos] is None, pos
+            else:
+                assert got[pos] == pytest.approx(exp, rel=1e-9), pos
