@@ -886,13 +886,41 @@ def q_doc_winnow(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_doc_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Merged r3 (doc_fingerprint + doc_winnow): both fingerprint tiers
-    in one per-doc row — the whole-document sha256 content hash and the
-    Rabin-Karp k-gram rolling-hash summary (winnowing primitive), with
-    identical integer arithmetic in the DuckDB oracle."""
-    sha = q_doc_fingerprint(spark, sf_dir)
-    winnow = q_doc_winnow(spark, sf_dir)
-    return sha.join(winnow, "doc_id")
+    """Merged r3 (doc_fingerprint + doc_winnow), extended r6 with the
+    full winnowing selection: one per-doc row carrying the
+    whole-document sha256 content hash, the Rabin-Karp k-gram
+    rolling-hash summary, AND the Schleimer-Wilkerson-Aiken selected
+    fingerprint set (min hash per w=4 window, deduped) summarized as
+    (count, min, sum) — identical integer arithmetic in the DuckDB
+    oracle.
+
+    ONE scan; the gram-hash array is bound once as ``__rh`` and both
+    the summary and the winnow selection reference the bound column
+    (r3-r5 joined two scans and recomputed the hashes)."""
+    from amonaly_detection_in_time_series_data_spark.functions.text import (
+        rolling_hash_grams,
+        winnow_select,
+    )
+
+    docs = spread_small(load_table(spark, sf_dir, "documents")).withColumn(
+        "__rh", rolling_hash_grams(F.col("text"), k=8)
+    )
+    hashes = F.col("__rh")
+    sel = winnow_select(hashes, w=4)
+    d = docs.withColumn("__sel", sel)
+    selc = F.col("__sel")
+    return d.select(
+        "doc_id",
+        sha_fingerprint(F.col("text")).alias("fingerprint"),
+        F.size(hashes).cast("bigint").alias("n_grams"),
+        F.array_min(hashes).alias("fp_min"),
+        F.array_max(hashes).alias("fp_max"),
+        F.size(selc).cast("bigint").alias("n_winnow"),
+        F.array_min(selc).alias("winnow_min"),
+        F.aggregate(
+            selc, F.lit(0).cast("bigint"), lambda a, x: a + x
+        ).alias("winnow_sum"),
+    )
 
 
 def q_text_quality_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1897,12 +1925,25 @@ WITH h AS (
                                    ch -> CAST(ascii(ch) AS BIGINT))),
                   (acc, c) -> (acc*257 + c) % 2147483647)) AS hs
   FROM documents
+),
+wsel AS (
+  SELECT doc_id,
+         CASE WHEN len(hs) >= 4 THEN
+                list_distinct(list_transform(range(1, len(hs) - 4 + 2),
+                                             i -> list_min(list_slice(hs, i, i + 3))))
+              WHEN len(hs) >= 1 THEN [list_min(hs)]
+              ELSE CAST([] AS BIGINT[]) END AS sel,
+         hs
+  FROM h
 )
 SELECT d.doc_id,
        sha256(regexp_replace(lower(trim(d.text)), '\s+', ' ', 'g')) AS fingerprint,
        CAST(len(hs) AS BIGINT) AS n_grams,
-       list_min(hs) AS fp_min, list_max(hs) AS fp_max
-FROM documents d JOIN h ON d.doc_id = h.doc_id
+       list_min(hs) AS fp_min, list_max(hs) AS fp_max,
+       CAST(len(sel) AS BIGINT) AS n_winnow,
+       list_min(sel) AS winnow_min,
+       CAST(coalesce(list_sum(sel), 0) AS BIGINT) AS winnow_sum
+FROM documents d JOIN wsel ON d.doc_id = wsel.doc_id
 """
 
     sql["token_counts"] = f"""

@@ -132,3 +132,29 @@ def rolling_hash_grams(
         )
 
     return F.transform(starts, ghash)
+
+
+def winnow_select(hashes: Column, w: int = 4) -> Column:
+    """Winnowing proper (Schleimer-Wilkerson-Aiken 2003): the minimum
+    hash of every ``w``-long window over the k-gram hash sequence,
+    deduplicated — the selected fingerprint set whose guarantee is that
+    any match of length >= w+k-1 chars shares at least one fingerprint.
+
+    Fewer than ``w`` hashes (but >= 1): one window over the whole
+    sequence, so every non-empty document gets >= 1 fingerprint; empty
+    -> empty.
+
+    ``hashes`` MUST be a BOUND column (projected via ``withColumn``),
+    not a free expression — a captured expression is re-evaluated per
+    window by the interpreted HOF path (the measured O(n^2) trap; see
+    SCALING.md §1b). Cost with a bound column: O(n_grams * w) per row,
+    w constant.
+    """
+    n_win = F.size(hashes) - w + 1
+    starts = (
+        F.when(n_win >= 1, F.sequence(F.lit(1), n_win))
+        .when(F.size(hashes) >= 1, F.array(F.lit(1)))
+        .otherwise(F.array().cast("array<int>"))
+    )
+    sel = F.transform(starts, lambda i: F.array_min(F.slice(hashes, i, w)))
+    return F.array_distinct(sel)

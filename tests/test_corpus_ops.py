@@ -308,3 +308,62 @@ class TestUnigramLogprob:
         out = unigram_logprob(docs, vocab_df=vocab).collect()[0]
         want = (math.log(9 / 10) + math.log(1 / 10)) / 2  # zzz OOV, dropped
         assert out.unigram_logprob == pytest.approx(round(want, 6), abs=1e-9)
+
+
+class TestWinnowing:
+    def test_selection_matches_python_and_match_guarantee(self, spark):
+        """winnow_select == a from-scratch Python winnowing on the same
+        rolling hashes, and the SWA guarantee holds: two documents
+        sharing a substring of length >= w+k-1 (= 11 chars at k=8, w=4)
+        share at least one selected fingerprint."""
+        from amonaly_detection_in_time_series_data_spark.functions.text import (
+            rolling_hash_grams,
+            winnow_select,
+        )
+
+        shared = "the quick brown fox jumps"
+        rows = [
+            (1, "AAAA " + shared + " BBBB"),
+            (2, "xyzzy 123 " + shared + " qqqq"),
+            (3, "completely different content here"),
+            (4, "tiny"),  # < k chars -> no grams -> empty selection
+        ]
+        df = spark.createDataFrame(rows, ["doc_id", "text"])
+        d = df.withColumn("__rh", rolling_hash_grams(F.col("text"), k=8))
+        out = {
+            r["doc_id"]: (list(r["__rh"]), list(r["sel"]))
+            for r in d.withColumn("sel", winnow_select(F.col("__rh"), w=4)).collect()
+        }
+
+        def py_winnow(hs, w=4):
+            if not hs:
+                return []
+            if len(hs) < w:
+                wins = [min(hs)]
+            else:
+                wins = [min(hs[i : i + w]) for i in range(len(hs) - w + 1)]
+            seen, sel = set(), []
+            for v in wins:
+                if v not in seen:
+                    seen.add(v)
+                    sel.append(v)
+            return sel
+
+        def py_hashes(text, k=8, base=257, mod=2147483647):
+            out = []
+            for i in range(max(len(text) - k + 1, 0)):
+                acc = 0
+                for ch in text[i : i + k]:
+                    acc = (acc * base + ord(ch)) % mod
+                out.append(acc)
+            return out
+
+        for doc_id, (hs, sel) in out.items():
+            text = dict(rows)[doc_id]
+            assert hs == py_hashes(text), doc_id
+            assert sel == py_winnow(hs), doc_id
+        assert out[4][1] == []
+        # match guarantee across the shared 25-char substring
+        assert set(out[1][1]) & set(out[2][1]), "no shared fingerprint"
+        # and the unrelated doc shares nothing with doc 1
+        assert not set(out[1][1]) & set(out[3][1])
