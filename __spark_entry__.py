@@ -583,8 +583,30 @@ docs AS (
 
 
 def q_doc_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
-    out = dedup_exact_text(_docs_with_dups(spark, sf_dir), "text", "doc_id")
-    return out.select("doc_id", "text", "lang", "source", "n_chars")
+    """Merged r6: exact-text dedup winners + per-doc span-duplication
+    profile (operators.dedup.span_dedup_stats — the Lee et al.
+    substring-dedup screen at 8-token span granularity) over the same
+    dup-injected corpus. ``dup_frac_bp`` is the duplicated-span share in
+    basis points via pure integer arithmetic (floor((20000k+n)/2n)) so
+    Spark and DuckDB agree bit-for-bit with no float-rounding-tie risk."""
+    from amonaly_detection_in_time_series_data_spark.operators.dedup import span_dedup_stats
+
+    docs = _docs_with_dups(spark, sf_dir)
+    winners = dedup_exact_text(docs, "text", "doc_id").select(
+        "doc_id", "text", "lang", "source", "n_chars"
+    )
+    stats = span_dedup_stats(docs, "text", "doc_id", span_len=8)
+    k, n = F.col("n_dup_spans"), F.col("n_spans")
+    return winners.join(stats, "doc_id", "left").select(
+        "doc_id",
+        "text",
+        "lang",
+        "source",
+        "n_chars",
+        F.coalesce(n, F.lit(0)).cast("bigint").alias("n_spans"),
+        F.coalesce(k, F.lit(0)).cast("bigint").alias("n_dup_spans"),
+        F.floor((20000 * k + n) / (2 * n)).cast("bigint").alias("dup_frac_bp"),
+    )
 
 
 def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1905,13 +1927,38 @@ GROUP BY event_type
 """
 
     sql["doc_dedup_exact"] = f"""
-WITH {_DOC_DUP_CTE.strip()}
-SELECT arg_min(doc_id, doc_id) AS doc_id, text,
-       arg_min(lang, doc_id) AS lang,
-       arg_min(source, doc_id) AS source,
-       arg_min(n_chars, doc_id) AS n_chars
-FROM docs
-GROUP BY text
+WITH {_DOC_DUP_CTE.strip()},
+winners AS (
+  SELECT arg_min(doc_id, doc_id) AS doc_id, text,
+         arg_min(lang, doc_id) AS lang,
+         arg_min(source, doc_id) AS source,
+         arg_min(n_chars, doc_id) AS n_chars
+  FROM docs
+  GROUP BY text
+),
+tok AS (SELECT doc_id, {toks} AS toks FROM docs),
+spans AS (
+  SELECT doc_id, s AS span_idx,
+         array_to_string(list_slice(toks, s*8+1, s*8+8), ' ') AS span
+  FROM tok, unnest(range(0, len(toks)//8)) AS t(s)
+),
+flagged AS (
+  SELECT doc_id,
+         CASE WHEN row_number() OVER (PARTITION BY span
+                                      ORDER BY doc_id, span_idx) > 1
+              THEN 1 ELSE 0 END AS is_dup
+  FROM spans
+),
+stats AS (
+  SELECT doc_id, count(*) AS n_spans, sum(is_dup) AS n_dup_spans
+  FROM flagged GROUP BY doc_id
+)
+SELECT w.doc_id, w.text, w.lang, w.source, w.n_chars,
+       CAST(coalesce(st.n_spans, 0) AS BIGINT) AS n_spans,
+       CAST(coalesce(st.n_dup_spans, 0) AS BIGINT) AS n_dup_spans,
+       CAST((20000 * st.n_dup_spans + st.n_spans) // (2 * st.n_spans) AS BIGINT)
+         AS dup_frac_bp
+FROM winners w LEFT JOIN stats st USING (doc_id)
 """
 
     sql["doc_fingerprints"] = r"""

@@ -85,3 +85,147 @@ def dedup_exact_text(
     return df.groupBy(text_col).agg(
         *[F.min_by(c, id_col).alias(c) for c in keep_cols]
     )
+
+
+def span_occurrences(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    span_len: int = 8,
+) -> DataFrame:
+    """Explode each document into its complete non-overlapping
+    ``span_len``-token spans, globally flagged for duplication.
+
+    Span-granular approximation of exact-substring training-data dedup
+    (Lee et al. 2021, "Deduplicating Training Data Makes Language Models
+    Better" — the suffix-array pass that removes any ≥50-token substring
+    seen before). A suffix array is not a distributed-friendly
+    structure; hashing fixed-length token spans keeps the semantics
+    ("this exact run of tokens occurred earlier in the corpus") while
+    reducing to one shuffle on the span text. An occurrence is a *dup*
+    iff an identical span occurs earlier in corpus order
+    (``(id, span_idx)`` lexicographic) — the first occurrence is never a
+    dup, mirroring keep-first.
+
+    Output: one row per span occurrence —
+    ``(id_col, span_idx, span, is_dup)``.
+
+    Scale: tokenization and span slicing are map-only bound-column
+    expressions (tokens bound once, spans via ``transform`` over
+    ``sequence`` + ``slice`` — O(doc_len), no HOF recapture); the only
+    exchange is the window partition on the span text. Span-hash keys
+    are near-unique so the shuffle is balanced; a degenerate
+    corpus-wide repeated span lands in one partition — cap via
+    pre-aggregation if that ever binds (same playbook as the MinHash
+    mega-bucket cap).
+    """
+    if span_len < 1:
+        raise ValueError(f"span_len must be >= 1, got {span_len}")
+    from ..functions.text import tokenize
+
+    d = df.select(
+        F.col(id_col), tokenize(text_col).alias("__toks")
+    ).withColumn("__n_spans", F.floor(F.size("__toks") / span_len).cast("int"))
+    # sequence(0, -1) counts DOWN in Spark — guard the zero-span case
+    # (doc shorter than one span) to an empty array explicitly.
+    span_arr = F.when(
+        F.col("__n_spans") > 0,
+        F.transform(
+            F.sequence(F.lit(0), F.col("__n_spans") - 1),
+            lambda s: F.array_join(
+                F.slice(F.col("__toks"), s * span_len + 1, span_len), " "
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    spans = d.select(
+        id_col, F.posexplode(span_arr).alias("span_idx", "span")
+    )
+    w = Window.partitionBy("span").orderBy(
+        F.col(id_col).asc(), F.col("span_idx").asc()
+    )
+    return spans.withColumn(
+        "is_dup", (F.row_number().over(w) > 1).cast("int")
+    )
+
+
+def span_dedup_stats(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    span_len: int = 8,
+) -> DataFrame:
+    """Per-document span-duplication profile:
+    ``(id_col, n_spans, n_dup_spans, dup_span_frac)``.
+
+    The screening half of substring dedup — rank/filter documents by how
+    much of their content is verbatim repetition of earlier corpus
+    content (e.g. drop docs with ``dup_span_frac > 0.5``, the common
+    boilerplate cut). Documents shorter than one span produce no rows
+    (no complete span exists).
+
+    Two exchanges total: span-text window + per-doc aggregate.
+    """
+    occ = span_occurrences(df, text_col, id_col, span_len)
+    return occ.groupBy(id_col).agg(
+        F.count("*").cast("bigint").alias("n_spans"),
+        F.sum("is_dup").cast("bigint").alias("n_dup_spans"),
+        F.round(F.sum("is_dup") / F.count("*"), 4).alias("dup_span_frac"),
+    )
+
+
+def drop_dup_spans(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    span_len: int = 8,
+) -> DataFrame:
+    """Rewrite each document with duplicated spans REMOVED (the
+    destructive half of Lee et al. substring dedup): keep every span
+    whose identical text did not occur earlier in the corpus, plus the
+    incomplete tail (< ``span_len`` tokens), re-joined in order.
+
+    Returns ``(id_col, text_col)`` with the deduplicated text (possibly
+    empty string when every span was seen before and there is no tail).
+
+    Scale: the kept-span reassembly is one per-doc aggregate over the
+    span occurrences (``array_agg`` sorted by span index — bounded by
+    doc length); the tail is recomputed map-side from the original row
+    and joined back on ``id_col``.
+    """
+    from ..functions.text import tokenize
+
+    occ = span_occurrences(df, text_col, id_col, span_len)
+    kept = (
+        occ.filter(F.col("is_dup") == 0)
+        .groupBy(id_col)
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct("span_idx", "span"))
+                    ),
+                    lambda st: st["span"],
+                ),
+                " ",
+            ).alias("__kept")
+        )
+    )
+    toks = tokenize(text_col)
+    tail = df.select(
+        F.col(id_col),
+        F.array_join(
+            F.slice(
+                toks,
+                (F.floor(F.size(toks) / span_len) * span_len + 1).cast("int"),
+                span_len - 1 if span_len > 1 else 0,
+            ),
+            " ",
+        ).alias("__tail"),
+    )
+    joined = tail.join(kept, id_col, "left")
+    body = F.coalesce(F.col("__kept"), F.lit(""))
+    out = F.when(
+        (body != "") & (F.col("__tail") != ""),
+        F.concat(body, F.lit(" "), F.col("__tail")),
+    ).otherwise(F.concat(body, F.col("__tail")))
+    return joined.select(id_col, out.alias(text_col))

@@ -367,3 +367,108 @@ class TestWinnowing:
         assert set(out[1][1]) & set(out[2][1]), "no shared fingerprint"
         # and the unrelated doc shares nothing with doc 1
         assert not set(out[1][1]) & set(out[3][1])
+
+
+class TestSpanDedup:
+    """operators.dedup span-granular substring dedup (Lee et al. 2021
+    approximation) vs a from-scratch Python oracle."""
+
+    ROWS = [
+        (1, "a b c d e f"),
+        (2, "a b c d x y z"),   # first two spans dup doc1; tail "z"
+        (3, "q"),               # shorter than one span
+        (4, ""),                # empty
+        (5, "a b a b a b"),     # pure self-repetition
+    ]
+
+    @staticmethod
+    def _py_spans(rows, span_len):
+        """Python oracle: global keep-first over (doc_id, span_idx)."""
+        occ = []
+        for doc_id, text in sorted(rows):
+            toks = text.lower().split()
+            for s in range(len(toks) // span_len):
+                occ.append(
+                    (doc_id, s, " ".join(toks[s * span_len : (s + 1) * span_len]))
+                )
+        seen, out = set(), []
+        for doc_id, s, span in occ:
+            dup = span in seen
+            seen.add(span)
+            out.append((doc_id, s, span, int(dup)))
+        return out
+
+    def test_occurrences_vs_python_oracle(self, spark):
+        from amonaly_detection_in_time_series_data_spark.operators.dedup import span_occurrences
+
+        df = spark.createDataFrame(self.ROWS, "doc_id long, text string")
+        got = sorted(
+            tuple(r)
+            for r in span_occurrences(df, span_len=2)
+            .select("doc_id", "span_idx", "span", "is_dup")
+            .collect()
+        )
+        assert got == self._py_spans(self.ROWS, 2)
+
+    def test_stats_and_reconstruction(self, spark):
+        from amonaly_detection_in_time_series_data_spark.operators.dedup import (
+            drop_dup_spans,
+            span_dedup_stats,
+        )
+
+        df = spark.createDataFrame(self.ROWS, "doc_id long, text string")
+        stats = {
+            r["doc_id"]: (r["n_spans"], r["n_dup_spans"], r["dup_span_frac"])
+            for r in span_dedup_stats(df, span_len=2).collect()
+        }
+        # docs with no complete span produce no stats row
+        assert set(stats) == {1, 2, 5}
+        assert stats[1] == (3, 0, 0.0)
+        assert stats[2] == (3, 2, 0.6667)
+        assert stats[5] == (3, 3, 1.0)
+
+        text = {
+            r["doc_id"]: r["text"]
+            for r in drop_dup_spans(df, span_len=2).collect()
+        }
+        assert text == {1: "a b c d e f", 2: "x y z", 3: "q", 4: "", 5: ""}
+
+    def test_random_corpus_vs_python_oracle(self, spark):
+        import random
+
+        rng = random.Random(6)
+        vocab = ["t%d" % i for i in range(7)]
+        rows = [
+            (i, " ".join(rng.choice(vocab) for _ in range(rng.randrange(0, 25))))
+            for i in range(40)
+        ]
+        from amonaly_detection_in_time_series_data_spark.operators.dedup import (
+            drop_dup_spans,
+            span_occurrences,
+        )
+
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        for span_len in (1, 3, 5):
+            got = sorted(
+                tuple(r)
+                for r in span_occurrences(df, span_len=span_len)
+                .select("doc_id", "span_idx", "span", "is_dup")
+                .collect()
+            )
+            assert got == self._py_spans(rows, span_len), span_len
+
+        # reconstruction oracle at span_len=3: kept spans + tail
+        oracle = {}
+        per_doc = {}
+        for doc_id, s, span, dup in self._py_spans(rows, 3):
+            per_doc.setdefault(doc_id, []).append((s, span, dup))
+        for doc_id, text in rows:
+            toks = text.lower().split()
+            kept = [sp for _, sp, dup in sorted(per_doc.get(doc_id, [])) if not dup]
+            tail = toks[(len(toks) // 3) * 3 :]
+            oracle[doc_id] = " ".join((" ".join(kept) + " " + " ".join(tail)).split())
+        got = {
+            r["doc_id"]: r["text"]
+            for r in drop_dup_spans(df, span_len=3).collect()
+        }
+        assert got == oracle
