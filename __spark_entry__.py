@@ -1438,16 +1438,32 @@ def q_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_sampling_splits(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Deterministic corpus partitioning, two ops in one per-doc row:
-    hash-based train/val/test split (md5 bucket, 80/10/10) and
-    per-language stratified sampling (20% quota by seeded md5 order) —
-    the split/mixing primitives of a training-data pipeline."""
+    """Deterministic corpus partitioning, three ops in one per-doc row:
+    hash-based train/val/test split (md5 bucket, 80/10/10), per-language
+    stratified sampling (20% quota by seeded md5 order), and (merged r6)
+    domain-mixture resampling (operators.corpus.mixture_resample — keep
+    quotas matching a 0.4/0.3/0.2/0.1 target over four sources, no
+    upsampling) — the split/mixing primitives of a training-data
+    pipeline."""
+    from amonaly_detection_in_time_series_data_spark.operators.corpus import (
+        mixture_resample,
+    )
+
     docs = spread_small(load_table(spark, sf_dir, "documents"))
     split = hash_split(docs, "doc_id", seed=42)
     sampled = stratified_sample(split, ["lang"], "doc_id", 0.2, seed=7)
-    return sampled.select(
+    mixed = mixture_resample(
+        sampled,
+        "source",
+        "doc_id",
+        {"src0": 0.4, "src1": 0.3, "src2": 0.2, "src3": 0.1},
+        seed=11,
+    )
+    return mixed.select(
         "doc_id", "lang", "bucket", "split",
         F.col("strat_keep").cast("bigint").alias("strat_keep"),
+        "source", "mix_quota",
+        F.col("mix_keep").cast("bigint").alias("mix_keep"),
     )
 
 
@@ -2298,20 +2314,51 @@ FROM events GROUP BY 1
         f"ELSE CAST([] AS VARCHAR[]) END"
     )
 
-    sql["sampling_splits"] = """
+    # mixture weights mirrored from q_sampling_splits, normalized in the
+    # SAME Python arithmetic the Spark side uses (0.4+0.3+0.2+0.1 sums to
+    # 0.9999999999999999 in binary — emitting repr() of the normalized
+    # doubles keeps both engines on identical constants)
+    _mix_raw = {"src0": 0.4, "src1": 0.3, "src2": 0.2, "src3": 0.1}
+    _mix_tot = float(sum(_mix_raw.values()))
+    _mix_case = (
+        "CASE source "
+        + " ".join(
+            f"WHEN '{k}' THEN {v / _mix_tot!r}" for k, v in _mix_raw.items()
+        )
+        + " ELSE 0.0 END"
+    )
+    sql["sampling_splits"] = f"""
 WITH base AS (
-  SELECT doc_id, lang,
+  SELECT doc_id, lang, source,
          CAST('0x' || substr(md5('42:' || CAST(doc_id AS VARCHAR)), 1, 15) AS BIGINT) % 100 AS bucket,
-         CAST('0x' || substr(md5('7:' || CAST(doc_id AS VARCHAR)), 1, 15) AS BIGINT) % 1000000007 AS h7
+         CAST('0x' || substr(md5('7:' || CAST(doc_id AS VARCHAR)), 1, 15) AS BIGINT) % 1000000007 AS h7,
+         CAST('0x' || substr(md5('11:' || CAST(doc_id AS VARCHAR)), 1, 15) AS BIGINT) % 1000000007 AS h11
   FROM documents
+),
+counts AS (
+  SELECT source, count(*) AS n, {_mix_case} AS w
+  FROM documents GROUP BY source
+),
+feasible AS (
+  SELECT min(CAST(floor(n / w) AS BIGINT)) AS S FROM counts WHERE w > 0
+),
+quotas AS (
+  SELECT source,
+         CASE WHEN w > 0 THEN least(CAST(floor(w * S) AS BIGINT), n)
+              ELSE 0 END AS mix_quota
+  FROM counts, feasible
 )
-SELECT doc_id, lang, bucket,
+SELECT b.doc_id, b.lang, b.bucket,
        CASE WHEN bucket < 80 THEN 'train'
             WHEN bucket < 90 THEN 'val'
             ELSE 'test' END AS split,
-       CAST(row_number() OVER (PARTITION BY lang ORDER BY h7, doc_id)
-            <= ceil(0.2 * count(*) OVER (PARTITION BY lang)) AS BIGINT) AS strat_keep
-FROM base
+       CAST(row_number() OVER (PARTITION BY lang ORDER BY h7, b.doc_id)
+            <= ceil(0.2 * count(*) OVER (PARTITION BY lang)) AS BIGINT) AS strat_keep,
+       b.source,
+       CAST(q.mix_quota AS BIGINT) AS mix_quota,
+       CAST(row_number() OVER (PARTITION BY b.source ORDER BY h11, b.doc_id)
+            <= q.mix_quota AS BIGINT) AS mix_keep
+FROM base b LEFT JOIN quotas q USING (source)
 """
 
     sql["doc_quality_rules"] = f"""

@@ -43,6 +43,7 @@ from amonaly_detection_in_time_series_data_spark.operators.similarity import (
 __all__ = [
     "hash_split",
     "stratified_sample",
+    "mixture_resample",
     "quality_rules",
     "decontaminate",
     "pack_chunks",
@@ -457,3 +458,79 @@ def unigram_logprob(
         .agg(score.alias(score_col))
     )
     return df.join(per_doc, id_col, "left")
+
+
+def mixture_resample(
+    df: DataFrame,
+    domain_col: str,
+    id_col: str,
+    target_weights: dict[str, float],
+    seed: int = 11,
+    keep_col: str = "mix_keep",
+    quota_col: str = "mix_quota",
+) -> DataFrame:
+    """Domain-mixture resampling: downsample so the kept corpus matches a
+    target domain distribution (the data-mixing step of LLM pretraining —
+    The Pile / DoReMi-style domain weights applied without upsampling).
+
+    Given target proportions over ``domain_col``, the feasible corpus
+    size is ``S = min_d floor(n_d / w_d)`` (the largest total for which
+    no domain needs more rows than it has); each domain keeps
+    ``quota_d = floor(w_d * S)`` rows — the ones with the lowest seeded
+    md5 hash of ``id_col``, so the selection is a pure function of
+    (id, seed): stable across runs, partitionings, and engines. Domains
+    absent from ``target_weights`` (or weighted 0) keep nothing.
+
+    Output adds ``quota_col`` (the domain's quota) and ``keep_col``
+    (0/1). Weights are normalized internally, so any positive ratio
+    vector works.
+
+    Scale (100 TB): the domain-count aggregate is map-side partial into
+    a k-row frame (k = #domains), the quota table is computed driver-free
+    and BROADCAST back, and the per-domain ranking is ONE window shuffle
+    keyed by the domain — identical topology to ``stratified_sample``.
+    No driver collect; the scalar S rides a 1-row broadcast cross join.
+    """
+    if not target_weights:
+        raise ValueError("target_weights must be non-empty")
+    if any(v < 0 for v in target_weights.values()):
+        raise ValueError(f"negative weight in {target_weights}")
+    total_w = float(sum(target_weights.values()))
+    if total_w <= 0:
+        raise ValueError("target_weights must sum to a positive value")
+    weights = {k: v / total_w for k, v in target_weights.items()}
+
+    wexpr = None
+    for k, v in weights.items():
+        cond = F.col(domain_col) == k
+        wexpr = F.when(cond, v) if wexpr is None else wexpr.when(cond, v)
+    wexpr = wexpr.otherwise(F.lit(0.0))
+
+    counts = (
+        df.groupBy(domain_col)
+        .agg(F.count("*").alias("__n"))
+        .withColumn("__w", wexpr)
+    )
+    feasible = counts.filter(F.col("__w") > 0).agg(
+        F.min(F.floor(F.col("__n") / F.col("__w"))).alias("__S")
+    )
+    quotas = counts.crossJoin(F.broadcast(feasible)).select(
+        domain_col,
+        F.when(
+            F.col("__w") > 0,
+            F.least(F.floor(F.col("__w") * F.col("__S")), F.col("__n")),
+        )
+        .otherwise(F.lit(0))
+        .cast("bigint")
+        .alias(quota_col),
+    )
+    h = _md5_bucket(F.col(id_col), seed, 1_000_000_007)
+    w = Window.partitionBy(domain_col).orderBy(h.asc(), F.col(id_col).asc())
+    return (
+        df.join(F.broadcast(quotas), domain_col, "left")
+        .withColumn(
+            keep_col,
+            (F.row_number().over(w) <= F.coalesce(F.col(quota_col), F.lit(0)))
+            .cast("int"),
+        )
+    )

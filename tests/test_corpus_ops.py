@@ -472,3 +472,63 @@ class TestSpanDedup:
             for r in drop_dup_spans(df, span_len=3).collect()
         }
         assert got == oracle
+
+
+class TestMixtureResample:
+    def _df(self, spark):
+        rows = [(i, "d%d" % (i % 4)) for i in range(100)]  # 25 per domain
+        return spark.createDataFrame(rows, "doc_id long, domain string")
+
+    def test_quotas_match_target_mixture(self, spark):
+        from amonaly_detection_in_time_series_data_spark.operators.corpus import mixture_resample
+
+        out = mixture_resample(
+            self._df(spark), "domain", "doc_id",
+            {"d0": 0.4, "d1": 0.3, "d2": 0.2, "d3": 0.1},
+        ).collect()
+        quotas = {}
+        kept = {}
+        for r in out:
+            quotas[r["domain"]] = r["mix_quota"]
+            kept[r["domain"]] = kept.get(r["domain"], 0) + r["mix_keep"]
+        # S = min(floor(25/w)) = floor(25/0.4) = 62 -> quotas floor(w*62)
+        assert quotas == {"d0": 24, "d1": 18, "d2": 12, "d3": 6}
+        assert kept == quotas  # exactly quota rows kept per domain
+        # kept mixture tracks the target within integer rounding
+        total = sum(kept.values())
+        assert abs(kept["d0"] / total - 0.4) < 0.02
+
+    def test_unlisted_domain_drops_and_weights_normalize(self, spark):
+        from amonaly_detection_in_time_series_data_spark.operators.corpus import mixture_resample
+
+        # weights given as ratios (sum 3), d3 unlisted -> quota 0
+        out = mixture_resample(
+            self._df(spark), "domain", "doc_id", {"d0": 2, "d1": 1}
+        ).collect()
+        quotas = {r["domain"]: r["mix_quota"] for r in out}
+        # S = min(floor(25/(2/3)), floor(25/(1/3))) = min(37, 75) = 37
+        assert quotas == {"d0": 24, "d1": 12, "d2": 0, "d3": 0}
+        assert all(r["mix_keep"] == 0 for r in out if r["domain"] in ("d2", "d3"))
+
+    def test_selection_is_stable_under_repartition(self, spark):
+        from amonaly_detection_in_time_series_data_spark.operators.corpus import mixture_resample
+
+        df = self._df(spark)
+        w = {"d0": 0.5, "d1": 0.5}
+        a = {(r["doc_id"], r["mix_keep"])
+             for r in mixture_resample(df, "domain", "doc_id", w).collect()}
+        b = {(r["doc_id"], r["mix_keep"])
+             for r in mixture_resample(df.repartition(7), "domain", "doc_id", w).collect()}
+        assert a == b
+
+    def test_bad_weights_raise(self, spark):
+        import pytest as _pytest
+        from amonaly_detection_in_time_series_data_spark.operators.corpus import mixture_resample
+
+        df = self._df(spark)
+        with _pytest.raises(ValueError):
+            mixture_resample(df, "domain", "doc_id", {})
+        with _pytest.raises(ValueError):
+            mixture_resample(df, "domain", "doc_id", {"d0": -1, "d1": 2})
+        with _pytest.raises(ValueError):
+            mixture_resample(df, "domain", "doc_id", {"d0": 0.0})
