@@ -952,10 +952,31 @@ def q_text_quality_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
     ONE scan, ONE tokenization: ``__toks`` is projected as a bound
     column and every token metric (n_tokens, stopword ratio, all 5
     language votes) references that attribute — r5 joined two separate
-    scans and re-tokenized ~5x inside the lang votes."""
+    scans and re-tokenized ~5x inside the lang votes.
+
+    Merged r6: PII audit + scrub (functions.text.pii_counts /
+    redact_pii). The synthetic corpus carries no PII, so the query
+    injects a deterministic email / phone / IPv4 / URL per doc (pure
+    function of doc_id, mirrored in the oracle) and proves the
+    redaction byte-for-byte via md5 of the scrubbed text."""
+    from amonaly_detection_in_time_series_data_spark.functions.text import (
+        pii_counts,
+        redact_pii,
+    )
+
     docs = spread_small(load_table(spark, sf_dir, "documents")).withColumn(
         "__toks", tokenize("text")
     )
+    did = F.col("doc_id").cast("string")
+    pii_txt = F.concat(
+        F.col("text"),
+        F.lit(" contact user"), did,
+        F.lit("@example.com or +1 555-"),
+        F.lpad(did, 4, "0"),
+        F.lit(" at 10.0."), (F.col("doc_id") % 256).cast("string"),
+        F.lit(".7 via https://ex.com/p/"), did,
+    )
+    docs = docs.withColumn("__pii", pii_txt)
     toks = F.col("__toks")
     stops = LANG_STOPWORDS["en"]
     stop_hits = F.size(F.filter(toks, lambda t: t.isin(*stops)))
@@ -970,6 +991,8 @@ def q_text_quality_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         "lang",
         lang_id_expr("text", tokens=toks).alias("lang_pred"),
+        *pii_counts(F.col("__pii")),
+        F.md5(redact_pii(F.col("__pii"))).alias("redacted_md5"),
     )
 
 
@@ -2029,9 +2052,29 @@ LIMIT 20
         f"WHEN hits_{lang} = m THEN '{lang}'" for lang in langs_sorted
     )
     max_expr = "greatest(" + ", ".join(f"hits_{lang}" for lang in langs_sorted) + ")"
+    # PII injection + scrub mirrored from q_text_quality_lang: same
+    # deterministic per-doc synthetic PII, same pattern order. DuckDB
+    # regexp_* are RE2; the patterns live in the Java/RE2 common subset.
+    from amonaly_detection_in_time_series_data_spark.functions.text import PII_PATTERNS
+
+    _pii_txt = (
+        "text || ' contact user' || CAST(doc_id AS VARCHAR) || "
+        "'@example.com or +1 555-' || lpad(CAST(doc_id AS VARCHAR), 4, '0') || "
+        "' at 10.0.' || CAST(doc_id % 256 AS VARCHAR) || "
+        "'.7 via https://ex.com/p/' || CAST(doc_id AS VARCHAR)"
+    )
+    _pii_count_cols = ",\n       ".join(
+        f"CAST(len(regexp_extract_all(pii, '{pat}')) AS BIGINT) AS n_{name}"
+        for name, pat in PII_PATTERNS.items()
+    )
+    _redacted = "pii"
+    for _name, _pat in PII_PATTERNS.items():
+        _redacted = (
+            f"regexp_replace({_redacted}, '{_pat}', '<{_name.upper()}>', 'g')"
+        )
     sql["text_quality_lang"] = f"""
 WITH scored AS (
-  SELECT doc_id, lang, text,
+  SELECT doc_id, lang, text, {_pii_txt} AS pii,
        {lang_hits}
   FROM documents
 )
@@ -2044,7 +2087,9 @@ SELECT doc_id,
        round(len(list_filter({toks}, t -> t IN ({stop_list}))) /
              nullif(len({toks}), 0), 4) AS stopword_ratio_en,
        lang,
-       CASE {best_case} END AS lang_pred
+       CASE {best_case} END AS lang_pred,
+       {_pii_count_cols},
+       md5({_redacted}) AS redacted_md5
 FROM (SELECT *, {max_expr} AS m FROM scored)
 """
 

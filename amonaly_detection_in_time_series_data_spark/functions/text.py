@@ -158,3 +158,41 @@ def winnow_select(hashes: Column, w: int = 4) -> Column:
     )
     sel = F.transform(starts, lambda i: F.array_min(F.slice(hashes, i, w)))
     return F.array_distinct(sel)
+
+
+# PII surface patterns — deliberately in BOTH the Java (Spark) and RE2
+# (DuckDB) common regex subset: no backreferences, no lookaround, ASCII
+# digit classes. Order matters for redaction: emails and URLs are
+# replaced before IPs and phones so an already-replaced token's
+# remainder cannot re-match a narrower pattern.
+PII_PATTERNS: dict[str, str] = {
+    "email": r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
+    "url": r"https?://[^\s]+",
+    "ipv4": r"\b(?:\d{1,3}\.){3}\d{1,3}\b",
+    "phone": r"\+?\d[\d\- ]{7,14}\d",
+}
+
+
+def pii_counts(text: Column | str) -> list[Column]:
+    """Per-row PII match counts, one ``n_<kind>`` bigint column per
+    pattern in :data:`PII_PATTERNS` — the audit half of PII scrubbing
+    (how much leaked content a corpus slice carries). Map-only."""
+    c = F.col(text) if isinstance(text, str) else text
+    return [
+        F.size(F.regexp_extract_all(c, F.lit(pat), F.lit(0)))
+        .cast("bigint")
+        .alias(f"n_{name}")
+        for name, pat in PII_PATTERNS.items()
+    ]
+
+
+def redact_pii(text: Column | str) -> Column:
+    """Replace every PII match with a typed placeholder (``<EMAIL>``,
+    ``<URL>``, ``<IPV4>``, ``<PHONE>``) — the scrub step an LLM
+    training-data pipeline runs before tokenization. A chain of
+    ``regexp_replace`` in :data:`PII_PATTERNS` order, entirely map-side
+    (zero shuffle, runs at scan speed at 100 TB)."""
+    out = F.col(text) if isinstance(text, str) else text
+    for name, pat in PII_PATTERNS.items():
+        out = F.regexp_replace(out, pat, f"<{name.upper()}>")
+    return out

@@ -532,3 +532,56 @@ class TestMixtureResample:
             mixture_resample(df, "domain", "doc_id", {"d0": -1, "d1": 2})
         with _pytest.raises(ValueError):
             mixture_resample(df, "domain", "doc_id", {"d0": 0.0})
+
+
+class TestPiiRedaction:
+    CASES = [
+        (1, "mail me at jane.doe+spam@sub.example.co.uk today",
+         {"email": 1, "url": 0, "ipv4": 0, "phone": 0},
+         "mail me at <EMAIL> today"),
+        (2, "server 192.168.0.1 and 10.20.30.40 are up",
+         {"email": 0, "url": 0, "ipv4": 2, "phone": 0},
+         "server <IPV4> and <IPV4> are up"),
+        (3, "call +1 555-867-5309 now",
+         {"email": 0, "url": 0, "ipv4": 0, "phone": 1},
+         "call <PHONE> now"),
+        (4, "see https://example.com/a?b=1#frag for docs",
+         {"email": 0, "url": 1, "ipv4": 0, "phone": 0},
+         "see <URL> for docs"),
+        (5, "a@b.io via http://x.dev/1 ip 8.8.8.8 tel 020 7946 0958",
+         {"email": 1, "url": 1, "ipv4": 1, "phone": 1},
+         "<EMAIL> via <URL> ip <IPV4> tel <PHONE>"),
+        (6, "no pii here at all", {"email": 0, "url": 0, "ipv4": 0, "phone": 0},
+         "no pii here at all"),
+    ]
+
+    def test_counts_and_redaction(self, spark):
+        from pyspark.sql import functions as F
+        from amonaly_detection_in_time_series_data_spark.functions.text import pii_counts, redact_pii
+
+        df = spark.createDataFrame(
+            [(i, t) for i, t, _, _ in self.CASES], "id long, text string"
+        )
+        out = {
+            r["id"]: r
+            for r in df.select(
+                "id", *pii_counts("text"), redact_pii("text").alias("red")
+            ).collect()
+        }
+        for i, _, counts, redacted in self.CASES:
+            r = out[i]
+            got = {k: r[f"n_{k}"] for k in counts}
+            assert got == counts, (i, got)
+            assert r["red"] == redacted, (i, r["red"])
+
+    def test_redaction_is_map_only(self, spark):
+        from amonaly_detection_in_time_series_data_spark.functions.text import redact_pii
+
+        df = spark.range(10).selectExpr("CAST(id AS STRING) AS text")
+        plan = (
+            df.select(redact_pii("text"))
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        assert "Exchange" not in plan
