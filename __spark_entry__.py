@@ -1549,6 +1549,35 @@ def q_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
+def q_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """fasttext-style corpus quality classifier
+    (operators.classifier): weak labels from the Gopher quality rules,
+    hashed-BoW logistic regression fit DISTRIBUTED in MLlib (order_cols
+    pins the labeled frame; the model is stable to optimizer tolerance
+    across partitionings, bitwise-stable for a fixed plan), then
+    the whole corpus scored by a pure-Catalyst per-token coefficient
+    lookup — no feature vector materialized at scoring time. Rows-only:
+    LBFGS is iterative, not SQL-reproducible; pytest pins the
+    scorer-vs-MLlib parity and the score digest."""
+    from amonaly_detection_in_time_series_data_spark.operators.classifier import (
+        fit_text_lr,
+        score_text_lr,
+    )
+
+    docs = spread_small(load_table(spark, sf_dir, "documents"))
+    labeled = quality_rules(docs, "text").select("doc_id", "text", "keep")
+    model = fit_text_lr(
+        labeled, "text", "keep", n_features=256, order_cols=["doc_id"]
+    )
+    scored = score_text_lr(labeled, model, "text")
+    return scored.select(
+        "doc_id",
+        F.col("keep").cast("bigint").alias("keep"),
+        F.round("quality_prob", 4).alias("quality_prob"),
+        F.col("quality_pred").cast("bigint").alias("quality_pred"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """One entry per SURVEY.md §2 component (merged where components
     share a family — QUERIES.md maps component -> query).
@@ -1623,6 +1652,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ivf_knn": q_ivf_knn,
         "pca_anomaly": q_pca_anomaly,
         "lstm_scores": q_lstm_scores,
+        "quality_classifier": q_quality_classifier,
     }
 
 

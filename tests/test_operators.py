@@ -1127,3 +1127,95 @@ class TestInputValidation:
         )
         with pytest.raises(ValueError, match="__toks"):
             quality_rules(df, "text")
+
+
+class TestTextLRClassifier:
+    """operators.classifier — hashed-BoW logistic regression whose
+    Catalyst scorer must reproduce the MLlib model it was fitted as."""
+
+    def _labeled(self, spark):
+        rows = []
+        # class 1: "good" vocab, class 0: repetitive junk
+        for i in range(60):
+            rows.append((i, "the quick brown fox jumps over lazy dog %d ok" % i, 1))
+        for i in range(60, 100):
+            rows.append((i, "buy buy buy spam spam spam %d" % i, 0))
+        return spark.createDataFrame(rows, "doc_id long, text string, label int")
+
+    def test_catalyst_scorer_matches_mllib_transform(self, spark):
+        import numpy as np
+        from pyspark.ml.classification import LogisticRegression
+        from pyspark.ml.functions import array_to_vector, vector_to_array
+        from pyspark.sql import functions as F
+        from amonaly_detection_in_time_series_data_spark.functions.text import tokenize
+        from amonaly_detection_in_time_series_data_spark.operators.classifier import (
+            fit_text_lr,
+            hashed_bow_counts,
+            score_text_lr,
+        )
+
+        df = self._labeled(spark)
+        n_feat = 64
+        m = fit_text_lr(df, "text", "label", n_features=n_feat, order_cols=["doc_id"])
+
+        # refit the identical MLlib model and compare transform() probs
+        feat = df.select(
+            "doc_id",
+            F.col("label").cast("double").alias("label"),
+            array_to_vector(
+                hashed_bow_counts(tokenize("text"), n_feat)
+            ).alias("features"),
+        )
+        lr = LogisticRegression(maxIter=50, regParam=1e-4, standardization=False)
+        mllib = lr.fit(feat).transform(feat).select(
+            "doc_id", vector_to_array("probability").alias("p")
+        )
+        want = {r["doc_id"]: r["p"][1] for r in mllib.collect()}
+        got = {
+            r["doc_id"]: r["quality_prob"]
+            for r in score_text_lr(df, m, "text").collect()
+        }
+        for k in want:
+            assert abs(got[k] - want[k]) < 1e-9, k
+
+    def test_separates_classes_and_is_deterministic(self, spark):
+        from amonaly_detection_in_time_series_data_spark.operators.classifier import (
+            fit_text_lr,
+            score_text_lr,
+        )
+
+        df = self._labeled(spark)
+        m = fit_text_lr(df, "text", "label", n_features=64, order_cols=["doc_id"])
+        out = score_text_lr(df, m, "text").collect()
+        acc = sum(int(r["quality_pred"] == r["label"]) for r in out) / len(out)
+        assert acc >= 0.95
+        # LBFGS treeAggregate order varies with partitioning -> float
+        # non-associativity; the model must agree to optimizer tolerance
+        # (bitwise stability only holds for a fixed plan/partitioning).
+        m2 = fit_text_lr(
+            df.repartition(5), "text", "label", n_features=64, order_cols=["doc_id"]
+        )
+        assert abs(m2.intercept - m.intercept) < 1e-3
+        assert all(abs(a - b) < 1e-3 for a, b in zip(m2.coef, m.coef))
+
+    def test_declared_query_digest(self, spark):
+        import __spark_entry__ as e
+
+        df = e.queries()["quality_classifier"](spark, "/root/testdata/sf0.001")
+        rows = sorted(
+            (r["doc_id"], r["keep"], r["quality_prob"], r["quality_pred"])
+            for r in df.collect()
+        )
+        assert len(rows) == 500
+        acc = sum(int(p == k) for _, k, _, p in rows) / len(rows)
+        assert acc >= 0.8  # weak-label train accuracy floor
+        # digest-pin the scores: fit is order_cols-deterministic
+        import hashlib
+
+        dig = hashlib.md5(str(rows).encode()).hexdigest()
+        df2 = e.queries()["quality_classifier"](spark, "/root/testdata/sf0.001")
+        rows2 = sorted(
+            (r["doc_id"], r["keep"], r["quality_prob"], r["quality_pred"])
+            for r in df2.collect()
+        )
+        assert hashlib.md5(str(rows2).encode()).hexdigest() == dig
