@@ -1549,6 +1549,39 @@ def q_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
+def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup (operators.similarity.semantic_dedup, Abbas et al.
+    2023): KMeans-cluster the embeddings, drop any item with cosine
+    > 0.99 to a higher-priority member of its cluster (keep='edge', the
+    paper's least-central-survives policy). The synthetic embeddings
+    carry no natural near-dups (max pairwise cosine 0.48 at sf0.001),
+    so the query injects one scaled copy (x1.0005 — cosine exactly 1,
+    a hair away in euclidean so it lands in the same cluster) per
+    vec_id%10==0 vector; the dedup must remove exactly one of each
+    pair. Rows-only: KMeans is iterative; pytest pins the pair
+    resolution and the no-surviving-dup invariant."""
+    from amonaly_detection_in_time_series_data_spark.operators.similarity import (
+        semantic_dedup,
+    )
+
+    emb = spread_small(load_table(spark, sf_dir, "embeddings")).select(
+        "vec_id", "embedding"
+    )
+    dup = emb.filter(F.col("vec_id") % 10 == 0).select(
+        (F.col("vec_id") + 100000).alias("vec_id"),
+        F.transform("embedding", lambda x: x * F.lit(1.0005)).alias("embedding"),
+    )
+    out = semantic_dedup(
+        emb.unionByName(dup), n_clusters=16, eps=0.99, keep="edge", seed=42
+    )
+    return out.select(
+        "vec_id",
+        F.col("__list").alias("cluster"),
+        F.round("__csim", 6).alias("centroid_cosine"),
+        F.col("sem_keep").cast("bigint").alias("sem_keep"),
+    )
+
+
 def q_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
     """fasttext-style corpus quality classifier
     (operators.classifier): weak labels from the Gopher quality rules,
@@ -1653,6 +1686,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pca_anomaly": q_pca_anomaly,
         "lstm_scores": q_lstm_scores,
         "quality_classifier": q_quality_classifier,
+        "semantic_dedup": q_semantic_dedup,
     }
 
 

@@ -762,3 +762,83 @@ def ngram_jaccard_pairs(
     return joined.select(
         "id_a", "id_b", (inter / F.nullif(union, F.lit(0.0))).alias("jaccard")
     )
+
+
+def semantic_dedup(
+    corpus: DataFrame,
+    n_clusters: int = 16,
+    eps: float = 0.9,
+    keep: str = "edge",
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic
+    deduplication by embedding clustering — KMeans-partition the corpus,
+    then inside each cluster drop every item whose cosine similarity to
+    a higher-priority cluster member exceeds ``eps``.
+
+    ``keep`` picks the survivor of a duplicate group:
+    - ``'edge'`` (the paper's choice): keep the item LEAST similar to
+      its centroid — retains boundary examples, drops prototypical
+      redundancy;
+    - ``'central'``: keep the most centroid-similar item;
+    - ``'min_id'``: lowest id (fully order-independent tiebreak).
+
+    Semantics note: an item is dropped when ANY higher-priority cluster
+    member is within ``eps`` — the dominance rule, a deterministic
+    one-join relaxation of the paper's sequential greedy (it can drop an
+    item whose dominator was itself dropped; for the tight-duplicate
+    regime SemDeDup targets the two coincide). Cross-cluster near-dups
+    are invisible by design — that is the accepted recall trade of the
+    method; raise ``n_clusters`` resolution or run LSH
+    (:func:`embedding_neardup_pairs`) for cross-bucket recall.
+
+    Output: the corpus with ``__list`` (cluster), ``__csim`` (cosine to
+    centroid) and ``sem_keep`` (0/1) added.
+
+    Scale (100 TB): the KMeans fit is MLlib-distributed; the pairwise
+    stage is a self-join ON the cluster id — one shuffle, triangle
+    bounded by the largest cluster (the SemDeDup contract is that
+    n_clusters is sized so clusters stay small, e.g. 50k clusters for
+    100M docs in the paper; a runaway cluster needs the same cap
+    playbook as the MinHash mega-bucket). Centroids broadcast.
+    """
+    if keep not in ("edge", "central", "min_id"):
+        raise ValueError(f"keep must be edge|central|min_id, got {keep!r}")
+    inv, cent_df = ivf_build_index(corpus, n_clusters, seed, id_col, vec_col)
+    wc = inv.join(F.broadcast(cent_df), "__list").withColumn(
+        "__csim", cosine_similarity(F.col(vec_col), F.col("__centroid"))
+    )
+    slim = wc.select(id_col, vec_col, "__list", "__csim")
+    if keep == "edge":
+        a_first = (
+            F.struct(F.col("a.__csim"), F.col(f"a.{id_col}"))
+            < F.struct(F.col("b.__csim"), F.col(f"b.{id_col}"))
+        )
+    elif keep == "central":
+        a_first = (
+            F.struct(-F.col("a.__csim"), F.col(f"a.{id_col}"))
+            < F.struct(-F.col("b.__csim"), F.col(f"b.{id_col}"))
+        )
+    else:
+        a_first = F.col(f"a.{id_col}") < F.col(f"b.{id_col}")
+    pair_sim = cosine_similarity(F.col(f"a.{vec_col}"), F.col(f"b.{vec_col}"))
+    dropped = (
+        slim.alias("a")
+        .join(
+            slim.alias("b"),
+            (F.col("a.__list") == F.col("b.__list")) & a_first,
+        )
+        .filter(pair_sim > eps)
+        .select(F.col(f"b.{id_col}").alias(id_col))
+        .distinct()
+        .withColumn("__dup", F.lit(1))
+    )
+    return (
+        wc.join(dropped, id_col, "left")
+        .withColumn(
+            "sem_keep", F.when(F.col("__dup").isNull(), 1).otherwise(0)
+        )
+        .drop("__dup", "__centroid")
+    )

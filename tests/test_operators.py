@@ -1219,3 +1219,78 @@ class TestTextLRClassifier:
             for r in df2.collect()
         )
         assert hashlib.md5(str(rows2).encode()).hexdigest() == dig
+
+
+class TestSemanticDedup:
+    """operators.similarity.semantic_dedup — SemDeDup clustering dedup."""
+
+    def _corpus(self, spark):
+        import numpy as np
+
+        rng = np.random.default_rng(3)
+        rows = []
+        for c in range(4):
+            center = rng.normal(size=8) * 1.5
+            for i in range(20):
+                rows.append(
+                    (c * 100 + i, (center + rng.normal(scale=1.0, size=8)).tolist())
+                )
+        base = dict(rows)
+        for c in range(4):
+            for i in range(3):
+                v = np.array(base[c * 100 + i])
+                rows.append((c * 100 + 50 + i, (v * 1.0005).tolist()))
+        return rows
+
+    def test_drops_planted_dups_only(self, spark):
+        from amonaly_detection_in_time_series_data_spark.operators.similarity import semantic_dedup
+
+        rows = self._corpus(spark)
+        df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+        out = semantic_dedup(df, n_clusters=4, eps=0.99, keep="min_id")
+        r = {x["vec_id"]: x["sem_keep"] for x in out.collect()}
+        planted = {c * 100 + 50 + i for c in range(4) for i in range(3)}
+        assert {k for k, kp in r.items() if kp == 0} == planted
+
+    def test_no_surviving_intra_cluster_dup_pair(self, spark):
+        import numpy as np
+        from amonaly_detection_in_time_series_data_spark.operators.similarity import semantic_dedup
+
+        rows = self._corpus(spark)
+        df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+        for keep in ("edge", "central", "min_id"):
+            out = semantic_dedup(df, n_clusters=4, eps=0.99, keep=keep).collect()
+            kept = [(x["__list"], np.array(x["embedding"]))
+                    for x in out if x["sem_keep"] == 1]
+            for i in range(len(kept)):
+                for j in range(i + 1, len(kept)):
+                    li, vi = kept[i]
+                    lj, vj = kept[j]
+                    if li != lj:
+                        continue
+                    cos = vi @ vj / (np.linalg.norm(vi) * np.linalg.norm(vj))
+                    assert cos <= 0.99 + 1e-12, (keep, li, cos)
+
+    def test_bad_keep_raises(self, spark):
+        import pytest as _pytest
+        from amonaly_detection_in_time_series_data_spark.operators.similarity import semantic_dedup
+
+        df = spark.createDataFrame(
+            [(1, [1.0, 0.0])], "vec_id long, embedding array<double>"
+        )
+        with _pytest.raises(ValueError):
+            semantic_dedup(df, keep="random")
+
+    def test_declared_query_resolves_each_pair(self, spark):
+        import __spark_entry__ as e
+
+        out = e.queries()["semantic_dedup"](spark, "/root/testdata/sf0.001").collect()
+        keep = {r["vec_id"]: r["sem_keep"] for r in out}
+        assert len(keep) == 550  # 500 + 50 injected
+        originals = [v for v in keep if v < 100000 and v % 10 == 0]
+        assert len(originals) == 50
+        for v in originals:
+            assert keep[v] + keep[v + 100000] == 1, v  # exactly one survives
+        # nothing else dropped: natural max cosine is 0.48 << eps
+        others = [v for v in keep if v < 100000 and v % 10 != 0]
+        assert all(keep[v] == 1 for v in others)
