@@ -117,6 +117,9 @@ def main() -> None:
         make_longdoc_corpus,
         quality_rules,
     )
+    from amonaly_detection_in_time_series_data_spark.operators.dedup import (
+        span_dedup_stats,
+    )
     from amonaly_detection_in_time_series_data_spark.operators.similarity import (
         minhash_signatures,
     )
@@ -133,6 +136,9 @@ def main() -> None:
         minhash_signatures(
             ld, "text", "doc_id", n_hashes=8, shingle_n=3
         ).write.format("noop").mode("overwrite").save()
+        span_dedup_stats(ld, "text", "doc_id", span_len=8).write.format(
+            "noop"
+        ).mode("overwrite").save()
         longdoc[f"{tokens // 1000}k"] = round(time.perf_counter() - start, 3)
 
     total = round(sum(timings.values()), 3)

@@ -383,3 +383,59 @@ class TestStreamingModelScoring:
             serr, sflag = streamed[key]
             assert serr == pytest.approx(err, rel=1e-9), key
             assert sflag == int(err > 0.5), key
+
+
+class TestStreamingScrubAndScore:
+    def test_pii_and_classifier_scoring_streaming_parity(self, spark, sf_dir):
+        """PII scrub (regexp chain) and the fitted text-classifier scorer
+        (per-token coefficient aggregate) are both STATELESS map-only
+        projections, so the ingest-pipeline composition
+        redact -> score must run unchanged on a readStream and emit the
+        batch answer exactly. The model is fitted ONCE in batch and its
+        coefficient literal rides the streaming plan — the broadcast-
+        model streaming-serving pattern with zero Python."""
+        from pyspark.sql import functions as F
+
+        from amonaly_detection_in_time_series_data_spark.functions.text import (
+            pii_counts,
+            redact_pii,
+        )
+        from amonaly_detection_in_time_series_data_spark.operators.classifier import (
+            fit_text_lr,
+            score_text_lr,
+        )
+        from amonaly_detection_in_time_series_data_spark.operators.corpus import (
+            quality_rules,
+        )
+        from amonaly_detection_in_time_series_data_spark.streaming.rolling import (
+            replay_table_stream,
+        )
+
+        docs = load_table(spark, sf_dir, "documents")
+        labeled = quality_rules(docs, "text").select("doc_id", "text", "keep")
+        model = fit_text_lr(
+            labeled, "text", "keep", n_features=64, order_cols=["doc_id"]
+        )
+
+        def scrub_and_score(df):
+            red = df.select(
+                "doc_id", redact_pii("text").alias("text"), *pii_counts("text")
+            )
+            return score_text_lr(red, model, "text").select(
+                "doc_id", "n_email", "n_url",
+                F.round("quality_prob", 6).alias("prob"),
+            )
+
+        stream = replay_table_stream(spark, sf_dir, "documents")
+        _run_stream_to_memory(
+            scrub_and_score(stream), "stream_scrub_score", "append"
+        )
+        streamed = {
+            r["doc_id"]: tuple(r)[1:]
+            for r in spark.sql("SELECT * FROM stream_scrub_score").collect()
+        }
+        batch = {
+            r["doc_id"]: tuple(r)[1:] for r in scrub_and_score(docs).collect()
+        }
+        assert streamed == batch
+        assert len(streamed) > 0
