@@ -1314,12 +1314,38 @@ def q_minhash_pairs_md5(spark: SparkSession, sf_dir: str) -> DataFrame:
     triangles are O(bucket^2); boilerplate corpora produce mega-buckets).
     Set to 2 here — deliberately small enough to BIND at test scale
     (sf0.01 bucket sizes are 1..3), so the cap semantics are
-    oracle-proven, mirrored as a HAVING count(*) filter in the SQL."""
+    oracle-proven, mirrored as a HAVING count(*) filter in the SQL.
+
+    Merged r6: the pair list is resolved into DEDUP GROUPS —
+    operators.graph.connected_components (iterative min-label
+    propagation) collapses transitively-linked candidates, and every doc
+    (singletons included) gets a ``component`` row. Tagged union:
+    kind='pair' rows carry (id_a, id_b, jaccard_est); kind='component'
+    rows carry (doc_id, component, NULL). The oracle replays the
+    components with a recursive-CTE transitive closure, so the
+    distributed fixpoint is exact-checked against SQL semantics."""
+    from amonaly_detection_in_time_series_data_spark.operators.graph import (
+        connected_components,
+    )
+
     docs = spread_small(_docs_with_dups(spark, sf_dir))
     sigs = minhash_signatures(
         docs, "text", "doc_id", n_hashes=8, shingle_n=3, hash_fn="md5"
     )
-    return minhash_lsh_pairs(sigs, n_bands=4, id_col="doc_id", max_bucket_size=2)
+    pairs = minhash_lsh_pairs(
+        sigs, n_bands=4, id_col="doc_id", max_bucket_size=2
+    )
+    cc = connected_components(pairs, nodes=docs, node_col="doc_id")
+    pair_rows = pairs.select(
+        F.lit("pair").alias("kind"), "id_a", "id_b", "jaccard_est"
+    )
+    comp_rows = cc.select(
+        F.lit("component").alias("kind"),
+        F.col("node").alias("id_a"),
+        F.col("component").alias("id_b"),
+        F.lit(None).cast("double").alias("jaccard_est"),
+    )
+    return pair_rows.unionByName(comp_rows)
 
 
 def q_simhash_md5(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2298,7 +2324,7 @@ SELECT query_id, neighbor_id, cosine, CAST(rn AS BIGINT) AS rank FROM (
 
     # --- md5-hash-family near-dup tier (md5h defined above) ------------
     sql["minhash_pairs_md5"] = f"""
-WITH docs2 AS (
+WITH RECURSIVE docs2 AS (
   SELECT doc_id, text FROM documents
   UNION ALL
   SELECT doc_id + 10000 AS doc_id, text FROM documents WHERE doc_id % 10 = 0
@@ -2324,12 +2350,35 @@ cand AS (
   FROM bands a
   JOIN bands b ON a.b = b.b AND a.slice = b.slice AND a.doc_id < b.doc_id
   JOIN kept k ON k.b = a.b AND k.slice = a.slice
+),
+pairs AS (
+  SELECT id_a, id_b,
+         list_sum(list_transform(range(1, 9),
+                  i -> CASE WHEN sa[i] = sb[i] THEN 1 ELSE 0 END)) / 8.0
+             AS jaccard_est
+  FROM cand
+),
+und AS (
+  SELECT id_a AS a, id_b AS b FROM pairs
+  UNION ALL
+  SELECT id_b, id_a FROM pairs
+),
+reach(a, b) AS (
+  SELECT a, b FROM und
+  UNION
+  SELECT r.a, e.b FROM reach r JOIN und e ON r.b = e.a
+),
+comp AS (
+  SELECT d.doc_id AS node,
+         least(d.doc_id, coalesce(min(reach.b), d.doc_id)) AS component
+  FROM docs2 d LEFT JOIN reach ON reach.a = d.doc_id
+  GROUP BY d.doc_id
 )
-SELECT id_a, id_b,
-       list_sum(list_transform(range(1, 9),
-                i -> CASE WHEN sa[i] = sb[i] THEN 1 ELSE 0 END)) / 8.0
-           AS jaccard_est
-FROM cand
+SELECT 'pair' AS kind, id_a, id_b, jaccard_est FROM pairs
+UNION ALL
+SELECT 'component' AS kind, node AS id_a, component AS id_b,
+       CAST(NULL AS DOUBLE) AS jaccard_est
+FROM comp
 """
 
     sql["simhash_md5"] = f"""

@@ -1294,3 +1294,98 @@ class TestSemanticDedup:
         # nothing else dropped: natural max cosine is 0.48 << eps
         others = [v for v in keep if v < 100000 and v % 10 != 0]
         assert all(keep[v] == 1 for v in others)
+
+
+class TestConnectedComponents:
+    """operators.graph — distributed min-label components vs a
+    from-scratch union-find oracle."""
+
+    @staticmethod
+    def _uf_components(edges, nodes):
+        parent = {n: n for n in nodes}
+
+        def find(x):
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        for a, b in edges:
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                parent[ra] = rb
+        groups = {}
+        for n in nodes:
+            groups.setdefault(find(n), []).append(n)
+        out = {}
+        for members in groups.values():
+            m = min(members)
+            for n in members:
+                out[n] = m
+        return out
+
+    def test_matches_union_find_on_random_graphs(self, spark):
+        import random
+
+        from amonaly_detection_in_time_series_data_spark.operators.graph import (
+            connected_components,
+        )
+
+        rng = random.Random(17)
+        for trial in range(3):
+            n = 60
+            nodes = list(range(n))
+            edges = [
+                (rng.randrange(n), rng.randrange(n)) for _ in range(40)
+            ]
+            edges = [(a, b) for a, b in edges if a != b]
+            df = spark.createDataFrame(edges, "id_a long, id_b long")
+            ndf = spark.createDataFrame([(x,) for x in nodes], "id long")
+            got = {
+                r["node"]: r["component"]
+                for r in connected_components(
+                    df, nodes=ndf, node_col="id"
+                ).collect()
+            }
+            assert got == self._uf_components(edges, nodes), trial
+
+    def test_long_chain_converges(self, spark):
+        from amonaly_detection_in_time_series_data_spark.operators.graph import (
+            connected_components,
+        )
+
+        # a 15-node path needs ~diameter rounds of plain propagation
+        edges = [(i, i + 1) for i in range(15)]
+        df = spark.createDataFrame(edges, "id_a long, id_b long")
+        got = {
+            r["node"]: r["component"]
+            for r in connected_components(df, max_iter=20).collect()
+        }
+        assert set(got.values()) == {0} and len(got) == 16
+
+    def test_non_convergence_raises(self, spark):
+        import pytest as _pytest
+
+        from amonaly_detection_in_time_series_data_spark.operators.graph import (
+            connected_components,
+        )
+
+        edges = [(i, i + 1) for i in range(12)]
+        df = spark.createDataFrame(edges, "id_a long, id_b long")
+        with _pytest.raises(RuntimeError):
+            connected_components(df, max_iter=2)
+
+    def test_dedup_group_keep_flags_min_member(self, spark):
+        from amonaly_detection_in_time_series_data_spark.operators.graph import (
+            connected_components,
+            dedup_group_keep,
+        )
+
+        df = spark.createDataFrame(
+            [(5, 9), (9, 2), (7, 8)], "id_a long, id_b long"
+        )
+        out = {
+            r["node"]: r["group_keep"]
+            for r in dedup_group_keep(connected_components(df)).collect()
+        }
+        assert out == {2: 1, 5: 0, 9: 0, 7: 1, 8: 0}
