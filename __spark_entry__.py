@@ -1608,6 +1608,33 @@ def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_sketch_aggs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate-aggregation surface (the sketch tier every
+    warehouse-scale engine ships): per event-source user-id cardinality
+    via HyperLogLog++ (``approx_count_distinct``, rsd 2%) next to the
+    exact ``countDistinct``, and t-digest quantiles
+    (``approx_percentile``, accuracy 10000) next to the exact
+    ``percentile``. Rows-only: sketch estimates are engine-specific
+    (DuckDB's HLL differs); pytest pins the relative-error bounds
+    instead — the *contract* of a sketch is its error envelope, not a
+    bit-exact value. At 100 TB the sketches are the point: fixed-size
+    state, map-side partials, no exact-distinct shuffle explosion."""
+    ev = _events(spark, sf_dir)
+    grp = ev.groupBy((F.col("event_id") % 4).alias("shard"))
+    return grp.agg(
+        F.countDistinct("user_id").alias("exact_users"),
+        F.approx_count_distinct("user_id", rsd=0.02).alias("hll_users"),
+        F.round(F.expr("percentile(value, 0.5)"), 4).alias("exact_p50"),
+        F.round(
+            F.expr("approx_percentile(value, 0.5, 10000)"), 4
+        ).alias("tdigest_p50"),
+        F.round(F.expr("percentile(value, 0.95)"), 4).alias("exact_p95"),
+        F.round(
+            F.expr("approx_percentile(value, 0.95, 10000)"), 4
+        ).alias("tdigest_p95"),
+    ).orderBy("shard")
+
+
 def q_pq_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Product-quantization ANN (operators.pq, Jégou et al. 2011 /
     FAISS IVF-PQ layout): seeded per-subspace k-means codebooks
@@ -1738,6 +1765,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_classifier": q_quality_classifier,
         "semantic_dedup": q_semantic_dedup,
         "pq_knn": q_pq_knn,
+        "sketch_aggs": q_sketch_aggs,
     }
 
 

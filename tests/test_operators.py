@@ -1482,3 +1482,21 @@ class TestProductQuantization:
         assert a == b
         with _pytest.raises(ValueError):
             pq_train(emb, "embedding", m=7)  # 64 % 7 != 0
+
+
+class TestSketchAggs:
+    def test_error_envelopes(self, spark):
+        """The sketch tier's contract is its error bound, not a value:
+        HLL++ at rsd=0.02 must land within 3 rsd of exact distinct;
+        t-digest quantiles at accuracy 10000 within 1% relative."""
+        import __spark_entry__ as e
+
+        rows = e.queries()["sketch_aggs"](spark, "/root/testdata/sf0.01").collect()
+        assert len(rows) == 4
+        for r in rows:
+            assert abs(r["hll_users"] - r["exact_users"]) <= max(
+                3 * 0.02 * r["exact_users"], 1
+            ), r
+            for p in ("p50", "p95"):
+                exact, approx = r[f"exact_{p}"], r[f"tdigest_{p}"]
+                assert abs(approx - exact) <= 0.01 * abs(exact) + 1e-9, (p, r)
