@@ -1500,3 +1500,56 @@ class TestSketchAggs:
             for p in ("p50", "p95"):
                 exact, approx = r[f"exact_{p}"], r[f"tdigest_{p}"]
                 assert abs(approx - exact) <= 0.01 * abs(exact) + 1e-9, (p, r)
+
+
+class TestBucketedJoin:
+    def test_bucketed_tables_join_with_zero_exchange(self, spark, sf_dir, tmp_path):
+        """The recurring-fact-join contract at 100 TB: bucket both fact
+        tables by the join key at WRITE time, and every later join on
+        that key runs with no Exchange on either side — the shuffle was
+        paid once, at layout time. Asserted on the physical plan."""
+        from amonaly_detection_in_time_series_data_spark.sources.writers import (
+            write_bucketed_table,
+        )
+
+        orders = load_table(spark, sf_dir, "orders").select(
+            "o_orderkey", "o_custkey", "o_totalprice"
+        )
+        li = load_table(spark, sf_dir, "lineitem").select(
+            "l_orderkey", "l_quantity", "l_extendedprice"
+        )
+        write_bucketed_table(
+            orders, "t_orders_b", ["o_orderkey"], 8,
+            sort_cols=["o_orderkey"], path=str(tmp_path / "ob"),
+        )
+        write_bucketed_table(
+            li.withColumnRenamed("l_orderkey", "o_orderkey"),
+            "t_lineitem_b", ["o_orderkey"], 8,
+            sort_cols=["o_orderkey"], path=str(tmp_path / "lb"),
+        )
+        prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        try:
+            a = spark.table("t_orders_b")
+            b = spark.table("t_lineitem_b")
+            # join + aggregate BOTH on the bucket key: the whole query
+            # must run with zero Exchange (layout paid the shuffle once)
+            joined = a.join(b, "o_orderkey").groupBy("o_orderkey").agg(
+                F.sum("l_extendedprice").alias("rev")
+            )
+            plan = joined._jdf.queryExecution().executedPlan().toString()
+            assert "Exchange" not in plan, plan
+            assert plan.count("Bucketed: true") == 2, plan
+            # correctness unchanged vs the plain-parquet join
+            want = (
+                orders.join(li, orders.o_orderkey == li.l_orderkey)
+                .groupBy("o_orderkey")
+                .agg(F.sum("l_extendedprice").alias("rev"))
+            )
+            got = {r["o_orderkey"]: round(r["rev"], 4) for r in joined.collect()}
+            exp = {r["o_orderkey"]: round(r["rev"], 4) for r in want.collect()}
+            assert got == exp
+        finally:
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+            spark.sql("DROP TABLE IF EXISTS t_orders_b")
+            spark.sql("DROP TABLE IF EXISTS t_lineitem_b")
