@@ -42,7 +42,7 @@ from amonaly_detection_in_time_series_data_spark.functions.vectors import (
     nested_double_literal,
 )
 
-__all__ = ["pq_train", "pq_encode", "pq_topk", "l2_normalize"]
+__all__ = ["pq_train", "pq_encode", "pq_topk", "ivf_pq_topk", "l2_normalize"]
 
 
 def l2_normalize(vec: Column) -> Column:
@@ -244,6 +244,119 @@ def pq_topk(
                 cosine_similarity(F.col("__cv"), F.col("__qv")), 8
             ).alias("cosine"),
         )
+    )
+    w2 = Window.partitionBy(query_id_col).orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        exact.withColumn("rank", F.row_number().over(w2))
+        .filter(F.col("rank") <= k)
+    )
+
+
+def ivf_pq_topk(
+    inv_codes: DataFrame,
+    cent_df: DataFrame,
+    queries: DataFrame,
+    codebooks: list[list[list[float]]],
+    k: int,
+    n_probe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    code_col: str = "pq_code",
+    query_id_col: str = "query_id",
+    rerank_with: DataFrame | None = None,
+    shortlist: int = 50,
+) -> DataFrame:
+    """The composed FAISS IVF-PQ search: per query, probe the
+    ``n_probe`` nearest coarse lists (centroids broadcast), ADC-score
+    ONLY the codes in those lists, then (optionally) exact-rerank the
+    shortlist.
+
+    ``inv_codes``: :func:`pq_encode` applied to ``ivf_build_index``'s
+    inverted lists — ``(id, __list, pq_code)``. The per-query candidate
+    set is ``n_probe/n_clusters`` of the corpus, and each candidate
+    costs O(m) code lookups — the two prunes multiply, which is the
+    IVF-PQ point. The probe/LUT table (n_queries rows) broadcasts; the
+    corpus side joins on ``__list`` map-side with no shuffle of codes.
+    """
+    from amonaly_detection_in_time_series_data_spark.functions.vectors import (
+        cosine_similarity,
+    )
+
+    m = len(codebooks)
+    kcent = len(codebooks[0])
+    dsub = len(codebooks[0][0])
+    cb = nested_double_literal(codebooks)
+    qv = l2_normalize(F.col(vec_col))
+    qn = queries.select(F.col(id_col).alias(query_id_col), qv.alias("__qv"))
+
+    probe = qn.crossJoin(F.broadcast(cent_df)).withColumn(
+        "__cs", cosine_similarity(F.col("__qv"), F.col("__centroid"))
+    )
+    wp = Window.partitionBy(query_id_col).orderBy(
+        F.col("__cs").desc(), F.col("__list").asc()
+    )
+    probed = (
+        probe.withColumn("__pr", F.row_number().over(wp))
+        .filter(F.col("__pr") <= n_probe)
+        .select(query_id_col, "__qv", "__list")
+    )
+    lut = F.transform(
+        F.sequence(F.lit(0), F.lit(m - 1)),
+        lambda j: F.transform(
+            F.sequence(F.lit(0), F.lit(kcent - 1)),
+            lambda c: F.aggregate(
+                F.zip_with(
+                    F.element_at(F.element_at(cb, j + 1), c + 1),
+                    F.slice(F.col("__qv"), j * dsub + 1, dsub),
+                    lambda a, b: (a - b) * (a - b),
+                ),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            ),
+        ),
+    )
+    plut = probed.select(query_id_col, "__qv", "__list", lut.alias("__lut"))
+
+    code = F.col(code_col)
+    dist = F.aggregate(
+        F.sequence(F.lit(0), F.lit(m - 1)),
+        F.lit(0.0),
+        lambda acc, j: acc
+        + F.element_at(
+            F.element_at(F.col("__lut"), j + 1),
+            F.element_at(code, j + 1) + 1,
+        ),
+    )
+    scored = (
+        inv_codes.join(F.broadcast(plut), "__list")
+        .filter(F.col(id_col) != F.col(query_id_col))
+        .select(
+            query_id_col,
+            "__qv",
+            F.col(id_col).alias("neighbor_id"),
+            F.round(dist, 8).alias("adc_dist"),
+        )
+    )
+    w = Window.partitionBy(query_id_col).orderBy(
+        F.col("adc_dist").asc(), F.col("neighbor_id").asc()
+    )
+    ranked = scored.withColumn("rank", F.row_number().over(w))
+    if rerank_with is None:
+        return ranked.drop("__qv").filter(F.col("rank") <= k)
+    short = ranked.filter(F.col("rank") <= shortlist).select(
+        query_id_col, "__qv", "neighbor_id"
+    )
+    vecs = rerank_with.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("__cv")
+    )
+    exact = vecs.join(F.broadcast(short), "neighbor_id").select(
+        query_id_col,
+        "neighbor_id",
+        F.round(cosine_similarity(F.col("__cv"), F.col("__qv")), 8).alias(
+            "cosine"
+        ),
     )
     w2 = Window.partitionBy(query_id_col).orderBy(
         F.col("cosine").desc(), F.col("neighbor_id").asc()

