@@ -775,14 +775,34 @@ def q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_resample_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Merged r6: resample/gap-fill to the regular hourly grid, then the
+    classical additive seasonal-decomposition anomaly tier on top
+    (operators.anomaly.seasonal_decompose — centered ±12h trend,
+    hour-of-day seasonal means, residual z-score vs series history).
+    The regular grid is the decomposition's precondition, so the two
+    operators compose in exactly this order in a real pipeline; all
+    three window steps share the one user_id exchange."""
+    from amonaly_detection_in_time_series_data_spark.operators.anomaly import (
+        seasonal_decompose,
+    )
+
     ev = _events(spark, sf_dir)
-    out = resample_grid(
+    grid = resample_grid(
         ev, ["user_id"], "ts", ["value"], step="1 hour", agg="avg", fill="ffill"
     )
-    return out.select(
+    dec = seasonal_decompose(
+        grid, "bucket_ts", "value", ["user_id"], trend_window=12,
+        round_digits=6,
+    )
+    return dec.select(
         "user_id",
         _ts_str("bucket_ts").alias("bucket_ts"),
         F.round("value", 6).alias("value"),
+        "trend",
+        "seasonal",
+        "residual",
+        "resid_z",
+        F.col("is_anomaly").cast("bigint").alias("is_anomaly"),
     )
 
 
@@ -2060,12 +2080,52 @@ spans AS (SELECT user_id, min(bucket_ts) AS lo, max(bucket_ts) AS hi FROM b GROU
 grid AS (
   SELECT user_id, unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS bucket_ts
   FROM spans
+),
+g2 AS (
+  SELECT g.user_id, g.bucket_ts,
+         last_value(b.value IGNORE NULLS) OVER (
+           PARTITION BY g.user_id ORDER BY g.bucket_ts
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS value
+  FROM grid g LEFT JOIN b ON g.user_id = b.user_id AND g.bucket_ts = b.bucket_ts
+),
+vi AS (
+  -- integer micro-unit mirror of seasonal_decompose(round_digits=6):
+  -- cross-row aggregates are exact INTEGER sums (combine-order-proof),
+  -- stage averages use the deterministic floor((2S+n)/(2n)) rounding,
+  -- so both engines carry bit-identical values into every stage
+  SELECT *, CAST(round(value * 1000000.0) AS BIGINT) AS v_i FROM g2
+),
+t AS (
+  SELECT *, CAST(floor((2 * sum(v_i) OVER w + count(v_i) OVER w)
+                 / (2.0 * count(v_i) OVER w)) AS BIGINT) AS trend_i
+  FROM vi
+  WINDOW w AS (PARTITION BY user_id ORDER BY bucket_ts
+               ROWS BETWEEN 12 PRECEDING AND 12 FOLLOWING)
+),
+d AS (SELECT *, v_i - trend_i AS detr_i FROM t),
+s AS (
+  SELECT *, CAST(floor((2 * sum(detr_i) OVER ws + count(detr_i) OVER ws)
+                 / (2.0 * count(detr_i) OVER ws)) AS BIGINT) AS seas_i
+  FROM d
+  WINDOW ws AS (PARTITION BY user_id, extract(hour FROM bucket_ts))
+),
+r AS (
+  SELECT *, (detr_i - seas_i) / 1000000.0 AS residual FROM s
+),
+z AS (
+  SELECT *, avg(residual) OVER (PARTITION BY user_id) AS mu,
+         stddev_samp(residual) OVER (PARTITION BY user_id) AS sd
+  FROM r
 )
-SELECT g.user_id, strftime(g.bucket_ts, '{fmt}') AS bucket_ts,
-       round(last_value(b.value IGNORE NULLS) OVER (
-         PARTITION BY g.user_id ORDER BY g.bucket_ts
-         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 6) AS value
-FROM grid g LEFT JOIN b ON g.user_id = b.user_id AND g.bucket_ts = b.bucket_ts
+SELECT user_id, strftime(bucket_ts, '{fmt}') AS bucket_ts,
+       round(value, 6) AS value,
+       trend_i / 1000000.0 AS trend,
+       seas_i / 1000000.0 AS seasonal,
+       residual,
+       round((residual - mu) / nullif(sd, 0), 6) AS resid_z,
+       CAST(coalesce(abs(round((residual - mu) / nullif(sd, 0), 6)) > 3.0, false) AS BIGINT)
+         AS is_anomaly
+FROM z
 """
 
     sql["ranking_functions"] = """

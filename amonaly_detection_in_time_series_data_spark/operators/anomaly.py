@@ -134,3 +134,96 @@ def pca_reconstruction_error(
         err = err + diff * diff
     out = out.withColumn(error_col, err).drop("__x", "__proj")
     return out, pca
+
+
+def seasonal_decompose(
+    df: DataFrame,
+    ts_col: str,
+    value_col: str,
+    series_cols: Sequence[str],
+    trend_window: int = 12,
+    z_threshold: float = 3.0,
+    round_digits: int | None = None,
+) -> DataFrame:
+    """Classical additive seasonal decomposition + residual z-score —
+    the STL-lite anomaly tier for periodic series (the reference's
+    domain is hourly energy data, where daily seasonality dominates;
+    its unimplemented threshold spec is config.py:33).
+
+    Requires a REGULAR time grid (compose after
+    ``operators.timeseries.resample_grid``):
+    - ``trend``: centered rolling mean over ±``trend_window`` rows
+      (frame shrinks at the series edges — same semantics in the SQL
+      oracle);
+    - ``seasonal``: mean detrended value per (series, hour-of-day);
+    - ``residual`` = value - trend - seasonal;
+    - ``resid_z``: residual z-scored against the series' full history
+      (``stddev_samp``), ``is_anomaly`` = |z| > ``z_threshold``.
+
+    Scale: the trend/z windows and the seasonal aggregate are all keyed
+    by the series — ONE hash exchange serves every step (the same
+    single-exchange property as the lag/rolling family; plan-asserted
+    for that family in tests). Per-series history must fit a partition;
+    beyond that, bucket the series exactly like ``bucketed_rolling``.
+
+    ``round_digits``: when set, the decomposition runs in EXACT integer
+    micro-units (``10^-round_digits``): the value is snapped to integer
+    units once, every cross-row aggregate is an INTEGER sum (exact in
+    any combine order — float averages pick up ~1e-8 association noise
+    from Spark's incremental moving frames and unordered partition
+    combines, and rounding cannot fix a true half-boundary tie), and
+    each stage's average is the deterministic integer rounding
+    ``floor((2S+n)/(2n))`` (ties toward +inf). A SQL oracle replays the
+    pipeline bit-for-bit. The z stage alone stays float (stddev needs
+    it) and is rounded at ``round_digits``; its inputs are identical
+    integers in both engines so the result is stable far beyond the
+    rounding boundary. Leave None for raw float arithmetic.
+    """
+    keys = [F.col(c) for c in series_cols]
+    w_ord = Window.partitionBy(*keys).orderBy(F.col(ts_col))
+    w_frame = w_ord.rowsBetween(-trend_window, trend_window)
+    w_season = Window.partitionBy(*keys, F.hour(ts_col))
+    w_all = Window.partitionBy(*keys)
+
+    if round_digits is None:
+        trend = F.avg(value_col).over(w_frame)
+        d = df.withColumn("trend", trend).withColumn(
+            "__detr", F.col(value_col) - F.col("trend")
+        )
+        d = d.withColumn("seasonal", F.avg("__detr").over(w_season))
+        d = d.withColumn(
+            "residual", F.col("__detr") - F.col("seasonal")
+        ).drop("__detr")
+        mu = F.avg("residual").over(w_all)
+        sd = F.stddev_samp("residual").over(w_all)
+        z = (F.col("residual") - mu) / F.nullif(sd, F.lit(0))
+    else:
+        scale = float(10**round_digits)
+
+        def int_avg(int_col, w):
+            s, n = F.sum(int_col).over(w), F.count(int_col).over(w)
+            return F.floor((2 * s + n) / (2 * n)).cast("bigint")
+
+        v_i = F.round(F.col(value_col) * scale).cast("bigint")
+        d = df.withColumn("__v_i", v_i)
+        d = d.withColumn("__trend_i", int_avg(F.col("__v_i"), w_frame))
+        d = d.withColumn("__detr_i", F.col("__v_i") - F.col("__trend_i"))
+        d = d.withColumn(
+            "__seas_i", int_avg(F.col("__detr_i"), w_season)
+        )
+        d = d.withColumn("__res_i", F.col("__detr_i") - F.col("__seas_i"))
+        d = (
+            d.withColumn("trend", F.col("__trend_i") / scale)
+            .withColumn("seasonal", F.col("__seas_i") / scale)
+            .withColumn("residual", F.col("__res_i") / scale)
+        )
+        mu = F.avg("residual").over(w_all)
+        sd = F.stddev_samp("residual").over(w_all)
+        z = F.round(
+            (F.col("residual") - mu) / F.nullif(sd, F.lit(0)), round_digits
+        )
+        d = d.drop("__v_i", "__trend_i", "__detr_i", "__seas_i", "__res_i")
+    return d.withColumn("resid_z", z).withColumn(
+        "is_anomaly",
+        F.coalesce(F.abs(z) > z_threshold, F.lit(False)).cast("int"),
+    )

@@ -1604,3 +1604,66 @@ class TestIvfPqComposition:
         # probe 8/16 lists -> candidate set is ~half the corpus per
         # query; rerank recovers near the IVF-exact ceiling
         assert rec >= 0.7, f"IVF-PQ recall@5 {rec:.3f}"
+
+
+class TestSeasonalDecompose:
+    def _series(self, spark):
+        import datetime
+
+        rows = []
+        t0 = datetime.datetime(2024, 1, 1)
+        hour_effect = [((h * 7) % 24) - 11.5 for h in range(24)]  # fixed seasonal
+        for i in range(24 * 14):  # two weeks hourly
+            ts = t0 + datetime.timedelta(hours=i)
+            v = 100.0 + hour_effect[ts.hour]
+            if i == 200:
+                v += 60.0  # planted spike
+            rows.append(("u1", ts, v))
+        return spark.createDataFrame(rows, "user_id string, ts timestamp, value double")
+
+    def test_finds_planted_spike_and_learns_seasonality(self, spark):
+        from amonaly_detection_in_time_series_data_spark.operators.anomaly import (
+            seasonal_decompose,
+        )
+
+        df = self._series(spark)
+        out = seasonal_decompose(df, "ts", "value", ["user_id"]).collect()
+        flagged = [r for r in out if r["is_anomaly"] == 1]
+        # the spike hour must be flagged; a plain-seasonal series yields
+        # near-zero residuals everywhere else (spike bleeds into its
+        # trend neighborhood, so allow a small flagged set)
+        assert any(r["value"] > 150.0 for r in flagged)  # the spiked hour
+        assert len(flagged) <= 5, [r["value"] for r in flagged]
+        # seasonal estimate reproduces the planted hour effect shape:
+        # residuals away from the spike neighborhood are tiny
+        calm = [
+            abs(r["residual"])
+            for i, r in enumerate(sorted(out, key=lambda r: r["ts"]))
+            if not (180 <= i <= 220)
+        ]
+        # the spike biases its own hour's seasonal mean by ~60/14 ≈ 4.3
+        # (classical decomposition is not robust to outliers); everything
+        # else stays well under the spike magnitude
+        assert max(calm) < 5.0
+
+    def test_integer_mode_matches_float_mode_closely(self, spark):
+        from amonaly_detection_in_time_series_data_spark.operators.anomaly import (
+            seasonal_decompose,
+        )
+
+        df = self._series(spark)
+        raw = {
+            (r["user_id"], r["ts"]): r
+            for r in seasonal_decompose(df, "ts", "value", ["user_id"]).collect()
+        }
+        snapped = {
+            (r["user_id"], r["ts"]): r
+            for r in seasonal_decompose(
+                df, "ts", "value", ["user_id"], round_digits=6
+            ).collect()
+        }
+        assert raw.keys() == snapped.keys()
+        for k in raw:
+            for c in ("trend", "seasonal", "residual"):
+                assert abs(raw[k][c] - snapped[k][c]) < 2e-6, (k, c)
+            assert raw[k]["is_anomaly"] == snapped[k]["is_anomaly"], k
