@@ -107,6 +107,8 @@ def fit_text_lr(
             "features"
         ),
     )
+    if feat.limit(1).count() == 0:
+        raise ValueError("fit_text_lr: empty labeled frame")
     lr = LogisticRegression(
         maxIter=max_iter, regParam=reg_param, standardization=False
     )

@@ -76,7 +76,11 @@ def pq_train(
     if order_cols:
         s = df.orderBy(*order_cols).select(v.alias("__v"))
     x = np.array(s.limit(sample_rows).toPandas()["__v"].tolist(), dtype=np.float64)
+    if x.size == 0:
+        raise ValueError("pq_train: empty fit frame (no vectors to train on)")
     n, d = x.shape
+    if n < k:
+        raise ValueError(f"pq_train: fit sample has {n} rows < k={k} centroids")
     if d % m:
         raise ValueError(f"dim {d} not divisible by m={m}")
     dsub = d // m

@@ -585,3 +585,71 @@ class TestPiiRedaction:
             .toString()
         )
         assert "Exchange" not in plan
+
+
+class TestEmptyInputs:
+    """Stateless corpus/text operators must pass an EMPTY frame through
+    as zero rows (the S2 empty-table contract extends to the pipeline);
+    fit operators must refuse with a clear ValueError instead of an
+    opaque numpy/MLlib stack."""
+
+    def _empty_docs(self, spark):
+        return spark.createDataFrame(
+            [], "doc_id long, text string, lang string, source string"
+        )
+
+    def test_stateless_ops_pass_through(self, spark):
+        from pyspark.sql import functions as F
+        from amonaly_detection_in_time_series_data_spark.functions.text import (
+            pii_counts,
+            redact_pii,
+        )
+        from amonaly_detection_in_time_series_data_spark.operators.corpus import (
+            hash_split,
+            mixture_resample,
+            quality_rules,
+        )
+        from amonaly_detection_in_time_series_data_spark.operators.dedup import (
+            drop_dup_spans,
+            span_dedup_stats,
+        )
+
+        e = self._empty_docs(spark)
+        assert quality_rules(e, "text").count() == 0
+        assert hash_split(e, "doc_id").count() == 0
+        assert span_dedup_stats(e, "text", "doc_id").count() == 0
+        assert drop_dup_spans(e, "text", "doc_id").count() == 0
+        assert e.select(*pii_counts("text"), redact_pii("text")).count() == 0
+        assert (
+            mixture_resample(e, "source", "doc_id", {"src0": 1.0}).count() == 0
+        )
+
+    def test_graph_ops_on_empty_edges(self, spark):
+        from amonaly_detection_in_time_series_data_spark.operators.graph import (
+            connected_components,
+        )
+
+        edges = spark.createDataFrame([], "id_a long, id_b long")
+        nodes = spark.createDataFrame([(1,), (2,)], "id long")
+        out = {
+            r["node"]: r["component"]
+            for r in connected_components(
+                edges, nodes=nodes, node_col="id"
+            ).collect()
+        }
+        assert out == {1: 1, 2: 2}  # all singletons
+        assert connected_components(edges).count() == 0
+
+    def test_fit_ops_raise_cleanly(self, spark):
+        import pytest as _pytest
+        from amonaly_detection_in_time_series_data_spark.operators.classifier import (
+            fit_text_lr,
+        )
+        from amonaly_detection_in_time_series_data_spark.operators.pq import pq_train
+
+        e = self._empty_docs(spark)
+        with _pytest.raises(ValueError, match="empty"):
+            fit_text_lr(e.withColumn("keep", F.lit(1)), "text", "keep")
+        emb = spark.createDataFrame([], "vec_id long, embedding array<double>")
+        with _pytest.raises(ValueError, match="empty"):
+            pq_train(emb, "embedding")
