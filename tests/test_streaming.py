@@ -439,3 +439,49 @@ class TestStreamingScrubAndScore:
         }
         assert streamed == batch
         assert len(streamed) > 0
+
+
+class TestStreamingSketch:
+    def test_windowed_hll_distinct_matches_batch_sketch(self, spark, sf_dir):
+        """Sketch aggregation under event-time windows in Structured
+        Streaming: approx_count_distinct carries fixed-size HLL state
+        per window (the 100 TB alternative to exact distinct's
+        unbounded shuffle), and the streamed sketch must equal the
+        SAME sketch computed in batch (HLL++ is deterministic for a
+        given value set) and sit within 3 rsd of the exact count."""
+        from pyspark.sql import functions as F
+
+        from amonaly_detection_in_time_series_data_spark.streaming.rolling import (
+            replay_events_stream,
+        )
+
+        def windowed_distinct(df):
+            return (
+                df.withWatermark("ts", "2 hours")
+                .groupBy(F.window("ts", "24 hours").alias("win"))
+                .agg(
+                    F.approx_count_distinct("user_id", rsd=0.02).alias("hll"),
+                )
+                .select(F.col("win.start").alias("ws"), "hll")
+            )
+
+        stream = replay_events_stream(spark, sf_dir)
+        _run_stream_to_memory(
+            windowed_distinct(stream), "stream_hll", "complete"
+        )
+        streamed = {
+            r["ws"]: r["hll"] for r in spark.sql("SELECT * FROM stream_hll").collect()
+        }
+        ev = load_table(spark, sf_dir, "events")
+        batch = {r["ws"]: r["hll"] for r in windowed_distinct(ev).collect()}
+        assert streamed == batch
+        assert len(streamed) > 0
+        exact = {
+            r["ws"]: r["n"]
+            for r in ev.groupBy(F.window("ts", "24 hours").alias("win"))
+            .agg(F.countDistinct("user_id").alias("n"))
+            .select(F.col("win.start").alias("ws"), "n")
+            .collect()
+        }
+        for ws, n in exact.items():
+            assert abs(streamed[ws] - n) <= max(3 * 0.02 * n, 1), (ws, n)
