@@ -1198,10 +1198,10 @@ class TestTextLRClassifier:
         assert abs(m2.intercept - m.intercept) < 1e-3
         assert all(abs(a - b) < 1e-3 for a, b in zip(m2.coef, m.coef))
 
-    def test_declared_query_digest(self, spark):
+    def test_declared_query_digest(self, spark, sf_dir):
         import __spark_entry__ as e
 
-        df = e.queries()["quality_classifier"](spark, "/root/testdata/sf0.001")
+        df = e.queries()["quality_classifier"](spark, sf_dir)
         rows = sorted(
             (r["doc_id"], r["keep"], r["quality_prob"], r["quality_pred"])
             for r in df.collect()
@@ -1213,7 +1213,7 @@ class TestTextLRClassifier:
         import hashlib
 
         dig = hashlib.md5(str(rows).encode()).hexdigest()
-        df2 = e.queries()["quality_classifier"](spark, "/root/testdata/sf0.001")
+        df2 = e.queries()["quality_classifier"](spark, sf_dir)
         rows2 = sorted(
             (r["doc_id"], r["keep"], r["quality_prob"], r["quality_pred"])
             for r in df2.collect()
@@ -1281,10 +1281,10 @@ class TestSemanticDedup:
         with _pytest.raises(ValueError):
             semantic_dedup(df, keep="random")
 
-    def test_declared_query_resolves_each_pair(self, spark):
+    def test_declared_query_resolves_each_pair(self, spark, sf_dir):
         import __spark_entry__ as e
 
-        out = e.queries()["semantic_dedup"](spark, "/root/testdata/sf0.001").collect()
+        out = e.queries()["semantic_dedup"](spark, sf_dir).collect()
         keep = {r["vec_id"]: r["sem_keep"] for r in out}
         assert len(keep) == 550  # 500 + 50 injected
         originals = [v for v in keep if v < 100000 and v % 10 == 0]
@@ -1395,7 +1395,10 @@ class TestProductQuantization:
     """operators.pq — PQ codebooks, Catalyst encode, ADC search."""
 
     def _emb(self, spark):
-        return load_table(spark, "/root/testdata/sf0.001", "embeddings")
+        import os
+
+        sf = os.environ.get("SPARK_GRAFT_TEST_SF", "/root/testdata/sf0.001")
+        return load_table(spark, sf, "embeddings")
 
     def test_encode_matches_numpy(self, spark):
         import numpy as np
