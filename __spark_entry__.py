@@ -1562,14 +1562,37 @@ def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Benchmark n-gram decontamination: docs with doc_id % 50 == 0 play
     the eval benchmark; every other doc is flagged if it shares any word
     4-gram with the benchmark. Benchmark grams broadcast; corpus side
-    map-joined."""
+    map-joined.
+
+    Merged r6: the FUZZY tier (operators.corpus.fuzzy_decontaminate —
+    cross-dataset MinHash LSH with md5-portable signatures, benchmark
+    bands broadcast) runs alongside. The corpus gains one injected
+    near-copy per benchmark doc (its text + one extra token, doc_id +
+    20000) so paraphrase-level leakage exists to catch: those must flag
+    fuzzy (est >= 0.5) even where exact 4-gram overlap also fires."""
+    from amonaly_detection_in_time_series_data_spark.operators.corpus import (
+        fuzzy_decontaminate,
+    )
+
     docs = spread_small(load_table(spark, sf_dir, "documents"))
     benchmark = docs.filter(F.col("doc_id") % 50 == 0)
-    corpus = docs.filter(F.col("doc_id") % 50 != 0)
-    out = decontaminate(corpus, benchmark, "text", "doc_id", shingle_n=4)
-    return out.select(
+    near = benchmark.select(
+        (F.col("doc_id") + 20000).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" extratoken")).alias("text"),
+    )
+    corpus = docs.filter(F.col("doc_id") % 50 != 0).select(
+        "doc_id", "text"
+    ).unionByName(near)
+    exact = decontaminate(corpus, benchmark, "text", "doc_id", shingle_n=4)
+    fuzzy = fuzzy_decontaminate(
+        corpus, benchmark, "text", "doc_id",
+        n_hashes=8, shingle_n=3, n_bands=4, min_jaccard_est=0.5,
+    )
+    return exact.join(fuzzy, "doc_id").select(
         "doc_id", "n_hit_grams",
         F.col("contaminated").cast("bigint").alias("contaminated"),
+        "fuzzy_max_est",
+        F.col("fuzzy_contaminated").cast("bigint").alias("fuzzy_contaminated"),
     )
 
 
@@ -2691,25 +2714,61 @@ FROM m2 LEFT JOIN ulp USING (doc_id)
 """
 
     sql["decontaminate"] = f"""
-WITH sh AS (
-  SELECT doc_id, {grams4} AS grams FROM documents
+WITH corpus0 AS (
+  SELECT doc_id, text FROM documents WHERE doc_id % 50 <> 0
+  UNION ALL
+  SELECT doc_id + 20000 AS doc_id, text || ' extratoken' AS text
+  FROM documents WHERE doc_id % 50 = 0
+),
+sh AS (
+  SELECT doc_id, {grams4} AS grams FROM corpus0
 ),
 bench AS (
-  SELECT DISTINCT unnest(grams) AS gram FROM sh WHERE doc_id % 50 = 0
-),
-corpus AS (
-  SELECT * FROM sh WHERE doc_id % 50 <> 0
+  SELECT DISTINCT unnest({grams4}) AS gram FROM documents WHERE doc_id % 50 = 0
 ),
 hits AS (
   SELECT doc_id, count(DISTINCT gram) AS n_hit_grams
-  FROM (SELECT doc_id, unnest(grams) AS gram FROM corpus) cg
+  FROM (SELECT doc_id, unnest(grams) AS gram FROM sh) cg
   JOIN bench USING (gram)
   GROUP BY doc_id
+),
+gc AS (SELECT doc_id, unnest({grams}) AS gram FROM corpus0),
+hc AS (
+  SELECT doc_id, j, min({md5h.format(j='j', s='gram')}) AS mh
+  FROM gc, range(8) t(j) GROUP BY doc_id, j
+),
+sigc AS (SELECT doc_id, list(mh ORDER BY j) AS sig FROM hc GROUP BY doc_id),
+gb AS (
+  SELECT doc_id, unnest({grams}) AS gram FROM documents WHERE doc_id % 50 = 0
+),
+hb AS (
+  SELECT doc_id, j, min({md5h.format(j='j', s='gram')}) AS mh
+  FROM gb, range(8) t(j) GROUP BY doc_id, j
+),
+sigb AS (SELECT doc_id, list(mh ORDER BY j) AS sig FROM hb GROUP BY doc_id),
+bandc AS (
+  SELECT doc_id, sig, b, sig[b*2+1 : b*2+2] AS slice FROM sigc, range(4) t(b)
+),
+bandb AS (
+  SELECT doc_id, sig, b, sig[b*2+1 : b*2+2] AS slice FROM sigb, range(4) t(b)
+),
+candf AS (
+  SELECT DISTINCT c.doc_id AS cid, bb.doc_id AS bid, c.sig AS sc, bb.sig AS sb
+  FROM bandc c JOIN bandb bb ON c.b = bb.b AND c.slice = bb.slice
+),
+fhits AS (
+  SELECT cid AS doc_id,
+         max(list_sum(list_transform(range(1, 9),
+             i -> CASE WHEN sc[i] = sb[i] THEN 1 ELSE 0 END)) / 8.0)
+           AS fuzzy_max_est
+  FROM candf GROUP BY cid
 )
 SELECT c.doc_id,
        CAST(coalesce(n_hit_grams, 0) AS BIGINT) AS n_hit_grams,
-       CAST(coalesce(n_hit_grams, 0) > 0 AS BIGINT) AS contaminated
-FROM corpus c LEFT JOIN hits USING (doc_id)
+       CAST(coalesce(n_hit_grams, 0) > 0 AS BIGINT) AS contaminated,
+       round(coalesce(f.fuzzy_max_est, 0), 4) AS fuzzy_max_est,
+       CAST(coalesce(f.fuzzy_max_est, 0) >= 0.5 AS BIGINT) AS fuzzy_contaminated
+FROM corpus0 c LEFT JOIN hits USING (doc_id) LEFT JOIN fhits f USING (doc_id)
 """
 
     sql["pack_chunks"] = f"""

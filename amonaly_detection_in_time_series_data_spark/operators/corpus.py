@@ -46,6 +46,7 @@ __all__ = [
     "mixture_resample",
     "quality_rules",
     "decontaminate",
+    "fuzzy_decontaminate",
     "pack_chunks",
     "tfidf_top_terms",
     "make_longdoc_corpus",
@@ -532,5 +533,100 @@ def mixture_resample(
             keep_col,
             (F.row_number().over(w) <= F.coalesce(F.col(quota_col), F.lit(0)))
             .cast("int"),
+        )
+    )
+
+
+def fuzzy_decontaminate(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_hashes: int = 8,
+    shingle_n: int = 3,
+    n_bands: int = 4,
+    min_jaccard_est: float = 0.5,
+    hash_fn: str = "md5",
+) -> DataFrame:
+    """NEAR-match benchmark decontamination (the GPT-3-appendix /
+    FLAN-style fuzzy filter): flag corpus docs whose MinHash-estimated
+    shingle Jaccard against ANY benchmark doc reaches
+    ``min_jaccard_est`` — catching paraphrased or lightly-edited eval
+    leakage that exact n-gram overlap (:func:`decontaminate`) misses.
+
+    Cross-dataset banded LSH: both sides get ``n_hashes`` MinHash
+    signatures (``hash_fn='md5'`` keeps them engine-portable); the
+    benchmark's banded signature table (tiny — eval suites are MBs) is
+    BROADCAST, and corpus bands join it on the raw band slice (array
+    equality — no bucket-hash collision risk), so the corpus side is
+    map-only with no shuffle of corpus rows; only candidate hits
+    aggregate per doc.
+
+    Output: one row per corpus doc — ``(id, fuzzy_max_est,
+    fuzzy_contaminated)`` with est = matching-minhash fraction.
+    """
+    from amonaly_detection_in_time_series_data_spark.operators.similarity import (
+        minhash_signatures,
+    )
+
+    sig_c = minhash_signatures(
+        corpus, text_col, id_col, n_hashes=n_hashes,
+        shingle_n=shingle_n, hash_fn=hash_fn,
+    )
+    sig_b = minhash_signatures(
+        benchmark, text_col, id_col, n_hashes=n_hashes,
+        shingle_n=shingle_n, hash_fn=hash_fn,
+    )
+    r = n_hashes // n_bands
+
+    def banded(sigs, side):
+        return sigs.select(
+            F.col(id_col).alias(f"{side}_id"),
+            F.col("sig").alias(f"{side}_sig"),
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(0), F.lit(n_bands - 1)),
+                    lambda b: F.struct(
+                        b.alias("band"),
+                        F.slice(F.col("sig"), b * r + 1, r).alias("slice"),
+                    ),
+                )
+            ).alias("bb"),
+        ).select(f"{side}_id", f"{side}_sig", "bb.band", "bb.slice")
+
+    cand = (
+        banded(sig_c, "c")
+        .join(F.broadcast(banded(sig_b, "b")), ["band", "slice"])
+        .select("c_id", "c_sig", "b_id", "b_sig")
+        .distinct()
+    )
+    est = (
+        F.size(
+            F.filter(
+                F.zip_with("c_sig", "b_sig", lambda x, y: x == y),
+                lambda v: v,
+            )
+        )
+        / n_hashes
+    )
+    hits = (
+        cand.withColumn("__est", est)
+        .groupBy(F.col("c_id").alias(id_col))
+        .agg(F.max("__est").alias("fuzzy_max_est"))
+    )
+    return (
+        corpus.select(id_col)
+        .join(hits, id_col, "left")
+        .select(
+            id_col,
+            F.round(F.coalesce("fuzzy_max_est", F.lit(0.0)), 4).alias(
+                "fuzzy_max_est"
+            ),
+            (
+                F.coalesce("fuzzy_max_est", F.lit(0.0))
+                >= F.lit(float(min_jaccard_est))
+            )
+            .cast("int")
+            .alias("fuzzy_contaminated"),
         )
     )

@@ -653,3 +653,50 @@ class TestEmptyInputs:
         emb = spark.createDataFrame([], "vec_id long, embedding array<double>")
         with _pytest.raises(ValueError, match="empty"):
             pq_train(emb, "embedding")
+
+
+class TestFuzzyDecontaminate:
+    def test_near_matches_flag_and_unrelated_pass(self, spark):
+        from amonaly_detection_in_time_series_data_spark.operators.corpus import (
+            fuzzy_decontaminate,
+        )
+
+        bench = spark.createDataFrame(
+            [(100, "the capital of france is paris and the capital of spain is madrid")],
+            ["doc_id", "text"],
+        )
+        corpus = spark.createDataFrame(
+            [
+                # light paraphrase: one word swapped -> high jaccard
+                (1, "the capital of france is paris and the capital of spain is barcelona"),
+                # verbatim copy
+                (2, "the capital of france is paris and the capital of spain is madrid"),
+                # unrelated
+                (3, "completely different content about distributed query engines"),
+            ],
+            ["doc_id", "text"],
+        )
+        out = {
+            r["doc_id"]: r
+            for r in fuzzy_decontaminate(
+                corpus, bench, min_jaccard_est=0.5
+            ).collect()
+        }
+        assert out[2]["fuzzy_contaminated"] == 1
+        assert out[2]["fuzzy_max_est"] == 1.0
+        assert out[1]["fuzzy_contaminated"] == 1, out[1]
+        assert out[3]["fuzzy_contaminated"] == 0
+        assert out[3]["fuzzy_max_est"] == 0.0
+
+    def test_every_corpus_doc_gets_a_row(self, spark):
+        from amonaly_detection_in_time_series_data_spark.operators.corpus import (
+            fuzzy_decontaminate,
+        )
+
+        bench = spark.createDataFrame([(100, "a b c d e")], ["doc_id", "text"])
+        corpus = spark.createDataFrame(
+            [(1, "x y z w v u t"), (2, "")], ["doc_id", "text"]
+        )
+        out = fuzzy_decontaminate(corpus, bench).collect()
+        # empty-text doc has no shingles/signature but still reports 0
+        assert {r["doc_id"]: r["fuzzy_contaminated"] for r in out} == {1: 0, 2: 0}
