@@ -119,19 +119,29 @@ def pq_encode(
     m = len(codebooks)
     k = len(codebooks[0])
     dsub = len(codebooks[0][0])
-    cb = nested_double_literal(codebooks)  # [m][k][dsub]
     v = l2_normalize(F.col(vec_col)) if normalize else F.col(vec_col)
     d = df.withColumn("__nv", v)
     nv = F.col("__nv")
 
+    # Expression-engineering notes (SCALING.md §1b, both alternatives
+    # measured): each subspace tree embeds ONLY its own k x dsub
+    # codebook slice (sliced in Python) — embedding the full
+    # [m][k][dsub] literal in every tree multiplied analysis/codegen
+    # work m-fold (~16 s fixed cost at m=16,k=64; execution was 0.2 s).
+    # Folding the m-loop into one outer HOF instead makes the codebook
+    # lookup non-constant-foldable (j becomes a lambda variable) and
+    # the interpreted path re-evaluates the CreateArray literal tree
+    # per element — measured as a multi-minute hang. Constant j keeps
+    # element_at(cb_j, c+1) foldable to an O(1) Literal lookup.
     def code_for(j: int) -> Column:
+        cbj = nested_double_literal(codebooks[j])  # [k][dsub]
         sub = _sub(nv, j, dsub)
         dists = F.transform(
             F.sequence(F.lit(0), F.lit(k - 1)),
             lambda c: F.aggregate(
                 F.zip_with(
                     sub,
-                    F.element_at(F.element_at(cb, j + 1), c + 1),
+                    F.element_at(cbj, c + 1),
                     lambda a, b: (a - b) * (a - b),
                 ),
                 F.lit(0.0),
