@@ -1670,3 +1670,68 @@ class TestSeasonalDecompose:
             for c in ("trend", "seasonal", "residual"):
                 assert abs(raw[k][c] - snapped[k][c]) < 2e-6, (k, c)
             assert raw[k]["is_anomaly"] == snapped[k]["is_anomaly"], k
+
+
+class TestSqlRegistry:
+    def test_sql_functions_match_column_helpers(self, spark):
+        """The SQL macro surface must be expression-identical to the
+        DataFrame helpers — same tokens, counts, redaction, cleaning."""
+        from amonaly_detection_in_time_series_data_spark.functions.cleaning import (
+            clean_numeric_de,
+        )
+        from amonaly_detection_in_time_series_data_spark.functions.sql_registry import (
+            register_sql_functions,
+        )
+        from amonaly_detection_in_time_series_data_spark.functions.text import (
+            punct_ratio,
+            redact_pii,
+            token_count_regex,
+            tokenize,
+        )
+
+        names = register_sql_functions(spark)
+        assert "eng_tokenize" in names
+        rows = [
+            ("  Hello   World ",),
+            ("mail a@b.io or http://x.y 10.0.0.1 +1 555-867-5309",),
+            ("1.234,5",),
+            ("",),
+            (None,),
+        ]
+        df = spark.createDataFrame(rows, "x string")
+        df.createOrReplaceTempView("sqlreg_t")
+        got = spark.sql(
+            """SELECT eng_tokenize(x) AS toks, eng_token_count(x) AS tc,
+                      round(eng_punct_ratio(x), 6) AS pr,
+                      eng_redact_pii(x) AS red,
+                      eng_clean_numeric(x) AS num,
+                      eng_minmax(5.0D, 0.0D, 10.0D) AS mm
+               FROM sqlreg_t"""
+        ).collect()
+        want = df.select(
+            tokenize("x").alias("toks"),
+            token_count_regex("x").cast("int").alias("tc"),
+            F.round(punct_ratio("x"), 6).alias("pr"),
+            redact_pii("x").alias("red"),
+            clean_numeric_de("x").alias("num"),
+            F.lit(0.5).alias("mm"),
+        ).collect()
+        for g, w in zip(got, want):
+            assert tuple(g) == tuple(w), (g, w)
+
+    def test_sql_functions_stay_codegen(self, spark):
+        from amonaly_detection_in_time_series_data_spark.functions.sql_registry import (
+            register_sql_functions,
+        )
+
+        register_sql_functions(spark)
+        df = spark.range(5).selectExpr("CAST(id AS STRING) AS x")
+        df.createOrReplaceTempView("sqlreg_t2")
+        plan = (
+            spark.sql("SELECT eng_redact_pii(x) FROM sqlreg_t2")
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        # macro inlined: no python eval, no exchange
+        assert "BatchEvalPython" not in plan and "Exchange" not in plan
