@@ -746,6 +746,17 @@ def q_sessionize_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join (latest order at-or-before each event) — merged r6
+    with the point-in-interval join (operators.timeseries.
+    point_in_interval_join): each order also opens a 3-day validity
+    window, and every event reports how many windows cover it plus the
+    max covering order key. The interval join is the bucketized
+    equi-join form (1-day buckets) — never a nested-loop; the oracle
+    replays containment with a plain range predicate."""
+    from amonaly_detection_in_time_series_data_spark.operators.timeseries import (
+        point_in_interval_join,
+    )
+
     # for each event, the user's latest order at-or-before the event time
     # (user_id maps to o_custkey - 1 in the synthetic star schema)
     ev = _events(spark, sf_dir)
@@ -768,9 +779,32 @@ def q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         "o_orderdate",
         ["o_orderkey", "o_totalprice"],
     )
+    intervals = orders.select(
+        "user_id",
+        "o_orderdate",
+        (F.col("o_orderdate") + F.expr("INTERVAL 3 DAYS")).alias("__o_end"),
+        F.col("o_orderkey").alias("__iv_orderkey"),
+    )
+    cov = point_in_interval_join(
+        ev.select("event_id", "user_id", "ts"),
+        intervals,
+        ["user_id"],
+        "ts",
+        "o_orderdate",
+        "__o_end",
+        bucket_seconds=86_400,
+    ).groupBy("event_id").agg(
+        F.count("*").cast("bigint").alias("n_covering_orders"),
+        F.max("__iv_orderkey").alias("covering_orderkey"),
+    )
+    out = out.join(cov, "event_id", "left").withColumn(
+        "n_covering_orders",
+        F.coalesce("n_covering_orders", F.lit(0)).cast("bigint"),
+    )
     return out.select(
         "event_id", "user_id", _ts_str("ts").alias("ts"),
         "o_orderkey", "o_totalprice",
+        "n_covering_orders", "covering_orderkey",
     )
 
 
@@ -2087,11 +2121,24 @@ WITH r AS (
          arg_max(o_orderkey, o_orderkey) AS o_orderkey,
          arg_max(o_totalprice, o_orderkey) AS o_totalprice
   FROM orders GROUP BY 1, 2
+),
+cov AS (
+  SELECT e.event_id, count(*) AS n_cov, max(o.o_orderkey) AS cov_key
+  FROM events e
+  JOIN (SELECT o_custkey - 1 AS user_id, o_orderdate,
+               o_orderdate + INTERVAL 3 DAY AS o_end, o_orderkey
+        FROM orders) o
+    ON e.user_id = o.user_id
+   AND e.ts >= o.o_orderdate AND e.ts < o.o_end
+  GROUP BY e.event_id
 )
 SELECT e.event_id, e.user_id, strftime(e.ts, '{fmt}') AS ts,
-       r.o_orderkey, r.o_totalprice
+       r.o_orderkey, r.o_totalprice,
+       CAST(coalesce(c.n_cov, 0) AS BIGINT) AS n_covering_orders,
+       c.cov_key AS covering_orderkey
 FROM events e ASOF LEFT JOIN r
   ON e.user_id = r.user_id AND e.ts >= r.o_orderdate
+LEFT JOIN cov c ON c.event_id = e.event_id
 """
 
     sql["resample_hourly"] = f"""

@@ -185,3 +185,69 @@ def resample_grid(
             {c: F.last(F.col(c), ignorenulls=True).over(w) for c in value_cols}
         )
     return joined.withColumnRenamed("__bucket", "bucket_ts")
+
+
+def point_in_interval_join(
+    points: DataFrame,
+    intervals: DataFrame,
+    on: Sequence[str],
+    ts_col: str,
+    start_col: str,
+    end_col: str,
+    bucket_seconds: int = 86_400,
+    how: str = "inner",
+) -> DataFrame:
+    """Point-in-interval (range-containment) join: match each point row
+    to every interval row of the same key whose ``[start, end)``
+    contains ``ts`` — the maintenance-window / campaign-period /
+    validity-range join of a time-series store.
+
+    A naive ``ts >= start AND ts < end`` non-equi join compiles to
+    BroadcastNestedLoop (a scan of every interval per point — dead at
+    scale unless one side is tiny). This implementation BUCKETIZES:
+    each interval explodes into the fixed-width time buckets it covers,
+    each point maps to its single bucket, and the join becomes a plain
+    EQUI-join on (keys..., bucket) followed by the exact containment
+    filter. Shuffle is keyed by (keys, bucket) — co-partitioned,
+    AQE-skew-splittable; blow-up is bounded by
+    ``interval_length / bucket_seconds`` rows per interval, so set
+    ``bucket_seconds`` near the median interval length. Each (point,
+    interval) pair meets in EXACTLY one bucket (the point's), so no
+    dedup pass is needed.
+
+    ``how='left'`` keeps pointless points (interval columns null).
+    """
+    keys = list(on)
+    blen = F.lit(int(bucket_seconds)).cast("long")
+    istart = F.unix_timestamp(F.col(start_col))
+    iend = F.unix_timestamp(F.col(end_col))
+    ivals = intervals.withColumn(
+        "__b",
+        F.explode(
+            F.sequence(F.floor(istart / blen), F.floor(iend / blen))
+        ),
+    )
+    pts = points.withColumn(
+        "__b", F.floor(F.unix_timestamp(F.col(ts_col)) / blen)
+    )
+    cond = (F.col(ts_col) >= F.col(start_col)) & (
+        F.col(ts_col) < F.col(end_col)
+    )
+    if how == "inner":
+        return pts.join(ivals, keys + ["__b"]).filter(cond).drop("__b")
+    if how == "left":
+        matched = pts.join(ivals, keys + ["__b"]).filter(cond).drop("__b")
+        ival_cols = [
+            c for c in ivals.columns if c not in keys and c != "__b"
+        ]
+        missing = pts.drop("__b").join(
+            matched.select(*points.columns).distinct(),
+            points.columns,
+            "left_anti",
+        )
+        for c in ival_cols:
+            missing = missing.withColumn(
+                c, F.lit(None).cast(dict(ivals.dtypes)[c])
+            )
+        return matched.unionByName(missing)
+    raise ValueError(f"how must be inner|left, got {how!r}")

@@ -1735,3 +1735,94 @@ class TestSqlRegistry:
         )
         # macro inlined: no python eval, no exchange
         assert "BatchEvalPython" not in plan and "Exchange" not in plan
+
+
+class TestPointInIntervalJoin:
+    def _fixtures(self, spark):
+        import datetime as dt
+
+        T = dt.datetime
+        pts = spark.createDataFrame(
+            [
+                (1, "u1", T(2024, 1, 1, 5)),
+                (2, "u1", T(2024, 1, 3, 0)),
+                (3, "u1", T(2024, 1, 8, 12)),
+                (4, "u2", T(2024, 1, 1, 5)),
+            ],
+            "pid long, user string, ts timestamp",
+        )
+        iv = spark.createDataFrame(
+            [
+                ("u1", T(2024, 1, 1, 0), T(2024, 1, 2, 0), "w1"),
+                ("u1", T(2024, 1, 2, 12), T(2024, 1, 4, 0), "w2"),
+                ("u1", T(2024, 1, 1, 0), T(2024, 1, 9, 0), "w3"),
+                ("u2", T(2024, 2, 1, 0), T(2024, 2, 2, 0), "w4"),
+            ],
+            "user string, start timestamp, end timestamp, wname string",
+        )
+        return pts, iv
+
+    def test_containment_and_left_semantics(self, spark):
+        from amonaly_detection_in_time_series_data_spark.operators.timeseries import (
+            point_in_interval_join,
+        )
+
+        pts, iv = self._fixtures(spark)
+        inner = point_in_interval_join(
+            pts, iv, ["user"], "ts", "start", "end", bucket_seconds=86_400
+        )
+        got = sorted((r["pid"], r["wname"]) for r in inner.collect())
+        assert got == [(1, "w1"), (1, "w3"), (2, "w2"), (2, "w3"), (3, "w3")]
+        left = point_in_interval_join(
+            pts, iv, ["user"], "ts", "start", "end", how="left"
+        )
+        lg = sorted((r["pid"], r["wname"]) for r in left.collect())
+        assert (4, None) in lg and len(lg) == 6
+
+    def test_boundaries_and_bucket_invariance(self, spark):
+        import datetime as dt
+
+        from amonaly_detection_in_time_series_data_spark.operators.timeseries import (
+            point_in_interval_join,
+        )
+
+        T = dt.datetime
+        pts, iv = self._fixtures(spark)
+        # start inclusive, end exclusive
+        edge = spark.createDataFrame(
+            [(9, "u1", T(2024, 1, 2, 0)), (10, "u1", T(2024, 1, 1, 0))],
+            "pid long, user string, ts timestamp",
+        )
+        g = sorted(
+            (r["pid"], r["wname"])
+            for r in point_in_interval_join(
+                edge, iv.filter("wname='w1'"), ["user"], "ts", "start", "end"
+            ).collect()
+        )
+        assert g == [(10, "w1")]
+        # results identical across bucket widths (1h / 1d / 1w)
+        base = None
+        for bs in (3_600, 86_400, 7 * 86_400):
+            got = sorted(
+                (r["pid"], r["wname"])
+                for r in point_in_interval_join(
+                    pts, iv, ["user"], "ts", "start", "end", bucket_seconds=bs
+                ).collect()
+            )
+            base = base or got
+            assert got == base, bs
+
+    def test_plan_is_equi_join_not_nested_loop(self, spark):
+        from amonaly_detection_in_time_series_data_spark.operators.timeseries import (
+            point_in_interval_join,
+        )
+
+        pts, iv = self._fixtures(spark)
+        plan = (
+            point_in_interval_join(pts, iv, ["user"], "ts", "start", "end")
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        assert "BroadcastNestedLoopJoin" not in plan, plan
+        assert "CartesianProduct" not in plan, plan
