@@ -485,3 +485,49 @@ class TestStreamingSketch:
         }
         for ws, n in exact.items():
             assert abs(streamed[ws] - n) <= max(3 * 0.02 * n, 1), (ws, n)
+
+
+class TestStreamStreamJoin:
+    def test_time_bounded_self_join_matches_batch(self, spark, sf_dir):
+        """Stream-stream inner join (the one join mode the tier had not
+        exercised): pair every event with the same user's events in the
+        following hour. Both sides watermarked; the time-bound condition
+        lets Spark expire join state — the required shape for unbounded
+        streams. The streamed pair set must equal the identical batch
+        join exactly."""
+        from pyspark.sql import functions as F
+
+        from amonaly_detection_in_time_series_data_spark.streaming.rolling import (
+            replay_events_stream,
+        )
+
+        def pair_join(left, right):
+            a = left.select(
+                F.col("event_id").alias("a_id"),
+                F.col("user_id").alias("a_user"),
+                F.col("ts").alias("a_ts"),
+            )
+            b = right.select(
+                F.col("event_id").alias("b_id"),
+                F.col("user_id").alias("b_user"),
+                F.col("ts").alias("b_ts"),
+            )
+            return a.join(
+                b,
+                F.expr(
+                    "a_user = b_user AND b_ts > a_ts "
+                    "AND b_ts <= a_ts + INTERVAL 1 HOUR"
+                ),
+            ).select("a_id", "b_id")
+
+        sa = replay_events_stream(spark, sf_dir).withWatermark("ts", "2 hours")
+        sb = replay_events_stream(spark, sf_dir).withWatermark("ts", "2 hours")
+        _run_stream_to_memory(pair_join(sa, sb), "ss_join", "append")
+        streamed = {
+            (r["a_id"], r["b_id"])
+            for r in spark.sql("SELECT * FROM ss_join").collect()
+        }
+        ev = load_table(spark, sf_dir, "events")
+        batch = {(r["a_id"], r["b_id"]) for r in pair_join(ev, ev).collect()}
+        assert streamed == batch
+        assert len(streamed) > 0
