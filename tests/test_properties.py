@@ -228,3 +228,100 @@ class TestBucketedRollingProperty:
                 assert got[pos] is None, pos
             else:
                 assert got[pos] == pytest.approx(exp, rel=1e-9), pos
+
+
+class TestIntervalJoinProperties:
+    @PROP
+    @given(
+        pts=st.lists(
+            st.tuples(st.integers(0, 2), st.integers(0, 500_000)),
+            min_size=1, max_size=25,
+        ),
+        ivs=st.lists(
+            st.tuples(
+                st.integers(0, 2), st.integers(0, 500_000), st.integers(1, 200_000)
+            ),
+            min_size=1, max_size=12,
+        ),
+        bucket=st.sampled_from([3_600, 86_400]),
+    )
+    def test_matches_brute_force_containment(self, spark, pts, ivs, bucket):
+        """Bucketized equi-join form == brute-force [start, end)
+        containment for arbitrary keys, offsets, durations, buckets."""
+        import datetime as dt
+
+        from amonaly_detection_in_time_series_data_spark.operators.timeseries import (
+            point_in_interval_join,
+        )
+
+        t0 = dt.datetime(2024, 1, 1)
+        prow = [
+            (i, f"k{k}", t0 + dt.timedelta(seconds=s))
+            for i, (k, s) in enumerate(pts)
+        ]
+        irow = [
+            (j, f"k{k}", t0 + dt.timedelta(seconds=s),
+             t0 + dt.timedelta(seconds=s + d))
+            for j, (k, s, d) in enumerate(ivs)
+        ]
+        pdf = spark.createDataFrame(
+            prow, "pid int, key string, ts timestamp"
+        )
+        idf = spark.createDataFrame(
+            irow, "iid int, key string, start timestamp, end timestamp"
+        )
+        got = sorted(
+            (r["pid"], r["iid"])
+            for r in point_in_interval_join(
+                pdf, idf, ["key"], "ts", "start", "end", bucket_seconds=bucket
+            ).collect()
+        )
+        want = sorted(
+            (i, j)
+            for i, (pk, ps) in enumerate(pts)
+            for j, (ik, is_, d) in enumerate(ivs)
+            if pk == ik and is_ <= ps < is_ + d
+        )
+        assert got == want
+
+
+class TestMixtureResampleProperties:
+    @PROP
+    @given(
+        counts=st.lists(st.integers(1, 40), min_size=2, max_size=5),
+        weights=st.lists(st.floats(0.05, 1.0), min_size=2, max_size=5),
+    )
+    def test_quota_invariants(self, spark, counts, weights):
+        """For any domain sizes and positive weights: quota_d <= n_d
+        (never upsamples), quota_d = floor(w_norm_d * S) with
+        S = min floor(n_d / w_norm_d), and exactly quota_d rows kept."""
+        import math
+
+        from amonaly_detection_in_time_series_data_spark.operators.corpus import (
+            mixture_resample,
+        )
+
+        k = min(len(counts), len(weights))
+        counts, weights = counts[:k], weights[:k]
+        rows = [
+            (d * 1000 + i, f"d{d}")
+            for d, n in enumerate(counts)
+            for i in range(n)
+        ]
+        df = spark.createDataFrame(rows, "id long, domain string")
+        tw = {f"d{d}": w for d, w in enumerate(weights)}
+        out = mixture_resample(df, "domain", "id", tw).collect()
+        total_w = sum(weights)
+        wn = [w / total_w for w in weights]
+        s_feasible = min(math.floor(n / w) for n, w in zip(counts, wn))
+        kept = {}
+        quota = {}
+        for r in out:
+            kept[r["domain"]] = kept.get(r["domain"], 0) + r["mix_keep"]
+            quota[r["domain"]] = r["mix_quota"]
+        for d, (n, w) in enumerate(zip(counts, wn)):
+            name = f"d{d}"
+            expect = min(math.floor(w * s_feasible), n)
+            assert quota[name] == expect, (name, quota[name], expect)
+            assert kept[name] == expect
+            assert quota[name] <= n
