@@ -531,3 +531,60 @@ class TestStreamStreamJoin:
         batch = {(r["a_id"], r["b_id"]) for r in pair_join(ev, ev).collect()}
         assert streamed == batch
         assert len(streamed) > 0
+
+
+class TestStreamingCheckpointRecovery:
+    def test_checkpoint_resume_processes_each_file_exactly_once(
+        self, spark, sf_dir, tmp_path
+    ):
+        """Exactly-once across restarts: drain a file-source stream to a
+        parquet sink with a checkpoint, add new input, restart the SAME
+        query (same checkpoint) — the second run must process ONLY the
+        new file; the sink ends with every row exactly once. This is
+        the operational contract that makes the streaming tier safe to
+        rerun after a crash."""
+        import os
+
+        from pyspark.sql import functions as F
+
+        src_dir = str(tmp_path / "in")
+        sink_dir = str(tmp_path / "out")
+        ckpt_dir = str(tmp_path / "ckpt")
+        os.makedirs(src_dir)
+
+        ev = load_table(spark, sf_dir, "events").select(
+            "event_id", "user_id", "value"
+        )
+        first = ev.filter(F.col("event_id") % 2 == 0)
+        second = ev.filter(F.col("event_id") % 2 == 1)
+        first.coalesce(1).write.mode("append").parquet(src_dir)
+
+        def drain():
+            q = (
+                spark.readStream.schema(first.schema)
+                .parquet(src_dir)
+                .withColumn("doubled", F.col("value") * 2)
+                .writeStream.format("parquet")
+                .option("path", sink_dir)
+                .option("checkpointLocation", ckpt_dir)
+                .outputMode("append")
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.processAllAvailable()
+            q.stop()
+            q.awaitTermination(60)
+
+        drain()
+        n_first = spark.read.parquet(sink_dir).count()
+        assert n_first == first.count()
+
+        second.coalesce(1).write.mode("append").parquet(src_dir)
+        drain()  # restart from the same checkpoint
+        out = spark.read.parquet(sink_dir)
+        assert out.count() == ev.count()  # no reprocessing, no loss
+        # every event exactly once, transformation applied
+        assert out.select("event_id").distinct().count() == ev.count()
+        row = out.filter(F.col("event_id") == 2).collect()[0]
+        want = ev.filter(F.col("event_id") == 2).collect()[0]["value"]
+        assert row["doubled"] == want * 2
