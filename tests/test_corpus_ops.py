@@ -700,3 +700,66 @@ class TestFuzzyDecontaminate:
         out = fuzzy_decontaminate(corpus, bench).collect()
         # empty-text doc has no shingles/signature but still reports 0
         assert {r["doc_id"]: r["fuzzy_contaminated"] for r in out} == {1: 0, 2: 0}
+
+
+class TestCorpusPipelineEndToEnd:
+    def test_full_training_data_pipeline_composes(self, spark, sf_dir):
+        """The whole training-data pipeline in ONE composition — the
+        order a real corpus build runs: scrub -> quality filter ->
+        exact dedup -> span-dedup screen -> decontaminate (exact+fuzzy)
+        -> mixture resample -> split -> pack. Pins that the operators
+        compose without column collisions and the lineage stays free of
+        Python evaluation."""
+        from pyspark.sql import functions as F
+
+        from amonaly_detection_in_time_series_data_spark.functions.text import redact_pii
+        from amonaly_detection_in_time_series_data_spark.operators.corpus import (
+            decontaminate,
+            fuzzy_decontaminate,
+            hash_split,
+            mixture_resample,
+            pack_chunks,
+            quality_rules,
+        )
+        from amonaly_detection_in_time_series_data_spark.operators.dedup import (
+            dedup_exact_text,
+            span_dedup_stats,
+        )
+        from amonaly_detection_in_time_series_data_spark.sources.readers import load_table
+
+        docs = load_table(spark, sf_dir, "documents")
+        n0 = docs.count()
+        bench = docs.filter(F.col("doc_id") % 50 == 0).select("doc_id", "text")
+
+        d = docs.withColumn("text", redact_pii("text"))
+        d = quality_rules(d, "text").filter(F.col("keep") == 1)
+        d = dedup_exact_text(d, "text", "doc_id")
+        spans = span_dedup_stats(d, "text", "doc_id", span_len=8)
+        d = (
+            d.join(spans, "doc_id", "left")
+            .filter(F.coalesce(F.col("dup_span_frac"), F.lit(0.0)) <= 0.5)
+        )
+        exact = decontaminate(
+            d.select("doc_id", "text"), bench, "text", "doc_id", shingle_n=4
+        ).filter(F.col("contaminated") == 0).select("doc_id")
+        fuzzy = fuzzy_decontaminate(
+            d.select("doc_id", "text"), bench, min_jaccard_est=0.8
+        ).filter(F.col("fuzzy_contaminated") == 0).select("doc_id")
+        d = d.join(exact, "doc_id").join(fuzzy, "doc_id")
+        d = mixture_resample(
+            d, "source", "doc_id",
+            {"src%d" % i: 1.0 for i in range(20)},
+        ).filter(F.col("mix_keep") == 1)
+        d = hash_split(d, "doc_id")
+        packed = pack_chunks(
+            d.filter(F.col("split") == "train"), ["lang"], ["doc_id"],
+            "text", budget=256,
+        )
+        out = packed.collect()
+        n_final = len(out)
+        assert 0 < n_final < n0  # every stage dropped something overall
+        # packing invariants survive the composition
+        for r in out:
+            assert r["chunk_id"] >= 0 and r["n_tokens"] > 0
+        plan = packed._jdf.queryExecution().executedPlan().toString()
+        assert "BatchEvalPython" not in plan
