@@ -220,14 +220,15 @@ def pq_topk(
             F.element_at(code, j + 1) + 1,
         ),
     )
+    # The ranking shuffle carries ONLY (query_id, neighbor_id, dist) —
+    # never __qv: a d-dim double array per candidate row would multiply
+    # the shuffle payload ~50x. The query vectors are re-attached to the
+    # (tiny) shortlist afterward via a broadcast of the query batch.
     scored = (
-        corpus_codes.crossJoin(
-            F.broadcast(qlut if rerank_with is not None else qlut.drop("__qv"))
-        )
+        corpus_codes.crossJoin(F.broadcast(qlut.drop("__qv")))
         .filter(F.col(id_col) != F.col(query_id_col))
         .select(
             query_id_col,
-            *( ["__qv"] if rerank_with is not None else [] ),
             F.col(id_col).alias("neighbor_id"),
             F.round(dist, 8).alias("adc_dist"),
         )
@@ -243,8 +244,10 @@ def pq_topk(
         cosine_similarity,
     )
 
-    short = ranked.filter(F.col("rank") <= shortlist).select(
-        query_id_col, "__qv", "neighbor_id"
+    short = (
+        ranked.filter(F.col("rank") <= shortlist)
+        .select(query_id_col, "neighbor_id")
+        .join(F.broadcast(qn.select(query_id_col, "__qv")), query_id_col)
     )
     vecs = rerank_with.select(
         F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("__cv")
@@ -331,7 +334,7 @@ def ivf_pq_topk(
             ),
         ),
     )
-    plut = probed.select(query_id_col, "__qv", "__list", lut.alias("__lut"))
+    plut = probed.select(query_id_col, "__list", lut.alias("__lut"))
 
     code = F.col(code_col)
     dist = F.aggregate(
@@ -343,12 +346,13 @@ def ivf_pq_topk(
             F.element_at(code, j + 1) + 1,
         ),
     )
+    # As in pq_topk: the candidate rows and the ranking shuffle carry
+    # ids + dist only; query vectors rejoin on the shortlist (broadcast).
     scored = (
         inv_codes.join(F.broadcast(plut), "__list")
         .filter(F.col(id_col) != F.col(query_id_col))
         .select(
             query_id_col,
-            "__qv",
             F.col(id_col).alias("neighbor_id"),
             F.round(dist, 8).alias("adc_dist"),
         )
@@ -358,9 +362,11 @@ def ivf_pq_topk(
     )
     ranked = scored.withColumn("rank", F.row_number().over(w))
     if rerank_with is None:
-        return ranked.drop("__qv").filter(F.col("rank") <= k)
-    short = ranked.filter(F.col("rank") <= shortlist).select(
-        query_id_col, "__qv", "neighbor_id"
+        return ranked.filter(F.col("rank") <= k)
+    short = (
+        ranked.filter(F.col("rank") <= shortlist)
+        .select(query_id_col, "neighbor_id")
+        .join(F.broadcast(qn.select(query_id_col, "__qv")), query_id_col)
     )
     vecs = rerank_with.select(
         F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("__cv")
