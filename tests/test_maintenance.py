@@ -1,0 +1,101 @@
+"""Small-file compaction / clustered re-layout (operators.maintenance).
+
+Contract under test:
+1. content preservation — exact multiset of rows survives the rewrite;
+2. file-count reduction to the byte-budget target;
+3. range clustering — with ``sort_by``, every output file covers a
+   DISJOINT key range (read back from the parquet footers), which is
+   precisely the property that makes footer min/max stats prune whole
+   files for later key filters.
+"""
+
+from __future__ import annotations
+
+import glob
+import os
+
+import pyarrow.parquet as pq
+import pytest
+from pyspark.sql import functions as F
+
+from amonaly_detection_in_time_series_data_spark.operators.maintenance import (
+    compact_files,
+    data_file_stats,
+)
+
+
+def _fragmented_input(spark, sf_dir, path, n_files=64):
+    from amonaly_detection_in_time_series_data_spark.sources.readers import (
+        load_table,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    docs.repartition(n_files).write.mode("overwrite").parquet(path)
+    return docs
+
+
+class TestCompactFiles:
+    def test_compacts_preserves_content_and_clusters(self, spark, sf_dir, tmp_path):
+        src = str(tmp_path / "frag")
+        dst = str(tmp_path / "compact")
+        docs = _fragmented_input(spark, sf_dir, src, n_files=64)
+
+        before = data_file_stats(spark, src)
+        assert before["n_files"] == 64
+
+        # fractional MB target: sf0.001 documents is ~a few hundred KB,
+        # so this lands on a handful of output files (>1, <64)
+        stats = compact_files(
+            spark, src, dst, target_file_mb=0.02, sort_by=["doc_id"]
+        )
+        assert stats["in_files"] == 64
+        assert stats["out_files"] == stats["target_files"] < 64
+
+        # 1. content: exact multiset of rows survives
+        got = spark.read.parquet(dst)
+        assert got.count() == docs.count()
+        key = F.md5(F.concat_ws("\x1f", F.col("doc_id"), F.col("text")))
+        h = lambda d: d.select(
+            F.sha2(F.concat_ws("", F.sort_array(F.collect_list(key))), 256)
+        ).first()[0]
+        assert h(got) == h(docs)
+
+        # 3. clustering: footer min/max ranges of doc_id are disjoint
+        # across output files -> a doc_id filter can skip whole files
+        ranges = []
+        for f in glob.glob(os.path.join(dst, "*.parquet")):
+            md = pq.ParquetFile(f).metadata
+            lo = min(
+                md.row_group(i).column(0).statistics.min
+                for i in range(md.num_row_groups)
+            )
+            hi = max(
+                md.row_group(i).column(0).statistics.max
+                for i in range(md.num_row_groups)
+            )
+            ranges.append((lo, hi))
+        assert len(ranges) == stats["out_files"] > 1
+        ranges.sort()
+        for (_, prev_hi), (nxt_lo, _) in zip(ranges, ranges[1:]):
+            assert prev_hi <= nxt_lo, "output files overlap in doc_id range"
+
+    def test_round_robin_without_sort(self, spark, sf_dir, tmp_path):
+        src = str(tmp_path / "frag2")
+        dst = str(tmp_path / "compact2")
+        _fragmented_input(spark, sf_dir, src, n_files=16)
+        stats = compact_files(spark, src, dst, target_file_mb=1024)
+        assert stats["out_files"] == 1
+        assert (
+            spark.read.parquet(dst).count()
+            == spark.read.parquet(src).count()
+        )
+
+    def test_refuses_in_place(self, spark, tmp_path):
+        with pytest.raises(ValueError, match="out_path"):
+            compact_files(spark, str(tmp_path / "x"), str(tmp_path / "x/"))
+
+    def test_refuses_empty_input(self, spark, tmp_path):
+        empty = tmp_path / "empty"
+        empty.mkdir()
+        with pytest.raises(ValueError, match="no data files"):
+            compact_files(spark, str(empty), str(tmp_path / "out"))
