@@ -1,0 +1,208 @@
+"""Incremental near-dup ingest: dedup arriving document batches against
+a PERSISTED MinHash signature store.
+
+The batch dedup operators (minhash_lsh_pairs + connected_components)
+answer "dedup this corpus once". A production corpus is not ingested
+once — new crawls arrive continuously, and each batch must be deduped
+against everything already seen WITHOUT re-running the all-corpus
+pairing. This operator is that loop:
+
+    batch -> signatures -> (vs store: banded LSH join)
+                        -> (vs same batch: earlier-arrival pairs)
+          -> novel docs out, batch signatures appended to the store
+
+**Semantics — keep-first-arrival against all-seen history.** A doc is
+kept iff it has NO near-dup (estimated Jaccard >= threshold) among
+documents seen before it (earlier batches, or earlier arrival order in
+the same batch). The store records signatures of ALL seen docs (kept
+and dropped) by default, which buys a strong property: the kept set
+depends only on the arrival ORDER, never on where batch boundaries
+fall (splitting one batch into ten changes nothing — property-tested).
+With ``store_policy="kept-only"`` the store holds survivors only
+(smaller store, but a doc similar only to an already-dropped doc is
+then kept — chain-transitive behavior, the batch CC policy's opposite
+end; both are legitimate, the default is the order-stable one).
+
+Docs whose text yields zero shingles (shorter than the shingle width)
+have no signature, cannot match anything, and pass through as novel
+without entering the store — documented, not silent.
+
+**Scale (100 TB corpus, continuous ingest).** The store holds
+signatures only — n_hashes longs per doc (~128 B at n=16), ~0.1% of
+corpus bytes. The batch-vs-store join BROADCASTS the batch's banded
+buckets (a batch is always ≪ the store) against one scan of the store:
+the store is never shuffled, never re-paired against itself. Store
+writes are partitioned by ``batch_id`` and written with dynamic
+partition overwrite, so a crashed-and-retried batch (the foreachBatch
+redelivery contract) overwrites its own partition instead of
+double-appending — idempotent, exactly-once effective. Periodically
+:func:`operators.maintenance.compact_files` the store off the critical
+path.
+"""
+
+from __future__ import annotations
+
+from typing import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from amonaly_detection_in_time_series_data_spark.operators.similarity import (
+    band_buckets,
+    minhash_jaccard_est,
+    minhash_signatures,
+)
+
+__all__ = ["incremental_neardup_batch", "incremental_ingest_sink", "read_store"]
+
+
+def read_store(spark: SparkSession, store_path: str) -> DataFrame | None:
+    """The signature store if it exists and is non-empty, else None."""
+    try:
+        df = spark.read.parquet(store_path)
+    except Exception:
+        return None
+    return df if "sig" in df.columns else None
+
+
+def incremental_neardup_batch(
+    batch: DataFrame,
+    store_path: str,
+    batch_id: int,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    threshold: float = 0.7,
+    n_hashes: int = 16,
+    n_bands: int = 4,
+    shingle_n: int = 3,
+    hash_fn: str = "xxhash64",
+    store_policy: str = "all-seen",
+    update_store: bool = True,
+) -> DataFrame:
+    """Dedup one arriving batch against the store (and against earlier
+    arrivals inside the batch, ordered by ``id_col``); returns the NOVEL
+    rows of ``batch`` (original columns) and appends the batch's
+    signatures to the store under partition ``batch_id``.
+
+    The store write happens eagerly (it is a side effect, not lineage);
+    the returned novel frame is lazy as usual. The caller owns making
+    ``batch_id`` monotone; re-running the same batch_id overwrites its
+    own store partition (idempotent retry).
+    """
+    if store_policy not in ("all-seen", "kept-only"):
+        raise ValueError(f"unknown store_policy {store_policy!r}")
+    spark = batch.sparkSession
+    sigs = minhash_signatures(
+        batch, text_col, id_col, n_hashes, shingle_n, hash_fn
+    )
+    new_bands = band_buckets(sigs, n_bands, id_col)
+
+    store = read_store(spark, store_path)
+    hit_parts = []
+    if store is not None:
+        # Only EARLIER batches count as history. This both implements
+        # the arrival-order semantics and makes retries safe: a
+        # redelivered batch_id finds its own failed-attempt partition in
+        # the store but prunes it here (partition filter on batch_id)
+        # instead of matching every doc against itself.
+        store = store.filter(F.col("batch_id") < int(batch_id))
+        store_bands = band_buckets(store, n_bands, id_col=id_col)
+        # batch ≪ store: broadcast the batch's buckets, scan the store
+        # once, shuffle nothing of it
+        cross = store_bands.join(
+            F.broadcast(
+                new_bands.select(
+                    F.col(id_col).alias("__new_id"),
+                    F.col("sig").alias("__new_sig"),
+                    "band",
+                    "bucket",
+                )
+            ),
+            ["band", "bucket"],
+        )
+        cross_hits = (
+            cross.filter(
+                minhash_jaccard_est("sig", "__new_sig") >= threshold
+            )
+            .select(F.col("__new_id").alias(id_col))
+            .distinct()
+        )
+        hit_parts.append(cross_hits)
+
+    # within-batch: candidate pairs via the same banding; a doc is a hit
+    # iff it pairs with an EARLIER arrival (id order). No iteration:
+    # under all-seen semantics "earlier" includes dropped docs, so one
+    # pass suffices. (With kept-only store the within-batch step keeps
+    # this order-greedy form — the store policy only changes history.)
+    b = new_bands.select(
+        "band", "bucket", F.col(id_col).alias("id_x"), F.col("sig").alias("sig_x")
+    )
+    c = new_bands.select(
+        "band", "bucket", F.col(id_col).alias("id_y"), F.col("sig").alias("sig_y")
+    )
+    batch_hits = (
+        b.join(c, ["band", "bucket"])
+        .filter(F.col("id_x") < F.col("id_y"))
+        .filter(minhash_jaccard_est("sig_x", "sig_y") >= threshold)
+        .select(F.col("id_y").alias(id_col))
+        .distinct()
+    )
+    hit_parts.append(batch_hits)
+
+    hits = hit_parts[0]
+    for h in hit_parts[1:]:
+        hits = hits.unionByName(h)
+    novel = batch.join(hits.distinct(), id_col, "left_anti")
+
+    if update_store:
+        # Materialize novel BEFORE mutating the store: its plan scans
+        # the store path, and the upcoming dynamic-overwrite can delete
+        # files the lazy scan already listed (FileNotFound) — and a
+        # later action must not see this batch's own signatures.
+        # localCheckpoint is executor-resident (not fault-tolerant);
+        # crash recovery is the caller's idempotent-retry contract.
+        novel = novel.localCheckpoint(eager=True)
+        to_store = sigs
+        if store_policy == "kept-only":
+            to_store = sigs.join(
+                novel.select(id_col), id_col, "left_semi"
+            )
+        (
+            to_store.withColumn("batch_id", F.lit(int(batch_id)))
+            .write.mode("overwrite")
+            .partitionBy("batch_id")
+            .option("partitionOverwriteMode", "dynamic")
+            .parquet(store_path)
+        )
+    return novel
+
+
+def incremental_ingest_sink(
+    store_path: str,
+    out_path: str,
+    **cfg,
+) -> Callable[[DataFrame, int], None]:
+    """``foreachBatch`` adapter: per micro-batch, run
+    :func:`incremental_neardup_batch` and append the novel rows to
+    ``out_path`` under partition ``batch_id`` (dynamic overwrite — a
+    redelivered micro-batch rewrites its own partition, so both the
+    store and the output are idempotent under streaming retries).
+
+        (stream.writeStream.foreachBatch(
+            incremental_ingest_sink(store, out, threshold=0.8))
+         .option("checkpointLocation", ckpt).start())
+    """
+
+    def write_batch(df: DataFrame, batch_id: int) -> None:
+        novel = incremental_neardup_batch(
+            df, store_path, batch_id, **cfg
+        )
+        (
+            novel.withColumn("batch_id", F.lit(int(batch_id)))
+            .write.mode("overwrite")
+            .partitionBy("batch_id")
+            .option("partitionOverwriteMode", "dynamic")
+            .parquet(out_path)
+        )
+
+    return write_batch

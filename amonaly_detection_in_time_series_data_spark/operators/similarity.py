@@ -551,6 +551,45 @@ def minhash_signatures(
     )
 
 
+def band_buckets(
+    sigs: DataFrame, n_bands: int = 4, id_col: str = "doc_id"
+) -> DataFrame:
+    """Explode MinHash signatures into ``(id, sig, band, bucket)`` rows —
+    one per band, bucket = xxhash64 of the band's signature slice.
+
+    The shared banding step of :func:`minhash_lsh_pairs` (within-corpus
+    pair generation) and :func:`operators.ingest.incremental_neardup_batch`
+    (new-batch-vs-store candidate join): both sides of any LSH equi-join
+    must bucket with the IDENTICAL expression or candidates are lost.
+    """
+    return sigs.select(
+        id_col,
+        "sig",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(n_bands - 1)),
+                lambda b: F.struct(
+                    b.alias("band"),
+                    F.xxhash64(
+                        F.slice(
+                            "sig",
+                            b * (F.size("sig") / n_bands).cast("int") + 1,
+                            (F.size("sig") / n_bands).cast("int"),
+                        )
+                    ).alias("bucket"),
+                ),
+            )
+        ).alias("bb"),
+    ).select(id_col, "sig", "bb.band", "bb.bucket")
+
+
+def minhash_jaccard_est(sig_a: Column | str, sig_b: Column | str) -> Column:
+    """Estimated Jaccard = fraction of matching minhash positions."""
+    return F.size(
+        F.filter(F.zip_with(sig_a, sig_b, lambda x, y: x == y), lambda m: m)
+    ) / F.size(sig_a)
+
+
 def minhash_lsh_pairs(
     sigs: DataFrame,
     n_bands: int = 4,
@@ -572,25 +611,7 @@ def minhash_lsh_pairs(
     practice, logged nowhere silently since the cap is an explicit
     argument.
     """
-    bands = sigs.select(
-        id_col,
-        "sig",
-        F.explode(
-            F.transform(
-                F.sequence(F.lit(0), F.lit(n_bands - 1)),
-                lambda b: F.struct(
-                    b.alias("band"),
-                    F.xxhash64(
-                        F.slice(
-                            "sig",
-                            b * (F.size("sig") / n_bands).cast("int") + 1,
-                            (F.size("sig") / n_bands).cast("int"),
-                        )
-                    ).alias("bucket"),
-                ),
-            )
-        ).alias("bb"),
-    ).select(id_col, "sig", "bb.band", "bb.bucket")
+    bands = band_buckets(sigs, n_bands, id_col)
 
     members = bands.groupBy("band", "bucket").agg(
         F.collect_list(F.struct(F.col(id_col).alias("id"), F.col("sig").alias("sig"))).alias(
@@ -620,12 +641,7 @@ def minhash_lsh_pairs(
         .alias("sig_b"),
     )
     pairs = norm.dropDuplicates(["id_a", "id_b"])
-    est = F.size(
-        F.filter(
-            F.zip_with("sig_a", "sig_b", lambda x, y: x == y),
-            lambda m: m,
-        )
-    ) / F.size("sig_a")
+    est = minhash_jaccard_est("sig_a", "sig_b")
     return pairs.select("id_a", "id_b", est.alias("jaccard_est"))
 
 

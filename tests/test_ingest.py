@@ -1,0 +1,186 @@
+"""Incremental near-dup ingest (operators.ingest) — dedup arriving
+batches against a persisted MinHash signature store.
+
+The contract under test:
+
+1. ORACLE: the kept set equals the sequential keep-first-arrival rule
+   computed from the full-corpus candidate pairs (a doc is dropped iff
+   it pairs at >= threshold with ANY earlier doc_id);
+2. BATCHING INVARIANCE: 1 batch, 2 batches, or 5 batches over the same
+   arrival order give the identical kept set (the property the
+   all-seen store policy is chosen for);
+3. retry idempotence: re-running a batch_id (the foreachBatch
+   redelivery case) does not poison the store or change the output;
+4. streaming: the same function behind ``foreachBatch`` over a file
+   stream (one input file per micro-batch) lands the same kept set.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from amonaly_detection_in_time_series_data_spark.operators.ingest import (
+    incremental_ingest_sink,
+    incremental_neardup_batch,
+)
+from amonaly_detection_in_time_series_data_spark.operators.similarity import (
+    minhash_lsh_pairs,
+    minhash_signatures,
+)
+from amonaly_detection_in_time_series_data_spark.sources.readers import load_table
+
+THRESHOLD = 0.7
+
+
+def _docs(spark, sf_dir):
+    return load_table(spark, sf_dir, "documents").select("doc_id", "text")
+
+
+def _oracle_kept(spark, docs) -> set:
+    """Sequential keep-first oracle from the full-corpus pair list:
+    dropped = every doc that pairs (>= threshold) with a smaller id."""
+    sigs = minhash_signatures(docs)
+    pairs = minhash_lsh_pairs(sigs).filter(
+        F.col("jaccard_est") >= THRESHOLD
+    )
+    dropped = {r["id_b"] for r in pairs.select("id_b").distinct().collect()}
+    all_ids = {r["doc_id"] for r in docs.select("doc_id").collect()}
+    return all_ids - dropped
+
+
+def _run_incremental(docs, splits, tmp_path, tag) -> set:
+    """Feed ``docs`` in ``len(splits)`` consecutive doc_id ranges."""
+    store = str(tmp_path / f"store_{tag}")
+    kept: set = set()
+    for i, (lo, hi) in enumerate(splits):
+        batch = docs.filter(
+            (F.col("doc_id") >= lo) & (F.col("doc_id") < hi)
+        )
+        novel = incremental_neardup_batch(
+            batch, store, batch_id=i, threshold=THRESHOLD
+        )
+        kept |= {r["doc_id"] for r in novel.select("doc_id").collect()}
+    return kept
+
+
+class TestIncrementalIngest:
+    def test_oracle_and_batching_invariance(self, spark, sf_dir, tmp_path):
+        docs = _docs(spark, sf_dir)
+        expect = _oracle_kept(spark, docs)
+        n = docs.count()
+        assert 0 < len(expect) < n  # the corpus actually has near-dups
+
+        one = _run_incremental(docs, [(0, n)], tmp_path, "b1")
+        two = _run_incremental(docs, [(0, n // 2), (n // 2, n)], tmp_path, "b2")
+        five = _run_incremental(
+            docs,
+            [(i * n // 5, (i + 1) * n // 5) for i in range(5)],
+            tmp_path,
+            "b5",
+        )
+        assert one == expect
+        assert two == expect
+        assert five == expect
+
+    def test_retry_idempotent(self, spark, sf_dir, tmp_path):
+        docs = _docs(spark, sf_dir)
+        store = str(tmp_path / "store_retry")
+        b1 = docs.filter(F.col("doc_id") < 250)
+        b2 = docs.filter(F.col("doc_id") >= 250)
+        incremental_neardup_batch(b1, store, 0, threshold=THRESHOLD).count()
+        first = {
+            r["doc_id"]
+            for r in incremental_neardup_batch(
+                b2, store, 1, threshold=THRESHOLD
+            ).collect()
+        }
+        # redelivery: same batch_id, store already holds its partition
+        retry = {
+            r["doc_id"]
+            for r in incremental_neardup_batch(
+                b2, store, 1, threshold=THRESHOLD
+            ).collect()
+        }
+        assert retry == first
+
+    def test_unshingleable_docs_pass_through(self, spark, tmp_path):
+        store = str(tmp_path / "store_short")
+        batch = spark.createDataFrame(
+            [(1, "tiny"), (2, "tiny"), (3, "one two")],
+            "doc_id bigint, text string",
+        )
+        novel = incremental_neardup_batch(
+            batch, store, 0, threshold=THRESHOLD
+        )
+        # no 3-shingles -> no signature -> all bypass dedup
+        assert novel.count() == 3
+
+    def test_kept_only_store_keeps_chain_tail(self, spark, tmp_path):
+        # Chain A~B, B~C, A!~C with exact shingle-set Jaccards built
+        # from distinct numbered tokens: A=w1..w22, B=w1..w32,
+        # C=w11..w32 gives J(A,B)=J(B,C)=20/30≈0.67, J(A,C)=10/30≈0.33.
+        # At threshold 0.5 the policies diverge exactly as documented:
+        # all-seen stores dropped B, so C (similar only to B) is
+        # dropped too; kept-only never stored B, so C survives.
+        w = lambda lo, hi: " ".join(f"w{i}" for i in range(lo, hi))
+        batches = [(1, w(1, 23)), (2, w(1, 33)), (3, w(11, 33))]
+        got = {}
+        for policy in ("all-seen", "kept-only"):
+            store = str(tmp_path / f"store_{policy}")
+            kept = set()
+            for i, row in enumerate(batches):
+                novel = incremental_neardup_batch(
+                    spark.createDataFrame(
+                        [row], "doc_id bigint, text string"
+                    ),
+                    store,
+                    i,
+                    threshold=0.5,
+                    n_hashes=128,
+                    n_bands=32,
+                    store_policy=policy,
+                )
+                kept |= {r["doc_id"] for r in novel.collect()}
+            got[policy] = kept
+        assert got["all-seen"] == {1}
+        assert got["kept-only"] == {1, 3}
+
+    def test_streaming_foreach_batch(self, spark, sf_dir, tmp_path):
+        docs = _docs(spark, sf_dir)
+        expect = _oracle_kept(spark, docs)
+        n = docs.count()
+
+        src = tmp_path / "stream_src"
+        for i, (lo, hi) in enumerate([(0, n // 2), (n // 2, n)]):
+            (
+                docs.filter(
+                    (F.col("doc_id") >= lo) & (F.col("doc_id") < hi)
+                )
+                .coalesce(1)
+                .write.mode("overwrite")
+                .parquet(str(src / f"part{i}"))
+            )
+        store = str(tmp_path / "stream_store")
+        out = str(tmp_path / "stream_out")
+        ckpt = str(tmp_path / "stream_ckpt")
+
+        stream = (
+            spark.readStream.schema("doc_id bigint, text string")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(str(src / "part*"))
+        )
+        q = (
+            stream.writeStream.foreachBatch(
+                incremental_ingest_sink(store, out, threshold=THRESHOLD)
+            )
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
+        got = {
+            r["doc_id"]
+            for r in spark.read.parquet(out).select("doc_id").collect()
+        }
+        assert got == expect
