@@ -162,8 +162,32 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 def q_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Merged r6: the model-free anomaly-detector battery on one scan —
+    rolling 3-sigma z-score (the flagship ML3-lite tier), Page-Hinkley
+    change detection (the SQL-expressible CUSUM-family form:
+    running-mean deviations + running min/max, operators.anomaly.
+    page_hinkley), truncated EWMA control-chart deviation (alpha=0.5 so
+    every weight is an exact power of two), and per-user Tukey/IQR
+    fences (exact interpolated quartiles broadcast back). The window
+    detectors all share ONE (user_id, ts) exchange; IQR adds one
+    per-key aggregate + broadcast join."""
+    from amonaly_detection_in_time_series_data_spark.operators.anomaly import (
+        ewma_deviation,
+        iqr_flags,
+        page_hinkley,
+    )
+
     ev = _events(spark, sf_dir)
     scored = rolling_zscore(ev, "value", 24, KEY, ORDER, threshold=3.0)
+    # unit_digits=2: events.value sits on a 0.01 grid, so PH and the IQR
+    # fences run in EXACT integer centi-units — running sums of grid
+    # data land on decimal half-boundaries constantly (measured 8 + 62
+    # cross-engine rounding flips per 10k rows in float mode)
+    scored = page_hinkley(
+        scored, "value", KEY, ORDER, delta=0.0, lam=10.0, unit_digits=2
+    )
+    scored = ewma_deviation(scored, "value", 8, KEY, ORDER, alpha=0.5)
+    scored = iqr_flags(scored, "value", KEY, k=1.5, unit_digits=2)
     return scored.select(
         "event_id",
         "user_id",
@@ -173,6 +197,17 @@ def q_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("value_roll_std", 6).alias("roll_std"),
         F.round("value_zscore", 6).alias("zscore"),
         F.col("is_anomaly").cast("bigint").alias("is_anomaly"),
+        F.round("ph_inc", 4).alias("ph_inc"),
+        F.round("ph_dec", 4).alias("ph_dec"),
+        F.col("ph_alarm").cast("bigint").alias("ph_alarm"),
+        F.round("ewma", 4).alias("ewma"),
+        F.round("ewma_dev", 4).alias("ewma_dev"),
+        F.col("ewma_alarm").cast("bigint").alias("ewma_alarm"),
+        # fences are exact multiples of 1/800 (<=5 decimals): round at 6
+        # so the true value can never sit on the rounding boundary
+        F.round("iqr_lo", 6).alias("iqr_lo"),
+        F.round("iqr_hi", 6).alias("iqr_hi"),
+        F.col("iqr_alarm").cast("bigint").alias("iqr_alarm"),
     )
 
 
@@ -1863,19 +1898,75 @@ def oracle_sql() -> dict[str, str]:
 
     sql["anomaly_zscore"] = f"""
 WITH scored AS (
+  -- PH and IQR in exact integer centi-units (value is on a 0.01 grid):
+  -- integer running sums are combine-order-proof, the running mean uses
+  -- the deterministic floor((2S+n)/(2n)) rounding, and the Tukey
+  -- fences are integer combinations of 4*quartile — no float
+  -- half-boundary anywhere (the same convention as resample_hourly)
   SELECT event_id, user_id, ts, value,
+         CAST(round(value * 100) AS BIGINT) AS m_i,
          avg(value) OVER w AS m,
-         stddev_samp(value) OVER w AS s
+         stddev_samp(value) OVER w AS s,
+         stddev_samp(value) OVER w8 AS rstd8,
+         row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
   FROM events
   WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
-               ROWS BETWEEN 24 PRECEDING AND 1 PRECEDING)
+               ROWS BETWEEN 24 PRECEDING AND 1 PRECEDING),
+         w8 AS (PARTITION BY user_id ORDER BY ts, event_id
+                ROWS BETWEEN 8 PRECEDING AND 1 PRECEDING)
+),
+xb AS (
+  SELECT *, CAST(floor((2 * sum(m_i) OVER run + count(m_i) OVER run)
+                 / (2.0 * count(m_i) OVER run)) AS BIGINT) AS xbar_i
+  FROM scored
+  WINDOW run AS (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+),
+ph AS (
+  SELECT *, sum(m_i - xbar_i) OVER run AS u
+  FROM xb
+  WINDOW run AS (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+),
+ph2 AS (
+  SELECT *,
+         u - min(u) OVER run AS inc_i,
+         max(u) OVER run - u AS dec_i
+  FROM ph
+  WINDOW run AS (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+),
+ew AS (
+  SELECT a.event_id,
+         sum(power(0.5, a.rn - b.rn - 1) * b.value)
+           / sum(power(0.5, a.rn - b.rn - 1)) AS ewma
+  FROM ph2 a JOIN ph2 b
+    ON a.user_id = b.user_id AND b.rn BETWEEN a.rn - 8 AND a.rn - 1
+  GROUP BY a.event_id
+),
+iq AS (
+  SELECT user_id,
+         CAST(round(4 * quantile_cont(CAST(round(value * 100) AS BIGINT), 0.25)) AS BIGINT) AS q1_4,
+         CAST(round(4 * quantile_cont(CAST(round(value * 100) AS BIGINT), 0.75)) AS BIGINT) AS q3_4
+  FROM events GROUP BY user_id
 )
-SELECT event_id, user_id, strftime(ts, '{fmt}') AS ts, value,
+SELECT p.event_id, p.user_id, strftime(p.ts, '{fmt}') AS ts, p.value,
        round(m, 6) AS roll_mean,
        round(s, 6) AS roll_std,
-       round((value - m) / nullif(s, 0), 6) AS zscore,
-       CAST(coalesce(abs((value - m) / nullif(s, 0)) > 3.0, false) AS BIGINT) AS is_anomaly
-FROM scored
+       round((p.value - m) / nullif(s, 0), 6) AS zscore,
+       CAST(coalesce(abs((p.value - m) / nullif(s, 0)) > 3.0, false) AS BIGINT) AS is_anomaly,
+       round(inc_i / 100.0, 4) AS ph_inc,
+       round(dec_i / 100.0, 4) AS ph_dec,
+       CAST(inc_i > 1000 OR dec_i > 1000 AS BIGINT) AS ph_alarm,
+       round(ew.ewma, 4) AS ewma,
+       round((p.value - ew.ewma) / nullif(rstd8, 0), 4) AS ewma_dev,
+       CAST(coalesce(abs((p.value - ew.ewma) / nullif(rstd8, 0)) > 3.0, false) AS BIGINT) AS ewma_alarm,
+       round((5 * q1_4 - 3 * q3_4) / 800.0, 6) AS iqr_lo,
+       round((5 * q3_4 - 3 * q1_4) / 800.0, 6) AS iqr_hi,
+       CAST(8 * p.m_i < 5 * q1_4 - 3 * q3_4 OR 8 * p.m_i > 5 * q3_4 - 3 * q1_4 AS BIGINT) AS iqr_alarm
+FROM ph2 p
+LEFT JOIN ew ON p.event_id = ew.event_id
+JOIN iq ON p.user_id = iq.user_id
 """
 
     sql["clean_coerce"] = f"""

@@ -377,6 +377,103 @@ class TestAnomalyTiers:
         top = scored.orderBy(F.col("recon_error").desc()).first()
         assert top["i"] == 50
 
+    def test_page_hinkley_detects_mean_shift(self, spark):
+        from amonaly_detection_in_time_series_data_spark.operators.anomaly import page_hinkley
+
+        # flat at 10 for 30 steps, then shifted to 14: the increase
+        # alarm must fire after the shift and never before it
+        vals = [10.0] * 30 + [14.0] * 30
+        rows = [("k", i, v) for i, v in enumerate(vals)]
+        df = spark.createDataFrame(rows, "key string, i int, value double")
+        out = (
+            page_hinkley(df, "value", ["key"], ["i"], delta=0.0, lam=10.0)
+            .orderBy("i")
+            .collect()
+        )
+        pre, post = out[:30], out[30:]
+        assert all(r["ph_alarm"] == 0 for r in pre)
+        assert any(r["ph_alarm"] == 1 for r in post)
+        # once the drift accumulates, the alarm stays on
+        first = next(i for i, r in enumerate(post) if r["ph_alarm"] == 1)
+        assert all(r["ph_alarm"] == 1 for r in post[first:])
+
+    def test_page_hinkley_integer_mode_matches_float(self, spark):
+        from amonaly_detection_in_time_series_data_spark.operators.anomaly import page_hinkley
+
+        # on 2-decimal grid data the integer mode differs from float
+        # only by the <= half-unit mean rounding: stats within 1 unit
+        rows = [
+            ("k", i, round(10.0 + (3.7 if i >= 20 else 0.0) + 0.01 * (i % 5), 2))
+            for i in range(40)
+        ]
+        df = spark.createDataFrame(rows, "key string, i int, value double")
+        fl = (
+            page_hinkley(df, "value", ["key"], ["i"], lam=5.0)
+            .orderBy("i")
+            .collect()
+        )
+        it = (
+            page_hinkley(df, "value", ["key"], ["i"], lam=5.0, unit_digits=2)
+            .orderBy("i")
+            .collect()
+        )
+        for a, b in zip(fl, it):
+            assert abs(a["ph_inc"] - b["ph_inc"]) <= 0.5 + 1e-9
+            assert abs(a["ph_dec"] - b["ph_dec"]) <= 0.5 + 1e-9
+
+    def test_ewma_deviation_fixture(self, spark):
+        from amonaly_detection_in_time_series_data_spark.operators.anomaly import ewma_deviation
+
+        # hand fixture, alpha=0.5, window 3: at t=3 (value 8) the frame
+        # holds [2,4,6] -> weights [.25,.5,1] -> ewma = (0.5+2+6)/1.75
+        rows = [("k", 0, 2.0), ("k", 1, 4.0), ("k", 2, 6.0), ("k", 3, 8.0)]
+        df = spark.createDataFrame(rows, "key string, i int, value double")
+        out = (
+            ewma_deviation(df, "value", 3, ["key"], ["i"], alpha=0.5)
+            .orderBy("i")
+            .collect()
+        )
+        assert out[0]["ewma"] is None  # no history
+        assert abs(out[1]["ewma"] - 2.0) < 1e-12  # single-row window
+        assert abs(out[2]["ewma"] - (1.0 + 4.0) / 1.5) < 1e-12
+        assert abs(out[3]["ewma"] - (0.5 + 2.0 + 6.0) / 1.75) < 1e-12
+
+    def test_ewma_flags_spike(self, spark):
+        from amonaly_detection_in_time_series_data_spark.operators.anomaly import ewma_deviation
+
+        vals = [10.0, 10.2, 9.8, 10.1, 9.9, 10.0, 10.1, 9.9, 30.0]
+        rows = [("k", i, v) for i, v in enumerate(vals)]
+        df = spark.createDataFrame(rows, "key string, i int, value double")
+        out = (
+            ewma_deviation(df, "value", 8, ["key"], ["i"], threshold=3.0)
+            .orderBy("i")
+            .collect()
+        )
+        assert out[-1]["ewma_alarm"] == 1
+        assert all(r["ewma_alarm"] == 0 for r in out[:-1])
+
+    def test_iqr_flags_fixture(self, spark):
+        from amonaly_detection_in_time_series_data_spark.operators.anomaly import iqr_flags
+
+        # 1..8 plus an outlier 100: q1=2.5, q3=6.75 over the 9 values?
+        # no — compute per fixture: values 1..8,100 sorted; q1 at pos
+        # (9-1)*.25=2 -> 3.0, q3 at pos 6 -> 7.0, fences [-3, 13]
+        vals = [1.0, 2.0, 3.0, 4.0, 5.0, 6.0, 7.0, 8.0, 100.0]
+        df = spark.createDataFrame(
+            [("k", i, v) for i, v in enumerate(vals)],
+            "key string, i int, value double",
+        )
+        for digits in (None, 2):
+            out = (
+                iqr_flags(df, "value", ["key"], unit_digits=digits)
+                .orderBy("i")
+                .collect()
+            )
+            assert abs(out[0]["iqr_lo"] - (-3.0)) < 1e-9
+            assert abs(out[0]["iqr_hi"] - 13.0) < 1e-9
+            assert out[-1]["iqr_alarm"] == 1
+            assert all(r["iqr_alarm"] == 0 for r in out[:-1])
+
 
 class TestBucketedRolling:
     def test_matches_single_partition_window(self, spark):
