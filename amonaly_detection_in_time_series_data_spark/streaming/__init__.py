@@ -1,8 +1,16 @@
-from .rolling import streaming_windowed_stats, replay_events_stream, replay_table_stream
+from .rolling import (
+    replay_events_stream,
+    replay_table_stream,
+    streaming_page_hinkley,
+    streaming_windowed_stats,
+    streaming_zscore_flags,
+)
 from .sinks import write_anomaly_alerts
 
 __all__ = [
     "streaming_windowed_stats",
+    "streaming_zscore_flags",
+    "streaming_page_hinkley",
     "replay_events_stream",
     "replay_table_stream",
     "write_anomaly_alerts",

@@ -179,6 +179,103 @@ def streaming_zscore_flags(
     )
 
 
+def streaming_page_hinkley(
+    events: DataFrame,
+    lam: float = 10.0,
+    delta: float = 0.0,
+    unit_digits: int = 2,
+    timeout_minutes: int | None = 60,
+) -> DataFrame:
+    """Online Page-Hinkley change detection per user — the streaming
+    face of :func:`operators.anomaly.page_hinkley`.
+
+    Why this is the tier's best streaming citizen: the state is FIVE
+    integers per key — (n, Σm, u, min u, max d) — O(1) regardless of
+    stream length (the rolling z-score keeps a w-value deque; windowed
+    stats keep a window's worth per slide). The integer micro-unit form
+    (same ``floor((2S+n)/(2n))`` running mean as batch) makes the
+    stream's output EQUAL the batch operator's bit-for-bit for in-order
+    arrival — asserted, not approximate, in the replay-parity test.
+    Python ints are arbitrary-precision, so the running sums cannot
+    overflow the state's bigint before the batch side would.
+    """
+    import pandas as pd  # noqa: F401
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    scale = 10**unit_digits
+    delta_i = int(round(delta * scale))
+    lam_i = int(round(lam * scale))
+    out_schema = (
+        "user_id bigint, event_id bigint, ts timestamp, value double, "
+        "ph_inc double, ph_dec double, ph_alarm int"
+    )
+    state_schema = "n bigint, s bigint, u bigint, minu bigint, d bigint, maxd bigint"
+
+    def detect(key, pdf_iter, state):
+        import pandas as pd
+
+        (user_id,) = key
+        n, s, u, minu, d, maxd = (
+            state.get if state.exists else (0, 0, 0, 0, 0, 0)
+        )
+        rows = []
+        for pdf in pdf_iter:
+            pdf = pdf.sort_values(["ts", "event_id"])
+            for _, r in pdf.iterrows():
+                m = int(round(float(r["value"]) * scale))
+                n += 1
+                s += m
+                # Python // floors toward -inf — identical to the batch
+                # side's F.floor((2S+n)/(2n)) for any sign of S
+                xbar = (2 * s + n) // (2 * n)
+                dev = m - xbar
+                u += dev - delta_i
+                d += dev + delta_i
+                if n == 1:
+                    minu, maxd = u, d
+                else:
+                    minu = min(minu, u)
+                    maxd = max(maxd, d)
+                inc, dec = u - minu, maxd - d
+                rows.append(
+                    (
+                        user_id,
+                        int(r["event_id"]),
+                        r["ts"],
+                        float(r["value"]),
+                        inc / scale,
+                        dec / scale,
+                        int(inc > lam_i or dec > lam_i),
+                    )
+                )
+        state.update((n, s, u, minu, d, maxd))
+        if timeout_minutes is not None:
+            state.setTimeoutDuration(timeout_minutes * 60 * 1000)
+        yield pd.DataFrame(
+            rows,
+            columns=[
+                "user_id", "event_id", "ts", "value",
+                "ph_inc", "ph_dec", "ph_alarm",
+            ],
+        )
+
+    return (
+        events.withWatermark("ts", "2 hours")
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            detect,
+            outputStructType=out_schema,
+            stateStructType=state_schema,
+            outputMode="append",
+            timeoutConf=(
+                GroupStateTimeout.ProcessingTimeTimeout
+                if timeout_minutes is not None
+                else GroupStateTimeout.NoTimeout
+            ),
+        )
+    )
+
+
 def streaming_dedup(
     events: DataFrame, key_cols=("event_id",), watermark: str = "2 hours"
 ) -> DataFrame:

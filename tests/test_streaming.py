@@ -13,6 +13,7 @@ from pyspark.sql import functions as F
 from amonaly_detection_in_time_series_data_spark.sources.readers import load_table
 from amonaly_detection_in_time_series_data_spark.streaming.rolling import (
     replay_events_stream,
+    streaming_page_hinkley,
     streaming_windowed_stats,
     streaming_zscore_flags,
 )
@@ -89,6 +90,33 @@ class TestStreamingParity:
             else:
                 assert sz == pytest.approx(z, rel=1e-6), eid
             assert sflag == flag, eid
+
+    def test_stateful_page_hinkley_matches_batch_exactly(self, spark, sf_dir):
+        """The integer-unit PH state machine is EXACT: stream output ==
+        batch operator bit-for-bit (not approx) for in-order replay —
+        the payoff of the O(1) five-integer state design."""
+        from amonaly_detection_in_time_series_data_spark.operators.anomaly import page_hinkley
+
+        stream = replay_events_stream(spark, sf_dir)
+        ph = streaming_page_hinkley(
+            stream, lam=10.0, unit_digits=2, timeout_minutes=None
+        )
+        _run_stream_to_memory(ph, "ph_flags", "append")
+        streamed = {
+            r["event_id"]: (r["ph_inc"], r["ph_dec"], r["ph_alarm"])
+            for r in spark.sql("SELECT * FROM ph_flags").collect()
+        }
+
+        ev = load_table(spark, sf_dir, "events")
+        batch = page_hinkley(
+            ev, "value", ["user_id"], ["ts", "event_id"], lam=10.0, unit_digits=2
+        )
+        expected = {
+            r["event_id"]: (r["ph_inc"], r["ph_dec"], r["ph_alarm"])
+            for r in batch.collect()
+        }
+        assert len(streamed) == len(expected) > 0
+        assert streamed == expected  # exact, including the doubles
 
     def test_stateful_sequences_match_batch(self, spark, sf_dir):
         stream = replay_events_stream(spark, sf_dir)
