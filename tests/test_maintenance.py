@@ -90,6 +90,59 @@ class TestCompactFiles:
             == spark.read.parquet(src).count()
         )
 
+    def test_zorder_clusters_both_dimensions(self, spark, tmp_path):
+        """Z-order vs linear sort on a 2-D uniform grid: the linear
+        sort gives perfect x clustering but every file spans the FULL y
+        range; the z-order key keeps per-file footer min/max spans
+        small in BOTH dimensions — the property that lets either-column
+        filters prune files."""
+        import itertools
+
+        rows = [
+            (float(x), float(y))
+            for x, y in itertools.product(range(128), range(128))
+        ]
+        src = str(tmp_path / "grid")
+        spark.createDataFrame(rows, "x double, y double").repartition(
+            8
+        ).write.mode("overwrite").parquet(src)
+
+        def spans(dst):
+            out = {}
+            for col_idx, col in ((0, "x"), (1, "y")):
+                tot = 0.0
+                files = glob.glob(os.path.join(dst, "*.parquet"))
+                for f in files:
+                    md = pq.ParquetFile(f).metadata
+                    st = [
+                        md.row_group(i).column(col_idx).statistics
+                        for i in range(md.num_row_groups)
+                    ]
+                    tot += max(s.max for s in st) - min(s.min for s in st)
+                out[col] = tot / len(files) / 127.0  # avg span / full range
+            return out
+
+        lin = str(tmp_path / "lin")
+        compact_files(spark, src, lin, sort_by=["x"], n_files=16)
+        zor = str(tmp_path / "zor")
+        stats = compact_files(
+            spark, src, zor, zorder_by=["x", "y"], n_files=16
+        )
+        assert stats["out_files"] == 16
+
+        s_lin, s_zor = spans(lin), spans(zor)
+        # linear: x tight, y spans ~everything
+        assert s_lin["x"] < 0.2 and s_lin["y"] > 0.9
+        # z-order: BOTH dimensions tight (16 files ~ 4x4 quadrants;
+        # range boundaries straddle quadrant edges, hence the slack)
+        assert s_zor["x"] < 0.5 and s_zor["y"] < 0.5
+        # content preserved
+        assert (
+            spark.read.parquet(zor).count()
+            == spark.read.parquet(src).count()
+            == 128 * 128
+        )
+
     def test_refuses_in_place(self, spark, tmp_path):
         with pytest.raises(ValueError, match="out_path"):
             compact_files(spark, str(tmp_path / "x"), str(tmp_path / "x/"))
