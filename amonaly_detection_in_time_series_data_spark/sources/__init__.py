@@ -1,5 +1,6 @@
 from .readers import (
     load_csv,
+    load_evolving_table,
     load_table,
     normalize_columns,
     select_dtypes,
@@ -17,6 +18,7 @@ from .multimodal import (
 
 __all__ = [
     "load_csv",
+    "load_evolving_table",
     "load_table",
     "normalize_columns",
     "select_dtypes",

@@ -125,6 +125,41 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return normalize_columns(df)
 
 
+def load_evolving_table(
+    spark: SparkSession,
+    path: str,
+    target_schema: T.StructType | None = None,
+) -> DataFrame:
+    """Read a parquet directory whose files were written over time with
+    SCHEMA DRIFT (columns added release-over-release) and present one
+    stable schema.
+
+    ``mergeSchema=true`` unions the per-file schemas (files missing a
+    column yield nulls for it). ``target_schema`` then enforces the
+    canonical contract map-side: listed columns are cast to the
+    declared type, columns absent from every file materialize as typed
+    nulls, and unlisted stragglers are dropped — so downstream
+    pipelines compile against ONE schema regardless of which vintage of
+    files a partition holds.
+
+    Scale: schema merging reads file FOOTERS only (and Spark samples
+    them); the enforcement projection is map-only, rides the scan, and
+    keeps column pruning intact (unselected columns are never read).
+    Incompatible per-file types (e.g. the same column as int and
+    string) fail loudly at merge — that is corruption, not drift.
+    """
+    df = spark.read.option("mergeSchema", "true").parquet(path)
+    if target_schema is not None:
+        cols = []
+        for f in target_schema.fields:
+            if f.name in df.columns:
+                cols.append(F.col(f.name).cast(f.dataType).alias(f.name))
+            else:
+                cols.append(F.lit(None).cast(f.dataType).alias(f.name))
+        df = df.select(*cols)
+    return df
+
+
 def load_csv(
     spark: SparkSession,
     path: str,

@@ -557,6 +557,45 @@ class TestSources:
         assert df.columns == ["Start date", "value col", "note"]
         assert df.count() == 2
 
+    def test_schema_evolution_merge_and_contract(self, spark, tmp_path):
+        """Files written at three schema vintages (v1: id+a; v2 adds b;
+        v3 never wrote a) read back as ONE stable contract schema with
+        typed nulls where a vintage lacked the column."""
+        from pyspark.sql import types as T
+
+        from amonaly_detection_in_time_series_data_spark.sources.readers import (
+            load_evolving_table,
+        )
+
+        root = tmp_path / "evolving"
+        spark.createDataFrame(
+            [(1, 10.0)], "id bigint, a double"
+        ).write.parquet(str(root / "batch=1"))
+        spark.createDataFrame(
+            [(2, 20.0, "x")], "id bigint, a double, b string"
+        ).write.parquet(str(root / "batch=2"))
+        spark.createDataFrame(
+            [(3, "y", 99)], "id bigint, b string, junk int"
+        ).write.parquet(str(root / "batch=3"))
+
+        target = T.StructType(
+            [
+                T.StructField("id", T.LongType()),
+                T.StructField("a", T.DoubleType()),
+                T.StructField("b", T.StringType()),
+                T.StructField("c", T.IntegerType()),  # in no file yet
+            ]
+        )
+        got = load_evolving_table(spark, str(root / "batch=*"), target)
+        assert [f.name for f in got.schema.fields] == ["id", "a", "b", "c"]
+        assert got.schema["c"].dataType == T.IntegerType()
+        rows = {r["id"]: r for r in got.collect()}
+        assert rows[1]["a"] == 10.0 and rows[1]["b"] is None
+        assert rows[2]["b"] == "x"
+        assert rows[3]["a"] is None and rows[3]["b"] == "y"
+        assert all(r["c"] is None for r in rows.values())
+        assert "junk" not in got.columns
+
 
 class TestPlanShape:
     """Scale discipline: assert the physical plans we rely on at 100 TB."""
