@@ -175,6 +175,7 @@ def q_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
         ewma_deviation,
         iqr_flags,
         page_hinkley,
+        robust_zscore_flags,
     )
 
     ev = _events(spark, sf_dir)
@@ -188,6 +189,7 @@ def q_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     scored = ewma_deviation(scored, "value", 8, KEY, ORDER, alpha=0.5)
     scored = iqr_flags(scored, "value", KEY, k=1.5, unit_digits=2)
+    scored = robust_zscore_flags(scored, "value", KEY, unit_digits=2)
     return scored.select(
         "event_id",
         "user_id",
@@ -208,6 +210,9 @@ def q_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("iqr_lo", 6).alias("iqr_lo"),
         F.round("iqr_hi", 6).alias("iqr_hi"),
         F.col("iqr_alarm").cast("bigint").alias("iqr_alarm"),
+        F.round("med", 6).alias("med"),
+        F.round("mad", 6).alias("mad"),
+        F.col("robust_alarm").cast("bigint").alias("robust_alarm"),
     )
 
 
@@ -1947,8 +1952,18 @@ ew AS (
 iq AS (
   SELECT user_id,
          CAST(round(4 * quantile_cont(CAST(round(value * 100) AS BIGINT), 0.25)) AS BIGINT) AS q1_4,
-         CAST(round(4 * quantile_cont(CAST(round(value * 100) AS BIGINT), 0.75)) AS BIGINT) AS q3_4
+         CAST(round(4 * quantile_cont(CAST(round(value * 100) AS BIGINT), 0.75)) AS BIGINT) AS q3_4,
+         CAST(round(2 * quantile_cont(CAST(round(value * 100) AS BIGINT), 0.5)) AS BIGINT) AS med_2
   FROM events GROUP BY user_id
+),
+rz AS (
+  -- MAD in eighth-units: residuals |2m - med_2| are half-unit ints,
+  -- their median interpolates in quarters -> x4 is an exact integer
+  SELECT e.user_id,
+         CAST(round(4 * quantile_cont(
+           abs(2 * CAST(round(e.value * 100) AS BIGINT) - iq.med_2), 0.5)) AS BIGINT) AS mad_8
+  FROM events e JOIN iq ON e.user_id = iq.user_id
+  GROUP BY e.user_id
 )
 SELECT p.event_id, p.user_id, strftime(p.ts, '{fmt}') AS ts, p.value,
        round(m, 6) AS roll_mean,
@@ -1963,10 +1978,14 @@ SELECT p.event_id, p.user_id, strftime(p.ts, '{fmt}') AS ts, p.value,
        CAST(coalesce(abs((p.value - ew.ewma) / nullif(rstd8, 0)) > 3.0, false) AS BIGINT) AS ewma_alarm,
        round((5 * q1_4 - 3 * q3_4) / 800.0, 6) AS iqr_lo,
        round((5 * q3_4 - 3 * q1_4) / 800.0, 6) AS iqr_hi,
-       CAST(8 * p.m_i < 5 * q1_4 - 3 * q3_4 OR 8 * p.m_i > 5 * q3_4 - 3 * q1_4 AS BIGINT) AS iqr_alarm
+       CAST(8 * p.m_i < 5 * q1_4 - 3 * q3_4 OR 8 * p.m_i > 5 * q3_4 - 3 * q1_4 AS BIGINT) AS iqr_alarm,
+       round(med_2 / 200.0, 6) AS med,
+       round(mad_8 / 800.0, 6) AS mad,
+       CAST(mad_8 > 0 AND 26980 * abs(2 * p.m_i - med_2) > 35000 * mad_8 AS BIGINT) AS robust_alarm
 FROM ph2 p
 LEFT JOIN ew ON p.event_id = ew.event_id
 JOIN iq ON p.user_id = iq.user_id
+JOIN rz ON p.user_id = rz.user_id
 """
 
     sql["clean_coerce"] = f"""

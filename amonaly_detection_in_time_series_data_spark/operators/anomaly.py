@@ -355,6 +355,84 @@ def iqr_flags(
     )
 
 
+def robust_zscore_flags(
+    df: DataFrame,
+    target: str,
+    key_cols: Sequence[str] | None = None,
+    threshold: float = 3.5,
+    unit_digits: int | None = None,
+) -> DataFrame:
+    """Median/MAD robust outliers (Iglewicz–Hoaglin modified z-score):
+    flag ``|0.6745 * (x - median) / MAD| > threshold`` — the detector
+    of choice when the contamination itself poisons mean/std.
+
+    Two per-key aggregates (median, then MAD of the residuals against
+    it) each broadcast back — never a per-key window. ``MAD == 0``
+    (a majority-constant key) yields no flag: "can't score" != anomaly.
+
+    ``unit_digits``: exact integer-unit mode (requires the default
+    ``threshold=3.5``). Medians of unit-grid data sit in half-units and
+    MAD interpolation in eighth-units — both exact integers scaled up —
+    and the alarm becomes the integer cross-multiplication
+    ``26980 * dev_2 > 35000 * mad_8`` (26980 = 4*6745), so there is no
+    float comparison anywhere and any engine reproduces the flags
+    bit-for-bit. Outputs ``med``/``mad``/``dev`` are exact decimals
+    (<= 5 places). The float mode additionally emits ``robust_mz``.
+    """
+    keys = list(key_cols) if key_cols else None
+
+    def attach(frame: DataFrame, stats: DataFrame) -> DataFrame:
+        if keys:
+            return frame.join(F.broadcast(stats), keys)
+        return frame.crossJoin(F.broadcast(stats))
+
+    if unit_digits is None:
+        med_agg = F.expr(f"percentile({target}, 0.5)").alias("med")
+        stats1 = df.groupBy(*keys).agg(med_agg) if keys else df.agg(med_agg)
+        d = attach(df, stats1)
+        dev = F.abs(F.col(target) - F.col("med"))
+        d = d.withColumn("dev", dev)
+        mad_agg = F.expr("percentile(dev, 0.5)").alias("mad")
+        stats2 = d.groupBy(*keys).agg(mad_agg) if keys else d.agg(mad_agg)
+        d = attach(d, stats2)
+        mz = F.lit(0.6745) * F.col("dev") / F.nullif(F.col("mad"), F.lit(0.0))
+        return d.withColumn("robust_mz", mz).withColumn(
+            "robust_alarm",
+            F.coalesce((mz > F.lit(threshold)).cast("int"), F.lit(0)),
+        )
+
+    if abs(threshold - 3.5) > 1e-12:
+        raise ValueError("robust_zscore_flags integer mode needs threshold=3.5")
+    scale = 10**unit_digits
+    mexp = f"cast(round({target} * {scale}) as bigint)"
+    med2_agg = F.expr(
+        f"cast(round(2 * percentile({mexp}, 0.5)) as bigint)"
+    ).alias("__med_2")
+    stats1 = df.groupBy(*keys).agg(med2_agg) if keys else df.agg(med2_agg)
+    d = attach(df, stats1)
+    d = d.withColumn(
+        "__dev_2", F.abs(F.expr(f"2 * {mexp}") - F.col("__med_2"))
+    )
+    mad8_agg = F.expr(
+        "cast(round(4 * percentile(__dev_2, 0.5)) as bigint)"
+    ).alias("__mad_8")
+    stats2 = d.groupBy(*keys).agg(mad8_agg) if keys else d.agg(mad8_agg)
+    d = attach(d, stats2)
+    return (
+        d.withColumn("med", F.col("__med_2") / (2.0 * scale))
+        .withColumn("mad", F.col("__mad_8") / (8.0 * scale))
+        .withColumn("dev", F.col("__dev_2") / (2.0 * scale))
+        .withColumn(
+            "robust_alarm",
+            (
+                (F.col("__mad_8") > 0)
+                & (26980 * F.col("__dev_2") > 35000 * F.col("__mad_8"))
+            ).cast("int"),
+        )
+        .drop("__med_2", "__dev_2", "__mad_8")
+    )
+
+
 def seasonal_decompose(
     df: DataFrame,
     ts_col: str,

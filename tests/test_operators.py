@@ -452,6 +452,46 @@ class TestAnomalyTiers:
         assert out[-1]["ewma_alarm"] == 1
         assert all(r["ewma_alarm"] == 0 for r in out[:-1])
 
+    def test_robust_zscore_flags_fixture(self, spark):
+        from amonaly_detection_in_time_series_data_spark.operators.anomaly import (
+            robust_zscore_flags,
+        )
+
+        # 10,10.1,9.9,10.2,9.8,10,10.1,9.9,50: med=10.0, residuals
+        # [0,.1,.1,.2,.2,0,.1,.1,40] -> MAD=0.1; modified z of 50 =
+        # .6745*40/.1 = 269.8 >> 3.5; everything else <= 1.35
+        vals = [10.0, 10.1, 9.9, 10.2, 9.8, 10.0, 10.1, 9.9, 50.0]
+        df = spark.createDataFrame(
+            [("k", i, v) for i, v in enumerate(vals)],
+            "key string, i int, value double",
+        )
+        for digits in (None, 2):
+            out = (
+                robust_zscore_flags(df, "value", ["key"], unit_digits=digits)
+                .orderBy("i")
+                .collect()
+            )
+            assert abs(out[0]["med"] - 10.0) < 1e-9 if digits else True
+            assert out[-1]["robust_alarm"] == 1
+            assert all(r["robust_alarm"] == 0 for r in out[:-1])
+
+    def test_robust_zscore_zero_mad_never_flags(self, spark):
+        from amonaly_detection_in_time_series_data_spark.operators.anomaly import (
+            robust_zscore_flags,
+        )
+
+        # majority-constant key: MAD == 0 -> no flags in either mode
+        vals = [5.0] * 8 + [9.0]
+        df = spark.createDataFrame(
+            [("k", i, v) for i, v in enumerate(vals)],
+            "key string, i int, value double",
+        )
+        for digits in (None, 2):
+            out = robust_zscore_flags(
+                df, "value", ["key"], unit_digits=digits
+            ).collect()
+            assert all(r["robust_alarm"] == 0 for r in out)
+
     def test_iqr_flags_fixture(self, spark):
         from amonaly_detection_in_time_series_data_spark.operators.anomaly import iqr_flags
 
