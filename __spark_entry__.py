@@ -188,8 +188,13 @@ def q_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
         scored, "value", KEY, ORDER, delta=0.0, lam=10.0, unit_digits=2
     )
     scored = ewma_deviation(scored, "value", 8, KEY, ORDER, alpha=0.5)
-    scored = iqr_flags(scored, "value", KEY, k=1.5, unit_digits=2)
-    scored = robust_zscore_flags(scored, "value", KEY, unit_digits=2)
+    # stats_source=ev keeps each stats aggregate's lineage on the raw
+    # scan — aggregating over the composed frame would re-drag every
+    # prior broadcast join into each pass (8 FileScans vs 5, measured)
+    scored = iqr_flags(scored, "value", KEY, k=1.5, unit_digits=2, stats_source=ev)
+    scored = robust_zscore_flags(
+        scored, "value", KEY, unit_digits=2, stats_source=ev
+    )
     return scored.select(
         "event_id",
         "user_id",

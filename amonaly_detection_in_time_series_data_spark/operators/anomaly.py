@@ -243,36 +243,41 @@ def ewma_deviation(
 
     Infinite-history EWMA is a recursion (not relational); truncating at
     ``window_rows`` both bounds state (what a 100 TB window must do
-    anyway) and makes the weights a constant vector: ``collect_list``
-    over the frame (frame order = time order), then one
-    ``aggregate``/``zip_with`` pass. The default ``alpha=0.5`` makes
-    every weight an exact power of two, so scaling is lossless and the
-    only float effect is summation order (handled by round-at-output).
-    The SQL-oracle form is the self-join on row_number with the same
-    weights.
+    anyway) and makes the weights a constant vector. The default
+    ``alpha=0.5`` makes every weight an exact power of two, so scaling
+    is lossless and the only float effect is summation order (handled
+    by round-at-output). The SQL-oracle form is the self-join on
+    row_number with the same weights.
+
+    Per the SCALING.md §1b small-d convention the weighted sum is FLAT
+    codegen arithmetic — ``window_rows`` lag columns with literal
+    weights, fully inside whole-stage codegen (measured faster than the
+    interpreted ``collect_list`` + ``zip_with``/``aggregate`` form it
+    replaced); above 32 rows the HOF form would win on codegen size,
+    so the window is capped there.
     """
+    if window_rows > 32:
+        raise ValueError(
+            "ewma_deviation: window_rows > 32 — use the seasonal/rolling "
+            "family or extend with the HOF form (flat codegen blows up)"
+        )
     w = (
         Window.partitionBy(*[F.col(c) for c in key_cols])
         .orderBy(*[F.col(c).asc() for c in order_cols])
         .rowsBetween(-window_rows, -1)
     )
-    vals = F.collect_list(target).over(w)
-    d = df.withColumn("__vals", vals).withColumn(
-        "__rstd", F.stddev_samp(target).over(w)
+    w_ord = Window.partitionBy(*[F.col(c) for c in key_cols]).orderBy(
+        *[F.col(c).asc() for c in order_cols]
     )
-    v = F.col("__vals")
-    s = F.size(v)
-    # element i (1-based) has lag s-i+1 -> weight (1-alpha)^(s-i)
-    weights = F.transform(
-        F.sequence(F.lit(1), s), lambda i: F.pow(F.lit(1.0 - alpha), s - i)
-    )
-    num = F.aggregate(
-        F.zip_with(v, weights, lambda x, wt: x * wt),
-        F.lit(0.0),
-        lambda acc, x: acc + x,
-    )
-    den = F.aggregate(weights, F.lit(0.0), lambda acc, x: acc + x)
-    ewma = F.when(s > 0, num / den)
+    d = df.withColumn("__rstd", F.stddev_samp(target).over(w))
+    num = F.lit(0.0)
+    den = F.lit(0.0)
+    for j in range(1, window_rows + 1):
+        lj = F.lag(target, j).over(w_ord)
+        wt = float((1.0 - alpha) ** (j - 1))
+        num = num + F.coalesce(lj * F.lit(wt), F.lit(0.0))
+        den = den + F.when(lj.isNotNull(), F.lit(wt)).otherwise(F.lit(0.0))
+    ewma = F.when(den > 0, num / den)
     d = d.withColumn("ewma", ewma)
     dev = (F.col(target) - F.col("ewma")) / F.nullif(F.col("__rstd"), F.lit(0.0))
     return (
@@ -294,6 +299,7 @@ def iqr_flags(
     key_cols: Sequence[str] | None = None,
     k: float = 1.5,
     unit_digits: int | None = None,
+    stats_source: DataFrame | None = None,
 ) -> DataFrame:
     """Tukey-fence outliers: flag values outside ``[q1 - k*IQR,
     q3 + k*IQR]`` with exact (interpolated) quartiles, per key or
@@ -313,7 +319,15 @@ def iqr_flags(
     boundary anywhere, bit-reproducible in any engine (quartiles of
     grid data sit ON the fence grid routinely: measured 62/10000
     cross-engine flips in float mode).
+
+    ``stats_source``: frame to aggregate the quartiles from (default
+    ``df``). When ``df`` is a composed detector pipeline, pass the RAW
+    scan here — an aggregate over the composed frame drags every prior
+    broadcast join into its lineage (inner joins are not prunable), so
+    each stats pass would re-read every prior stats table; against the
+    raw scan it is one column-pruned pass of the base table.
     """
+    src = stats_source if stats_source is not None else df
     if unit_digits is None:
         q1 = F.expr(f"percentile({target}, 0.25)").alias("__q1")
         q3 = F.expr(f"percentile({target}, 0.75)").alias("__q3")
@@ -342,10 +356,10 @@ def iqr_flags(
             m8 > 5 * F.col("__q3") - 3 * F.col("__q1")
         )
     if key_cols:
-        stats = df.groupBy(*key_cols).agg(q1, q3)
+        stats = src.groupBy(*key_cols).agg(q1, q3)
         joined = df.join(F.broadcast(stats), list(key_cols))
     else:
-        stats = df.agg(q1, q3)
+        stats = src.agg(q1, q3)
         joined = df.crossJoin(F.broadcast(stats))
     return (
         joined.withColumn("iqr_lo", lo)
@@ -361,6 +375,7 @@ def robust_zscore_flags(
     key_cols: Sequence[str] | None = None,
     threshold: float = 3.5,
     unit_digits: int | None = None,
+    stats_source: DataFrame | None = None,
 ) -> DataFrame:
     """Median/MAD robust outliers (Iglewicz–Hoaglin modified z-score):
     flag ``|0.6745 * (x - median) / MAD| > threshold`` — the detector
@@ -378,8 +393,15 @@ def robust_zscore_flags(
     float comparison anywhere and any engine reproduces the flags
     bit-for-bit. Outputs ``med``/``mad``/``dev`` are exact decimals
     (<= 5 places). The float mode additionally emits ``robust_mz``.
+
+    ``stats_source``: frame to aggregate median/MAD from (default
+    ``df``) — same lineage-flattening rationale as :func:`iqr_flags`:
+    both stats passes (and the MAD pass's residual computation) run
+    against it, so composing detectors never re-drags prior joins into
+    the aggregates.
     """
     keys = list(key_cols) if key_cols else None
+    src = stats_source if stats_source is not None else df
 
     def attach(frame: DataFrame, stats: DataFrame) -> DataFrame:
         if keys:
@@ -388,13 +410,15 @@ def robust_zscore_flags(
 
     if unit_digits is None:
         med_agg = F.expr(f"percentile({target}, 0.5)").alias("med")
-        stats1 = df.groupBy(*keys).agg(med_agg) if keys else df.agg(med_agg)
-        d = attach(df, stats1)
+        stats1 = src.groupBy(*keys).agg(med_agg) if keys else src.agg(med_agg)
+        s = attach(src, stats1).withColumn(
+            "__dev", F.abs(F.col(target) - F.col("med"))
+        )
+        mad_agg = F.expr("percentile(__dev, 0.5)").alias("mad")
+        stats2 = s.groupBy(*keys).agg(mad_agg) if keys else s.agg(mad_agg)
+        d = attach(attach(df, stats1), stats2)
         dev = F.abs(F.col(target) - F.col("med"))
         d = d.withColumn("dev", dev)
-        mad_agg = F.expr("percentile(dev, 0.5)").alias("mad")
-        stats2 = d.groupBy(*keys).agg(mad_agg) if keys else d.agg(mad_agg)
-        d = attach(d, stats2)
         mz = F.lit(0.6745) * F.col("dev") / F.nullif(F.col("mad"), F.lit(0.0))
         return d.withColumn("robust_mz", mz).withColumn(
             "robust_alarm",
@@ -408,16 +432,18 @@ def robust_zscore_flags(
     med2_agg = F.expr(
         f"cast(round(2 * percentile({mexp}, 0.5)) as bigint)"
     ).alias("__med_2")
-    stats1 = df.groupBy(*keys).agg(med2_agg) if keys else df.agg(med2_agg)
-    d = attach(df, stats1)
+    stats1 = src.groupBy(*keys).agg(med2_agg) if keys else src.agg(med2_agg)
+    s = attach(src, stats1).withColumn(
+        "__sdev_2", F.abs(F.expr(f"2 * {mexp}") - F.col("__med_2"))
+    )
+    mad8_agg = F.expr(
+        "cast(round(4 * percentile(__sdev_2, 0.5)) as bigint)"
+    ).alias("__mad_8")
+    stats2 = s.groupBy(*keys).agg(mad8_agg) if keys else s.agg(mad8_agg)
+    d = attach(attach(df, stats1), stats2)
     d = d.withColumn(
         "__dev_2", F.abs(F.expr(f"2 * {mexp}") - F.col("__med_2"))
     )
-    mad8_agg = F.expr(
-        "cast(round(4 * percentile(__dev_2, 0.5)) as bigint)"
-    ).alias("__mad_8")
-    stats2 = d.groupBy(*keys).agg(mad8_agg) if keys else d.agg(mad8_agg)
-    d = attach(d, stats2)
     return (
         d.withColumn("med", F.col("__med_2") / (2.0 * scale))
         .withColumn("mad", F.col("__mad_8") / (8.0 * scale))
