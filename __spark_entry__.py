@@ -964,7 +964,14 @@ def q_typed_aggs(spark: SparkSession, sf_dir: str) -> DataFrame:
     interpolated percentiles (Spark ``percentile`` == SQL
     quantile_cont; percentile_approx is the documented 100 TB
     alternative), distinct counts, plain count and sum — all per
-    event_type, one shuffle."""
+    event_type, one shuffle. Merged r6: the declarative data-quality
+    expectation rules (operators.validation — not-null / range /
+    unique / regex compiled to violation counts) ride the SAME
+    aggregate, proving the one-pass validation contract under oracle."""
+    from amonaly_detection_in_time_series_data_spark.operators.validation import (
+        violation_expr,
+    )
+
     ev = _events(spark, sf_dir)
     pct = F.percentile("value", F.lit([0.5, 0.9]))
     return ev.groupBy("event_type").agg(
@@ -973,6 +980,23 @@ def q_typed_aggs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.countDistinct("user_id").alias("n_users"),
         F.count("*").alias("n_events"),
         F.round(F.sum("value"), 2).alias("total_value"),
+        violation_expr(
+            {"name": "v", "column": "value", "check": "not_null"}
+        ).alias("value_nulls"),
+        violation_expr(
+            {"name": "v", "column": "value", "check": "range", "lo": 0, "hi": 250}
+        ).alias("value_range_viol"),
+        violation_expr(
+            {"name": "v", "column": "event_id", "check": "unique"}
+        ).alias("dup_event_ids"),
+        violation_expr(
+            {
+                "name": "v",
+                "column": "event_type",
+                "check": "regex",
+                "pattern": "^[a-z_]+$",
+            }
+        ).alias("bad_type_format"),
     )
 
 
@@ -2348,7 +2372,11 @@ SELECT event_type,
        round(quantile_cont(value, 0.9), 6) AS p90,
        count(DISTINCT user_id) AS n_users,
        count(*) AS n_events,
-       round(sum(value), 2) AS total_value
+       round(sum(value), 2) AS total_value,
+       CAST(sum(CASE WHEN value IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS value_nulls,
+       CAST(sum(CASE WHEN value IS NOT NULL AND (value < 0 OR value > 250) THEN 1 ELSE 0 END) AS BIGINT) AS value_range_viol,
+       count(event_id) - count(DISTINCT event_id) AS dup_event_ids,
+       CAST(sum(CASE WHEN event_type IS NOT NULL AND NOT regexp_matches(event_type, '^[a-z_]+$') THEN 1 ELSE 0 END) AS BIGINT) AS bad_type_format
 FROM events
 GROUP BY event_type
 """

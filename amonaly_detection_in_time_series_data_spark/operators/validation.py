@@ -1,0 +1,91 @@
+"""Data-quality validation: declarative expectation rules compiled into
+ONE aggregate pass (the Great-Expectations pattern, engine-native).
+
+A 100 TB ingest needs its contract checks to ride a single scan — a
+rule-per-query validator re-reads the table once per expectation. Here
+every rule compiles to a violation-count expression (``sum(CASE ...)``,
+``count - count_distinct``), all of them land in one ``agg`` (optionally
+grouped), and the scan is shared, map-side partial-aggregated, and
+column-pruned to exactly the checked columns.
+
+Rules (each a dict with ``name``, ``check``, ``column``, params):
+
+- ``not_null``                          — violations = null rows
+- ``range`` (``lo``/``hi``, inclusive)  — non-null rows outside bounds
+- ``accepted_values`` (``values``)      — non-null rows outside the set
+- ``regex`` (``pattern``)               — non-null rows NOT matching
+- ``unique``                            — ``count(col) - count_distinct(col)``
+  (null rows are not counted as duplicates)
+
+Wide output (default): one row per group, one ``<name>_violations``
+column per rule — composable into any existing aggregate (the declared
+``typed_aggs`` query does exactly that). ``wide=False`` unpivots to the
+report shape (rule, column, check, violations, n_rows, passed) via one
+``stack`` — still the same single pass underneath.
+
+Every expression is plain ANSI-ish SQL semantics, so reports are
+oracle-checkable exactly.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+__all__ = ["validate", "violation_expr"]
+
+
+def violation_expr(rule: dict) -> Column:
+    """Violation-count aggregate expression for one rule."""
+    col = F.col(rule["column"])
+    check = rule["check"]
+    if check == "not_null":
+        cond = col.isNull()
+    elif check == "range":
+        cond = col.isNotNull() & (
+            (col < F.lit(rule["lo"])) | (col > F.lit(rule["hi"]))
+        )
+    elif check == "accepted_values":
+        cond = col.isNotNull() & ~col.isin(*rule["values"])
+    elif check == "regex":
+        cond = col.isNotNull() & ~col.rlike(rule["pattern"])
+    elif check == "unique":
+        return (F.count(col) - F.count_distinct(col)).cast("bigint")
+    else:
+        raise ValueError(f"unknown check {check!r}")
+    return F.sum(cond.cast("bigint")).cast("bigint")
+
+
+def validate(
+    df: DataFrame,
+    rules: list[dict],
+    group_by: list[str] | None = None,
+    wide: bool = True,
+) -> DataFrame:
+    """Run all ``rules`` in one aggregate pass; see module docstring."""
+    if not rules:
+        raise ValueError("validate: no rules")
+    names = [r["name"] for r in rules]
+    if len(set(names)) != len(names):
+        raise ValueError("validate: duplicate rule names")
+    aggs = [
+        violation_expr(r).alias(f"{r['name']}_violations") for r in rules
+    ] + [F.count(F.lit(1)).alias("n_rows")]
+    out = df.groupBy(*group_by).agg(*aggs) if group_by else df.agg(*aggs)
+    if wide:
+        return out
+    pairs = ", ".join(
+        f"'{r['name']}', '{r['column']}', '{r['check']}', "
+        f"{r['name']}_violations"
+        for r in rules
+    )
+    stacked = out.select(
+        *(group_by or []),
+        F.expr(
+            f"stack({len(rules)}, {pairs}) AS (rule, column, check, violations)"
+        ),
+        "n_rows",
+    )
+    return stacked.withColumn(
+        "passed", (F.col("violations") == 0).cast("int")
+    )

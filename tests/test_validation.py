@@ -1,0 +1,82 @@
+"""Declarative one-pass data-quality validation (operators.validation)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from amonaly_detection_in_time_series_data_spark.operators.validation import (
+    validate,
+    violation_expr,
+)
+
+ROWS = [
+    (1, "a@x.com", 10.0, "web"),
+    (2, None, 20.0, "web"),
+    (3, "bad-email", -5.0, "app"),
+    (3, "c@x.com", 999.0, "fax"),
+    (4, "d@x.com", None, "app"),
+]
+SCHEMA = "id bigint, email string, value double, channel string"
+
+RULES = [
+    {"name": "email_present", "column": "email", "check": "not_null"},
+    {"name": "email_format", "column": "email", "check": "regex",
+     "pattern": r"^[^@\s]+@[^@\s]+$"},
+    {"name": "value_range", "column": "value", "check": "range",
+     "lo": 0, "hi": 100},
+    {"name": "id_unique", "column": "id", "check": "unique"},
+    {"name": "channel_known", "column": "channel", "check": "accepted_values",
+     "values": ["web", "app"]},
+]
+
+
+class TestValidate:
+    def test_wide_single_pass(self, spark):
+        df = spark.createDataFrame(ROWS, SCHEMA)
+        out = validate(df, RULES).first()
+        assert out["email_present_violations"] == 1  # id 2
+        assert out["email_format_violations"] == 1   # bad-email (nulls skip)
+        assert out["value_range_violations"] == 2    # -5 and 999 (null skips)
+        assert out["id_unique_violations"] == 1      # id 3 twice
+        assert out["channel_known_violations"] == 1  # fax
+        assert out["n_rows"] == 5
+        # the contract: ONE aggregate over ONE scan
+        plan = validate(df, RULES)._jdf.queryExecution().executedPlan().toString()
+        assert plan.count("Scan ExistingRDD") + plan.count("FileScan") == 1
+
+    def test_long_report(self, spark):
+        df = spark.createDataFrame(ROWS, SCHEMA)
+        rep = {r["rule"]: r for r in validate(df, RULES, wide=False).collect()}
+        assert len(rep) == 5
+        assert rep["value_range"]["violations"] == 2
+        assert rep["value_range"]["passed"] == 0
+        assert rep["value_range"]["check"] == "range"
+        assert all(r["n_rows"] == 5 for r in rep.values())
+        assert not any(
+            r["passed"] == 1 and r["violations"] > 0 for r in rep.values()
+        )
+
+    def test_grouped(self, spark):
+        df = spark.createDataFrame(ROWS, SCHEMA)
+        out = {
+            r["channel"]: r
+            for r in validate(
+                df,
+                [{"name": "v_rng", "column": "value", "check": "range",
+                  "lo": 0, "hi": 100}],
+                group_by=["channel"],
+            ).collect()
+        }
+        assert out["app"]["v_rng_violations"] == 1
+        assert out["fax"]["v_rng_violations"] == 1
+        assert out["web"]["v_rng_violations"] == 0
+
+    def test_bad_inputs(self, spark):
+        df = spark.createDataFrame(ROWS, SCHEMA)
+        with pytest.raises(ValueError, match="no rules"):
+            validate(df, [])
+        with pytest.raises(ValueError, match="duplicate"):
+            validate(df, [RULES[0], RULES[0]])
+        with pytest.raises(ValueError, match="unknown check"):
+            violation_expr({"name": "x", "column": "id", "check": "nope"})
