@@ -1002,13 +1002,37 @@ def q_typed_aggs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Fixed-width binning by arithmetic (bin = floor(value/step)) —
-    identical in any SQL engine, partial-aggregated map-side."""
+    identical in any SQL engine, partial-aggregated map-side. Merged
+    r6: PSI drift monitoring (operators.validation.psi_report) between
+    the even/odd event_id populations over the same bins — per-bin
+    shares are exact rationals (round 6 safe), psi_term's ln rounds at
+    4 (transcendental, never grid-valued)."""
+    from amonaly_detection_in_time_series_data_spark.operators.validation import (
+        psi_report,
+    )
+
     ev = _events(spark, sf_dir)
     b = F.floor(F.col("value") / 50).cast("bigint")
-    return ev.groupBy(b.alias("bin")).agg(
+    hist = ev.groupBy(b.alias("bin")).agg(
         F.count("*").alias("n"),
         F.round(F.min("value"), 2).alias("lo"),
         F.round(F.max("value"), 2).alias("hi"),
+    )
+    psi = psi_report(
+        ev.filter(F.col("event_id") % 2 == 0),
+        ev.filter(F.col("event_id") % 2 == 1),
+        b,
+    )
+    return hist.join(psi, "bin").select(
+        "bin",
+        "n",
+        "lo",
+        "hi",
+        F.col("n_a").cast("bigint").alias("n_even"),
+        F.col("n_b").cast("bigint").alias("n_odd"),
+        F.round("p_a", 6).alias("p_even"),
+        F.round("p_b", 6).alias("p_odd"),
+        F.round("psi_term", 4).alias("psi_term"),
     )
 
 
@@ -2784,11 +2808,34 @@ SELECT id_a, id_b, cosine FROM pairs WHERE cosine >= 0.2
 """
 
     sql["histogram"] = """
-SELECT CAST(floor(value / 50) AS BIGINT) AS bin,
-       count(*) AS n,
-       round(min(value), 2) AS lo,
-       round(max(value), 2) AS hi
-FROM events GROUP BY 1
+WITH h AS (
+  SELECT CAST(floor(value / 50) AS BIGINT) AS bin,
+         count(*) AS n,
+         round(min(value), 2) AS lo,
+         round(max(value), 2) AS hi
+  FROM events GROUP BY 1
+),
+a AS (
+  SELECT CAST(floor(value / 50) AS BIGINT) AS bin, count(*) AS n_even
+  FROM events WHERE event_id % 2 = 0 GROUP BY 1
+),
+b AS (
+  SELECT CAST(floor(value / 50) AS BIGINT) AS bin, count(*) AS n_odd
+  FROM events WHERE event_id % 2 = 1 GROUP BY 1
+)
+SELECT h.bin, h.n, h.lo, h.hi,
+       CAST(coalesce(n_even, 0) AS BIGINT) AS n_even,
+       CAST(coalesce(n_odd, 0) AS BIGINT) AS n_odd,
+       round(coalesce(n_even, 0) / (SELECT sum(n_even) FROM a), 6) AS p_even,
+       round(coalesce(n_odd, 0) / (SELECT sum(n_odd) FROM b), 6) AS p_odd,
+       round((greatest(coalesce(n_even, 0) / (SELECT sum(n_even) FROM a), 1e-6)
+              - greatest(coalesce(n_odd, 0) / (SELECT sum(n_odd) FROM b), 1e-6))
+             * ln(greatest(coalesce(n_even, 0) / (SELECT sum(n_even) FROM a), 1e-6)
+                  / greatest(coalesce(n_odd, 0) / (SELECT sum(n_odd) FROM b), 1e-6)),
+             4) AS psi_term
+FROM h
+LEFT JOIN a ON h.bin = a.bin
+LEFT JOIN b ON h.bin = b.bin
 """
 
     grams4 = (

@@ -32,7 +32,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["validate", "violation_expr"]
+__all__ = ["validate", "violation_expr", "psi_report"]
 
 
 def violation_expr(rule: dict) -> Column:
@@ -88,4 +88,45 @@ def validate(
     )
     return stacked.withColumn(
         "passed", (F.col("violations") == 0).cast("int")
+    )
+
+
+def psi_report(
+    df_a: DataFrame,
+    df_b: DataFrame,
+    bin_col: Column,
+    eps: float = 1e-6,
+) -> DataFrame:
+    """Population Stability Index between two snapshots of a
+    distribution — the standard drift monitor between a reference
+    period and a current period (PSI > 0.25 ≈ major shift).
+
+    Bins come from ``bin_col`` (any expression — ``floor(value/step)``,
+    a category column, a quantile id). Per bin:
+    ``psi_term = (p_a - p_b) * ln(p_a / p_b)`` with both shares clamped
+    to ``eps`` so one-sided bins contribute a large-but-finite term
+    instead of infinity; total PSI = sum of terms.
+
+    Scale: one count aggregate per side (map-side combined), totals as
+    1-row broadcasts, and a full-outer join on the tiny bin table —
+    the raw data is scanned once per side and never joined row-level.
+    """
+    ca = df_a.groupBy(bin_col.alias("bin")).agg(F.count("*").alias("n_a"))
+    cb = df_b.groupBy(bin_col.alias("bin")).agg(F.count("*").alias("n_b"))
+    ta = ca.agg(F.sum("n_a").alias("__ta"))
+    tb = cb.agg(F.sum("n_b").alias("__tb"))
+    j = (
+        ca.join(cb, "bin", "full_outer")
+        .crossJoin(F.broadcast(ta))
+        .crossJoin(F.broadcast(tb))
+        .withColumn("n_a", F.coalesce("n_a", F.lit(0)))
+        .withColumn("n_b", F.coalesce("n_b", F.lit(0)))
+    )
+    p_a = F.greatest(F.col("n_a") / F.col("__ta"), F.lit(eps))
+    p_b = F.greatest(F.col("n_b") / F.col("__tb"), F.lit(eps))
+    return (
+        j.withColumn("p_a", F.col("n_a") / F.col("__ta"))
+        .withColumn("p_b", F.col("n_b") / F.col("__tb"))
+        .withColumn("psi_term", (p_a - p_b) * F.log(p_a / p_b))
+        .drop("__ta", "__tb")
     )

@@ -652,6 +652,39 @@ class TestPlanShape:
         # only the two needed columns are read
         assert "l_extendedprice" not in plan.split("ReadSchema")[1][:200]
 
+    def test_runtime_bloom_filter_injects_on_selective_join(self, spark, sf_dir):
+        """Spark's runtime row-level filter: a selective filter on the
+        build side of a shuffle join injects a bloom filter into the
+        probe-side SCAN (`might_contain`), so the big fact table drops
+        non-joining rows before the exchange. At 100 TB this fires
+        automatically (probe scan > the 10 GB default threshold); here
+        the thresholds are lowered to exercise the mechanism on test
+        data, and restored after."""
+        confs = {
+            "spark.sql.autoBroadcastJoinThreshold": "-1",
+            "spark.sql.optimizer.runtime.bloomFilter."
+            "applicationSideScanSizeThreshold": "0",
+            "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold": (
+                "100MB"
+            ),
+        }
+        saved = {k: spark.conf.get(k) for k in confs}
+        try:
+            for k, v in confs.items():
+                spark.conf.set(k, v)
+            orders = load_table(spark, sf_dir, "orders")
+            li = load_table(spark, sf_dir, "lineitem")
+            sel = orders.filter(F.col("o_totalprice") > 400000).select(
+                "o_orderkey"
+            )
+            j = li.join(sel, li.l_orderkey == sel.o_orderkey)
+            plan = j._jdf.queryExecution().executedPlan().toString()
+            assert "might_contain" in plan
+            assert j.count() >= 0  # and it executes
+        finally:
+            for k, v in saved.items():
+                spark.conf.set(k, v)
+
     def test_dim_join_is_broadcast(self, spark, sf_dir):
         nation = load_table(spark, sf_dir, "nation")
         cust = load_table(spark, sf_dir, "customer")

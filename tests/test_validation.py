@@ -72,6 +72,31 @@ class TestValidate:
         assert out["fax"]["v_rng_violations"] == 1
         assert out["web"]["v_rng_violations"] == 0
 
+    def test_psi_report_detects_shift(self, spark):
+        import math
+
+        from amonaly_detection_in_time_series_data_spark.operators.validation import (
+            psi_report,
+        )
+
+        # identical distributions -> PSI ~ 0; shifted -> PSI large,
+        # and a bin present on one side only exercises the eps clamp
+        a = spark.createDataFrame(
+            [(i % 4,) for i in range(400)], "v bigint"
+        )
+        same = psi_report(a, a, F.col("v")).agg(F.sum("psi_term")).first()[0]
+        assert abs(same) < 1e-12
+
+        b = spark.createDataFrame(
+            [(i % 4 + 1,) for i in range(400)], "v bigint"
+        )  # bins 1..4 vs a's 0..3: bins 0 and 4 are one-sided
+        rows = {r["bin"]: r for r in psi_report(a, b, F.col("v")).collect()}
+        assert set(rows) == {0, 1, 2, 3, 4}
+        assert rows[0]["n_b"] == 0 and rows[4]["n_a"] == 0
+        total = sum(r["psi_term"] for r in rows.values())
+        assert total > 0.25  # "major shift" on the standard PSI scale
+        assert all(math.isfinite(r["psi_term"]) for r in rows.values())
+
     def test_bad_inputs(self, spark):
         df = spark.createDataFrame(ROWS, SCHEMA)
         with pytest.raises(ValueError, match="no rules"):
