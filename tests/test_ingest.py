@@ -146,6 +146,51 @@ class TestIncrementalIngest:
         assert got["all-seen"] == {1}
         assert got["kept-only"] == {1, 3}
 
+    def test_store_compaction_preserves_dedup(self, spark, sf_dir, tmp_path):
+        """The documented maintenance loop: after N batches the
+        batch_id-partitioned store fragments; compact_files rewrites it
+        and ingest keeps working with identical results (signatures are
+        content, not layout)."""
+        from amonaly_detection_in_time_series_data_spark.operators.maintenance import (
+            compact_files,
+            data_file_stats,
+        )
+
+        docs = _docs(spark, sf_dir)
+        n = docs.count()
+        splits = [(i * n // 4, (i + 1) * n // 4) for i in range(4)]
+
+        # reference: uncompacted store all the way
+        plain = _run_incremental(docs, splits, tmp_path, "nc")
+
+        store = str(tmp_path / "store_c")
+        kept: set = set()
+        for i, (lo, hi) in enumerate(splits):
+            if i == 2:
+                # compact ONE partition directory (the per-partition
+                # usage the module documents) and swap it in place —
+                # the store's batch_id layout is preserved
+                import shutil
+
+                part = f"{store}/batch_id=0"
+                before = data_file_stats(spark, part)
+                assert before["n_files"] >= 1
+                swap = str(tmp_path / "part_swap")
+                st = compact_files(
+                    spark, part, swap, target_file_mb=64, sort_by=["doc_id"]
+                )
+                assert st["out_files"] <= st["in_files"]
+                shutil.rmtree(part)
+                shutil.move(swap, part)
+            batch = docs.filter(
+                (F.col("doc_id") >= lo) & (F.col("doc_id") < hi)
+            )
+            novel = incremental_neardup_batch(
+                batch, store, batch_id=i, threshold=THRESHOLD
+            )
+            kept |= {r["doc_id"] for r in novel.select("doc_id").collect()}
+        assert kept == plain
+
     def test_streaming_foreach_batch(self, spark, sf_dir, tmp_path):
         docs = _docs(spark, sf_dir)
         expect = _oracle_kept(spark, docs)
