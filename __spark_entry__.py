@@ -865,6 +865,10 @@ def q_resample_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
         seasonal_decompose,
     )
 
+    from amonaly_detection_in_time_series_data_spark.operators.timeseries import (
+        seasonal_naive_forecast,
+    )
+
     ev = _events(spark, sf_dir)
     grid = resample_grid(
         ev, ["user_id"], "ts", ["value"], step="1 hour", agg="avg", fill="ffill"
@@ -873,7 +877,14 @@ def q_resample_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
         grid, "bucket_ts", "value", ["user_id"], trend_window=12,
         round_digits=6,
     )
-    return dec.select(
+    # r6: seasonal-naive forecast + expanding backtest MAE on the same
+    # grid (value here is the 6-digit-snapped decomposition input, so
+    # the integer-unit mode is exact end-to-end)
+    fc = seasonal_naive_forecast(
+        dec.withColumn("value", F.round("value", 6)),
+        "bucket_ts", "value", ["user_id"], season_rows=24, unit_digits=6,
+    )
+    return fc.select(
         "user_id",
         _ts_str("bucket_ts").alias("bucket_ts"),
         F.round("value", 6).alias("value"),
@@ -882,6 +893,9 @@ def q_resample_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
         "residual",
         "resid_z",
         F.col("is_anomaly").cast("bigint").alias("is_anomaly"),
+        F.round("forecast", 6).alias("forecast"),
+        F.round("abs_err", 6).alias("abs_err"),
+        F.round("naive_mae", 6).alias("naive_mae"),
     )
 
 
@@ -2349,6 +2363,21 @@ z AS (
   SELECT *, avg(residual) OVER (PARTITION BY user_id) AS mu,
          stddev_samp(residual) OVER (PARTITION BY user_id) AS sd
   FROM r
+),
+f AS (
+  -- seasonal-naive forecast in the same exact integer micro-units:
+  -- forecast = lag-24 of v_i, error integer, MAE = floor((2S+n)/(2n))
+  SELECT *, lag(v_i, 24) OVER wo AS fc_i,
+         abs(v_i - lag(v_i, 24) OVER wo) AS err_i
+  FROM z
+  WINDOW wo AS (PARTITION BY user_id ORDER BY bucket_ts)
+),
+f2 AS (
+  SELECT *, CAST(floor((2 * sum(err_i) OVER run + count(err_i) OVER run)
+                 / nullif(2.0 * count(err_i) OVER run, 0)) AS BIGINT) AS mae_i
+  FROM f
+  WINDOW run AS (PARTITION BY user_id ORDER BY bucket_ts
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
 )
 SELECT user_id, strftime(bucket_ts, '{fmt}') AS bucket_ts,
        round(value, 6) AS value,
@@ -2357,8 +2386,11 @@ SELECT user_id, strftime(bucket_ts, '{fmt}') AS bucket_ts,
        residual,
        round((residual - mu) / nullif(sd, 0), 6) AS resid_z,
        CAST(coalesce(abs(round((residual - mu) / nullif(sd, 0), 6)) > 3.0, false) AS BIGINT)
-         AS is_anomaly
-FROM z
+         AS is_anomaly,
+       fc_i / 1000000.0 AS forecast,
+       err_i / 1000000.0 AS abs_err,
+       mae_i / 1000000.0 AS naive_mae
+FROM f2
 """
 
     sql["ranking_functions"] = """

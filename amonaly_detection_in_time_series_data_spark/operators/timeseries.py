@@ -251,3 +251,55 @@ def point_in_interval_join(
             )
         return matched.unionByName(missing)
     raise ValueError(f"how must be inner|left, got {how!r}")
+
+
+def seasonal_naive_forecast(
+    df: DataFrame,
+    ts_col: str,
+    value_col: str,
+    series_cols: Sequence[str],
+    season_rows: int = 24,
+    unit_digits: int | None = None,
+) -> DataFrame:
+    """Seasonal-naive forecast + in-sample backtest — the baseline every
+    forecasting evaluation starts from (forecast = the value one season
+    ago), over a REGULAR grid (compose after :func:`resample_grid`).
+
+    Adds per row: ``forecast`` (= ``lag(value, season_rows)``),
+    ``abs_err`` (null while no forecast exists), and ``naive_mae`` — the
+    running mean absolute error over the series so far, i.e. the
+    expanding backtest score a monitoring job alerts on when a better
+    model stops beating it.
+
+    One window exchange (same key+order as the rest of the resample
+    family). ``unit_digits``: the family's exact integer-unit mode —
+    errors become integer micro-units and the running MAE uses the
+    deterministic ``floor((2S+n)/(2n))`` rounding, so every output is
+    engine-exact (a float running mean's denominator-n rationals sit on
+    rounding boundaries routinely).
+    """
+    w_ord = Window.partitionBy(*[F.col(c) for c in series_cols]).orderBy(
+        F.col(ts_col).asc()
+    )
+    run = w_ord.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    fc = F.lag(value_col, season_rows).over(w_ord)
+    d = df.withColumn("forecast", fc)
+    if unit_digits is None:
+        d = d.withColumn("abs_err", F.abs(F.col(value_col) - F.col("forecast")))
+        return d.withColumn("naive_mae", F.avg("abs_err").over(run))
+    scale = 10**unit_digits
+    err_i = F.round(F.abs(F.col(value_col) - F.col("forecast")) * scale).cast(
+        "bigint"
+    )
+    d = d.withColumn("__err_i", err_i)
+    s_run = F.sum("__err_i").over(run)
+    n_run = F.count("__err_i").over(run)
+    # nullif: rows before the first forecast have n=0 -> MAE undefined
+    mae_i = F.floor(
+        (2 * s_run + n_run) / F.nullif(2 * n_run, F.lit(0))
+    ).cast("bigint")
+    return (
+        d.withColumn("abs_err", F.col("__err_i") / scale)
+        .withColumn("naive_mae", mae_i / scale)
+        .drop("__err_i")
+    )

@@ -856,6 +856,42 @@ class TestSinks:
         )[1][:120]
 
 
+class TestSeasonalNaiveForecast:
+    def test_forecast_and_expanding_mae(self, spark):
+        from datetime import datetime, timedelta
+
+        from amonaly_detection_in_time_series_data_spark.operators.timeseries import (
+            seasonal_naive_forecast,
+        )
+
+        # period-3 series 1,2,3,1,2,3,2,2,3: forecasts from t=3 are the
+        # value 3 rows back; errors 0,0,0,1,0,0 -> expanding MAE
+        # 0,0,0,.25,.2,1/6
+        base = datetime(2024, 1, 1)
+        vals = [1.0, 2.0, 3.0, 1.0, 2.0, 3.0, 2.0, 2.0, 3.0]
+        rows = [("k", base + timedelta(hours=i), v) for i, v in enumerate(vals)]
+        df = spark.createDataFrame(rows, "key string, ts timestamp, value double")
+        for digits in (None, 6):
+            out = (
+                seasonal_naive_forecast(
+                    df, "ts", "value", ["key"], season_rows=3,
+                    unit_digits=digits,
+                )
+                .orderBy("ts")
+                .collect()
+            )
+            assert [r["forecast"] for r in out[:3]] == [None] * 3
+            assert [r["forecast"] for r in out[3:]] == [1.0, 2.0, 3.0, 1.0, 2.0, 3.0]
+            assert [r["abs_err"] for r in out[3:]] == [0.0, 0.0, 0.0, 1.0, 0.0, 0.0]
+            assert out[3]["naive_mae"] == 0.0
+            got = out[-1]["naive_mae"]
+            want = 1.0 / 6.0
+            # integer mode rounds to the micro-unit grid (ties up)
+            tol = 1e-6 if digits else 1e-12
+            assert abs(got - want) < tol
+            assert out[2]["naive_mae"] is None  # no forecast yet
+
+
 class TestTimeseriesOps:
     def test_asof_join_null_right_values_whole_row(self, spark):
         """Right value columns with legitimate NULLs: the attached values
