@@ -325,3 +325,95 @@ class TestMixtureResampleProperties:
             assert quota[name] == expect, (name, quota[name], expect)
             assert kept[name] == expect
             assert quota[name] <= n
+
+
+class TestDetectorProperties:
+    """Invariants of the r6 detector battery, hypothesis-generated."""
+
+    @PROP
+    @given(xs=st.lists(FINITE, min_size=2, max_size=40))
+    def test_page_hinkley_stats_nonnegative_and_zero_start(self, spark, xs):
+        from amonaly_detection_in_time_series_data_spark.operators.anomaly import (
+            page_hinkley,
+        )
+
+        df = spark.createDataFrame(
+            [("k", i, float(x)) for i, x in enumerate(xs)],
+            "key string, i int, value double",
+        )
+        out = page_hinkley(df, "value", ["key"], ["i"]).orderBy("i").collect()
+        # first observation: u == min(u), d == max(d) -> both stats 0
+        assert out[0]["ph_inc"] == 0.0 and out[0]["ph_dec"] == 0.0
+        for r in out:
+            assert r["ph_inc"] >= 0 and r["ph_dec"] >= 0
+        # constant series stays identically 0 (xbar == x at every step)
+        cst = spark.createDataFrame(
+            [("k", i, 7.5) for i in range(10)], "key string, i int, value double"
+        )
+        for r in page_hinkley(cst, "value", ["key"], ["i"]).collect():
+            assert r["ph_inc"] == 0.0 and r["ph_dec"] == 0.0 and r["ph_alarm"] == 0
+
+    @PROP
+    @given(xs=st.lists(FINITE, min_size=2, max_size=30))
+    def test_ewma_between_window_extremes(self, spark, xs):
+        from amonaly_detection_in_time_series_data_spark.operators.anomaly import (
+            ewma_deviation,
+        )
+
+        df = spark.createDataFrame(
+            [("k", i, float(x)) for i, x in enumerate(xs)],
+            "key string, i int, value double",
+        )
+        out = (
+            ewma_deviation(df, "value", 8, ["key"], ["i"]).orderBy("i").collect()
+        )
+        assert out[0]["ewma"] is None
+        for t, r in enumerate(out):
+            if r["ewma"] is None:
+                continue
+            window = xs[max(0, t - 8) : t]
+            lo, hi = min(window), max(window)
+            # a convex combination of the window can't leave [min, max]
+            assert lo - 1e-9 <= r["ewma"] <= hi + 1e-9, (t, r["ewma"], window)
+
+    @PROP
+    @given(xs=st.lists(FINITE, min_size=4, max_size=40))
+    def test_iqr_fences_bracket_quartiles(self, spark, xs):
+        from amonaly_detection_in_time_series_data_spark.operators.anomaly import (
+            iqr_flags,
+        )
+
+        df = spark.createDataFrame(
+            [("k", i, float(x)) for i, x in enumerate(xs)],
+            "key string, i int, value double",
+        )
+        out = iqr_flags(df, "value", ["key"]).collect()
+        lo, hi = out[0]["iqr_lo"], out[0]["iqr_hi"]
+        assert lo <= hi
+        srt = sorted(xs)
+        import numpy as np
+
+        q1, q3 = np.percentile(srt, [25, 75], method="linear")
+        assert lo <= q1 + 1e-9 and hi >= q3 - 1e-9
+        # flags agree with the fences row-by-row
+        for r in out:
+            want = int(r["value"] < lo or r["value"] > hi)
+            assert r["iqr_alarm"] == want
+
+    @PROP
+    @given(xs=st.lists(FINITE, min_size=3, max_size=30))
+    def test_robust_median_is_true_median(self, spark, xs):
+        import numpy as np
+
+        from amonaly_detection_in_time_series_data_spark.operators.anomaly import (
+            robust_zscore_flags,
+        )
+
+        df = spark.createDataFrame(
+            [("k", i, float(x)) for i, x in enumerate(xs)],
+            "key string, i int, value double",
+        )
+        out = robust_zscore_flags(df, "value", ["key"]).collect()
+        assert out[0]["med"] == pytest.approx(float(np.median(xs)), rel=1e-9, abs=1e-9)
+        dev = [abs(x - float(np.median(xs))) for x in xs]
+        assert out[0]["mad"] == pytest.approx(float(np.median(dev)), rel=1e-9, abs=1e-9)
