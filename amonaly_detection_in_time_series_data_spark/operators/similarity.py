@@ -240,6 +240,7 @@ def lsh_cosine_topk(
     query_id_col: str = "query_id",
     round_digits: int | None = None,
     n_tables: int = 1,
+    multiprobe: bool = False,
 ) -> DataFrame:
     """Approximate cosine kNN: sign-of-projection bucketing (n_planes-bit
     signature) on both sides, join on bucket, exact cosine re-rank within
@@ -254,6 +255,17 @@ def lsh_cosine_topk(
     broadcast join); duplicate candidates from multiple tables collapse
     via max_by in one aggregation keyed like the ranking window.
 
+    ``multiprobe`` (Lv et al. 2007): the QUERY side additionally probes
+    every bucket one plane-bit away from its own — a near neighbor that
+    landed across exactly one hyperplane is still found. Recall per
+    table rises from ``p^b`` to ``P(<=1 plane disagrees)`` at ZERO extra
+    corpus rows: the perturbation explodes the (broadcast, tiny) query
+    table by ``n_planes+1``, never the corpus. The corpus explode
+    factor is what a 100 TB deployment pays storage/shuffle for, so
+    trading L down and multiprobe on is the efficient frontier
+    (measured: L=4+multiprobe beats L=8 single-probe on BOTH recall and
+    corpus rows; ladder in SCALING.md).
+
     ``round_digits`` rounds the cosine BEFORE ranking so the result is
     reproducible across engines (oracle determinism convention).
     """
@@ -262,7 +274,20 @@ def lsh_cosine_topk(
         for t in range(n_tables)
     ]
 
-    if n_tables == 1:
+    def probe_set(buckets: Column) -> Column:
+        # own bucket + each 1-bit flip (flips stay below the table-tag
+        # bits, so perturbation never crosses tables); the flip masks
+        # are static Python ints -> constant literals in one tree
+        return F.flatten(
+            F.transform(
+                buckets,
+                lambda b: F.array(
+                    b, *[b.bitwiseXOR(F.lit(1 << i)) for i in range(n_planes)]
+                ),
+            )
+        )
+
+    if n_tables == 1 and not multiprobe:
         c = corpus.withColumn(
             "__bucket", lsh_bucket(F.col(vec_col), tables[0])
         )
@@ -272,16 +297,13 @@ def lsh_cosine_topk(
             lsh_bucket(F.col(vec_col), tables[0]).alias("__bucket"),
         )
     else:
-        c = corpus.withColumn(
-            "__bucket",
-            F.explode(lsh_buckets_multi(F.col(vec_col), tables)),
-        )
+        buckets = lsh_buckets_multi(F.col(vec_col), tables)
+        c = corpus.withColumn("__bucket", F.explode(buckets))
+        qb = probe_set(buckets) if multiprobe else buckets
         q = queries.select(
             F.col(id_col).alias(query_id_col),
             F.col(vec_col).alias("__qvec"),
-            F.explode(lsh_buckets_multi(F.col(vec_col), tables)).alias(
-                "__bucket"
-            ),
+            F.explode(qb).alias("__bucket"),
         )
     sim = cosine_similarity(F.col(vec_col), F.col("__qvec"))
     if round_digits is not None:
@@ -295,9 +317,9 @@ def lsh_cosine_topk(
             sim.alias("cosine"),
         )
     )
-    if n_tables > 1:
-        # same (query, neighbor) pair can surface from several tables;
-        # collapse before ranking (cosine is identical across copies)
+    if n_tables > 1 or multiprobe:
+        # same (query, neighbor) pair can surface from several tables
+        # and/or probes; collapse before ranking (cosine is identical)
         scored = scored.groupBy(query_id_col, "neighbor_id").agg(
             F.first("cosine").alias("cosine")
         )

@@ -156,6 +156,21 @@ class TestSimilarity:
             )
         )
         assert lsh_multi >= 0.6, f"multi-table LSH recall@5 {lsh_multi:.3f}"
+        # multiprobe (the query-default config): 6-bit x 6 tables with
+        # 1-bit probe expansion measures 0.820 here vs 0.710 for the
+        # old 4-bit x 8 single-probe, at LOWER corpus explode (6x vs
+        # 8x) and faster wall (frontier table in q_embedding_knn_lsh);
+        # pin above the single-probe floor so a probe-set regression
+        # cannot ship
+        lsh_mp = recall(
+            neighbors(
+                lsh_cosine_topk(
+                    emb, q, k=5, dim=64, n_planes=6, seed=42,
+                    n_tables=6, multiprobe=True,
+                )
+            )
+        )
+        assert lsh_mp >= 0.75, f"multiprobe LSH recall@5 {lsh_mp:.3f}"
         ivf = recall(
             neighbors(
                 ivf_cosine_topk(emb, q, k=5, n_clusters=16, n_probe=4, seed=42)
