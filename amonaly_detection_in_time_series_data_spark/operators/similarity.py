@@ -261,10 +261,11 @@ def lsh_cosine_topk(
     table rises from ``p^b`` to ``P(<=1 plane disagrees)`` at ZERO extra
     corpus rows: the perturbation explodes the (broadcast, tiny) query
     table by ``n_planes+1``, never the corpus. The corpus explode
-    factor is what a 100 TB deployment pays storage/shuffle for, so
-    trading L down and multiprobe on is the efficient frontier
-    (measured: L=4+multiprobe beats L=8 single-probe on BOTH recall and
-    corpus rows; ladder in SCALING.md).
+    factor is what a 100 TB deployment pays storage/shuffle for, so the
+    efficient frontier pairs multiprobe with FINER buckets (measured:
+    6-bit x 6 tables multiprobe beats 4-bit x 8 single-probe on recall,
+    wall time, and corpus rows at once; over coarse buckets multiprobe
+    degenerates toward a full scan — ladder in SCALING.md §4).
 
     ``round_digits`` rounds the cosine BEFORE ranking so the result is
     reproducible across engines (oracle determinism convention).
