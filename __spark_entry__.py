@@ -517,17 +517,56 @@ def q_customers_with_big_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("c_custkey", "c_name", "c_mktsegment")
 
 
-def q_filter_predicate(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ev = _events(spark, sf_dir)
-    out = ev.filter((F.col("event_type") == "error") & (F.col("value") > 50))
-    return out.select("event_id", "user_id", _ts_str("ts").alias("ts"), "value")
-
-
-def q_project_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q_project_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Merged r6 (was project_columns + filter_predicate): P3
+    column-list projection composed with the §2.2 predicate filter in
+    one lineitem scan — the merge frees a window slot for fuzzy_match;
+    both constituent operators keep exact-value evidence (the plan
+    shows the filter in PushedFilters and the 3-column ReadSchema)."""
     li = load_table(spark, sf_dir, "lineitem")
-    return li.select(
+    return li.filter(F.col("l_quantity") > 40).select(
         "l_orderkey", F.col("l_linenumber").cast("bigint").alias("l_linenumber"),
         "l_quantity",
+    )
+
+
+def q_fuzzy_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Entity resolution (operators.linkage.blocked_fuzzy_join): every
+    part name is deterministically corrupted (one char dropped at
+    position (p_partkey % 4) + 4 — past the blocking prefix) and linked
+    back to the catalog by prefix-blocked Levenshtein matching. One
+    equi-join shuffle on the block key — never a cross join
+    (plan-asserted in tests) — with the per-left best-match window.
+    All-integer/string output: hash-exact in any engine."""
+    from amonaly_detection_in_time_series_data_spark.operators.linkage import (
+        blocked_fuzzy_join,
+    )
+
+    part = load_table(spark, sf_dir, "part")
+    corrupted = part.select(
+        F.col("p_partkey").alias("src_key"),
+        F.expr(
+            "concat(substr(p_name, 1, (p_partkey % 4) + 3),"
+            " substr(p_name, (p_partkey % 4) + 5))"
+        ).alias("q"),
+    )
+    out = blocked_fuzzy_join(
+        corrupted,
+        part.select("p_partkey", "p_name"),
+        "q",
+        "p_name",
+        max_edit=2,
+        prefix_len=3,
+        left_keep=["src_key"],
+        right_keep=["p_partkey", "p_name"],
+    )
+    return out.filter(F.col("match_rank") <= 3).select(
+        F.col("l_src_key").alias("src_key"),
+        F.col("__lv").alias("q"),
+        F.col("r_p_partkey").alias("match_key"),
+        F.col("r_p_name").alias("match_name"),
+        F.col("edit_dist").cast("bigint").alias("edit_dist"),
+        F.col("match_rank").cast("bigint").alias("match_rank"),
     )
 
 
@@ -1905,8 +1944,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cube_grouping_sets": q_cube_grouping_sets,
         "orders_no_recent_lineitems": q_orders_no_recent_lineitems,
         "customers_with_big_orders": q_customers_with_big_orders,
-        "filter_predicate": q_filter_predicate,
-        "project_columns": q_project_columns,
+        "project_filter": q_project_filter,
+        "fuzzy_match": q_fuzzy_match,
         "column_cleanup": q_column_cleanup,
         "set_ops": q_set_ops,
         "topk_per_group": q_topk_per_group,
@@ -2223,15 +2262,36 @@ WHERE EXISTS (
 )
 """
 
-    sql["filter_predicate"] = f"""
-SELECT event_id, user_id, strftime(ts, '{fmt}') AS ts, value
-FROM events
-WHERE event_type = 'error' AND value > 50
-"""
-
-    sql["project_columns"] = """
+    sql["project_filter"] = """
 SELECT l_orderkey, CAST(l_linenumber AS BIGINT) AS l_linenumber, l_quantity
 FROM lineitem
+WHERE l_quantity > 40
+"""
+
+    sql["fuzzy_match"] = """
+WITH corrupted AS (
+  SELECT p_partkey AS src_key,
+         concat(substr(p_name, 1, (p_partkey % 4) + 3),
+                substr(p_name, (p_partkey % 4) + 5)) AS q
+  FROM part
+),
+cand AS (
+  SELECT c.src_key, c.q, p.p_partkey AS match_key, p.p_name AS match_name,
+         levenshtein(c.q, p.p_name) AS edit_dist
+  FROM corrupted c JOIN part p
+    ON lower(substr(c.q, 1, 3)) = lower(substr(p.p_name, 1, 3))
+  WHERE levenshtein(c.q, p.p_name) <= 2
+),
+ranked AS (
+  SELECT *, row_number() OVER (
+    PARTITION BY q, src_key
+    ORDER BY edit_dist, match_name, match_key) AS match_rank
+  FROM cand
+)
+SELECT src_key, q, match_key, match_name,
+       CAST(edit_dist AS BIGINT) AS edit_dist,
+       CAST(match_rank AS BIGINT) AS match_rank
+FROM ranked WHERE match_rank <= 3
 """
 
     sql["set_ops"] = """
