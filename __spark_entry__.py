@@ -543,7 +543,13 @@ def q_fuzzy_match(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     part = load_table(spark, sf_dir, "part")
-    corrupted = part.select(
+    # the left side is a FIXED batch of messy records (the realistic
+    # linkage shape — batch << catalog, like incremental ingest): part
+    # names are a low-cardinality vocabulary, so blocks grow linearly
+    # with the catalog and an unbounded left side would make candidate
+    # pairs quadratic in corpus size (measured 46 s at sf0.1 before
+    # the slice + thresholded-levenshtein fixes; ~1 s after)
+    corrupted = part.filter(F.col("p_partkey") < 2000).select(
         F.col("p_partkey").alias("src_key"),
         F.expr(
             "concat(substr(p_name, 1, (p_partkey % 4) + 3),"
@@ -2273,7 +2279,7 @@ WITH corrupted AS (
   SELECT p_partkey AS src_key,
          concat(substr(p_name, 1, (p_partkey % 4) + 3),
                 substr(p_name, (p_partkey % 4) + 5)) AS q
-  FROM part
+  FROM part WHERE p_partkey < 2000
 ),
 cand AS (
   SELECT c.src_key, c.q, p.p_partkey AS match_key, p.p_name AS match_name,
