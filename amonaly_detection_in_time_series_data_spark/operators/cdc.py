@@ -1,0 +1,184 @@
+"""CDC merge / upsert: apply a change batch to a parquet table with
+copy-on-write semantics, rewriting ONLY the partitions the batch
+touches.
+
+The reference pipeline re-reads its whole CSV per run; a 100 TB lake
+cannot. The operational loop there is MERGE: a small change batch
+(inserts + updates + deletes, e.g. from a CDC feed or a corrected
+upstream extract) applied onto a large partitioned table. Table formats
+(Delta/Iceberg/Hudi) do this with metadata transactions; this operator
+implements the portable copy-on-write core on plain parquet:
+
+    changes -> latest-per-key collapse (last-writer-wins by seq_col)
+            -> touched partition values (tiny distinct + collect)
+    target  -> scan ONLY touched partitions (partition-pruned)
+            -> anti-join out rows whose key appears in the batch
+    merged  = survivors UNION (non-delete latest changes)
+    write   -> staging dir -> per-partition directory swap
+
+**Semantics** (Delta ``MERGE`` for the CDC-apply case):
+
+- the batch is collapsed to ONE action per key: highest ``seq_col``
+  wins; on a seq tie a delete beats an upsert (deterministic).
+- a key's latest action ``delete_col = true``  -> row removed,
+- otherwise -> row replaced if the key exists, inserted if not.
+- re-applying the same batch is a no-op (idempotent) — the retry
+  contract a crashed orchestrator needs.
+
+**Scale (100 TB table, MB..GB batch).** The target side is never
+shuffled: only touched partitions are scanned (``partition_col``
+pruning reaches the file listing), and the batch's keys are hash-joined
+as the BROADCAST build side of a left-anti join, so the rewrite is a
+map-only pass over exactly the partitions being replaced. Untouched
+partitions are untouched on DISK too (asserted byte-for-byte in tests)
+— cost scales with the batch's partition footprint, not table size.
+The only driver-side materialization is the list of touched partition
+VALUES (bounded by ``max_touched_partitions``, the same mega-guard
+shape as ``max_bucket_size`` in the LSH pairing: a batch touching
+every partition of a 100 TB table should be an explicit full rewrite,
+not an accidental one). The swap is one filesystem rename per touched
+partition — atomic per partition on HDFS; on S3 use a manifest/table
+format for multi-partition atomicity (documented trade, same as Hive's
+dynamic-partition overwrite).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from amonaly_detection_in_time_series_data_spark.operators.maintenance import (
+    _fs_and_path,
+)
+
+__all__ = ["latest_changes", "merged_view", "merge_changes"]
+
+
+def latest_changes(
+    changes: DataFrame,
+    keys: list[str],
+    seq_col: str,
+    delete_col: str | None = None,
+) -> DataFrame:
+    """Collapse a change batch to the final action per key.
+
+    Last-writer-wins by ``seq_col``; on a seq tie a delete outranks an
+    upsert so replay order cannot resurrect a deleted row. One window
+    shuffle over the BATCH only (the batch is the small side by
+    assumption; the target table never enters this exchange).
+    """
+    order = [F.col(seq_col).desc()]
+    if delete_col is not None:
+        order.append(F.col(delete_col).desc_nulls_last())
+    w = Window.partitionBy(*keys).orderBy(*order)
+    return (
+        changes.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+
+
+def merged_view(
+    target: DataFrame,
+    changes: DataFrame,
+    keys: list[str],
+    seq_col: str,
+    delete_col: str | None = None,
+) -> DataFrame:
+    """The merged result as a DataFrame (no I/O): target rows whose key
+    is absent from the batch, plus the batch's surviving upserts
+    projected to the target's columns.
+
+    The anti-join build side is ``broadcast(latest keys)`` — the target
+    side stays map-only, no target shuffle. Callers that manage their
+    own storage can write this view however they like;
+    :func:`merge_changes` wraps it with partition-scoped copy-on-write.
+    """
+    latest = latest_changes(changes, keys, seq_col, delete_col)
+    survivors = target.join(
+        F.broadcast(latest.select(*keys)), on=keys, how="left_anti"
+    )
+    upserts = latest
+    if delete_col is not None:
+        upserts = upserts.filter(
+            ~F.coalesce(F.col(delete_col), F.lit(False))
+        )
+    upserts = upserts.select(*target.columns)
+    return survivors.unionByName(upserts)
+
+
+def merge_changes(
+    spark: SparkSession,
+    table_path: str,
+    changes: DataFrame,
+    keys: list[str],
+    seq_col: str,
+    delete_col: str | None = None,
+    partition_col: str | None = None,
+    max_touched_partitions: int = 1024,
+    fmt: str = "parquet",
+) -> dict:
+    """Apply ``changes`` onto the table at ``table_path`` in place,
+    rewriting only touched partitions; returns merge stats.
+
+    ``partition_col``: the table's on-disk partition column
+    (``partitionBy`` at write time). When set, only partitions present
+    in the batch are read, rewritten to a staging directory, and swapped
+    in; every other partition directory is not even listed. When None,
+    the whole table is rewritten through staging (correct, but the
+    copy-on-write benefit is gone — partition your table).
+    """
+    fs, jtable = _fs_and_path(spark, table_path)
+    latest = latest_changes(changes, keys, seq_col, delete_col)
+
+    if partition_col is not None:
+        touched_rows = latest.select(partition_col).distinct().collect()
+        touched = sorted(r[0] for r in touched_rows)
+        if len(touched) > max_touched_partitions:
+            raise ValueError(
+                f"merge_changes: batch touches {len(touched)} partitions "
+                f"(> max_touched_partitions={max_touched_partitions}); "
+                "a near-full rewrite should be an explicit compact/"
+                "rewrite job, not an accidental merge"
+            )
+        target = spark.read.format(fmt).load(table_path).filter(
+            F.col(partition_col).isin(touched)
+        )
+    else:
+        touched = None
+        target = spark.read.format(fmt).load(table_path)
+
+    merged = merged_view(target, changes, keys, seq_col, delete_col)
+
+    staging = table_path.rstrip("/") + "_merge_staging"
+    jstaging = spark._jvm.org.apache.hadoop.fs.Path(staging)
+    if fs.exists(jstaging):  # leftover from a crashed merge: recompute
+        fs.delete(jstaging, True)
+    writer = merged.write.mode("overwrite").format(fmt)
+    if partition_col is not None:
+        writer = writer.partitionBy(partition_col)
+    writer.save(staging)
+
+    # swap: one rename per touched partition (atomic per partition on
+    # HDFS-like filesystems). Non-partitioned: swap the whole table dir.
+    Path = spark._jvm.org.apache.hadoop.fs.Path
+    if partition_col is not None:
+        for v in touched:
+            part = f"{partition_col}={v}"
+            dst = Path(jtable, part)
+            src = Path(jstaging, part)
+            if fs.exists(dst):
+                fs.delete(dst, True)
+            if fs.exists(src):  # a batch of pure deletes may empty it
+                fs.rename(src, dst)
+        fs.delete(jstaging, True)
+    else:
+        fs.delete(jtable, True)
+        fs.rename(jstaging, jtable)
+
+    stats = {
+        "touched_partitions": len(touched) if touched is not None else None,
+        "batch_rows": changes.count(),
+    }
+    return stats

@@ -1,0 +1,168 @@
+"""CDC merge / upsert (operators.cdc).
+
+Contract under test:
+1. merge semantics vs a pure-Python oracle — last-writer-wins by seq,
+   delete-beats-upsert on a seq tie, replace/insert/remove;
+2. copy-on-write granularity — untouched partition FILES are untouched
+   on disk (same paths, sizes, mtimes), a fully-deleted partition's
+   directory disappears;
+3. plan shape — the target scan is partition-pruned to the touched
+   values and the anti-join broadcasts the batch keys (target side is
+   never shuffled);
+4. idempotency — re-applying the same batch changes nothing;
+5. the ``max_touched_partitions`` mega-guard raises instead of
+   silently rewriting the world.
+"""
+
+from __future__ import annotations
+
+import glob
+import os
+import re
+
+import pytest
+from pyspark.sql import functions as F
+
+from amonaly_detection_in_time_series_data_spark.operators.cdc import (
+    latest_changes,
+    merge_changes,
+    merged_view,
+)
+
+SCHEMA = "k int, p int, v string"
+CHANGES_SCHEMA = "k int, p int, v string, seq bigint, deleted boolean"
+
+
+def _write_table(spark, path):
+    rows = [(k, k % 4, f"base_{k}") for k in range(40)]
+    spark.createDataFrame(rows, SCHEMA).write.mode("overwrite").partitionBy(
+        "p"
+    ).parquet(path)
+    return {k: (k % 4, f"base_{k}") for k in range(40)}
+
+
+def _file_state(path):
+    out = {}
+    for f in glob.glob(os.path.join(path, "p=*", "*.parquet")):
+        st = os.stat(f)
+        out[f] = (st.st_size, st.st_mtime_ns)
+    return out
+
+
+# the batch touches partitions 1 and 2 only:
+#  k=1  two updates, seq 5 then 9           -> v=new9 wins
+#  k=5  update seq 3 AND delete seq 3 (tie) -> delete wins
+#  k=9  delete                              -> removed
+#  k=101 insert (new key, partition 1)      -> inserted
+#  k=2  update in partition 2               -> replaced
+CHANGES = [
+    (1, 1, "new5", 5, False),
+    (1, 1, "new9", 9, False),
+    (5, 1, "tie_upsert", 3, False),
+    (5, 1, None, 3, True),
+    (9, 1, None, 7, True),
+    (101, 1, "ins101", 1, False),
+    (2, 2, "upd2", 1, False),
+]
+
+
+def _expected(base: dict) -> dict:
+    exp = dict(base)
+    exp[1] = (1, "new9")
+    exp.pop(5)
+    exp.pop(9)
+    exp[101] = (1, "ins101")
+    exp[2] = (2, "upd2")
+    return exp
+
+
+class TestMergeChanges:
+    def test_merge_semantics_and_cow_granularity(self, spark, tmp_path):
+        path = str(tmp_path / "tbl")
+        base = _write_table(spark, path)
+        before = _file_state(path)
+        untouched_before = {
+            f: s for f, s in before.items() if "/p=1/" not in f and "/p=2/" not in f
+        }
+
+        changes = spark.createDataFrame(CHANGES, CHANGES_SCHEMA)
+        stats = merge_changes(
+            spark, path, changes, keys=["k"], seq_col="seq",
+            delete_col="deleted", partition_col="p",
+        )
+        assert stats["touched_partitions"] == 2
+
+        got = {
+            r["k"]: (r["p"], r["v"])
+            for r in spark.read.parquet(path).collect()
+        }
+        assert got == _expected(base)
+
+        # untouched partitions: byte-identical files, same mtimes
+        after = _file_state(path)
+        untouched_after = {
+            f: s for f, s in after.items() if "/p=1/" not in f and "/p=2/" not in f
+        }
+        assert untouched_after == untouched_before
+        assert not os.path.exists(path + "_merge_staging")
+
+        # idempotent: re-applying the same batch is a no-op
+        merge_changes(
+            spark, path, changes, keys=["k"], seq_col="seq",
+            delete_col="deleted", partition_col="p",
+        )
+        got2 = {
+            r["k"]: (r["p"], r["v"])
+            for r in spark.read.parquet(path).collect()
+        }
+        assert got2 == got
+
+    def test_pure_delete_removes_partition_dir(self, spark, tmp_path):
+        path = str(tmp_path / "tbl2")
+        _write_table(spark, path)
+        # delete every key of partition 3 (3, 7, 11, ..., 39)
+        dels = [(k, 3, None, 1, True) for k in range(3, 40, 4)]
+        merge_changes(
+            spark, path, spark.createDataFrame(dels, CHANGES_SCHEMA),
+            keys=["k"], seq_col="seq", delete_col="deleted",
+            partition_col="p",
+        )
+        assert not os.path.exists(os.path.join(path, "p=3"))
+        assert spark.read.parquet(path).filter("p = 3").count() == 0
+        assert spark.read.parquet(path).count() == 30
+
+    def test_plan_prunes_partitions_and_broadcasts_keys(self, spark, tmp_path):
+        path = str(tmp_path / "tbl3")
+        _write_table(spark, path)
+        changes = spark.createDataFrame(CHANGES, CHANGES_SCHEMA)
+        target = spark.read.parquet(path).filter(F.col("p").isin([1, 2]))
+        view = merged_view(
+            target, changes, keys=["k"], seq_col="seq", delete_col="deleted"
+        )
+        plan = view._jdf.queryExecution().executedPlan().toString()
+        m = re.search(r"PartitionFilters: \[([^\]]*)\]", plan)
+        assert m and "1" in m.group(1) and "2" in m.group(1), plan
+        assert re.search(r"BroadcastHashJoin .*LeftAnti", plan), plan
+        assert "SortMergeJoin" not in plan
+
+    def test_latest_changes_tiebreak(self, spark):
+        changes = spark.createDataFrame(CHANGES, CHANGES_SCHEMA)
+        latest = {
+            r["k"]: (r["seq"], r["deleted"])
+            for r in latest_changes(
+                changes, ["k"], "seq", "deleted"
+            ).collect()
+        }
+        assert latest[1] == (9, False)
+        assert latest[5] == (3, True)  # tie -> delete wins
+
+    def test_mega_guard(self, spark, tmp_path):
+        path = str(tmp_path / "tbl4")
+        _write_table(spark, path)
+        changes = spark.createDataFrame(CHANGES, CHANGES_SCHEMA)
+        with pytest.raises(ValueError, match="max_touched_partitions"):
+            merge_changes(
+                spark, path, changes, keys=["k"], seq_col="seq",
+                delete_col="deleted", partition_col="p",
+                max_touched_partitions=1,
+            )
