@@ -43,6 +43,7 @@ from amonaly_detection_in_time_series_data_spark.operators.similarity import (
 __all__ = [
     "hash_split",
     "stratified_sample",
+    "domain_cap",
     "mixture_resample",
     "quality_rules",
     "decontaminate",
@@ -131,6 +132,46 @@ def stratified_sample(
     return df.withColumn(
         keep_col, (F.row_number().over(w) <= quota).cast("int")
     )
+
+
+def domain_cap(
+    df: DataFrame,
+    domain_col: str,
+    id_col: str,
+    cap: int,
+    seed: int = 13,
+    keep_col: str | None = None,
+) -> DataFrame:
+    """Per-domain document cap — the source-balancing primitive of web
+    corpus curation (C4/RefinedWeb style: no single host dominates the
+    corpus): within each ``domain_col`` group keep at most ``cap`` rows,
+    the ones with the lowest seeded md5 hash of ``id_col``
+    (deterministic across runs, partitionings, and engines); groups at
+    or under the cap pass through whole.
+
+    ``keep_col=None`` (default) DROPS the truncated rows, and this is
+    the form to use at scale: the ``row_number() <= cap`` filter is
+    rewritten by Spark into a map-side WindowGroupLimit
+    (InferWindowGroupLimit, partial before the exchange), so every
+    input partition forwards at most ``cap`` rows per domain into the
+    window shuffle. A mega-domain — the exact skew a web crawl has, one
+    host with 10^8 pages — costs ``cap x n_map_partitions`` shuffle
+    rows instead of its full row count; no salting needed. The rewrite
+    is plan-asserted in tests. With ``keep_col`` set, every row is kept
+    and flagged instead; that form necessarily ranks the full group
+    (same topology as :func:`stratified_sample`) — use it only when the
+    truncated rows themselves are needed downstream.
+    """
+    if cap < 1:
+        raise ValueError(f"domain_cap: cap must be >= 1, got {cap}")
+    h = _md5_bucket(F.col(id_col), seed, 1_000_000_007)
+    w = Window.partitionBy(domain_col).orderBy(h.asc(), F.col(id_col).asc())
+    rn = F.row_number().over(w)
+    if keep_col is None:
+        return (
+            df.withColumn("__rn", rn).filter(F.col("__rn") <= cap).drop("__rn")
+        )
+    return df.withColumn(keep_col, (rn <= cap).cast("int"))
 
 
 def quality_rules(

@@ -763,3 +763,72 @@ class TestCorpusPipelineEndToEnd:
             assert r["chunk_id"] >= 0 and r["n_tokens"] > 0
         plan = packed._jdf.queryExecution().executedPlan().toString()
         assert "BatchEvalPython" not in plan
+
+
+class TestDomainCap:
+    """Per-domain cap: exact hash-ranked selection, flag/filter parity,
+    and the scale property — the filter form must compile to a map-side
+    WindowGroupLimit so a mega-domain never floods the window shuffle."""
+
+    def _df(self, spark):
+        # one mega-domain (60 rows), two small ones under the cap
+        rows = [(i, "mega") for i in range(60)]
+        rows += [(100 + i, "small_a") for i in range(3)]
+        rows += [(200 + i, "small_b") for i in range(5)]
+        return spark.createDataFrame(rows, "doc_id long, domain string")
+
+    @staticmethod
+    def _py_rank_keep(ids, cap, seed=13):
+        import hashlib
+
+        def h(i):
+            d = hashlib.md5(f"{seed}:{i}".encode()).hexdigest()[:15]
+            return int(d, 16) % 1_000_000_007
+
+        return set(sorted(ids, key=lambda i: (h(i), i))[:cap])
+
+    def test_matches_python_oracle_and_flag_filter_parity(self, spark):
+        from amonaly_detection_in_time_series_data_spark.operators.corpus import domain_cap
+
+        df = self._df(spark)
+        cap = 5
+        expected = (
+            self._py_rank_keep(range(60), cap)
+            | {100, 101, 102}
+            | {200, 201, 202, 203, 204}
+        )
+        kept = {r["doc_id"] for r in domain_cap(df, "domain", "doc_id", cap).collect()}
+        assert kept == expected
+        flagged = {
+            r["doc_id"]
+            for r in domain_cap(
+                df, "domain", "doc_id", cap, keep_col="cap_keep"
+            ).filter("cap_keep = 1").collect()
+        }
+        assert flagged == expected
+        # stable under repartition
+        kept2 = {
+            r["doc_id"]
+            for r in domain_cap(df.repartition(7), "domain", "doc_id", cap).collect()
+        }
+        assert kept2 == expected
+
+    def test_filter_form_uses_window_group_limit(self, spark):
+        from amonaly_detection_in_time_series_data_spark.operators.corpus import domain_cap
+
+        df = self._df(spark)
+        plan = (
+            domain_cap(df, "domain", "doc_id", 5)
+            ._jdf.queryExecution().executedPlan().toString()
+        )
+        # Partial mode = the map-side per-group truncation BEFORE the
+        # exchange; this is what caps a mega-domain's shuffle volume at
+        # cap rows per input partition instead of its full size.
+        assert "WindowGroupLimit" in plan, plan
+        assert "Partial" in plan.split("Exchange")[-1] or "Partial" in plan, plan
+
+    def test_bad_cap_raises(self, spark):
+        from amonaly_detection_in_time_series_data_spark.operators.corpus import domain_cap
+
+        with pytest.raises(ValueError, match="cap"):
+            domain_cap(self._df(spark), "domain", "doc_id", 0)
