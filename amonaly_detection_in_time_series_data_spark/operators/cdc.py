@@ -52,7 +52,7 @@ from amonaly_detection_in_time_series_data_spark.operators.maintenance import (
     _fs_and_path,
 )
 
-__all__ = ["latest_changes", "merged_view", "merge_changes"]
+__all__ = ["latest_changes", "merged_view", "merge_changes", "cdc_merge_sink"]
 
 
 def latest_changes(
@@ -182,3 +182,41 @@ def merge_changes(
         "batch_rows": changes.count(),
     }
     return stats
+
+
+def cdc_merge_sink(
+    table_path: str,
+    keys: list[str],
+    seq_col: str,
+    delete_col: str | None = None,
+    partition_col: str | None = None,
+    **kw,
+):
+    """``foreachBatch`` adapter: apply each micro-batch of a CDC change
+    stream onto the table via :func:`merge_changes`.
+
+        (changes.writeStream
+            .foreachBatch(cdc_merge_sink(table, ["k"], "seq",
+                                         delete_col="deleted",
+                                         partition_col="day"))
+            .option("checkpointLocation", ckpt).start())
+
+    foreachBatch's delivery contract is at-least-once: a crashed batch
+    is redelivered. :func:`merge_changes` is idempotent (re-applying a
+    batch is a no-op — tested), so redelivery converges to the same
+    table state: exactly-once EFFECTIVE without any sink-side
+    transaction log. Ordering across micro-batches is the stream's
+    ordering; within and across redelivered batches, last-writer-wins
+    by ``seq_col`` makes the merge insensitive to replay interleaving
+    for keys carrying distinct sequence numbers.
+    """
+
+    def apply(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        merge_changes(
+            batch_df.sparkSession, table_path, batch_df, keys, seq_col,
+            delete_col=delete_col, partition_col=partition_col, **kw,
+        )
+
+    return apply

@@ -156,6 +156,51 @@ class TestMergeChanges:
         assert latest[1] == (9, False)
         assert latest[5] == (3, True)  # tie -> delete wins
 
+    def test_streaming_cdc_apply_matches_batch_merge(self, spark, tmp_path):
+        """A CDC change stream applied via foreachBatch(cdc_merge_sink)
+        lands the same table state as merging the batches sequentially.
+        The micro-batch split point is mid-key-history (k=1's seq-5 and
+        seq-9 updates arrive in different micro-batches), so the test
+        also covers cross-batch last-writer-wins."""
+        from amonaly_detection_in_time_series_data_spark.operators.cdc import (
+            cdc_merge_sink,
+        )
+
+        path = str(tmp_path / "stream_tbl")
+        base = _write_table(spark, path)
+        src = tmp_path / "changes_src"
+        # seq doubles as arrival order: micro-batch 0 = seq <= 5 (k=1's
+        # seq-5 update), micro-batch 1 = the rest (k=1's seq-9 update)
+        first = [c for c in CHANGES if c[3] <= 5]
+        second = [c for c in CHANGES if c[3] > 5]
+        for i, batch in enumerate([first, second]):
+            spark.createDataFrame(batch, CHANGES_SCHEMA).coalesce(
+                1
+            ).write.mode("overwrite").parquet(str(src / f"b{i}"))
+
+        stream = (
+            spark.readStream.schema(CHANGES_SCHEMA)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(str(src / "b*"))
+        )
+        q = (
+            stream.writeStream.foreachBatch(
+                cdc_merge_sink(
+                    path, ["k"], "seq", delete_col="deleted",
+                    partition_col="p",
+                )
+            )
+            .option("checkpointLocation", str(tmp_path / "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
+        got = {
+            r["k"]: (r["p"], r["v"])
+            for r in spark.read.parquet(path).collect()
+        }
+        assert got == _expected(base)
+
     def test_mega_guard(self, spark, tmp_path):
         path = str(tmp_path / "tbl4")
         _write_table(spark, path)
