@@ -52,7 +52,13 @@ from amonaly_detection_in_time_series_data_spark.operators.maintenance import (
     _fs_and_path,
 )
 
-__all__ = ["latest_changes", "merged_view", "merge_changes", "cdc_merge_sink"]
+__all__ = [
+    "latest_changes",
+    "merged_view",
+    "merge_changes",
+    "scd2_apply",
+    "cdc_merge_sink",
+]
 
 
 def latest_changes(
@@ -108,6 +114,74 @@ def merged_view(
     return survivors.unionByName(upserts)
 
 
+def scd2_apply(
+    target: DataFrame,
+    changes: DataFrame,
+    keys: list[str],
+    seq_col: str,
+    delete_col: str | None = None,
+    valid_from_col: str = "valid_from",
+    valid_to_col: str = "valid_to",
+) -> DataFrame:
+    """Slowly-changing-dimension **Type 2** apply: history-preserving —
+    where :func:`merged_view` REPLACES a key's row (Type 1), this closes
+    the key's current version and appends the new one, so every past
+    state stays queryable (``AS OF`` = ``valid_from <= x AND (valid_to
+    IS NULL OR valid_to > x)``).
+
+    ``target`` rows carry ``valid_from_col``/``valid_to_col``
+    (``valid_to IS NULL`` = current version). Per key's LATEST change
+    (same last-writer-wins collapse as :func:`merged_view`):
+
+    - upsert → the current row (if any) is closed with ``valid_to =``
+      the change's ``seq_col`` value and a new current version is
+      appended (``valid_from = seq``, ``valid_to = NULL``);
+    - delete → the current row is closed, nothing appended.
+
+    Already-closed history rows pass through untouched. ``seq_col`` is
+    the version axis — use an event-time column when validity should be
+    wall-clock time. Topology matches :func:`merged_view`: the batch
+    collapses in one small window, then rides ONE broadcast into a
+    map-only pass over the target — no target shuffle. Storage-side,
+    compose with :func:`merge_changes`'s staging/swap or plain append +
+    rewrite of the current-version partition (a ``valid_to IS NULL``
+    partition flag keeps the close step copy-on-write-cheap).
+    """
+    latest = latest_changes(changes, keys, seq_col, delete_col)
+    close_info = F.broadcast(
+        latest.select(*keys, F.col(seq_col).alias("__close_seq"))
+    )
+    is_current = F.col(valid_to_col).isNull()
+    closed_or_passing = (
+        target.join(close_info, on=keys, how="left")
+        .withColumn(
+            valid_to_col,
+            F.when(
+                is_current & F.col("__close_seq").isNotNull(),
+                F.col("__close_seq").cast(target.schema[valid_to_col].dataType),
+            ).otherwise(F.col(valid_to_col)),
+        )
+        .drop("__close_seq")
+    )
+    new_versions = latest
+    if delete_col is not None:
+        new_versions = new_versions.filter(
+            ~F.coalesce(F.col(delete_col), F.lit(False))
+        )
+    data_cols = [
+        c for c in target.columns if c not in (valid_from_col, valid_to_col)
+    ]
+    new_versions = new_versions.select(
+        *data_cols,
+        F.col(seq_col)
+        .cast(target.schema[valid_from_col].dataType)
+        .alias(valid_from_col),
+        F.lit(None).cast(target.schema[valid_to_col].dataType)
+        .alias(valid_to_col),
+    ).select(*target.columns)
+    return closed_or_passing.unionByName(new_versions)
+
+
 def merge_changes(
     spark: SparkSession,
     table_path: str,
@@ -128,6 +202,14 @@ def merge_changes(
     in; every other partition directory is not even listed. When None,
     the whole table is rewritten through staging (correct, but the
     copy-on-write benefit is gone — partition your table).
+
+    **Contract: a key's partition value must be stable.** The pruned
+    scan only sees the partitions the batch names, so an upsert that
+    MOVES a key to a new partition would leave the stale row in the old
+    partition untouched (the standard copy-on-write hazard — scanning
+    the whole table to rule it out would defeat the pruning). Express a
+    partition move as delete(old partition) + insert(new partition) in
+    the same batch; both partitions are then touched and rewritten.
     """
     fs, jtable = _fs_and_path(spark, table_path)
     latest = latest_changes(changes, keys, seq_col, delete_col)

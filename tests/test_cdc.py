@@ -201,6 +201,59 @@ class TestMergeChanges:
         }
         assert got == _expected(base)
 
+    def test_scd2_history_preserving_apply(self, spark):
+        """Type 2: the current version is CLOSED (valid_to = change seq)
+        and a new version appended; deletes close without appending;
+        history rows pass through; pure inserts get an open version."""
+        from amonaly_detection_in_time_series_data_spark.operators.cdc import (
+            scd2_apply,
+        )
+
+        target = spark.createDataFrame(
+            [
+                # k=1: one closed historical version + one current
+                (1, "v1_old", 10, 20),
+                (1, "v1_cur", 20, None),
+                # k=2: current only (will be deleted)
+                (2, "v2_cur", 15, None),
+                # k=3: current only (double update, latest wins)
+                (3, "v3_cur", 5, None),
+                # k=4: untouched by the batch
+                (4, "v4_cur", 1, None),
+            ],
+            "k int, v string, valid_from bigint, valid_to bigint",
+        )
+        changes = spark.createDataFrame(
+            [
+                (1, "v1_new", 30, False),
+                (2, None, 40, True),
+                (3, "v3_mid", 50, False),
+                (3, "v3_new", 60, False),
+                (9, "v9_ins", 70, False),
+            ],
+            "k int, v string, seq bigint, deleted boolean",
+        )
+        out = scd2_apply(
+            target, changes, keys=["k"], seq_col="seq", delete_col="deleted"
+        )
+        rows = {
+            (r["k"], r["v"], r["valid_from"], r["valid_to"])
+            for r in out.collect()
+        }
+        assert rows == {
+            (1, "v1_old", 10, 20),      # history untouched
+            (1, "v1_cur", 20, 30),      # closed at the change seq
+            (1, "v1_new", 30, None),    # new current
+            (2, "v2_cur", 15, 40),      # delete closes, no new version
+            (3, "v3_cur", 5, 60),       # closed at the LATEST change
+            (3, "v3_new", 60, None),    # latest of the two updates
+            (4, "v4_cur", 1, None),     # untouched key passes through
+            (9, "v9_ins", 70, None),    # pure insert, open version
+        }
+        # no target shuffle: the close join is broadcast, never sort-merge
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        assert "BroadcastHashJoin" in plan and "SortMergeJoin" not in plan
+
     def test_mega_guard(self, spark, tmp_path):
         path = str(tmp_path / "tbl4")
         _write_table(spark, path)
