@@ -182,6 +182,22 @@ def scd2_apply(
     return closed_or_passing.unionByName(new_versions)
 
 
+def scd2_as_of(
+    df: DataFrame,
+    version,
+    valid_from_col: str = "valid_from",
+    valid_to_col: str = "valid_to",
+) -> DataFrame:
+    """Time-travel over an SCD2 table: the row version of each key that
+    was current AS OF ``version`` (same axis as :func:`scd2_apply`'s
+    ``seq_col``). Map-only; on a table partitioned/clustered by the
+    validity columns the two range predicates prune at the scan."""
+    return df.filter(
+        (F.col(valid_from_col) <= F.lit(version))
+        & (F.col(valid_to_col).isNull() | (F.col(valid_to_col) > F.lit(version)))
+    )
+
+
 def merge_changes(
     spark: SparkSession,
     table_path: str,
@@ -214,6 +230,18 @@ def merge_changes(
     fs, jtable = _fs_and_path(spark, table_path)
     latest = latest_changes(changes, keys, seq_col, delete_col)
 
+    def _read_target():
+        try:
+            return spark.read.format(fmt).load(table_path)
+        except Exception:
+            # a prior batch of pure deletes can legitimately empty every
+            # partition (only _SUCCESS remains -> schema inference
+            # fails); treat as an empty table shaped like the batch's
+            # data columns so pure inserts still apply
+            drop = {seq_col, delete_col} - {None}
+            data_cols = [c for c in changes.columns if c not in drop]
+            return spark.createDataFrame([], changes.select(*data_cols).schema)
+
     if partition_col is not None:
         touched_rows = latest.select(partition_col).distinct().collect()
         touched = sorted(r[0] for r in touched_rows)
@@ -224,12 +252,10 @@ def merge_changes(
                 "a near-full rewrite should be an explicit compact/"
                 "rewrite job, not an accidental merge"
             )
-        target = spark.read.format(fmt).load(table_path).filter(
-            F.col(partition_col).isin(touched)
-        )
+        target = _read_target().filter(F.col(partition_col).isin(touched))
     else:
         touched = None
-        target = spark.read.format(fmt).load(table_path)
+        target = _read_target()
 
     merged = merged_view(target, changes, keys, seq_col, delete_col)
 

@@ -254,6 +254,87 @@ class TestMergeChanges:
         plan = out._jdf.queryExecution().executedPlan().toString()
         assert "BroadcastHashJoin" in plan and "SortMergeJoin" not in plan
 
+        # AS-OF time travel reads consistent historical snapshots
+        from amonaly_detection_in_time_series_data_spark.operators.cdc import (
+            scd2_as_of,
+        )
+
+        at25 = {
+            (r["k"], r["v"]) for r in scd2_as_of(out, 25).collect()
+        }
+        assert at25 == {(1, "v1_cur"), (2, "v2_cur"), (3, "v3_cur"), (4, "v4_cur")}
+        at65 = {
+            (r["k"], r["v"]) for r in scd2_as_of(out, 65).collect()
+        }
+        assert at65 == {(1, "v1_new"), (3, "v3_new"), (4, "v4_cur")}
+
+    def test_random_change_sequences_match_dict_replay(self, spark, tmp_path):
+        """Property: for ANY change sequence and ANY contiguous batch
+        split, applying the batches through merge_changes equals a
+        row-by-row Python dict replay (seq is globally increasing, so
+        last-writer-wins batch collapse == sequential replay)."""
+        from hypothesis import HealthCheck, given, settings
+        from hypothesis import strategies as st
+        from amonaly_detection_in_time_series_data_spark.operators.cdc import (
+            merge_changes,
+        )
+
+        OPS = st.lists(
+            st.tuples(
+                st.integers(min_value=0, max_value=5),   # key
+                st.booleans(),                           # is_delete
+                st.integers(min_value=0, max_value=99),  # value
+            ),
+            min_size=1,
+            max_size=12,
+        )
+
+        counter = [0]
+
+        @settings(
+            max_examples=8, deadline=None,
+            suppress_health_check=[HealthCheck.function_scoped_fixture],
+        )
+        @given(ops=OPS, n_batches=st.integers(min_value=1, max_value=3))
+        def check(ops, n_batches):
+            counter[0] += 1
+            path = str(tmp_path / f"prop_{counter[0]}")
+            base_rows = [(k, k % 2, f"base_{k}") for k in range(4)]
+            spark.createDataFrame(base_rows, SCHEMA).write.mode(
+                "overwrite"
+            ).partitionBy("p").parquet(path)
+
+            # python oracle: sequential replay
+            state = {k: (k % 2, f"base_{k}") for k in range(4)}
+            changes = []
+            for seq, (k, is_del, val) in enumerate(ops):
+                changes.append((k, k % 2, f"v{val}", seq, is_del))
+                if is_del:
+                    state.pop(k, None)
+                else:
+                    state[k] = (k % 2, f"v{val}")
+
+            # spark: apply in n_batches contiguous slices
+            step = max(1, len(changes) // n_batches)
+            for lo in range(0, len(changes), step):
+                batch = changes[lo:lo + step]
+                merge_changes(
+                    spark, path,
+                    spark.createDataFrame(batch, CHANGES_SCHEMA),
+                    keys=["k"], seq_col="seq", delete_col="deleted",
+                    partition_col="p",
+                )
+            # explicit schema: a sequence deleting every key leaves an
+            # empty (but valid) table that schema inference can't read
+            got = {
+                r["k"]: (r["p"], r["v"])
+                for r in spark.read.schema("k int, v string, p int")
+                .parquet(path).collect()
+            }
+            assert got == state
+
+        check()
+
     def test_mega_guard(self, spark, tmp_path):
         path = str(tmp_path / "tbl4")
         _write_table(spark, path)
