@@ -70,13 +70,18 @@ def latest_changes(
     """Collapse a change batch to the final action per key.
 
     Last-writer-wins by ``seq_col``; on a seq tie a delete outranks an
-    upsert so replay order cannot resurrect a deleted row. One window
-    shuffle over the BATCH only (the batch is the small side by
-    assumption; the target table never enters this exchange).
+    upsert so replay order cannot resurrect a deleted row; a residual
+    tie (two upserts with the same key and seq — a malformed feed, but
+    one that must not behave randomly) is broken by a hash of the full
+    row, so the winner is a pure function of the DATA, never of the
+    partitioning. One window shuffle over the BATCH only (the batch is
+    the small side by assumption; the target table never enters this
+    exchange).
     """
     order = [F.col(seq_col).desc()]
     if delete_col is not None:
         order.append(F.col(delete_col).desc_nulls_last())
+    order.append(F.xxhash64(*[F.col(c) for c in changes.columns]).asc())
     w = Window.partitionBy(*keys).orderBy(*order)
     return (
         changes.withColumn("__rn", F.row_number().over(w))

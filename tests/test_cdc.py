@@ -156,6 +156,25 @@ class TestMergeChanges:
         assert latest[1] == (9, False)
         assert latest[5] == (3, True)  # tie -> delete wins
 
+    def test_full_tie_is_partitioning_invariant(self, spark):
+        """Two upserts with the SAME key and seq (malformed feed): the
+        winner is a pure function of the row data (hash tiebreak), so
+        repartitioning cannot flip it."""
+        rows = [
+            (1, 1, "alpha", 5, False),
+            (1, 1, "bravo", 5, False),
+        ]
+        df = spark.createDataFrame(rows, CHANGES_SCHEMA)
+        a = latest_changes(df, ["k"], "seq", "deleted").collect()[0]["v"]
+        b = latest_changes(
+            df.repartition(8), ["k"], "seq", "deleted"
+        ).collect()[0]["v"]
+        c = latest_changes(
+            spark.createDataFrame(rows[::-1], CHANGES_SCHEMA),
+            ["k"], "seq", "deleted",
+        ).collect()[0]["v"]
+        assert a == b == c
+
     def test_streaming_cdc_apply_matches_batch_merge(self, spark, tmp_path):
         """A CDC change stream applied via foreachBatch(cdc_merge_sink)
         lands the same table state as merging the batches sequentially.
