@@ -99,6 +99,52 @@ def streaming_windowed_stats(
     )
 
 
+def sessionized_stats(
+    events: DataFrame,
+    gap: str = "30 minutes",
+    watermark: str = "2 hours",
+    key: str = "user_id",
+    ts_col: str = "ts",
+    value_col: str = "value",
+) -> DataFrame:
+    """Per-key gap-merged session aggregates via Spark's NATIVE
+    ``session_window`` — sessions are built INCREMENTALLY as events
+    arrive (two overlapping sessions merge when a bridging event lands),
+    with watermark-driven state eviction, instead of the batch
+    lag/cumsum formulation (``operators.timeseries.sessionize``) that
+    needs the whole series ordered.
+
+    The same code path runs on BATCH input (``session_window`` is a
+    grouping expression, not a streaming-only construct) — the parity
+    test replays the events table through both and compares exactly.
+
+    Boundary contract (measured, pinned in tests): a session's end is
+    ``last event + gap`` and an event arriving at EXACTLY that end
+    MERGES into the session (inclusive boundary) — the same semantics
+    as the lag/cumsum operator's strict ``> gap`` new-session test, so
+    the two formulations agree on every input. At 100 TB:
+    state is per-(key, open-session) and evicted at the watermark; the
+    aggregation shuffles once on the key like any streaming agg.
+    """
+    src = events.withWatermark(ts_col, watermark) if events.isStreaming else events
+    return (
+        src.groupBy(
+            F.col(key), F.session_window(F.col(ts_col), gap).alias("sw")
+        )
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum(value_col).alias("sum_value"),
+        )
+        .select(
+            key,
+            F.col("sw.start").alias("session_start"),
+            F.col("sw.end").alias("session_end"),
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
 def streaming_zscore_flags(
     events: DataFrame,
     window_rows: int = 24,

@@ -67,6 +67,68 @@ class TestStreamingParity:
             assert sn == n
             assert sm == pytest.approx(m, rel=1e-9)
 
+    def test_session_windows_match_batch(self, spark, sf_dir):
+        """Native session_window sessions: the stream-built (incremental,
+        merge-on-bridge) sessions must equal the batch computation of
+        the same grouping, exactly."""
+        from amonaly_detection_in_time_series_data_spark.streaming.rolling import (
+            sessionized_stats,
+        )
+
+        stream = replay_events_stream(spark, sf_dir)
+        out = sessionized_stats(stream, gap="45 minutes")
+        _run_stream_to_memory(out, "sessions", "complete")
+        streamed = {
+            (r["user_id"], r["session_start"], r["session_end"]): (
+                r["n_events"], r["sum_value"],
+            )
+            for r in spark.sql("SELECT * FROM sessions").collect()
+        }
+
+        ev = load_table(spark, sf_dir, "events")
+        expected = {
+            (r["user_id"], r["session_start"], r["session_end"]): (
+                r["n_events"], r["sum_value"],
+            )
+            for r in sessionized_stats(ev, gap="45 minutes").collect()
+        }
+        assert len(streamed) == len(expected) > 0
+        for k, (n, s) in expected.items():
+            sn, ss = streamed[k]
+            assert sn == n
+            assert ss == pytest.approx(s, rel=1e-9)
+
+    def test_session_window_boundary_contract(self, spark):
+        """Hand case pinning the INCLUSIVE boundary contract: an event
+        at exactly prev+gap MERGES (same semantics as the lag/cumsum
+        sessionize operator's strict > gap test), and a bridging event
+        merges two previously-separate sessions."""
+        from amonaly_detection_in_time_series_data_spark.streaming.rolling import (
+            sessionized_stats,
+        )
+
+        rows = [
+            (1, "2024-01-01 00:00:00", 1.0),
+            (1, "2024-01-01 00:10:00", 1.0),   # merges (10m < 30m gap)
+            (1, "2024-01-01 00:40:00", 1.0),   # EXACTLY prev+gap -> merges
+            (1, "2024-01-01 01:30:00", 1.0),   # 50m later -> new session
+            (2, "2024-01-01 01:00:00", 1.0),
+            (2, "2024-01-01 01:50:00", 1.0),   # separate ([1:50,2:20) vs [1:00,1:30)) ...
+            (2, "2024-01-01 01:25:00", 1.0),   # ... bridge [1:25,1:55) overlaps both -> one session
+        ]
+        df = spark.createDataFrame(
+            rows, "user_id int, ts string, value double"
+        ).withColumn("ts", F.col("ts").cast("timestamp"))
+        got = {
+            (r["user_id"], str(r["session_start"]), r["n_events"])
+            for r in sessionized_stats(df, gap="30 minutes").collect()
+        }
+        assert got == {
+            (1, "2024-01-01 00:00:00", 3),
+            (1, "2024-01-01 01:30:00", 1),
+            (2, "2024-01-01 01:00:00", 3),
+        }
+
     def test_stateful_zscore_matches_batch(self, spark, sf_dir):
         stream = replay_events_stream(spark, sf_dir)
         flags = streaming_zscore_flags(stream, window_rows=24, threshold=3.0, timeout_minutes=None)
