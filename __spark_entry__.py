@@ -1664,8 +1664,12 @@ def q_lstm_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     with tempfile.TemporaryDirectory(prefix="lstm_ckpt_") as d:
         save_lstm_ae(model, os.path.join(d, "model.npz"))
         model = load_lstm_ae(os.path.join(d, "model.npz"))
+    # the LSTM is CPU-bound per row: spread the scoring across the
+    # cluster explicitly — AQE coalesces the (byte-small) sequence
+    # exchange to 1-2 partitions otherwise (181 s -> ~13 s at sf0.1)
     scored = sequence_reconstruction_scores(
-        seqs, "seq", scorer="pandas", model=model
+        seqs, "seq", scorer="pandas", model=model,
+        scoring_partitions=spark.sparkContext.defaultParallelism,
     )
     flagged = flag_sequence_anomalies(scored)
     return flagged.select(

@@ -296,6 +296,7 @@ def sequence_reconstruction_scores(
     fit_df: DataFrame | None = None,
     scorer: str = "sql",
     model=None,
+    scoring_partitions: int | None = None,
 ) -> DataFrame:
     """Score every sequence with its reconstruction error under a
     driver-fit linear autoencoder — or any supplied model.
@@ -318,6 +319,16 @@ def sequence_reconstruction_scores(
     as numpy inference math) goes through here with ``scorer='pandas'``;
     it is broadcast once and consumes 3-D (n, L, f) batches. A
     :class:`LinearAEModel` may also be passed (either scorer).
+
+    ``scoring_partitions``: explicit repartition before the pandas
+    scorer. AQE's byte-based shuffle coalescing sizes the sequence
+    window's output for its BYTES — a few MB of sequences collapse to
+    1-2 partitions, which then starve a CPU-BOUND Arrow stage (the
+    2-layer LSTM measured 181 s on 2 of 32 cores at sf0.1; ~13 s once
+    spread). Set to the cluster's parallelism for expensive models; the
+    extra round-robin exchange is noise next to the model's FLOPs.
+    Leave None for cheap models (the linear tier), where the shuffle
+    would cost more than it buys.
     """
     if scorer not in ("sql", "pandas"):
         raise ValueError(
@@ -334,6 +345,8 @@ def sequence_reconstruction_scores(
             )
         return score_linear_ae_sql(df, model, seq_col, error_col)
 
+    if scoring_partitions:
+        df = df.repartition(scoring_partitions)
     # broadcast the model object itself (a small dict of numpy arrays) —
     # one task-broadcast fetch per executor, reused across Arrow batches
     bc = df.sparkSession.sparkContext.broadcast(model)
