@@ -417,3 +417,60 @@ class TestDetectorProperties:
         assert out[0]["med"] == pytest.approx(float(np.median(xs)), rel=1e-9, abs=1e-9)
         dev = [abs(x - float(np.median(xs))) for x in xs]
         assert out[0]["mad"] == pytest.approx(float(np.median(dev)), rel=1e-9, abs=1e-9)
+
+
+class TestSessionFormulationAgreement:
+    """Two INDEPENDENT session implementations — the batch lag/cumsum
+    ``sessionize`` (strict ``> gap`` starts a new session) and Spark's
+    native gap-merged ``session_window`` (inclusive ``last + gap``
+    boundary, measured) — must produce identical sessions on any input.
+    Integer-second event times make exact-boundary collisions likely,
+    so the agreement is fuzzed right where the contracts could diverge.
+    """
+
+    @PROP
+    @given(
+        offsets=st.lists(
+            st.integers(min_value=0, max_value=240),
+            min_size=1,
+            max_size=25,
+            unique=True,
+        ),
+        gap_s=st.sampled_from([30, 60, 120]),
+    )
+    def test_sessionize_equals_session_window(self, spark, offsets, gap_s):
+        from amonaly_detection_in_time_series_data_spark.operators.timeseries import (
+            sessionize,
+        )
+        from amonaly_detection_in_time_series_data_spark.streaming.rolling import (
+            sessionized_stats,
+        )
+
+        df = spark.createDataFrame(
+            [(1, o, 1.0) for o in offsets], "user_id int, off int, value double"
+        ).select(
+            "user_id",
+            F.timestamp_seconds(F.lit(1700000000) + F.col("off")).alias("ts"),
+            "value",
+        )
+
+        native = {
+            (r["session_start"], r["session_end"], r["n_events"])
+            for r in sessionized_stats(
+                df, gap=f"{gap_s} seconds", key="user_id"
+            ).collect()
+        }
+        derived = {
+            (r["s"], r["e"], r["n"])
+            for r in sessionize(
+                df, ["user_id"], "ts", gap=f"{gap_s} seconds"
+            )
+            .groupBy("session_id")
+            .agg(
+                F.min("ts").alias("s"),
+                (F.max("ts") + F.expr(f"INTERVAL {gap_s} seconds")).alias("e"),
+                F.count("*").alias("n"),
+            )
+            .collect()
+        }
+        assert native == derived
