@@ -44,6 +44,7 @@ __all__ = [
     "hash_split",
     "stratified_sample",
     "domain_cap",
+    "weighted_sample",
     "mixture_resample",
     "quality_rules",
     "decontaminate",
@@ -131,6 +132,48 @@ def stratified_sample(
     quota = F.ceil(frac * n)
     return df.withColumn(
         keep_col, (F.row_number().over(w) <= quota).cast("int")
+    )
+
+
+def weighted_sample(
+    df: DataFrame,
+    id_col: str,
+    weight_col: str,
+    n: int,
+    seed: int = 17,
+) -> DataFrame:
+    """Weighted sampling WITHOUT replacement — Efraimidis–Spirakis
+    (2006) A-ES keys: each row gets ``key = ln(u) / w`` with ``u`` a
+    seeded md5-uniform in (0,1) and ``w`` its (positive) weight; the
+    ``n`` LARGEST keys are the sample, and P(row in sample) follows the
+    weights exactly as in sequential weighted draws without
+    replacement. The importance-weighted cousin of
+    :func:`stratified_sample` — quality-score-weighted corpus
+    selection, upweighting rare domains, etc.
+
+    Deterministic: key is a pure function of (id, seed, weight) —
+    stable across runs, partitionings, and engines (md5 arithmetic; the
+    only float step is one log+divide per row).
+
+    Scale: map-only key computation; the global top-n compiles to
+    ``TakeOrderedAndProject`` — per-partition heaps of size n, never a
+    full sort or global shuffle of the corpus. For n too large to heap
+    (billions), switch to a per-group quota formulation
+    (:func:`stratified_sample` / :func:`domain_cap`).
+    """
+    if n < 1:
+        raise ValueError(f"weighted_sample: n must be >= 1, got {n}")
+    m = 1 << 53
+    # uniform in (0,1): (h + 1) / (m + 1) can't hit 0 or 1, so ln(u) is finite
+    u = (_md5_bucket(F.col(id_col), seed, m) + 1) / F.lit(float(m + 1))
+    w = F.col(weight_col).cast("double")
+    key = F.when(w > 0, F.log(u) / w)
+    return (
+        df.withColumn("__es_key", key)
+        .filter(F.col("__es_key").isNotNull())
+        .orderBy(F.col("__es_key").desc(), F.col(id_col).asc())
+        .limit(n)
+        .drop("__es_key")
     )
 
 

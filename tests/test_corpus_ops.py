@@ -832,3 +832,61 @@ class TestDomainCap:
 
         with pytest.raises(ValueError, match="cap"):
             domain_cap(self._df(spark), "domain", "doc_id", 0)
+
+
+class TestWeightedSample:
+    def test_matches_python_replication(self, spark):
+        """The A-ES selection must equal a python replication of the
+        same md5-uniform + ln(u)/w arithmetic — deterministic across
+        engines and partitionings."""
+        import hashlib
+        import math
+
+        from amonaly_detection_in_time_series_data_spark.operators.corpus import weighted_sample
+
+        rows = [(i, float(1 + (i * 7) % 13)) for i in range(100)]
+        df = spark.createDataFrame(rows, "doc_id long, w double")
+
+        def key(i, w, seed=17):
+            m = 1 << 53
+            h = int(hashlib.md5(f"{seed}:{i}".encode()).hexdigest()[:15], 16) % m
+            return math.log((h + 1) / (m + 1)) / w
+
+        expected = {
+            i for i, _ in sorted(
+                rows, key=lambda r: (-key(r[0], r[1]), r[0])
+            )[:10]
+        }
+        got = {r["doc_id"] for r in weighted_sample(df, "doc_id", "w", 10).collect()}
+        assert got == expected
+        got2 = {
+            r["doc_id"]
+            for r in weighted_sample(df.repartition(7), "doc_id", "w", 10).collect()
+        }
+        assert got2 == expected
+
+    def test_weights_drive_inclusion_probability(self, spark):
+        """Sanity: with weights 100 vs 1, the heavy row wins the n=1
+        sample for the vast majority of seeds."""
+        from amonaly_detection_in_time_series_data_spark.operators.corpus import weighted_sample
+
+        df = spark.createDataFrame(
+            [(1, 100.0), (2, 1.0)], "doc_id long, w double"
+        )
+        wins = sum(
+            weighted_sample(df, "doc_id", "w", 1, seed=s).collect()[0]["doc_id"] == 1
+            for s in range(20)
+        )
+        assert wins >= 16
+
+    def test_nonpositive_weights_excluded_and_topk_plan(self, spark):
+        from amonaly_detection_in_time_series_data_spark.operators.corpus import weighted_sample
+
+        df = spark.createDataFrame(
+            [(1, 5.0), (2, 0.0), (3, -1.0), (4, None)],
+            "doc_id long, w double",
+        )
+        out = weighted_sample(df, "doc_id", "w", 4)
+        assert {r["doc_id"] for r in out.collect()} == {1}
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        assert "TakeOrderedAndProject" in plan, plan
