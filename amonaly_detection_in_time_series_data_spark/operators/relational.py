@@ -84,3 +84,56 @@ def salted_agg(
         F.min("_min").alias(f"{value_col}_min"),
         F.max("_max").alias(f"{value_col}_max"),
     )
+
+
+def heavy_hitters(
+    df: DataFrame,
+    col: str,
+    support: float = 0.01,
+    exact: bool = True,
+) -> DataFrame:
+    """Frequent items above a ``support`` fraction — the heavy-hitters
+    sketch next to HLL distinct and t-digest quantiles in the
+    approximate-aggregation tier.
+
+    Pass 1 is Spark's built-in single-pass mergeable frequent-items
+    sketch (``stat.freqItems``, Karp/Shenker/Papadimitriou): fixed
+    ``O(1/support)`` state per partition, merged map-side — a SUPERSET
+    of the true heavy hitters (possible false positives, never false
+    negatives). With ``exact=True`` (default) a second pass counts ONLY
+    the <= 1/support candidates (semi-join pruned, map-side combined)
+    and thresholds on the true total — the standard two-pass exact
+    heavy-hitters shape at 100 TB: pass 1 never shuffles the data, pass
+    2 shuffles at most 1/support groups. The candidate list is
+    driver-materialized, bounded by 1/support items (e.g. 100 at 1%).
+
+    Returns (value, cnt, frac) sorted by cnt descending; with
+    ``exact=False``, the unverified candidate superset with null
+    counts (single pass, cheapest possible).
+    """
+    if not 0 < support < 1:
+        raise ValueError(f"heavy_hitters: support must be in (0,1), got {support}")
+    cands = df.stat.freqItems([col], support).collect()[0][0]
+    spark = df.sparkSession
+    out_name = col
+    if not cands:
+        return spark.createDataFrame(
+            [], df.select(col).schema
+        ).withColumn("cnt", F.lit(None).cast("bigint")).withColumn(
+            "frac", F.lit(None).cast("double")
+        )
+    if not exact:
+        return (
+            spark.createDataFrame([(c,) for c in cands], df.select(col).schema)
+            .withColumn("cnt", F.lit(None).cast("bigint"))
+            .withColumn("frac", F.lit(None).cast("double"))
+        )
+    total = df.count()
+    return (
+        df.filter(F.col(col).isin(list(cands)))
+        .groupBy(col)
+        .agg(F.count("*").alias("cnt"))
+        .withColumn("frac", F.col("cnt") / F.lit(float(total)))
+        .filter(F.col("cnt") * F.lit(1.0) >= F.lit(support * total))
+        .orderBy(F.col("cnt").desc(), F.col(out_name).asc())
+    )

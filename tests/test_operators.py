@@ -2093,3 +2093,38 @@ class TestPointInIntervalJoin:
         )
         assert "BroadcastNestedLoopJoin" not in plan, plan
         assert "CartesianProduct" not in plan, plan
+
+
+class TestHeavyHitters:
+    def test_exact_two_pass_matches_truth(self, spark):
+        from amonaly_detection_in_time_series_data_spark.operators.relational import (
+            heavy_hitters,
+        )
+
+        # 1000 rows: 'a' 400, 'b' 150, 'c' 30, tail of 420 singletons
+        rows = (
+            [("a",)] * 400 + [("b",)] * 150 + [("c",)] * 30
+            + [(f"t{i}",) for i in range(420)]
+        )
+        df = spark.createDataFrame(rows, "v string").repartition(8)
+        got = {
+            (r["v"], r["cnt"]) for r in heavy_hitters(df, "v", 0.1).collect()
+        }
+        assert got == {("a", 400), ("b", 150)}  # c at 3% < 10% support
+
+        # superset-only mode contains every true heavy hitter
+        cands = {
+            r["v"] for r in heavy_hitters(df, "v", 0.1, exact=False).collect()
+        }
+        assert {"a", "b"} <= cands
+
+    def test_empty_and_bad_support(self, spark):
+        import pytest as _pytest
+        from amonaly_detection_in_time_series_data_spark.operators.relational import (
+            heavy_hitters,
+        )
+
+        empty = spark.createDataFrame([], "v string")
+        assert heavy_hitters(empty, "v", 0.5).count() == 0
+        with _pytest.raises(ValueError, match="support"):
+            heavy_hitters(empty, "v", 1.5)
