@@ -1082,7 +1082,13 @@ def q_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         ev.filter(F.col("event_id") % 2 == 1),
         b,
     )
-    return hist.join(psi, "bin").select(
+    # null-safe left join, mirroring the oracle's LEFT JOIN: a NULL bin
+    # (null value) must survive with its PSI row, not be dropped by the
+    # equi-join's null-never-matches rule
+    psi = psi.withColumnRenamed("bin", "__bin_p")
+    return hist.join(
+        psi, F.col("bin").eqNullSafe(F.col("__bin_p")), "left"
+    ).select(
         "bin",
         "n",
         "lo",

@@ -236,16 +236,29 @@ def merge_changes(
     latest = latest_changes(changes, keys, seq_col, delete_col)
 
     def _read_target():
-        try:
-            return spark.read.format(fmt).load(table_path)
-        except Exception:
-            # a prior batch of pure deletes can legitimately empty every
-            # partition (only _SUCCESS remains -> schema inference
-            # fails); treat as an empty table shaped like the batch's
-            # data columns so pure inserts still apply
+        # a prior batch of pure deletes can legitimately empty every
+        # partition (only _SUCCESS / empty dirs remain -> schema
+        # inference fails). That is the ONLY case allowed to fall back
+        # to an empty table: merge rewrites-and-swaps the touched
+        # partitions, so swallowing a transient read failure (perms,
+        # corrupt footer, flaky FS) would silently destroy every
+        # surviving row in them. Decide emptiness from the filesystem,
+        # not from which exception the reader happened to raise.
+        def _has_data_file(jpath):
+            for st in fs.listStatus(jpath):
+                name = st.getPath().getName()
+                if st.isDirectory():
+                    if _has_data_file(st.getPath()):
+                        return True
+                elif not (name.startswith("_") or name.startswith(".")):
+                    return True
+            return False
+
+        if not fs.exists(jtable) or not _has_data_file(jtable):
             drop = {seq_col, delete_col} - {None}
             data_cols = [c for c in changes.columns if c not in drop]
             return spark.createDataFrame([], changes.select(*data_cols).schema)
+        return spark.read.format(fmt).load(table_path)
 
     if partition_col is not None:
         touched_rows = latest.select(partition_col).distinct().collect()

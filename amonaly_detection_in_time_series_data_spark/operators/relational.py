@@ -91,6 +91,7 @@ def heavy_hitters(
     col: str,
     support: float = 0.01,
     exact: bool = True,
+    broadcast_threshold: int = 500,
 ) -> DataFrame:
     """Frequent items above a ``support`` fraction — the heavy-hitters
     sketch next to HLL distinct and t-digest quantiles in the
@@ -100,19 +101,30 @@ def heavy_hitters(
     sketch (``stat.freqItems``, Karp/Shenker/Papadimitriou): fixed
     ``O(1/support)`` state per partition, merged map-side — a SUPERSET
     of the true heavy hitters (possible false positives, never false
-    negatives). With ``exact=True`` (default) a second pass counts ONLY
-    the <= 1/support candidates (semi-join pruned, map-side combined)
-    and thresholds on the true total — the standard two-pass exact
-    heavy-hitters shape at 100 TB: pass 1 never shuffles the data, pass
-    2 shuffles at most 1/support groups. The candidate list is
-    driver-materialized, bounded by 1/support items (e.g. 100 at 1%).
+    negatives). With ``exact=True`` (default) a second — and final —
+    pass wraps candidate values in a struct group key (so a NULL
+    candidate stays distinguishable from "not a candidate", which maps
+    to a null key) and counts every group map-side-combined; the true
+    row total is the window-sum over the resulting <= 1/support + 1
+    groups, so no third scan of the data. That is the standard two-pass
+    exact heavy-hitters shape at 100 TB: pass 1 never shuffles the
+    data, pass 2 shuffles at most 1/support + 1 groups. The candidate
+    list is driver-materialized, bounded by 1/support items (e.g. 100
+    at 1%); up to ``broadcast_threshold`` candidates it compiles to an
+    IN-list predicate, beyond that (support = 1e-4 means up to 10k
+    candidates) it becomes a broadcast left join against a candidates
+    DataFrame — same semantics, no pathological codegen.
 
     Returns (value, cnt, frac) sorted by cnt descending; with
     ``exact=False``, the unverified candidate superset with null
     counts (single pass, cheapest possible).
     """
-    if not 0 < support < 1:
-        raise ValueError(f"heavy_hitters: support must be in (0,1), got {support}")
+    # Spark's freqItems enforces support >= 1e-4 JVM-side; validate here
+    # so the caller gets a clear error instead of an opaque JVM one.
+    if not 1e-4 <= support < 1:
+        raise ValueError(
+            f"heavy_hitters: support must be in [1e-4, 1), got {support}"
+        )
     cands = df.stat.freqItems([col], support).collect()[0][0]
     spark = df.sparkSession
     out_name = col
@@ -128,12 +140,41 @@ def heavy_hitters(
             .withColumn("cnt", F.lit(None).cast("bigint"))
             .withColumn("frac", F.lit(None).cast("double"))
         )
-    total = df.count()
+    has_null = any(c is None for c in cands)
+    nonnull = [c for c in cands if c is not None]
+    if len(cands) <= broadcast_threshold:
+        pred = F.col(col).isin(nonnull) if nonnull else F.lit(False)
+        if has_null:
+            # Column.isin never matches NULL; keep a null heavy hitter
+            pred = pred | F.col(col).isNull()
+        keyed = df.withColumn(
+            "__k", F.when(pred, F.struct(F.col(col).alias("v")))
+        )
+    else:
+        cdf = (
+            spark.createDataFrame([(c,) for c in cands], df.select(col).schema)
+            .toDF("__c")
+            .withColumn("__hit", F.lit(1))
+        )
+        keyed = df.join(
+            F.broadcast(cdf), F.col(col).eqNullSafe(F.col("__c")), "left"
+        ).withColumn(
+            "__k", F.when(F.col("__hit") == 1, F.struct(F.col(col).alias("v")))
+        )
+    grouped = keyed.groupBy("__k").agg(F.count("*").alias("cnt"))
+    # window over the tiny grouped table (<= 1/support + 1 rows), never
+    # over the data — folds the exact total into pass 2
+    total_w = Window.partitionBy().rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
     return (
-        df.filter(F.col(col).isin(list(cands)))
-        .groupBy(col)
-        .agg(F.count("*").alias("cnt"))
-        .withColumn("frac", F.col("cnt") / F.lit(float(total)))
-        .filter(F.col("cnt") * F.lit(1.0) >= F.lit(support * total))
+        grouped.withColumn("__total", F.sum("cnt").over(total_w))
+        .filter(F.col("__k").isNotNull())
+        .filter(F.col("cnt") >= F.lit(support) * F.col("__total"))
+        .select(
+            F.col("__k").getField("v").alias(out_name),
+            "cnt",
+            (F.col("cnt") / F.col("__total")).alias("frac"),
+        )
         .orderBy(F.col("cnt").desc(), F.col(out_name).asc())
     )

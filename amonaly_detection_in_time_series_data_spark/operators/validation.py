@@ -115,8 +115,17 @@ def psi_report(
     cb = df_b.groupBy(bin_col.alias("bin")).agg(F.count("*").alias("n_b"))
     ta = ca.agg(F.sum("n_a").alias("__ta"))
     tb = cb.agg(F.sum("n_b").alias("__tb"))
+    # null-safe join: groupBy keeps a NULL bin (null values in the
+    # binned column) as its own group, and a plain equi-join would drop
+    # it from the drift report on both sides
     j = (
-        ca.join(cb, "bin", "full_outer")
+        ca.join(
+            cb.withColumnRenamed("bin", "__bin_b"),
+            F.col("bin").eqNullSafe(F.col("__bin_b")),
+            "full_outer",
+        )
+        .withColumn("bin", F.coalesce("bin", "__bin_b"))
+        .drop("__bin_b")
         .crossJoin(F.broadcast(ta))
         .crossJoin(F.broadcast(tb))
         .withColumn("n_a", F.coalesce("n_a", F.lit(0)))

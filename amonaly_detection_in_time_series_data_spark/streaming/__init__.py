@@ -1,6 +1,9 @@
 from .rolling import (
     replay_events_stream,
     replay_table_stream,
+    sessionized_stats,
+    streaming_dedup,
+    streaming_enrich,
     streaming_page_hinkley,
     streaming_windowed_stats,
     streaming_zscore_flags,
@@ -9,8 +12,11 @@ from .sinks import write_anomaly_alerts
 
 __all__ = [
     "streaming_windowed_stats",
+    "sessionized_stats",
     "streaming_zscore_flags",
     "streaming_page_hinkley",
+    "streaming_dedup",
+    "streaming_enrich",
     "replay_events_stream",
     "replay_table_stream",
     "write_anomaly_alerts",

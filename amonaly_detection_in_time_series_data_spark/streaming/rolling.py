@@ -173,6 +173,15 @@ def streaming_zscore_flags(
 
         import pandas as pd
 
+        # ProcessingTimeTimeout fired for an idle key: evict its state
+        # and emit nothing. Without this, the handler would run on the
+        # empty iterator, re-save the state and re-arm the timeout, so
+        # per-key state would never be evicted (unbounded with key
+        # cardinality).
+        if state.hasTimedOut:
+            state.remove()
+            return
+
         (user_id,) = key
         buf = list(state.get[0]) if state.exists else []
         rows = []
@@ -259,6 +268,11 @@ def streaming_page_hinkley(
 
     def detect(key, pdf_iter, state):
         import pandas as pd
+
+        # idle-key timeout: evict state, emit nothing (see score()).
+        if state.hasTimedOut:
+            state.remove()
+            return
 
         (user_id,) = key
         n, s, u, minu, d, maxd = (

@@ -2128,3 +2128,31 @@ class TestHeavyHitters:
         assert heavy_hitters(empty, "v", 0.5).count() == 0
         with _pytest.raises(ValueError, match="support"):
             heavy_hitters(empty, "v", 1.5)
+        # Spark's freqItems enforces support >= 1e-4; surfaced locally
+        with _pytest.raises(ValueError, match="support"):
+            heavy_hitters(empty, "v", 1e-5)
+
+    def test_null_heavy_hitter_and_broadcast_fallback(self, spark):
+        from amonaly_detection_in_time_series_data_spark.operators.relational import (
+            heavy_hitters,
+        )
+
+        # NULL owns 30% of rows: freqItems surfaces it and the exact
+        # pass must keep it (Column.isin never matches NULL)
+        rows = (
+            [(None,)] * 300 + [("a",)] * 400 + [(f"t{i}",) for i in range(300)]
+        )
+        df = spark.createDataFrame(rows, "v string").repartition(8)
+        got = {
+            (r["v"], r["cnt"]) for r in heavy_hitters(df, "v", 0.1).collect()
+        }
+        assert got == {("a", 400), (None, 300)}
+
+        # large-candidate-set regime: forced broadcast-join fallback
+        # gives identical answers and plans a broadcast hash join, not
+        # a compiled IN-list
+        hh = heavy_hitters(df, "v", 0.1, broadcast_threshold=1)
+        got_b = {(r["v"], r["cnt"]) for r in hh.collect()}
+        assert got_b == got
+        plan = hh._jdf.queryExecution().executedPlan().toString()
+        assert "BroadcastHashJoin" in plan, plan
