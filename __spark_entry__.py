@@ -173,9 +173,8 @@ def q_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
     per-key aggregate + broadcast join."""
     from amonaly_detection_in_time_series_data_spark.operators.anomaly import (
         ewma_deviation,
-        iqr_flags,
         page_hinkley,
-        robust_zscore_flags,
+        tukey_robust_flags,
     )
 
     ev = _events(spark, sf_dir)
@@ -190,10 +189,12 @@ def q_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
     scored = ewma_deviation(scored, "value", 8, KEY, ORDER, alpha=0.5)
     # stats_source=ev keeps each stats aggregate's lineage on the raw
     # scan — aggregating over the composed frame would re-drag every
-    # prior broadcast join into each pass (8 FileScans vs 5, measured)
-    scored = iqr_flags(scored, "value", KEY, k=1.5, unit_digits=2, stats_source=ev)
-    scored = robust_zscore_flags(
-        scored, "value", KEY, unit_digits=2, stats_source=ev
+    # prior broadcast join into each pass. The fused Tukey+robust
+    # operator computes q1/median/q3 in ONE order-stats aggregate
+    # (MAD keeps its inherent second pass): 3 FileScans total, vs 5
+    # for the separately-composed detectors (plan-asserted in tests).
+    scored = tukey_robust_flags(
+        scored, "value", KEY, k=1.5, unit_digits=2, stats_source=ev
     )
     return scored.select(
         "event_id",

@@ -60,14 +60,21 @@ def rolling_zscore(
             f"{p}_roll_std": F.stddev_samp(target).over(w),
         }
     )
+    # z re-derives only SCALAR arithmetic over the materialized window
+    # outputs (collapsed projects + CSE make that free), so zscore and
+    # is_anomaly batch into ONE withColumns — each withColumn call
+    # re-analyzes the whole accumulated tree, and planning time is a
+    # real per-query driver cost in the battery (measured ~0.9 s warm)
     z = (F.col(target) - F.col(f"{p}_roll_mean")) / F.nullif(
         F.col(f"{p}_roll_std"), F.lit(0.0)
     )
-    return df.withColumn(f"{p}_zscore", z).withColumn(
-        "is_anomaly",
-        F.coalesce(
-            (F.abs(F.col(f"{p}_zscore")) > F.lit(threshold)).cast("int"), F.lit(0)
-        ),
+    return df.withColumns(
+        {
+            f"{p}_zscore": z,
+            "is_anomaly": F.coalesce(
+                (F.abs(z) > F.lit(threshold)).cast("int"), F.lit(0)
+            ),
+        }
     )
 
 
@@ -180,16 +187,30 @@ def page_hinkley(
         .orderBy(*[F.col(c).asc() for c in order_cols])
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
+    # window stages are layered so each layer's columns depend only on
+    # the PREVIOUS layer's materialized outputs (re-deriving a window
+    # expr would make WindowExec evaluate it twice); within a layer,
+    # columns batch into one withColumns — chained withColumn calls
+    # each re-analyze the whole tree and planning time is a measured
+    # per-query driver cost in the battery
     if unit_digits is None:
         d = df.withColumn("__xbar", F.avg(target).over(run))
-        d = d.withColumn(
-            "__u", F.sum(F.col(target) - F.col("__xbar") - F.lit(delta)).over(run)
-        ).withColumn(
-            "__d", F.sum(F.col(target) - F.col("__xbar") + F.lit(delta)).over(run)
+        d = d.withColumns(
+            {
+                "__u": F.sum(
+                    F.col(target) - F.col("__xbar") - F.lit(delta)
+                ).over(run),
+                "__d": F.sum(
+                    F.col(target) - F.col("__xbar") + F.lit(delta)
+                ).over(run),
+            }
         )
-        d = d.withColumn(
-            "ph_inc", F.col("__u") - F.min("__u").over(run)
-        ).withColumn("ph_dec", F.max("__d").over(run) - F.col("__d"))
+        d = d.withColumns(
+            {
+                "ph_inc": F.col("__u") - F.min("__u").over(run),
+                "ph_dec": F.max("__d").over(run) - F.col("__d"),
+            }
+        )
         inc, dec = F.col("ph_inc"), F.col("ph_dec")
         lam_inc = lam_dec = F.lit(lam)
     else:
@@ -202,25 +223,38 @@ def page_hinkley(
         d = d.withColumn(
             "__xbar_i", F.floor((2 * s_run + n_run) / (2 * n_run)).cast("bigint")
         )
-        d = d.withColumn(
-            "__u", F.sum(F.col("__m") - F.col("__xbar_i") - F.lit(delta_i)).over(run)
-        ).withColumn(
-            "__d", F.sum(F.col("__m") - F.col("__xbar_i") + F.lit(delta_i)).over(run)
+        d = d.withColumns(
+            {
+                "__u": F.sum(
+                    F.col("__m") - F.col("__xbar_i") - F.lit(delta_i)
+                ).over(run),
+                "__d": F.sum(
+                    F.col("__m") - F.col("__xbar_i") + F.lit(delta_i)
+                ).over(run),
+            }
         )
-        d = d.withColumn(
-            "__inc_i", F.col("__u") - F.min("__u").over(run)
-        ).withColumn("__dec_i", F.max("__d").over(run) - F.col("__d"))
-        d = (
-            d.withColumn("ph_inc", F.col("__inc_i") / scale)
-            .withColumn("ph_dec", F.col("__dec_i") / scale)
+        d = d.withColumns(
+            {
+                "__inc_i": F.col("__u") - F.min("__u").over(run),
+                "__dec_i": F.max("__d").over(run) - F.col("__d"),
+            }
         )
         # integer threshold compare — exact (lam must sit on the grid)
-        inc, dec = F.col("__inc_i"), F.col("__dec_i")
-        lam_inc = lam_dec = F.lit(int(round(lam * scale)))
+        lam_i = F.lit(int(round(lam * scale)))
+        d = d.withColumns(
+            {
+                "ph_inc": F.col("__inc_i") / scale,
+                "ph_dec": F.col("__dec_i") / scale,
+                "ph_alarm": (
+                    (F.col("__inc_i") > lam_i) | (F.col("__dec_i") > lam_i)
+                ).cast("int"),
+            }
+        )
+        return d.drop("__m", "__xbar_i", "__u", "__d", "__inc_i", "__dec_i")
     d = d.withColumn(
         "ph_alarm", ((inc > lam_inc) | (dec > lam_dec)).cast("int")
     )
-    return d.drop("__xbar", "__u", "__d", "__m", "__xbar_i", "__inc_i", "__dec_i")
+    return d.drop("__xbar", "__u", "__d")
 
 
 def ewma_deviation(
@@ -269,7 +303,6 @@ def ewma_deviation(
     w_ord = Window.partitionBy(*[F.col(c) for c in key_cols]).orderBy(
         *[F.col(c).asc() for c in order_cols]
     )
-    d = df.withColumn("__rstd", F.stddev_samp(target).over(w))
     num = F.lit(0.0)
     den = F.lit(0.0)
     for j in range(1, window_rows + 1):
@@ -277,20 +310,24 @@ def ewma_deviation(
         wt = float((1.0 - alpha) ** (j - 1))
         num = num + F.coalesce(lj * F.lit(wt), F.lit(0.0))
         den = den + F.when(lj.isNotNull(), F.lit(wt)).otherwise(F.lit(0.0))
-    ewma = F.when(den > 0, num / den)
-    d = d.withColumn("ewma", ewma)
-    dev = (F.col(target) - F.col("ewma")) / F.nullif(F.col("__rstd"), F.lit(0.0))
-    return (
-        d.withColumn("ewma_dev", dev)
-        .withColumn(
-            "ewma_alarm",
-            F.coalesce(
-                (F.abs(F.col("ewma_dev")) > F.lit(threshold)).cast("int"),
-                F.lit(0),
-            ),
-        )
-        .drop("__vals", "__rstd")
+    # __rstd and ewma are both window outputs over the input frame —
+    # one layer; dev/alarm are scalar over them — one more layer
+    # (batched withColumns: analysis cost, see rolling_zscore)
+    d = df.withColumns(
+        {
+            "__rstd": F.stddev_samp(target).over(w),
+            "ewma": F.when(den > 0, num / den),
+        }
     )
+    dev = (F.col(target) - F.col("ewma")) / F.nullif(F.col("__rstd"), F.lit(0.0))
+    return d.withColumns(
+        {
+            "ewma_dev": dev,
+            "ewma_alarm": F.coalesce(
+                (F.abs(dev) > F.lit(threshold)).cast("int"), F.lit(0)
+            ),
+        }
+    ).drop("__rstd")
 
 
 def iqr_flags(
@@ -457,6 +494,123 @@ def robust_zscore_flags(
         )
         .drop("__med_2", "__dev_2", "__mad_8")
     )
+
+
+def tukey_robust_flags(
+    df: DataFrame,
+    target: str,
+    key_cols: Sequence[str] | None = None,
+    k: float = 1.5,
+    threshold: float = 3.5,
+    unit_digits: int | None = None,
+    stats_source: DataFrame | None = None,
+) -> DataFrame:
+    """Fused :func:`iqr_flags` + :func:`robust_zscore_flags` — identical
+    output columns and values, one fewer pass over the data.
+
+    Composed separately the two detectors cost three stats aggregates
+    over ``stats_source`` (IQR quartiles; median; MAD of residuals).
+    The quartiles and the median are order statistics of the SAME
+    column, so pass 1 here computes ``percentile(m, array(0.25, 0.5,
+    0.75))`` in ONE groupBy aggregate — Catalyst deduplicates the three
+    references into a single percentile buffer, so the key's values are
+    buffered once, not three times. MAD keeps its inherent second pass
+    (residuals need the median first). Net: the 5-FileScan battery plan
+    becomes 3 scans (main + fused order-stats + MAD), plan-asserted in
+    tests — at 100 TB every shaved scan compounds.
+
+    Semantics, integer-exact mode, ``stats_source`` lineage-flattening
+    rationale: see the two fused functions' docstrings.
+    """
+    keys = list(key_cols) if key_cols else None
+    src = stats_source if stats_source is not None else df
+
+    def attach(frame: DataFrame, stats: DataFrame) -> DataFrame:
+        if keys:
+            return frame.join(F.broadcast(stats), keys)
+        return frame.crossJoin(F.broadcast(stats))
+
+    if unit_digits is None:
+        p = F.expr(f"percentile({target}, array(0.25, 0.5, 0.75))")
+        aggs = [
+            p[0].alias("__q1"),
+            p[2].alias("__q3"),
+            p[1].alias("med"),
+        ]
+        stats1 = src.groupBy(*keys).agg(*aggs) if keys else src.agg(*aggs)
+        s = attach(src, stats1).withColumn(
+            "__dev", F.abs(F.col(target) - F.col("med"))
+        )
+        mad_agg = F.expr("percentile(__dev, 0.5)").alias("mad")
+        stats2 = s.groupBy(*keys).agg(mad_agg) if keys else s.agg(mad_agg)
+        d = attach(attach(df, stats1), stats2)
+        lo = F.col("__q1") - F.lit(k) * (F.col("__q3") - F.col("__q1"))
+        hi = F.col("__q3") + F.lit(k) * (F.col("__q3") - F.col("__q1"))
+        dev = F.abs(F.col(target) - F.col("med"))
+        mz = F.lit(0.6745) * dev / F.nullif(F.col("mad"), F.lit(0.0))
+        # all scalar over the attached stats: one withColumns layer
+        return d.withColumns(
+            {
+                "iqr_lo": lo,
+                "iqr_hi": hi,
+                "iqr_alarm": (
+                    (F.col(target) < lo) | (F.col(target) > hi)
+                ).cast("int"),
+                "dev": dev,
+                "robust_mz": mz,
+                "robust_alarm": F.coalesce(
+                    (mz > F.lit(threshold)).cast("int"), F.lit(0)
+                ),
+            }
+        ).drop("__q1", "__q3")
+
+    if abs(k - 1.5) > 1e-12:
+        raise ValueError("tukey_robust_flags integer mode supports k=1.5 only")
+    if abs(threshold - 3.5) > 1e-12:
+        raise ValueError("tukey_robust_flags integer mode needs threshold=3.5")
+    scale = 10**unit_digits
+    mexp = f"cast(round({target} * {scale}) as bigint)"
+    # one percentile buffer serves q1/median/q3 (Catalyst dedupes the
+    # three identical percentile calls); 4*quartile and 2*median of
+    # integer units are exact integers (quarter/half interpolation)
+    aggs = [
+        F.expr(f"cast(round(4 * percentile({mexp}, array(0.25, 0.5, 0.75))[0]) as bigint)").alias("__q1"),
+        F.expr(f"cast(round(4 * percentile({mexp}, array(0.25, 0.5, 0.75))[2]) as bigint)").alias("__q3"),
+        F.expr(f"cast(round(2 * percentile({mexp}, array(0.25, 0.5, 0.75))[1]) as bigint)").alias("__med_2"),
+    ]
+    stats1 = src.groupBy(*keys).agg(*aggs) if keys else src.agg(*aggs)
+    s = attach(src, stats1).withColumn(
+        "__sdev_2", F.abs(F.expr(f"2 * {mexp}") - F.col("__med_2"))
+    )
+    mad8_agg = F.expr(
+        "cast(round(4 * percentile(__sdev_2, 0.5)) as bigint)"
+    ).alias("__mad_8")
+    stats2 = s.groupBy(*keys).agg(mad8_agg) if keys else s.agg(mad8_agg)
+    d = attach(attach(df, stats1), stats2)
+    # every derived column is SCALAR over (target, __q1, __q3, __med_2,
+    # __mad_8): one withColumns layer, one analysis pass (CSE dedupes
+    # the repeated sub-expressions after project collapse)
+    m8 = F.expr(f"8 * {mexp}")
+    dev_2 = F.abs(F.expr(f"2 * {mexp}") - F.col("__med_2"))
+    return d.withColumns(
+        {
+            "iqr_lo": (5 * F.col("__q1") - 3 * F.col("__q3"))
+            / F.lit(8.0 * scale),
+            "iqr_hi": (5 * F.col("__q3") - 3 * F.col("__q1"))
+            / F.lit(8.0 * scale),
+            "iqr_alarm": (
+                (m8 < 5 * F.col("__q1") - 3 * F.col("__q3"))
+                | (m8 > 5 * F.col("__q3") - 3 * F.col("__q1"))
+            ).cast("int"),
+            "med": F.col("__med_2") / (2.0 * scale),
+            "mad": F.col("__mad_8") / (8.0 * scale),
+            "dev": dev_2 / (2.0 * scale),
+            "robust_alarm": (
+                (F.col("__mad_8") > 0)
+                & (26980 * dev_2 > 35000 * F.col("__mad_8"))
+            ).cast("int"),
+        }
+    ).drop("__q1", "__q3", "__med_2", "__mad_8")
 
 
 def seasonal_decompose(

@@ -529,6 +529,75 @@ class TestAnomalyTiers:
             assert out[-1]["iqr_alarm"] == 1
             assert all(r["iqr_alarm"] == 0 for r in out[:-1])
 
+    def test_tukey_robust_fused_matches_composition(self, spark):
+        # the fused operator must equal iqr_flags >> robust_zscore_flags
+        # value-for-value in both float and integer-exact modes
+        import random
+
+        from amonaly_detection_in_time_series_data_spark.operators.anomaly import (
+            iqr_flags,
+            robust_zscore_flags,
+            tukey_robust_flags,
+        )
+
+        rng = random.Random(7)
+        rows = [
+            (f"k{i % 3}", i, round(rng.uniform(-50, 50), 2)) for i in range(300)
+        ]
+        rows[17] = ("k0", 17, 400.0)  # one gross outlier
+        df = spark.createDataFrame(rows, "key string, i int, value double")
+        for digits in (None, 2):
+            want_df = robust_zscore_flags(
+                iqr_flags(df, "value", ["key"], unit_digits=digits),
+                "value",
+                ["key"],
+                unit_digits=digits,
+            )
+            got_df = tukey_robust_flags(
+                df, "value", ["key"], unit_digits=digits
+            )
+            cols = [
+                "key", "i", "iqr_lo", "iqr_hi", "iqr_alarm",
+                "med", "mad", "dev", "robust_alarm",
+            ]
+            want = [tuple(r) for r in want_df.select(cols).orderBy("i").collect()]
+            got = [tuple(r) for r in got_df.select(cols).orderBy("i").collect()]
+            assert got == want
+
+    def test_battery_fused_stats_three_scans(self, spark, tmp_path):
+        # the detector-battery shape (window detectors + fused
+        # Tukey/robust with stats_source on the raw scan) must read the
+        # source exactly 3 times in the FINAL adaptive plan: main pass,
+        # fused order-stats pass (q1/median/q3 in one percentile
+        # buffer), MAD pass — the duplicated order-stats subtree inside
+        # the MAD pass's lineage collapses to a ReusedExchange.
+        import random
+
+        from amonaly_detection_in_time_series_data_spark.operators.anomaly import (
+            rolling_zscore,
+            tukey_robust_flags,
+        )
+
+        rng = random.Random(3)
+        rows = [
+            (i % 5, i, round(rng.uniform(0, 100), 2)) for i in range(500)
+        ]
+        src_path = str(tmp_path / "ev")
+        spark.createDataFrame(
+            rows, "user_id bigint, i bigint, value double"
+        ).write.parquet(src_path)
+        ev = spark.read.parquet(src_path)
+        scored = rolling_zscore(ev, "value", 24, ["user_id"], ["i"])
+        scored = tukey_robust_flags(
+            scored, "value", ["user_id"], unit_digits=2, stats_source=ev
+        )
+        scored.collect()  # materialize so AQE finalizes exchange reuse
+        plan = scored._jdf.queryExecution().executedPlan().toString()
+        final = plan.split("== Initial Plan ==")[0]
+        n_scans = final.count("FileScan")
+        assert n_scans == 3, f"expected 3 FileScans, got {n_scans}:\n{final[:4000]}"
+        assert "ReusedExchange" in final, final[:4000]
+
 
 class TestBucketedRolling:
     def test_matches_single_partition_window(self, spark):
