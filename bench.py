@@ -126,11 +126,30 @@ def main() -> None:
     from amonaly_detection_in_time_series_data_spark.sources.readers import load_table
 
     docs = load_table(spark, sf_dir, "documents")
-    longdoc: dict[str, float] = {}
+
+    def jvm_gc_ms() -> int:
+        beans = (
+            spark.sparkContext._jvm.java.lang.management.ManagementFactory
+            .getGarbageCollectorMXBeans()
+        )
+        total, it = 0, beans.iterator()
+        while it.hasNext():
+            total += it.next().getCollectionTime()
+        return total
+
+    # per-rung hygiene so the ladder measures the OPERATORS, not heap
+    # history: unpersist each rung's checkpointed input before the next
+    # (otherwise every prior rung's blocks stay pinned and the top rung
+    # pays their GC), force a full GC between rungs, and report the
+    # rung's GC time next to its wall time so any residual superlinear
+    # growth is attributable in the artifact itself.
+    longdoc: dict[str, dict[str, float]] = {}
     for tokens in (25_000, 50_000, 100_000, 200_000):
         ld = make_longdoc_corpus(docs, 16, tokens).select(
             "doc_id", "text"
         ).localCheckpoint()  # materialize the input; time the operators
+        spark.sparkContext._jvm.System.gc()
+        gc0 = jvm_gc_ms()
         start = time.perf_counter()
         quality_rules(ld, "text").write.format("noop").mode("overwrite").save()
         minhash_signatures(
@@ -139,7 +158,14 @@ def main() -> None:
         span_dedup_stats(ld, "text", "doc_id", span_len=8).write.format(
             "noop"
         ).mode("overwrite").save()
-        longdoc[f"{tokens // 1000}k"] = round(time.perf_counter() - start, 3)
+        wall = time.perf_counter() - start
+        gc_sec = (jvm_gc_ms() - gc0) / 1000.0
+        longdoc[f"{tokens // 1000}k"] = {
+            "wall": round(wall, 3),
+            "gc": round(gc_sec, 3),
+            "minus_gc": round(wall - gc_sec, 3),
+        }
+        ld.unpersist(blocking=True)
 
     total = round(sum(timings.values()), 3)
     sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "")
