@@ -1646,7 +1646,10 @@ def q_lstm_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     The seeded-Glorot model round-trips through the npz checkpoint
     format (save_lstm_ae -> load_lstm_ae; torch state_dict key names)
     before scoring, so the ML1 artifact path runs inside the declared
-    query too.
+    query too. Set ``SPARK_GRAFT_LSTM_CKPT=/path/to/ckpt.npz`` to score
+    with TRAINED weights instead (any torch-exported or
+    ``operators.lstm.train_lstm_ae``-produced checkpoint) — the query
+    stays deterministic either way.
     """
     import tempfile
 
@@ -1665,12 +1668,16 @@ def q_lstm_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     # (main.py:168-186: MinMaxScaler -> create_sequences -> model)
     ev = minmax_scale(ev, ["value"])
     seqs = create_sequences(ev, ["value"], 12, KEY, ORDER)
-    model = init_lstm_ae(
-        input_dim=1, hidden_dim=128, embedding_dim=64, n_layers=2, seed=42
-    )
-    with tempfile.TemporaryDirectory(prefix="lstm_ckpt_") as d:
-        save_lstm_ae(model, os.path.join(d, "model.npz"))
-        model = load_lstm_ae(os.path.join(d, "model.npz"))
+    ckpt_path = os.environ.get("SPARK_GRAFT_LSTM_CKPT")
+    if ckpt_path:
+        model = load_lstm_ae(ckpt_path)
+    else:
+        model = init_lstm_ae(
+            input_dim=1, hidden_dim=128, embedding_dim=64, n_layers=2, seed=42
+        )
+        with tempfile.TemporaryDirectory(prefix="lstm_ckpt_") as d:
+            save_lstm_ae(model, os.path.join(d, "model.npz"))
+            model = load_lstm_ae(os.path.join(d, "model.npz"))
     # the LSTM is CPU-bound per row: spread the scoring across the
     # cluster explicitly — AQE coalesces the (byte-small) sequence
     # exchange to 1-2 partitions otherwise (181 s -> ~13 s at sf0.1)

@@ -86,11 +86,16 @@ class BestCheckpoint:
     sidecar, mirroring the reference's on-disk checkpoint file.
     """
 
-    def __init__(self, directory: str):
+    def __init__(self, directory: str, saver=None, loader=None):
         self.directory = directory
         os.makedirs(directory, exist_ok=True)
         self._meta_path = os.path.join(directory, "best.json")
         self._model_path = os.path.join(directory, "best_model.npz")
+        # default (saver, loader) keep the original LinearAE behavior;
+        # pass (save_lstm_ae, load_lstm_ae) for the ML1 tier — see
+        # lstm_best_checkpoint
+        self._saver = saver or save_linear_ae
+        self._loader = loader or load_linear_ae
 
     @property
     def best_loss(self) -> float | None:
@@ -111,14 +116,22 @@ class BestCheckpoint:
         # that isn't on disk.
         tmp_model = self._model_path + ".tmp.npz"
         tmp_meta = self._meta_path + ".tmp"
-        save_linear_ae(model, tmp_model)
+        self._saver(model, tmp_model)
         with open(tmp_meta, "w") as f:
             json.dump({"loss": float(loss)}, f)
         os.replace(tmp_model, self._model_path)
         os.replace(tmp_meta, self._meta_path)
         return True
 
-    def load_best(self) -> LinearAEModel:
+    def load_best(self):
         if not os.path.exists(self._model_path):
             raise FileNotFoundError(f"no checkpoint in {self.directory}")
-        return load_linear_ae(self._model_path)
+        return self._loader(self._model_path)
+
+
+def lstm_best_checkpoint(directory: str) -> BestCheckpoint:
+    """save_best_only checkpointing for the ML1 LSTM-AE tier: the same
+    crash-safe BestCheckpoint protocol over the torch-state_dict-keyed
+    npz format, so :func:`~.lstm.train_lstm_ae` mirrors the reference's
+    train loop (main.py:48-55) end to end."""
+    return BestCheckpoint(directory, saver=save_lstm_ae, loader=load_lstm_ae)

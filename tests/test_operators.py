@@ -1419,6 +1419,121 @@ class TestLSTMAutoencoder:
         digest = hashlib.md5(",".join(f"{e:.6f}" for e in errs).encode()).hexdigest()
         assert digest == "8748182c4eb00bd75928e259540d9162"
 
+    def test_bptt_gradients_match_central_differences(self):
+        """ML2 gradient parity: the analytic BPTT gradients of every
+        parameter of a tiny 2-layer model on a 2-step batch agree with
+        central differences (the torch-convention forward is already
+        pinned scalar-by-scalar above, so agreement here pins the
+        backward to the same conventions)."""
+        import numpy as np
+
+        from amonaly_detection_in_time_series_data_spark.operators.lstm import (
+            init_lstm_ae,
+            lstm_ae_loss_grads,
+        )
+
+        m = init_lstm_ae(input_dim=1, hidden_dim=3, embedding_dim=2,
+                         n_layers=2, seed=1)
+        rng = np.random.default_rng(0)
+        x = rng.uniform(0, 1, (2, 2, 1))
+        _, grads = lstm_ae_loss_grads(m, x)
+        assert set(grads) == set(m.state)
+        eps = 1e-6
+        for k, arr in m.state.items():
+            it = np.nditer(arr, flags=["multi_index"])
+            for _ in it:
+                idx = it.multi_index
+                orig = arr[idx]
+                arr[idx] = orig + eps
+                lp, _ = lstm_ae_loss_grads(m, x)
+                arr[idx] = orig - eps
+                lm, _ = lstm_ae_loss_grads(m, x)
+                arr[idx] = orig
+                num = (lp - lm) / (2 * eps)
+                ana = grads[k][idx]
+                # absolute floor absorbs finite-difference truncation
+                # noise on near-zero gradients (measured <= 4e-11)
+                assert abs(num - ana) <= 1e-8 + 1e-4 * max(abs(num), abs(ana)), (
+                    k, idx, num, ana
+                )
+
+    def test_training_decreases_loss_and_checkpoints_best(self, tmp_path):
+        """ML2 closed for the LSTM tier: Adam + MSE + shuffled batches
+        with drop_last, per-epoch loss, checkpoint-best + reload-best
+        (reference main.py:20-56). Loss decreases monotonically on a
+        sine fixture and the returned model is the best epoch's."""
+        import numpy as np
+
+        from amonaly_detection_in_time_series_data_spark.operators.artifacts import (
+            lstm_best_checkpoint,
+        )
+        from amonaly_detection_in_time_series_data_spark.operators.lstm import (
+            init_lstm_ae,
+            train_lstm_ae,
+        )
+
+        rng = np.random.default_rng(5)
+        phases = rng.uniform(0, 2 * np.pi, 48)
+        x = np.stack(
+            [0.5 + 0.4 * np.sin(np.arange(6) + p) for p in phases]
+        ).reshape(48, 6, 1)
+        m0 = init_lstm_ae(input_dim=1, hidden_dim=8, embedding_dim=4,
+                          n_layers=2, seed=9)
+        ckpt = lstm_best_checkpoint(str(tmp_path / "ck"))
+        model, losses = train_lstm_ae(
+            x, m0, n_epochs=5, lr=1e-2, batch_size=16, seed=0,
+            checkpoint=ckpt,
+        )
+        assert len(losses) == 5
+        assert all(b < a for a, b in zip(losses, losses[1:])), losses
+        # returned model == the checkpointed best (strictly improving
+        # run -> best is the last epoch's weights at its offer time)
+        assert ckpt.best_loss == min(losses)
+        best = ckpt.load_best()
+        for k in model.state:
+            np.testing.assert_array_equal(model.state[k], best.state[k])
+        # and the trained model reconstructs the fixture better than init
+        err0 = init_lstm_ae(input_dim=1, hidden_dim=8, embedding_dim=4,
+                            n_layers=2, seed=9).reconstruction_errors(x).mean()
+        assert model.reconstruction_errors(x).mean() < err0
+
+    def test_declared_query_consumes_trained_checkpoint(
+        self, spark, sf_dir, tmp_path, monkeypatch
+    ):
+        """SPARK_GRAFT_LSTM_CKPT routes trained weights into the
+        declared lstm_scores query (same schema, different scores)."""
+        import numpy as np
+
+        import __spark_entry__ as entrymod
+        from amonaly_detection_in_time_series_data_spark.operators.artifacts import (
+            save_lstm_ae,
+        )
+        from amonaly_detection_in_time_series_data_spark.operators.lstm import (
+            init_lstm_ae,
+            train_lstm_ae,
+        )
+
+        rng = np.random.default_rng(2)
+        x = rng.uniform(0, 1, (16, 12, 1))
+        model, _ = train_lstm_ae(
+            x,
+            init_lstm_ae(input_dim=1, hidden_dim=8, embedding_dim=4,
+                         n_layers=2, seed=4),
+            n_epochs=1, batch_size=16, seed=0,
+        )
+        p = str(tmp_path / "trained.npz")
+        save_lstm_ae(model, p)
+
+        base = entrymod.q_lstm_scores(spark, sf_dir).collect()
+        monkeypatch.setenv("SPARK_GRAFT_LSTM_CKPT", p)
+        trained = entrymod.q_lstm_scores(spark, sf_dir).collect()
+        assert len(trained) == len(base) > 0
+        assert trained[0].asDict().keys() == base[0].asDict().keys()
+        b = {(r["user_id"], r["seq_start_ts"]): r["recon_error"] for r in base}
+        t = {(r["user_id"], r["seq_start_ts"]): r["recon_error"] for r in trained}
+        assert set(b) == set(t)
+        assert any(abs(b[k] - t[k]) > 1e-9 for k in b)  # weights actually used
+
 
 class TestInputValidation:
     """Misuse of exported helpers must fail eagerly with clear messages
