@@ -1894,21 +1894,41 @@ def q_pq_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
     (m=16, k=64 — 96-bit codes, ~21x smaller than the float32 vectors),
     pure-Catalyst encoding, ADC lookup-table scoring with an exact
     cosine re-rank over the top-50 shortlist (measured recall@5 0.99 at
-    sf0.01 vs 0.56 ADC-only; both floors pytest-pinned). Rows-only:
-    Lloyd iterations are not SQL-reproducible."""
+    sf0.01 vs 0.56 ADC-only; both floors pytest-pinned). Tagged-union
+    tier column (the r3 precedent): 'pq' = flat ADC + re-rank;
+    'ivf_pq' = the fully-composed FAISS shape — coarse-probe the IVF
+    lists, ADC-score only the probed lists' codes, exact-rerank the
+    shortlist (composed recall@5 floor pytest-pinned with the
+    PartitionFilters plan assertion on a partitioned code sink).
+    Rows-only: Lloyd iterations are not SQL-reproducible."""
     from amonaly_detection_in_time_series_data_spark.operators.pq import (
+        ivf_pq_topk,
         pq_encode,
         pq_topk,
         pq_train,
+    )
+    from amonaly_detection_in_time_series_data_spark.operators.similarity import (
+        ivf_build_index,
     )
 
     emb = spread_small(load_table(spark, sf_dir, "embeddings"))
     books = pq_train(emb, "embedding", m=16, k=64, order_cols=["vec_id"])
     codes = pq_encode(emb.select("vec_id", "embedding"), books, "embedding")
     q = emb.filter(F.col("vec_id") < 10)
-    return pq_topk(
+    flat = pq_topk(
         codes.select("vec_id", "pq_code"), q, books, k=5,
         rerank_with=emb, shortlist=50,
+    )
+    inv, cents = ivf_build_index(emb, n_clusters=16, seed=42)
+    inv_codes = pq_encode(inv, books, "embedding").select(
+        "vec_id", "__list", "pq_code"
+    )
+    composed = ivf_pq_topk(
+        inv_codes, cents, q, books, k=5, n_probe=4,
+        rerank_with=emb, shortlist=50,
+    )
+    return flat.withColumn("tier", F.lit("pq")).unionByName(
+        composed.withColumn("tier", F.lit("ivf_pq"))
     )
 
 

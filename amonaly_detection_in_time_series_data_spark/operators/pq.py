@@ -284,6 +284,7 @@ def ivf_pq_topk(
     query_id_col: str = "query_id",
     rerank_with: DataFrame | None = None,
     shortlist: int = 50,
+    static_prune: bool = False,
 ) -> DataFrame:
     """The composed FAISS IVF-PQ search: per query, probe the
     ``n_probe`` nearest coarse lists (centroids broadcast), ADC-score
@@ -296,6 +297,14 @@ def ivf_pq_topk(
     costs O(m) code lookups — the two prunes multiply, which is the
     IVF-PQ point. The probe/LUT table (n_queries rows) broadcasts; the
     corpus side joins on ``__list`` map-side with no shuffle of codes.
+
+    ``static_prune=True``: as in ``similarity.ivf_query_index`` — run
+    the (tiny) probe eagerly, collect the distinct probed list ids and
+    push a literal ``__list IN (...)`` onto the code scan; against a
+    ``partitionBy('__list')`` parquet code sink this becomes a STATIC
+    PartitionFilter, so unprobed lists are never read from storage
+    (plan-asserted in tests). That is the 100 TB deployment shape:
+    partition-pruned coarse lists x 32x-compressed codes x O(m) ADC.
     """
     from amonaly_detection_in_time_series_data_spark.functions.vectors import (
         cosine_similarity,
@@ -335,6 +344,13 @@ def ivf_pq_topk(
         ),
     )
     plut = probed.select(query_id_col, "__list", lut.alias("__lut"))
+    if static_prune:
+        lists = [
+            r["__list"] for r in probed.select("__list").distinct().collect()
+        ]
+        inv_codes = inv_codes.filter(
+            F.col("__list").isin(*lists) if lists else F.lit(False)
+        )
 
     code = F.col(code_col)
     dist = F.aggregate(

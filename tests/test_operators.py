@@ -1918,6 +1918,66 @@ class TestProductQuantization:
         )
         assert rr >= 0.9, f"reranked recall@5 {rr:.3f}"  # measured 0.99
 
+    def test_ivf_pq_composed_recall_and_partition_prune(self, spark, tmp_path):
+        """The fully-composed FAISS shape (coarse IVF probe -> ADC over
+        probed lists' codes -> exact re-rank) through a persisted,
+        __list-partitioned code sink: recall@5 floor holds AND
+        static_prune pushes the probed lists into the parquet scan as a
+        PartitionFilter (unprobed lists never read)."""
+        import os
+        import re
+
+        from amonaly_detection_in_time_series_data_spark.operators.pq import (
+            ivf_pq_topk,
+            pq_encode,
+            pq_train,
+        )
+        from amonaly_detection_in_time_series_data_spark.operators.similarity import (
+            cosine_topk,
+            ivf_build_index,
+        )
+
+        oracle_sf = os.environ.get(
+            "SPARK_GRAFT_ORACLE_SF", "/root/testdata/sf0.01"
+        )
+        if not os.path.isdir(oracle_sf):
+            pytest.skip(f"oracle dataset {oracle_sf} not present")
+        emb = load_table(spark, oracle_sf, "embeddings")
+        q = emb.filter(F.col("vec_id") < 20)
+        truth = {}
+        for r in cosine_topk(emb, q, k=5).collect():
+            truth.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+
+        books = pq_train(emb, "embedding", m=16, k=64, order_cols=["vec_id"])
+        inv, cents = ivf_build_index(emb, n_clusters=16, seed=42)
+        inv_codes = pq_encode(inv, books, "embedding").select(
+            "vec_id", "__list", "pq_code"
+        )
+        inv_codes.write.partitionBy("__list").parquet(str(tmp_path / "codes"))
+        codes2 = spark.read.parquet(str(tmp_path / "codes"))
+
+        out = ivf_pq_topk(
+            codes2, cents, q, books, k=5, n_probe=4,
+            rerank_with=emb, shortlist=50, static_prune=True,
+        )
+        rows = out.collect()
+        approx = {}
+        for r in rows:
+            approx.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+        rec = sum(
+            len(approx.get(qid, set()) & t) / len(t)
+            for qid, t in truth.items()
+        ) / len(truth)
+        assert rec >= 0.6, f"composed IVF-PQ recall@5 {rec:.3f}"
+
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        # several scans participate (codes, centroids, rerank vectors);
+        # the CODE scan is the one that must carry the __list filter
+        filters = re.findall(r"PartitionFilters: \[([^\]]*)\]", plan)
+        assert any("__list" in f for f in filters), (
+            f"no __list PartitionFilter in any scan:\n{plan[:3000]}"
+        )
+
     def test_train_is_deterministic_and_validates(self, spark):
         import pytest as _pytest
 
