@@ -229,3 +229,97 @@ class TestIncrementalIngest:
             for r in spark.read.parquet(out).select("doc_id").collect()
         }
         assert got == expect
+
+
+class TestEndToEndCorpusStream:
+    def test_stream_composition_matches_batch_pipeline(
+        self, spark, sf_dir, tmp_path
+    ):
+        """The deployment shape, composed: file-stream replay ->
+        quality_rules filter -> incremental near-dup ingest (persisted
+        signature store) -> CDC merge into a partitioned live table —
+        all inside ONE foreachBatch sink. The final table must equal
+        the same pipeline run as a single batch (batching invariance of
+        the store + idempotent last-writer-wins merge), row-for-row
+        over every column."""
+        from amonaly_detection_in_time_series_data_spark.operators.cdc import (
+            merge_changes,
+        )
+        from amonaly_detection_in_time_series_data_spark.operators.corpus import (
+            quality_rules,
+        )
+
+        docs = _docs(spark, sf_dir)
+        n = docs.count()
+        src = tmp_path / "e2e_src"
+        cuts = [(0, n // 3), (n // 3, 2 * n // 3), (2 * n // 3, n)]
+        for i, (lo, hi) in enumerate(cuts):
+            (
+                docs.filter((F.col("doc_id") >= lo) & (F.col("doc_id") < hi))
+                .coalesce(1)
+                .write.mode("overwrite")
+                .parquet(str(src / f"part{i}"))
+            )
+
+        def pipeline_sink(store_path: str, table_path: str):
+            def apply(df, batch_id):
+                good = (
+                    quality_rules(df, "text")
+                    .filter(F.col("keep") == 1)
+                    .select("doc_id", "text")
+                )
+                novel = incremental_neardup_batch(
+                    good, store_path, batch_id, threshold=THRESHOLD
+                )
+                # seq = doc_id (each doc upserts once, so the merge's
+                # last-writer-wins key is stable across batchings)
+                changes = novel.select(
+                    "doc_id",
+                    "text",
+                    F.col("doc_id").alias("seq"),
+                    (F.col("doc_id") % 4).alias("part"),
+                )
+                if changes.isEmpty():
+                    return
+                merge_changes(
+                    spark, table_path, changes, ["doc_id"], "seq",
+                    partition_col="part",
+                )
+
+            return apply
+
+        # streaming run: one file per micro-batch
+        s_store = str(tmp_path / "e2e_store_s")
+        s_table = str(tmp_path / "e2e_table_s")
+        stream = (
+            spark.readStream.schema("doc_id bigint, text string")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(str(src / "part*"))
+        )
+        q = (
+            stream.writeStream.foreachBatch(pipeline_sink(s_store, s_table))
+            .option("checkpointLocation", str(tmp_path / "e2e_ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
+
+        # batch run: the identical composition, one batch
+        b_store = str(tmp_path / "e2e_store_b")
+        b_table = str(tmp_path / "e2e_table_b")
+        pipeline_sink(b_store, b_table)(docs, 0)
+
+        # merge_changes strips the seq column (merge metadata, not data)
+        cols = ["doc_id", "text", "part"]
+        got = [
+            tuple(r)
+            for r in spark.read.parquet(s_table)
+            .select(cols).orderBy("doc_id").collect()
+        ]
+        want = [
+            tuple(r)
+            for r in spark.read.parquet(b_table)
+            .select(cols).orderBy("doc_id").collect()
+        ]
+        assert len(got) > 0
+        assert got == want
