@@ -1772,7 +1772,11 @@ def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Benchmark n-gram decontamination: docs with doc_id % 50 == 0 play
     the eval benchmark; every other doc is flagged if it shares any word
     4-gram with the benchmark. Benchmark grams broadcast; corpus side
-    map-joined.
+    map-joined — behind a Catalyst Bloom pre-prune (r7:
+    operators.corpus.bloom_build/bloom_might_contain — getbit over one
+    int64-word literal, ~10 bits/gram vs 50+ bytes/gram of broadcast
+    hash relation; false positives are removed by the exact confirm
+    join so the oracle is unchanged).
 
     Merged r6: the FUZZY tier (operators.corpus.fuzzy_decontaminate —
     cross-dataset MinHash LSH with md5-portable signatures, benchmark
@@ -1793,7 +1797,9 @@ def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus = docs.filter(F.col("doc_id") % 50 != 0).select(
         "doc_id", "text"
     ).unionByName(near)
-    exact = decontaminate(corpus, benchmark, "text", "doc_id", shingle_n=4)
+    exact = decontaminate(
+        corpus, benchmark, "text", "doc_id", shingle_n=4, bloom_fpp=0.01
+    )
     fuzzy = fuzzy_decontaminate(
         corpus, benchmark, "text", "doc_id",
         n_hashes=8, shingle_n=3, n_bands=4, min_jaccard_est=0.5,

@@ -181,6 +181,61 @@ class TestDecontaminate:
         out = decontaminate(corpus, bench, shingle_n=4).collect()
         assert out[0].contaminated == 0
 
+    def test_bloom_no_false_negatives_and_fpp_envelope(self, spark):
+        from amonaly_detection_in_time_series_data_spark.operators.corpus import (
+            bloom_build,
+            bloom_might_contain,
+        )
+
+        members = spark.createDataFrame(
+            [(f"member_{i}",) for i in range(500)], "v string"
+        )
+        bloom = bloom_build(members, "v", fpp=0.01)
+        # every inserted value MUST pass (no false negatives, ever)
+        hits = members.filter(bloom_might_contain(bloom, F.col("v"))).count()
+        assert hits == 500
+        # non-members pass at ~fpp (generous envelope: 5x the target)
+        others = spark.createDataFrame(
+            [(f"other_{i}",) for i in range(5000)], "v string"
+        )
+        fp = others.filter(bloom_might_contain(bloom, F.col("v"))).count()
+        assert fp <= 5000 * 0.05, f"{fp} false positives of 5000"
+
+    def test_bloom_prefilter_exact_and_plan(self, spark):
+        """bloom_fpp pre-prunes map-side but composed results stay
+        EXACT (the confirm join removes false positives); the bloom
+        predicate must sit in a Filter below the gram join."""
+        bench = spark.createDataFrame(
+            [(100, "alpha beta gamma delta epsilon")], ["doc_id", "text"]
+        )
+        corpus = spark.createDataFrame(
+            [
+                (1, "prefix alpha beta gamma delta suffix"),
+                (2, "totally clean document with other words"),
+                (3, "alpha beta gamma delta epsilon zeta"),
+            ],
+            ["doc_id", "text"],
+        )
+        plain = {
+            (r.doc_id, r.n_hit_grams, r.contaminated)
+            for r in decontaminate(corpus, bench, shingle_n=4).collect()
+        }
+        bloomed_df = decontaminate(
+            corpus, bench, shingle_n=4, bloom_fpp=0.01
+        )
+        bloomed = {
+            (r.doc_id, r.n_hit_grams, r.contaminated)
+            for r in bloomed_df.collect()
+        }
+        assert bloomed == plain
+        plan = bloomed_df._jdf.queryExecution().executedPlan().toString()
+        assert "getbit" in plan, plan[:3000]
+        # the probe is a Filter on the corpus-gram side, not post-join:
+        # getbit must appear BELOW (after, in toString order) the join
+        assert plan.index("getbit") > plan.index("BroadcastHashJoin"), (
+            plan[:3000]
+        )
+
 
 class TestPackChunks:
     def test_running_offsets_and_chunks(self, spark):
