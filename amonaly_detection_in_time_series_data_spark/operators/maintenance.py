@@ -38,7 +38,13 @@ import math
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-__all__ = ["compact_files", "data_file_stats", "zorder_key"]
+__all__ = [
+    "compact_files",
+    "data_file_stats",
+    "file_stats_index",
+    "skipping_scan",
+    "zorder_key",
+]
 
 
 def _fs_and_path(spark: SparkSession, path: str):
@@ -167,3 +173,93 @@ def compact_files(
         "out_bytes": after["total_bytes"],
         "target_files": n_out,
     }
+
+
+def file_stats_index(
+    spark: SparkSession, path: str, cols: list[str], fmt: str = "parquet"
+) -> DataFrame:
+    """Per-file min/max/null-count index over ``cols`` — the planner-side
+    half of data skipping, the piece parquet footers alone cannot give
+    you.
+
+    Spark's parquet reader already prunes row groups from footer stats,
+    but only AFTER scheduling one task per file and reading every
+    footer: at 400k files (100 TB / 256 MB) that is 400k task launches
+    and 400k footer round-trips just to discover that 399k files cannot
+    match. Delta/Iceberg solve this by keeping per-file stats in table
+    metadata and pruning the FILE LIST at plan time; this index is that
+    metadata, format-agnostic. Build it once per table (one scan,
+    ``input_file_name()`` group — map-side combine, output is one row
+    per file), persist it next to the table, refresh per new file;
+    :func:`skipping_scan` consumes it.
+
+    Pairs with :func:`compact_files`: ``sort_by`` / ``zorder_by``
+    layouts make each file's [min,max] interval tight, which is what
+    turns the index from "keeps everything" into "skips almost
+    everything".
+    """
+    if not cols:
+        raise ValueError("file_stats_index: need at least one column")
+    df = spark.read.format(fmt).load(path)
+    aggs: list[Column] = [F.count(F.lit(1)).alias("n_rows")]
+    for c in cols:
+        aggs += [
+            F.min(c).alias(f"min_{c}"),
+            F.max(c).alias(f"max_{c}"),
+            F.sum(F.col(c).isNull().cast("long")).alias(f"nulls_{c}"),
+        ]
+    return (
+        df.groupBy(F.input_file_name().alias("file"))
+        .agg(*aggs)
+        .withColumn("file", F.regexp_replace("file", "^file:", ""))
+    )
+
+
+def skipping_scan(
+    spark: SparkSession,
+    index: DataFrame,
+    ranges: dict[str, tuple],
+    fmt: str = "parquet",
+) -> tuple[DataFrame, dict]:
+    """Scan only the files whose [min,max] interval can intersect the
+    conjunctive range predicate, then re-apply the exact predicate.
+
+    ``ranges`` maps column → ``(lo, hi)`` (inclusive; ``None`` leaves
+    that side open). A file survives pruning iff for EVERY column its
+    stats interval overlaps the requested range; an all-null file
+    (``min``/``max`` null) cannot satisfy a range predicate — range
+    comparisons are null-rejecting — so it is skipped outright. The
+    exact filter is applied on top of the pruned scan, so the result is
+    identical to filtering the full table (pruning is a pure superset
+    guarantee); tests pin that equality on both clustered and random
+    layouts.
+
+    The index collapse is driver-side but bounded by FILE COUNT, never
+    rows — the same O(files) the planner already pays for listing; the
+    kept-list read uses the parquet path form ``load(*files)``.
+    Returns ``(df, {"files_total": n, "files_kept": k})``.
+    """
+    if not ranges:
+        raise ValueError("skipping_scan: need at least one column range")
+    keep = F.lit(True)
+    exact = F.lit(True)
+    for c, (lo, hi) in ranges.items():
+        if lo is None and hi is None:
+            raise ValueError(f"skipping_scan: ({c}) both bounds open")
+        if lo is not None:
+            keep = keep & (F.col(f"max_{c}") >= F.lit(lo))
+            exact = exact & (F.col(c) >= F.lit(lo))
+        if hi is not None:
+            keep = keep & (F.col(f"min_{c}") <= F.lit(hi))
+            exact = exact & (F.col(c) <= F.lit(hi))
+    files_total = index.count()
+    if files_total == 0:
+        raise ValueError("skipping_scan: empty index")
+    kept = [r[0] for r in index.filter(keep).select("file").collect()]
+    stats = {"files_total": files_total, "files_kept": len(kept)}
+    if not kept:
+        # preserve schema: empty frame from the (pruned-to-nothing) table
+        sample = [r[0] for r in index.select("file").limit(1).collect()]
+        empty = spark.read.format(fmt).load(sample).filter(F.lit(False))
+        return empty.filter(exact), stats
+    return spark.read.format(fmt).load(kept).filter(exact), stats

@@ -152,3 +152,99 @@ class TestCompactFiles:
         empty.mkdir()
         with pytest.raises(ValueError, match="no data files"):
             compact_files(spark, str(empty), str(tmp_path / "out"))
+
+
+class TestSkippingScan:
+    """file_stats_index + skipping_scan: plan-time file pruning from a
+    persisted min/max index — correctness is a superset guarantee (the
+    pruned scan filtered == the full scan filtered, on ANY layout), and
+    the payoff only appears on clustered layouts."""
+
+    def _grid(self, spark, tmp_path, name, **compact_kw):
+        import itertools
+
+        rows = [
+            (float(x), float(y))
+            for x, y in itertools.product(range(128), range(128))
+        ]
+        src = str(tmp_path / f"{name}_src")
+        spark.createDataFrame(rows, "x double, y double").repartition(
+            8
+        ).write.mode("overwrite").parquet(src)
+        dst = str(tmp_path / name)
+        compact_files(spark, src, dst, n_files=16, **compact_kw)
+        return dst
+
+    def test_zorder_prunes_both_columns_and_matches_full_scan(
+        self, spark, tmp_path
+    ):
+        from amonaly_detection_in_time_series_data_spark.operators.maintenance import (
+            file_stats_index,
+            skipping_scan,
+        )
+
+        dst = self._grid(spark, tmp_path, "zor", zorder_by=["x", "y"])
+        idx = file_stats_index(spark, dst, ["x", "y"]).localCheckpoint()
+        ranges = {"x": (10.0, 30.0), "y": (100.0, 120.0)}
+        df, st = skipping_scan(spark, idx, ranges)
+        assert st["files_total"] == 16
+        # a 21x21 corner of a 128x128 grid in 16 z-ordered files: the
+        # overwhelming majority of files cannot intersect
+        assert st["files_kept"] <= 6
+        full = (
+            spark.read.parquet(dst)
+            .filter(
+                (F.col("x").between(10.0, 30.0))
+                & (F.col("y").between(100.0, 120.0))
+            )
+            .collect()
+        )
+        assert sorted(map(tuple, df.collect())) == sorted(map(tuple, full))
+        assert len(full) == 21 * 21
+
+    def test_random_layout_keeps_everything_but_stays_correct(
+        self, spark, tmp_path
+    ):
+        from amonaly_detection_in_time_series_data_spark.operators.maintenance import (
+            file_stats_index,
+            skipping_scan,
+        )
+
+        dst = self._grid(spark, tmp_path, "rnd")  # round-robin layout
+        idx = file_stats_index(spark, dst, ["x"])
+        df, st = skipping_scan(spark, idx, {"x": (10.0, 30.0)})
+        # every round-robin file spans ~the full range: no pruning win,
+        # but no correctness loss either
+        assert st["files_kept"] == st["files_total"] == 16
+        assert df.count() == 21 * 128
+
+    def test_open_bounds_all_null_files_and_empty_result(
+        self, spark, tmp_path
+    ):
+        from amonaly_detection_in_time_series_data_spark.operators.maintenance import (
+            file_stats_index,
+            skipping_scan,
+        )
+
+        path = str(tmp_path / "nulls")
+        spark.createDataFrame(
+            [(1.0, "a")], "v double, tag string"
+        ).write.mode("overwrite").parquet(path)
+        spark.createDataFrame(
+            [(None, "b"), (None, "c")], "v double, tag string"
+        ).coalesce(1).write.mode("append").parquet(path)
+        idx = file_stats_index(spark, path, ["v"]).localCheckpoint()
+        assert idx.count() == 2
+
+        # all-null file is skipped (range predicates are null-rejecting)
+        df, st = skipping_scan(spark, idx, {"v": (0.0, None)})
+        assert st == {"files_total": 2, "files_kept": 1}
+        assert [r["tag"] for r in df.collect()] == ["a"]
+
+        # pruned to nothing: schema survives, zero rows
+        df2, st2 = skipping_scan(spark, idx, {"v": (None, -5.0)})
+        assert st2["files_kept"] == 0
+        assert df2.columns == ["v", "tag"] and df2.count() == 0
+
+        with pytest.raises(ValueError, match="both bounds open"):
+            skipping_scan(spark, idx, {"v": (None, None)})
