@@ -1,0 +1,386 @@
+"""Snapshot-versioned tables: manifest commits, time travel, vacuum.
+
+:func:`~.cdc.merge_changes` gives copy-on-write merges but REPLACES the
+touched partition directories — the previous table state is gone the
+moment the swap lands, and a reader that started before the swap can
+lose files mid-scan. Table formats (Delta/Iceberg/Hudi) fix both with
+one idea: data files are IMMUTABLE, and a tiny metadata commit — the
+manifest — names the set of files that constitutes each table version.
+This module is that idea on plain parquet, format-agnostic:
+
+    table/
+      _manifests/v00000001.json   one JSON per committed version:
+                                  {"version", "op", "files": [...],
+                                   "schema", "partition_col"}
+      data/<part_col>=<v>/s00000001-part-*.parquet
+                                  immutable data files; the commit that
+                                  added a file is burned into its name
+
+- **Commit** = write new files + write manifest vN+1 (staging write,
+  then one atomic rename of the manifest file — the manifest IS the
+  transaction; a crash before the rename leaves vN intact and only
+  orphan data files, which vacuum collects).
+- **Snapshot isolation / time travel**: a reader binds to one
+  manifest's file list; concurrent commits never touch those files, so
+  the read is stable, and any retained version is readable forever
+  (``read_snapshot(version=3)``).
+- **Merge** (:func:`snapshot_merge`) reuses the CDC collapse
+  (:func:`~.cdc.latest_changes` / :func:`~.cdc.merged_view`): only
+  touched partitions are rescanned and rewritten as NEW files; the new
+  manifest carries every untouched file FORWARD BY NAME. Cost scales
+  with the batch's partition footprint, exactly like ``merge_changes``
+  — plus old versions stay readable.
+- **Vacuum** deletes files referenced by no retained manifest — the
+  explicit, bounded-retention step that CoW-swap does implicitly and
+  irrevocably.
+
+**Scale.** Manifest size is O(files of one version) — at 100 TB /
+256 MB files that is ~400k paths, a few tens of MB of JSON: driver-side
+metadata, same order as the file listing every planner already holds.
+Reads hand Spark the explicit file list (no directory listing at all —
+on S3 that alone is the win) with ``basePath`` so hive-style partition
+columns still materialize. Single-writer is assumed (commits are
+sequential versions); multi-writer needs a log-store/CAS on the
+manifest rename, the same boundary Delta draws on S3.
+"""
+
+from __future__ import annotations
+
+import json
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import StructType
+
+from amonaly_detection_in_time_series_data_spark.operators.cdc import (
+    latest_changes,
+    merged_view,
+)
+from amonaly_detection_in_time_series_data_spark.operators.maintenance import (
+    _fs_and_path,
+)
+
+__all__ = [
+    "snapshot_commit",
+    "snapshot_merge",
+    "read_snapshot",
+    "snapshot_history",
+    "vacuum_snapshots",
+]
+
+_MANIFEST_DIR = "_manifests"
+_DATA_DIR = "data"
+
+
+def _jpath(spark: SparkSession, *parts: str):
+    return spark._jvm.org.apache.hadoop.fs.Path("/".join(parts))
+
+
+def _write_text_atomic(spark: SparkSession, fs, path: str, text: str) -> None:
+    """Write-then-rename so the manifest appears atomically or not at
+    all (rename is atomic on HDFS-like filesystems)."""
+    tmp, dst = _jpath(spark, path + ".tmp"), _jpath(spark, path)
+    out = fs.create(tmp, True)
+    try:
+        out.write(bytearray(text.encode("utf-8")))
+    finally:
+        out.close()
+    if fs.exists(dst):
+        fs.delete(dst, False)
+    if not fs.rename(tmp, dst):
+        raise IOError(f"snapshot: manifest rename failed for {path}")
+
+
+def _read_text(spark: SparkSession, fs, path: str) -> str:
+    stream = fs.open(_jpath(spark, path))
+    try:
+        data = spark._jvm.org.apache.commons.io.IOUtils.toByteArray(stream)
+    finally:
+        stream.close()
+    return bytes(data).decode("utf-8")
+
+
+def _list_versions(spark: SparkSession, fs, table_path: str) -> list[int]:
+    mdir = _jpath(spark, table_path, _MANIFEST_DIR)
+    if not fs.exists(mdir):
+        return []
+    out = []
+    for st in fs.listStatus(mdir):
+        name = st.getPath().getName()
+        if name.startswith("v") and name.endswith(".json"):
+            out.append(int(name[1:-5]))
+    return sorted(out)
+
+
+def _manifest_path(table_path: str, version: int) -> str:
+    return f"{table_path.rstrip('/')}/{_MANIFEST_DIR}/v{version:08d}.json"
+
+
+def _load_manifest(spark: SparkSession, fs, table_path: str, version: int) -> dict:
+    path = _manifest_path(table_path, version)
+    if not fs.exists(_jpath(spark, path)):
+        have = _list_versions(spark, fs, table_path)
+        raise FileNotFoundError(
+            f"snapshot: version {version} of {table_path} does not exist "
+            f"(retained versions: {have}) — it may have been vacuumed"
+        )
+    return json.loads(_read_text(spark, fs, path))
+
+
+def _collect_data_files(fs, jdir) -> list:
+    """All data-file Paths under ``jdir`` (recursive), metadata excluded."""
+    out = []
+    if not fs.exists(jdir):
+        return out
+    it = fs.listFiles(jdir, True)
+    while it.hasNext():
+        st = it.next()
+        name = st.getPath().getName()
+        if not name.startswith(("_", ".")):
+            out.append(st.getPath())
+    return out
+
+
+def _adopt_staging_files(
+    spark: SparkSession, fs, staging: str, table_path: str, version: int
+) -> list[str]:
+    """Move the staging write's data files into ``table/data/``, burning
+    the commit version into each file name (immutability by
+    construction: no later commit can produce the same name). Returns
+    the adopted files' table-relative paths."""
+    jstaging = _jpath(spark, staging)
+    jdata = _jpath(spark, table_path, _DATA_DIR)
+    staging_uri = jstaging.toUri().getPath()
+    rel_files = []
+    for src in _collect_data_files(fs, jstaging):
+        rel = src.toUri().getPath()[len(staging_uri) :].lstrip("/")
+        parts = rel.split("/")
+        parts[-1] = f"s{version:08d}-{parts[-1]}"
+        rel_dst = "/".join(parts)
+        dst = _jpath(spark, table_path, _DATA_DIR, rel_dst)
+        fs.mkdirs(dst.getParent())
+        if not fs.rename(src, dst):
+            raise IOError(f"snapshot: failed to adopt {rel} into {jdata}")
+        rel_files.append(f"{_DATA_DIR}/{rel_dst}")
+    fs.delete(jstaging, True)
+    return sorted(rel_files)
+
+
+def _commit(
+    spark: SparkSession,
+    fs,
+    table_path: str,
+    files: list[str],
+    schema_json: str,
+    partition_col: str | None,
+    op: str,
+) -> int:
+    versions = _list_versions(spark, fs, table_path)
+    version = (versions[-1] if versions else 0) + 1
+    manifest = {
+        "version": version,
+        "op": op,
+        "files": files,
+        "schema": schema_json,
+        "partition_col": partition_col,
+    }
+    _write_text_atomic(
+        spark, fs, _manifest_path(table_path, version), json.dumps(manifest)
+    )
+    return version
+
+
+def snapshot_commit(
+    spark: SparkSession,
+    table_path: str,
+    df: DataFrame,
+    mode: str = "overwrite",
+    partition_col: str | None = None,
+    fmt: str = "parquet",
+) -> int:
+    """Commit ``df`` as the next table version; returns the version.
+
+    ``overwrite``: the new version is exactly these files (prior
+    versions remain readable until vacuumed). ``append``: the new
+    version carries the previous version's files plus these. Partition
+    layout is fixed at table creation (hive-style ``col=value`` dirs);
+    later commits must pass the same ``partition_col``.
+    """
+    if mode not in ("overwrite", "append"):
+        raise ValueError(f"snapshot_commit: unknown mode {mode!r}")
+    fs, _ = _fs_and_path(spark, table_path)
+    versions = _list_versions(spark, fs, table_path)
+    prev = _load_manifest(spark, fs, table_path, versions[-1]) if versions else None
+    if prev is not None and prev["partition_col"] != partition_col:
+        raise ValueError(
+            f"snapshot_commit: table is partitioned by "
+            f"{prev['partition_col']!r}, got {partition_col!r}"
+        )
+    version = (versions[-1] if versions else 0) + 1
+    staging = table_path.rstrip("/") + f"_staging_v{version:08d}"
+    writer = df.write.mode("overwrite").format(fmt)
+    if partition_col is not None:
+        writer = writer.partitionBy(partition_col)
+    writer.save(staging)
+    files = _adopt_staging_files(spark, fs, staging, table_path, version)
+    if mode == "append" and prev is not None:
+        files = sorted(set(prev["files"]) | set(files))
+    return _commit(
+        spark, fs, table_path, files, df.schema.json(), partition_col, mode
+    )
+
+
+def read_snapshot(
+    spark: SparkSession,
+    table_path: str,
+    version: int | None = None,
+    fmt: str = "parquet",
+) -> DataFrame:
+    """The table as of ``version`` (default: latest). Binds to that
+    manifest's explicit file list — no directory listing, and
+    concurrent commits cannot disturb the scan."""
+    fs, _ = _fs_and_path(spark, table_path)
+    if version is None:
+        versions = _list_versions(spark, fs, table_path)
+        if not versions:
+            raise FileNotFoundError(f"snapshot: no versions at {table_path}")
+        version = versions[-1]
+    man = _load_manifest(spark, fs, table_path, version)
+    if not man["files"]:
+        return spark.createDataFrame(
+            [], StructType.fromJson(json.loads(man["schema"]))
+        )
+    root = table_path.rstrip("/")
+    reader = spark.read.format(fmt)
+    if man["partition_col"] is not None:
+        reader = reader.option("basePath", f"{root}/{_DATA_DIR}")
+    return reader.load([f"{root}/{f}" for f in man["files"]])
+
+
+def snapshot_merge(
+    spark: SparkSession,
+    table_path: str,
+    changes: DataFrame,
+    keys: list[str],
+    seq_col: str,
+    delete_col: str | None = None,
+    max_touched_partitions: int = 1024,
+    fmt: str = "parquet",
+) -> dict:
+    """CDC merge as a snapshot commit: same semantics as
+    :func:`~.cdc.merge_changes` (last-writer-wins by ``seq_col``, seq-tie
+    delete-beats-upsert, idempotent replay), but non-destructive — the
+    previous version stays readable, and partial failure can never lose
+    rows because nothing is deleted or renamed away, only added.
+
+    Touched partitions are identified from the collapsed batch, their
+    FILES (by manifest path prefix — no listing, no scan) are re-read,
+    merged, and rewritten as new files; every untouched file is carried
+    forward by name into the new manifest. Cost: one scan+write of the
+    touched partition footprint + one manifest write.
+    """
+    fs, _ = _fs_and_path(spark, table_path)
+    versions = _list_versions(spark, fs, table_path)
+    if not versions:
+        raise FileNotFoundError(
+            f"snapshot_merge: no table at {table_path}; snapshot_commit first"
+        )
+    man = _load_manifest(spark, fs, table_path, versions[-1])
+    partition_col = man["partition_col"]
+    root = table_path.rstrip("/")
+    schema = StructType.fromJson(json.loads(man["schema"]))
+    latest = latest_changes(changes, keys, seq_col, delete_col)
+
+    if partition_col is not None:
+        touched = sorted(
+            r[0] for r in latest.select(partition_col).distinct().collect()
+        )
+        if len(touched) > max_touched_partitions:
+            raise ValueError(
+                f"snapshot_merge: batch touches {len(touched)} partitions "
+                f"(> max_touched_partitions={max_touched_partitions}); "
+                "run an explicit rewrite instead"
+            )
+        prefixes = tuple(
+            f"{_DATA_DIR}/{partition_col}={v}/" for v in touched
+        )
+        touched_files = [f for f in man["files"] if f.startswith(prefixes)]
+        untouched_files = [f for f in man["files"] if not f.startswith(prefixes)]
+    else:
+        touched = None
+        touched_files, untouched_files = list(man["files"]), []
+
+    if touched_files:
+        reader = spark.read.format(fmt)
+        if partition_col is not None:
+            reader = reader.option("basePath", f"{root}/{_DATA_DIR}")
+        target = reader.load([f"{root}/{f}" for f in touched_files])
+    else:
+        target = spark.createDataFrame([], schema)
+
+    merged = merged_view(target, changes, keys, seq_col, delete_col)
+
+    version = versions[-1] + 1
+    staging = root + f"_staging_v{version:08d}"
+    writer = merged.write.mode("overwrite").format(fmt)
+    if partition_col is not None:
+        writer = writer.partitionBy(partition_col)
+    writer.save(staging)
+    new_files = _adopt_staging_files(spark, fs, staging, table_path, version)
+    all_files = sorted(set(untouched_files) | set(new_files))
+    v = _commit(
+        spark, fs, table_path, all_files, man["schema"], partition_col, "merge"
+    )
+    return {
+        "version": v,
+        "touched_partitions": len(touched) if touched is not None else None,
+        "rewritten_files": len(touched_files),
+        "new_files": len(new_files),
+        "carried_files": len(untouched_files),
+    }
+
+
+def snapshot_history(spark: SparkSession, table_path: str) -> list[dict]:
+    """Retained versions, oldest first: version, op, file count."""
+    fs, _ = _fs_and_path(spark, table_path)
+    out = []
+    for v in _list_versions(spark, fs, table_path):
+        man = _load_manifest(spark, fs, table_path, v)
+        out.append(
+            {"version": v, "op": man["op"], "n_files": len(man["files"])}
+        )
+    return out
+
+
+def vacuum_snapshots(
+    spark: SparkSession, table_path: str, keep_last: int = 2
+) -> dict:
+    """Drop all but the newest ``keep_last`` versions and delete every
+    data file no retained manifest references (including orphans from
+    crashed commits). Time travel to a vacuumed version then raises
+    with the retained range — the explicit retention boundary that
+    CoW-replace crosses silently."""
+    if keep_last < 1:
+        raise ValueError("vacuum_snapshots: keep_last must be >= 1")
+    fs, _ = _fs_and_path(spark, table_path)
+    versions = _list_versions(spark, fs, table_path)
+    keep, drop = versions[-keep_last:], versions[:-keep_last]
+    referenced: set[str] = set()
+    for v in keep:
+        referenced.update(_load_manifest(spark, fs, table_path, v)["files"])
+    root = table_path.rstrip("/")
+    jdata = _jpath(spark, root, _DATA_DIR)
+    data_root = jdata.toUri().getPath()
+    deleted_files = 0
+    for p in _collect_data_files(fs, jdata):
+        rel = f"{_DATA_DIR}/{p.toUri().getPath()[len(data_root):].lstrip('/')}"
+        if rel not in referenced:
+            fs.delete(p, False)
+            deleted_files += 1
+    for v in drop:
+        fs.delete(_jpath(spark, _manifest_path(root, v)), False)
+    return {
+        "kept_versions": keep,
+        "dropped_versions": drop,
+        "deleted_files": deleted_files,
+    }

@@ -1,0 +1,219 @@
+"""Snapshot-versioned tables (operators.snapshots).
+
+Contract under test:
+1. merge semantics match the CDC oracle (same collapse as merge_changes)
+   while EVERY prior version stays readable (time travel);
+2. carry-forward granularity — untouched partitions' files appear in the
+   new manifest BY NAME (the same immutable physical files, zero
+   rewrite), only touched partitions produce new files;
+3. idempotency — re-applying a batch yields a new version with the same
+   content;
+4. vacuum — drops only unreferenced files + old manifests, keeps the
+   retained versions readable, collects crashed-commit orphans, and
+   time travel past retention raises with the retained range;
+5. empty-table and non-partitioned paths round-trip.
+"""
+
+from __future__ import annotations
+
+import glob
+import os
+
+import pytest
+
+from amonaly_detection_in_time_series_data_spark.operators.snapshots import (
+    read_snapshot,
+    snapshot_commit,
+    snapshot_history,
+    snapshot_merge,
+    vacuum_snapshots,
+)
+
+SCHEMA = "k int, p int, v string"
+CHANGES_SCHEMA = "k int, p int, v string, seq bigint, deleted boolean"
+
+# touches partitions 1 and 2 of p in 0..3 (same shape as test_cdc)
+CHANGES = [
+    (1, 1, "new5", 5, False),
+    (1, 1, "new9", 9, False),
+    (5, 1, None, 3, True),
+    (9, 1, None, 7, True),
+    (101, 1, "ins101", 1, False),
+    (2, 2, "upd2", 1, False),
+]
+
+
+def _base_rows():
+    return [(k, k % 4, f"base_{k}") for k in range(40)]
+
+
+def _expected():
+    exp = {k: (k % 4, f"base_{k}") for k in range(40)}
+    exp[1] = (1, "new9")
+    exp.pop(5)
+    exp.pop(9)
+    exp[101] = (1, "ins101")
+    exp[2] = (2, "upd2")
+    return exp
+
+
+def _as_dict(df):
+    return {r["k"]: (r["p"], r["v"]) for r in df.collect()}
+
+
+class TestSnapshots:
+    def test_merge_time_travel_and_carry_forward(self, spark, tmp_path):
+        table = str(tmp_path / "t")
+        v1 = snapshot_commit(
+            spark,
+            table,
+            spark.createDataFrame(_base_rows(), SCHEMA),
+            partition_col="p",
+        )
+        assert v1 == 1
+        changes = spark.createDataFrame(CHANGES, CHANGES_SCHEMA)
+        stats = snapshot_merge(
+            spark, table, changes, keys=["k"], seq_col="seq",
+            delete_col="deleted",
+        )
+        assert stats["version"] == 2
+        assert stats["touched_partitions"] == 2
+
+        # latest == CDC oracle; v1 == the original rows (time travel)
+        assert _as_dict(read_snapshot(spark, table)) == _expected()
+        assert _as_dict(read_snapshot(spark, table, version=1)) == {
+            k: (k % 4, f"base_{k}") for k in range(40)
+        }
+
+        # untouched partitions (p=0, p=3) carried forward BY NAME:
+        # the two manifests share exactly those files
+        import json
+
+        def files(v):
+            with open(
+                os.path.join(table, "_manifests", f"v{v:08d}.json")
+            ) as fh:
+                return set(json.load(fh)["files"])
+
+        shared = files(1) & files(2)
+        assert shared and all(
+            f.startswith(("data/p=0/", "data/p=3/")) for f in shared
+        )
+        assert all(
+            f.startswith(("data/p=1/", "data/p=2/"))
+            for f in files(2) - files(1)
+        )
+        # physical files are immutable: every referenced file exists once
+        on_disk = {
+            os.path.relpath(f, table)
+            for f in glob.glob(os.path.join(table, "data", "p=*", "*.parquet"))
+        }
+        assert (files(1) | files(2)) == on_disk
+
+        # idempotent replay: v3 content == v2 content
+        snapshot_merge(
+            spark, table, changes, keys=["k"], seq_col="seq",
+            delete_col="deleted",
+        )
+        assert _as_dict(read_snapshot(spark, table, version=3)) == _expected()
+        assert [h["version"] for h in snapshot_history(spark, table)] == [
+            1, 2, 3,
+        ]
+
+    def test_vacuum_retention_and_orphans(self, spark, tmp_path):
+        table = str(tmp_path / "t")
+        snapshot_commit(
+            spark,
+            table,
+            spark.createDataFrame(_base_rows(), SCHEMA),
+            partition_col="p",
+        )
+        changes = spark.createDataFrame(CHANGES, CHANGES_SCHEMA)
+        snapshot_merge(
+            spark, table, changes, keys=["k"], seq_col="seq",
+            delete_col="deleted",
+        )
+        snapshot_merge(
+            spark, table, changes, keys=["k"], seq_col="seq",
+            delete_col="deleted",
+        )
+        # a crashed commit leaves an orphan data file no manifest knows
+        orphan_dir = os.path.join(table, "data", "p=1")
+        orphan = os.path.join(orphan_dir, "s99999999-part-orphan.parquet")
+        with open(orphan, "wb") as fh:
+            fh.write(b"not really parquet")
+
+        res = vacuum_snapshots(spark, table, keep_last=2)
+        assert res["dropped_versions"] == [1]
+        assert res["kept_versions"] == [2, 3]
+        assert res["deleted_files"] > 0
+        assert not os.path.exists(orphan)
+
+        # retained versions still read correctly end-to-end
+        assert _as_dict(read_snapshot(spark, table, version=2)) == _expected()
+        assert _as_dict(read_snapshot(spark, table, version=3)) == _expected()
+        # vacuumed version raises with the retained range
+        with pytest.raises(FileNotFoundError, match=r"\[2, 3\]"):
+            read_snapshot(spark, table, version=1)
+        # every surviving file is referenced by a retained manifest
+        import json
+
+        referenced = set()
+        for v in (2, 3):
+            with open(
+                os.path.join(table, "_manifests", f"v{v:08d}.json")
+            ) as fh:
+                referenced |= set(json.load(fh)["files"])
+        on_disk = {
+            os.path.relpath(f, table)
+            for f in glob.glob(os.path.join(table, "data", "p=*", "*.parquet"))
+        }
+        assert on_disk == referenced
+
+    def test_nonpartitioned_append_and_empty(self, spark, tmp_path):
+        table = str(tmp_path / "t")
+        df1 = spark.createDataFrame([(1, 0, "a")], SCHEMA)
+        df2 = spark.createDataFrame([(2, 0, "b")], SCHEMA)
+        snapshot_commit(spark, table, df1)
+        snapshot_commit(spark, table, df2, mode="append")
+        assert _as_dict(read_snapshot(spark, table)) == {
+            1: (0, "a"),
+            2: (0, "b"),
+        }
+        # non-partitioned merge: delete everything -> empty but readable
+        changes = spark.createDataFrame(
+            [(1, 0, None, 1, True), (2, 0, None, 1, True)], CHANGES_SCHEMA
+        )
+        snapshot_merge(
+            spark, table, changes, keys=["k"], seq_col="seq",
+            delete_col="deleted",
+        )
+        latest = read_snapshot(spark, table)
+        assert latest.count() == 0
+        assert latest.columns == ["k", "p", "v"]
+        # and time travel still sees the data
+        assert _as_dict(read_snapshot(spark, table, version=2)) == {
+            1: (0, "a"),
+            2: (0, "b"),
+        }
+
+    def test_partition_col_mismatch_and_missing_table(self, spark, tmp_path):
+        table = str(tmp_path / "t")
+        snapshot_commit(
+            spark,
+            table,
+            spark.createDataFrame(_base_rows(), SCHEMA),
+            partition_col="p",
+        )
+        with pytest.raises(ValueError, match="partitioned by"):
+            snapshot_commit(
+                spark, table, spark.createDataFrame(_base_rows(), SCHEMA)
+            )
+        with pytest.raises(FileNotFoundError, match="snapshot_commit first"):
+            snapshot_merge(
+                spark,
+                str(tmp_path / "nope"),
+                spark.createDataFrame(CHANGES, CHANGES_SCHEMA),
+                keys=["k"],
+                seq_col="seq",
+            )
