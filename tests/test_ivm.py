@@ -1,0 +1,156 @@
+"""Incremental view maintenance (operators.ivm).
+
+Contract under test:
+1. property — for ANY change sequence and ANY contiguous batch split,
+   the incrementally maintained rollup is BIT-EQUAL (long sums) to a
+   full GROUP BY recompute of the final base table;
+2. the composed snapshot driver keeps base and rollup at consistent
+   versions, bootstraps on first call, and stays incremental after;
+3. emptied groups drop out; null group values fold as one group;
+4. refresh_groups recomputes ONLY affected groups and splices them in —
+   the min/max-under-delete case deltas cannot maintain.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from amonaly_detection_in_time_series_data_spark.operators.ivm import (
+    COUNT_COL,
+    agg_delta,
+    apply_agg_delta,
+    compute_agg,
+    maintain_agg_snapshot,
+    refresh_groups,
+)
+from amonaly_detection_in_time_series_data_spark.operators.snapshots import (
+    read_snapshot,
+    snapshot_commit,
+)
+
+SCHEMA = "k int, p int, g string, x long"
+CHANGES_SCHEMA = "k int, p int, g string, x long, seq bigint, deleted boolean"
+
+
+def _rollup_dict(df):
+    return {
+        r["g"]: (r["x"], r[COUNT_COL])
+        for r in df.collect()
+    }
+
+
+class TestIvm:
+    def test_random_batches_match_full_recompute(self, spark, tmp_path):
+        from hypothesis import HealthCheck, given, settings
+        from hypothesis import strategies as st
+
+        OPS = st.lists(
+            st.tuples(
+                st.integers(min_value=0, max_value=5),    # key
+                st.booleans(),                            # is_delete
+                st.integers(min_value=-50, max_value=50), # x
+                st.sampled_from(["a", "b", None]),        # group (can move!)
+            ),
+            min_size=1,
+            max_size=12,
+        )
+
+        counter = [0]
+
+        @settings(
+            max_examples=8, deadline=None,
+            suppress_health_check=[HealthCheck.function_scoped_fixture],
+        )
+        @given(ops=OPS, n_batches=st.integers(min_value=1, max_value=3))
+        def check(ops, n_batches):
+            counter[0] += 1
+            base = str(tmp_path / f"base_{counter[0]}")
+            agg = str(tmp_path / f"agg_{counter[0]}")
+            base_rows = [(k, k % 2, "a" if k % 3 else "b", k * 10)
+                         for k in range(4)]
+            snapshot_commit(
+                spark, base,
+                spark.createDataFrame(base_rows, SCHEMA),
+                partition_col="p",
+            )
+            changes = [
+                (k, k % 2, g, x, seq, is_del)
+                for seq, (k, is_del, x, g) in enumerate(ops)
+            ]
+            step = max(1, len(changes) // n_batches)
+            ops_seen = 0
+            for lo in range(0, len(changes), step):
+                batch = spark.createDataFrame(
+                    changes[lo:lo + step], CHANGES_SCHEMA
+                )
+                res = maintain_agg_snapshot(
+                    spark, base, agg, batch,
+                    keys=["k"], group_cols=["g"], sum_cols=["x"],
+                    seq_col="seq", delete_col="deleted",
+                    partition_col="p",
+                )
+                ops_seen += 1
+                assert res["agg_op"] == (
+                    "bootstrap" if ops_seen == 1 else "incremental"
+                )
+            got = _rollup_dict(read_snapshot(spark, agg))
+            want = _rollup_dict(
+                compute_agg(read_snapshot(spark, base), ["g"], ["x"])
+            )
+            assert got == want
+
+        check()
+
+    def test_emptied_group_drops_and_null_group_folds(self, spark, tmp_path):
+        base_df = spark.createDataFrame(
+            [(1, 0, "only", 5), (2, 0, None, 7), (3, 0, None, 9)], SCHEMA
+        )
+        agg0 = compute_agg(base_df, ["g"], ["x"])
+        # delete the sole member of 'only'; update one null-group row
+        changes = spark.createDataFrame(
+            [(1, 0, "only", 0, 1, True), (2, 0, None, 100, 1, False)],
+            CHANGES_SCHEMA,
+        )
+        delta = agg_delta(
+            base_df, changes, ["k"], ["g"], ["x"], "seq", "deleted"
+        )
+        after = apply_agg_delta(agg0, delta, ["g"], ["x"])
+        assert _rollup_dict(after) == {None: (109, 2)}
+
+    def test_group_migration_retracts_from_old_group(self, spark, tmp_path):
+        base_df = spark.createDataFrame([(1, 0, "a", 5), (2, 0, "b", 7)], SCHEMA)
+        agg0 = compute_agg(base_df, ["g"], ["x"])
+        # key 1 moves from group a to group b
+        changes = spark.createDataFrame(
+            [(1, 0, "b", 5, 1, False)], CHANGES_SCHEMA
+        )
+        delta = agg_delta(
+            base_df, changes, ["k"], ["g"], ["x"], "seq", "deleted"
+        )
+        after = apply_agg_delta(agg0, delta, ["g"], ["x"])
+        assert _rollup_dict(after) == {"b": (12, 2)}
+
+    def test_refresh_groups_min_max_under_delete(self, spark, tmp_path):
+        base_after = spark.createDataFrame(
+            [(1, 0, "a", 5), (3, 0, "a", 2), (4, 0, "b", 8)], SCHEMA
+        )
+        # stale rollup: group a still remembers a deleted max of 99
+        stale = spark.createDataFrame(
+            [("a", 2, 99), ("b", 8, 8), ("c", 1, 1)],
+            "g string, min_x long, max_x long",
+        )
+        affected = spark.createDataFrame([("a",)], "g string")
+        fresh = refresh_groups(
+            stale,
+            base_after,
+            ["g"],
+            [F.min("x").alias("min_x"), F.max("x").alias("max_x")],
+            affected,
+        )
+        got = {r["g"]: (r["min_x"], r["max_x"]) for r in fresh.collect()}
+        # a recomputed from base; b and c untouched (c not even in base)
+        assert got == {"a": (2, 5), "b": (8, 8), "c": (1, 1)}
+        # the base scan is pruned map-side by a broadcast semi-join
+        plan = fresh._jdf.queryExecution().executedPlan().toString()
+        assert "LeftSemi" in plan and "Broadcast" in plan
