@@ -63,6 +63,7 @@ from amonaly_detection_in_time_series_data_spark.operators.maintenance import (
 __all__ = [
     "snapshot_commit",
     "snapshot_merge",
+    "snapshot_merge_sink",
     "read_snapshot",
     "snapshot_history",
     "vacuum_snapshots",
@@ -338,6 +339,45 @@ def snapshot_merge(
         "new_files": len(new_files),
         "carried_files": len(untouched_files),
     }
+
+
+def snapshot_merge_sink(
+    table_path: str,
+    keys: list[str],
+    seq_col: str,
+    delete_col: str | None = None,
+    partition_col: str | None = None,
+    **kw,
+):
+    """``foreachBatch`` adapter: apply each micro-batch of a CDC stream
+    as a snapshot-versioned merge — the streaming twin of
+    :func:`~.cdc.cdc_merge_sink`, with versioned history instead of
+    in-place swaps. Same exactly-once-EFFECT argument: redelivery of a
+    crashed batch re-merges idempotently (the redundant version has
+    identical content), and readers never see a torn table because
+    every version is an atomic manifest. First batch bootstraps the
+    table (upserts only, via an empty-schema commit then merge)."""
+
+    def apply(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        spark = batch_df.sparkSession
+        fs, _ = _fs_and_path(spark, table_path)
+        if not _list_versions(spark, fs, table_path):
+            drop = {seq_col, delete_col} - {None}
+            cols = [c for c in batch_df.columns if c not in drop]
+            snapshot_commit(
+                spark,
+                table_path,
+                spark.createDataFrame([], batch_df.select(*cols).schema),
+                partition_col=partition_col,
+            )
+        snapshot_merge(
+            spark, table_path, batch_df, keys, seq_col,
+            delete_col=delete_col, **kw,
+        )
+
+    return apply
 
 
 def snapshot_history(spark: SparkSession, table_path: str) -> list[dict]:

@@ -197,6 +197,62 @@ class TestSnapshots:
             2: (0, "b"),
         }
 
+    def test_streaming_sink_bootstraps_versions_and_matches_batch(
+        self, spark, tmp_path
+    ):
+        """A CDC stream applied via foreachBatch(snapshot_merge_sink)
+        bootstraps the table on the first micro-batch, lands one version
+        per micro-batch, and the final version equals the sequential
+        batch merges — with the intermediate version still readable
+        (what the in-place cdc_merge_sink cannot offer). The split is
+        mid-key-history (k=1's seq-5 / seq-9 updates in different
+        micro-batches) to cover cross-batch last-writer-wins."""
+        from amonaly_detection_in_time_series_data_spark.operators.snapshots import (
+            snapshot_merge_sink,
+        )
+
+        table = str(tmp_path / "stream_tbl")
+        src = tmp_path / "changes_src"
+        base_batch = [
+            (k, p, v, -1, False) for k, (p, v) in
+            {k: (k % 4, f"base_{k}") for k in range(40)}.items()
+        ]
+        first = base_batch + [c for c in CHANGES if c[3] <= 5]
+        second = [c for c in CHANGES if c[3] > 5]
+        for i, batch in enumerate([first, second]):
+            spark.createDataFrame(batch, CHANGES_SCHEMA).coalesce(
+                1
+            ).write.mode("overwrite").parquet(str(src / f"b{i}"))
+
+        stream = (
+            spark.readStream.schema(CHANGES_SCHEMA)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(str(src / "b*"))
+        )
+        q = (
+            stream.writeStream.foreachBatch(
+                snapshot_merge_sink(
+                    table, ["k"], "seq", delete_col="deleted",
+                    partition_col="p",
+                )
+            )
+            .option("checkpointLocation", str(tmp_path / "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
+
+        # v1 = bootstrap (empty), v2/v3 = one merge per micro-batch
+        assert [h["version"] for h in snapshot_history(spark, table)] == [
+            1, 2, 3,
+        ]
+        assert _as_dict(read_snapshot(spark, table)) == _expected()
+        # the mid-stream version is a coherent historical cut: base rows
+        # + the seq<=5 changes only (k=1 at new5, k=5 tie-delete gone)
+        mid = _as_dict(read_snapshot(spark, table, version=2))
+        assert mid[1] == (1, "new5")
+        assert 5 not in mid and 9 in mid
+
     def test_partition_col_mismatch_and_missing_table(self, spark, tmp_path):
         table = str(tmp_path / "t")
         snapshot_commit(
