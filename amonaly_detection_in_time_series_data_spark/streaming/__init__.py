@@ -8,6 +8,7 @@ from .rolling import (
     streaming_windowed_stats,
     streaming_zscore_flags,
 )
+from .joins import interval_join
 from .sinks import write_anomaly_alerts
 
 __all__ = [
@@ -17,6 +18,7 @@ __all__ = [
     "streaming_page_hinkley",
     "streaming_dedup",
     "streaming_enrich",
+    "interval_join",
     "replay_events_stream",
     "replay_table_stream",
     "write_anomaly_alerts",

@@ -339,13 +339,25 @@ def streaming_page_hinkley(
 def streaming_dedup(
     events: DataFrame, key_cols=("event_id",), watermark: str = "2 hours"
 ) -> DataFrame:
-    """Streaming exact dedup: watermarked ``dropDuplicates`` on the key.
+    """Streaming exact dedup on the key with bounded state:
+    ``dropDuplicatesWithinWatermark``.
 
-    State = one entry per key seen within the watermark horizon, so
-    state size is bounded by (arrival rate x horizon), not stream
-    length — the streaming analogue of batch ``dedup_exact``/O3.
+    Plain ``dropDuplicates(keys)`` on a stream keeps state FOREVER when
+    the event-time column is not part of the dedup keys — the watermark
+    evicts nothing, and per-key state grows with stream lifetime (the
+    documented Spark contract: eviction requires the event-time column
+    in the subset). ``dropDuplicatesWithinWatermark`` is the fix: dedup
+    by the business key alone, with each key's state expiring once the
+    watermark passes its first-seen event time. State = one entry per
+    key seen within the horizon — bounded by (arrival rate x horizon),
+    not stream length — which is the contract a duplicate-suppression
+    stage actually needs (a duplicate later than the horizon is by
+    definition out of contract). The streaming analogue of batch
+    ``dedup_exact``/O3.
     """
-    return events.withWatermark("ts", watermark).dropDuplicates(list(key_cols))
+    return events.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(
+        list(key_cols)
+    )
 
 
 def streaming_enrich(events: DataFrame, dim: DataFrame, on: str = "user_id") -> DataFrame:

@@ -678,3 +678,95 @@ class TestStreamingCheckpointRecovery:
         row = out.filter(F.col("event_id") == 2).collect()[0]
         want = ev.filter(F.col("event_id") == 2).collect()[0]["value"]
         assert row["doubled"] == want * 2
+
+
+class TestStreamStreamIntervalJoin:
+    """streaming.joins.interval_join: the stream-stream case — state
+    bounded by watermark + interval width; the SAME function on static
+    frames is the batch twin, and replaying both feeds must match it."""
+
+    LEFT_SCHEMA = "user_id int, ts timestamp, ev string"
+    RIGHT_SCHEMA = "user_id int, ts timestamp, tag string"
+
+    def _data(self):
+        from datetime import datetime
+
+        def t(m):
+            return datetime(2024, 1, 1, 0, m)
+
+        left = [
+            (1, t(0), "a"), (1, t(30), "b"),
+            (2, t(0), "c"), (2, t(45), "d"),
+        ]
+        right = [
+            (1, t(5), "r1"),    # joins a (0..20)
+            (1, t(35), "r2"),   # joins b (30..50)
+            (2, t(50), "r3"),   # joins d (45..65)
+            (2, t(25), "r4"),   # joins nothing (0..20 and 45..65 miss)
+            (3, t(5), "r5"),    # no such user on the left
+        ]
+        return left, right
+
+    def test_streaming_matches_batch_and_hand_expected(self, spark, tmp_path):
+        from amonaly_detection_in_time_series_data_spark.streaming.joins import (
+            interval_join,
+        )
+
+        left_rows, right_rows = self._data()
+        kw = dict(on="user_id", lower="0 seconds", upper="20 minutes",
+                  watermark="1 hour")
+
+        # batch twin (same function, static frames)
+        lb = spark.createDataFrame(left_rows, self.LEFT_SCHEMA)
+        rb = spark.createDataFrame(right_rows, self.RIGHT_SCHEMA)
+        batch = {
+            (r["user_id"], r["ev"], r["tag"])
+            for r in interval_join(lb, rb, **kw).collect()
+        }
+        assert batch == {(1, "a", "r1"), (1, "b", "r2"), (2, "d", "r3")}
+
+        # streams: two file feeds, split into micro-batches
+        for name, rows, schema, n in (
+            ("l", left_rows, self.LEFT_SCHEMA, 2),
+            ("r", right_rows, self.RIGHT_SCHEMA, 2),
+        ):
+            for i in range(n):
+                spark.createDataFrame(
+                    rows[i::n], schema
+                ).coalesce(1).write.mode("overwrite").parquet(
+                    str(tmp_path / name / f"b{i}")
+                )
+        ls = (spark.readStream.schema(self.LEFT_SCHEMA)
+              .option("maxFilesPerTrigger", 1).parquet(str(tmp_path / "l" / "b*")))
+        rs = (spark.readStream.schema(self.RIGHT_SCHEMA)
+              .option("maxFilesPerTrigger", 1).parquet(str(tmp_path / "r" / "b*")))
+        out = interval_join(ls, rs, **kw)
+        assert out.isStreaming
+        _run_stream_to_memory(out, "ssij", "append")
+        streamed = {
+            (r["user_id"], r["ev"], r["tag"])
+            for r in spark.sql("SELECT * FROM ssij").collect()
+        }
+        assert streamed == batch
+
+    def test_left_outer_batch_and_ambiguity_guard(self, spark):
+        from amonaly_detection_in_time_series_data_spark.streaming.joins import (
+            interval_join,
+        )
+
+        left_rows, right_rows = self._data()
+        lb = spark.createDataFrame(left_rows, self.LEFT_SCHEMA)
+        rb = spark.createDataFrame(right_rows, self.RIGHT_SCHEMA)
+        outer = interval_join(
+            lb, rb, on="user_id", lower="0 seconds", upper="20 minutes",
+            how="left_outer",
+        )
+        got = {(r["user_id"], r["ev"], r["tag"]) for r in outer.collect()}
+        assert got == {
+            (1, "a", "r1"), (1, "b", "r2"), (2, "d", "r3"),
+            (2, "c", None),  # unmatched left survives
+        }
+        with pytest.raises(ValueError, match="ambiguous shared columns"):
+            interval_join(
+                lb.withColumn("tag", F.lit("x")), rb, on="user_id"
+            )
