@@ -16,10 +16,12 @@ Classic IVM splits aggregates by algebraic class:
   (:func:`refresh_groups`) and splice them into the rollup.
 
 The composed driver :func:`maintain_agg_snapshot` wires this to the
-snapshot layer: read the base's CURRENT version for old images, apply
-the batch with :func:`~.snapshots.snapshot_merge`, fold the delta into
-the rollup, and commit the rollup as its own snapshot version — so base
-vN and rollup vN are consistent cuts, each time-travelable.
+snapshot layer: old images are time-traveled from the base version the
+ROLLUP's manifest records as its consistent cut, the batch lands via
+:func:`~.snapshots.snapshot_merge`, the delta folds into the rollup,
+and the rollup commits with the new cut in its manifest meta — giving
+exactly-once EFFECT under foreachBatch redelivery, including the
+crashed-between-the-two-commits window (see the function docstring).
 
 **Scale.** The batch is broadcast everywhere it meets the base (semi-
 join for old images), the base is partition-pruned to the batch's
@@ -42,6 +44,7 @@ from amonaly_detection_in_time_series_data_spark.operators.cdc import (
 from amonaly_detection_in_time_series_data_spark.operators.snapshots import (
     read_snapshot,
     snapshot_commit,
+    snapshot_manifest,
     snapshot_merge,
 )
 
@@ -51,6 +54,7 @@ __all__ = [
     "compute_agg",
     "refresh_groups",
     "maintain_agg_snapshot",
+    "maintain_agg_sink",
 ]
 
 COUNT_COL = "__n_rows"
@@ -166,43 +170,64 @@ def maintain_agg_snapshot(
     **merge_kw,
 ) -> dict:
     """Apply a change batch to the snapshot base table AND its rollup in
-    one call: old images from base@current (partition-pruned to the
-    batch's touched partitions), :func:`~.snapshots.snapshot_merge` on
-    the base, delta fold into the rollup, rollup committed as its own
-    snapshot version. Returns both new versions.
+    one call: old images from the base version the ROLLUP is consistent
+    with (partition-pruned to the batch's touched partitions),
+    :func:`~.snapshots.snapshot_merge` on the base, delta fold into the
+    rollup, rollup committed with ``meta.base_version`` recording the
+    cut it now reflects. Returns both new versions.
+
+    **Exactly-once effect under redelivery**, with no cross-table
+    transaction: each rollup manifest records the base version it is
+    consistent with, and old images are time-traveled from THAT version
+    — not from "latest". Re-delivering an already-applied batch makes
+    the base merge a content-no-op and the delta literal zero (the
+    batch's upserts ARE the old images at that cut). If the previous
+    run crashed BETWEEN the base merge and the rollup commit, the
+    rollup's recorded cut still points before that merge, so the
+    redelivered batch's delta is computed against the pre-crash state
+    and the rollup catches up — the torn window heals instead of
+    under-counting. Both legs are snapshot commits, so a crash anywhere
+    leaves only readable versions plus vacuumable orphans.
 
     The rollup bootstraps on first call (full recompute of the merged
     base — the only full scan this function ever does, once per rollup
     lifetime).
     """
-    base_before = read_snapshot(spark, base_path)
-    if partition_col is not None:
-        touched = [
-            r[0]
-            for r in latest_changes(changes, keys, seq_col, delete_col)
-            .select(partition_col)
-            .distinct()
-            .collect()
-        ]
-        base_before = base_before.filter(F.col(partition_col).isin(touched))
-    # no checkpoint needed: base_before is bound to the CURRENT
-    # manifest's immutable files, and snapshot_merge only ADDS files —
-    # the pre-merge view stays valid right through the merge. This is
-    # snapshot isolation doing the work a cache/checkpoint would
-    # otherwise have to (CoW-replace would yank these files mid-plan).
+    try:
+        agg_man = snapshot_manifest(spark, agg_path)
+    except FileNotFoundError:
+        agg_man = None
+
+    if agg_man is not None:
+        base_cut = agg_man["meta"]["base_version"]
+        # snapshot isolation does the work a cache/checkpoint would:
+        # this read binds to immutable files of the recorded cut and
+        # stays valid right through the merge below (which only ADDS
+        # files). CoW-replace would yank these files mid-plan.
+        base_at_cut = read_snapshot(spark, base_path, version=base_cut)
+        if partition_col is not None:
+            touched = [
+                r[0]
+                for r in latest_changes(changes, keys, seq_col, delete_col)
+                .select(partition_col)
+                .distinct()
+                .collect()
+            ]
+            base_at_cut = base_at_cut.filter(
+                F.col(partition_col).isin(touched)
+            )
+        delta = agg_delta(
+            base_at_cut, changes, keys, group_cols, sum_cols, seq_col,
+            delete_col,
+        )
+
     merge_stats = snapshot_merge(
         spark, base_path, changes, keys, seq_col,
         delete_col=delete_col, **merge_kw,
     )
-    try:
+
+    if agg_man is not None:
         agg_before = read_snapshot(spark, agg_path)
-    except FileNotFoundError:
-        agg_before = None
-    if agg_before is not None:
-        delta = agg_delta(
-            base_before, changes, keys, group_cols, sum_cols, seq_col,
-            delete_col,
-        )
         agg_after = apply_agg_delta(agg_before, delta, group_cols, sum_cols)
         op = "incremental"
     else:
@@ -210,9 +235,66 @@ def maintain_agg_snapshot(
             read_snapshot(spark, base_path), group_cols, sum_cols
         )
         op = "bootstrap"
-    agg_version = snapshot_commit(spark, agg_path, agg_after)
+    agg_version = snapshot_commit(
+        spark, agg_path, agg_after,
+        meta={"base_version": merge_stats["version"]},
+    )
     return {
         "base_version": merge_stats["version"],
         "agg_version": agg_version,
         "agg_op": op,
     }
+
+
+def maintain_agg_sink(
+    base_path: str,
+    agg_path: str,
+    keys: list[str],
+    group_cols: list[str],
+    sum_cols: list[str],
+    seq_col: str,
+    delete_col: str | None = None,
+    partition_col: str | None = None,
+    **kw,
+):
+    """``foreachBatch`` adapter: every micro-batch of a CDC stream lands
+    on the base table AND its rollup as consistent snapshot cuts.
+
+    foreachBatch is at-least-once; :func:`maintain_agg_snapshot`'s
+    recorded-cut protocol makes redelivery exactly-once in EFFECT even
+    when the previous attempt crashed between the base merge and the
+    rollup commit (the healing argument in its docstring). The base
+    bootstraps from the stream schema on the first batch, the rollup
+    bootstraps on its first maintain call — so one sink stands up the
+    whole base+rollup pair from nothing. All base changes must flow
+    through this sink (an out-of-band merge shifts the base under the
+    rollup's recorded cut; the delta math then mis-retracts).
+    """
+
+    def apply(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        spark = batch_df.sparkSession
+        from amonaly_detection_in_time_series_data_spark.operators.snapshots import (
+            _fs_and_path,
+            _list_versions,
+            snapshot_commit,
+        )
+
+        fs, _ = _fs_and_path(spark, base_path)
+        if not _list_versions(spark, fs, base_path):
+            drop = {seq_col, delete_col} - {None}
+            cols = [c for c in batch_df.columns if c not in drop]
+            snapshot_commit(
+                spark,
+                base_path,
+                spark.createDataFrame([], batch_df.select(*cols).schema),
+                partition_col=partition_col,
+            )
+        maintain_agg_snapshot(
+            spark, base_path, agg_path, batch_df, keys, group_cols,
+            sum_cols, seq_col, delete_col=delete_col,
+            partition_col=partition_col, **kw,
+        )
+
+    return apply

@@ -65,6 +65,7 @@ __all__ = [
     "snapshot_merge",
     "snapshot_merge_sink",
     "read_snapshot",
+    "snapshot_manifest",
     "snapshot_history",
     "vacuum_snapshots",
 ]
@@ -175,6 +176,7 @@ def _commit(
     schema_json: str,
     partition_col: str | None,
     op: str,
+    meta: dict | None = None,
 ) -> int:
     versions = _list_versions(spark, fs, table_path)
     version = (versions[-1] if versions else 0) + 1
@@ -184,6 +186,7 @@ def _commit(
         "files": files,
         "schema": schema_json,
         "partition_col": partition_col,
+        "meta": meta or {},
     }
     _write_text_atomic(
         spark, fs, _manifest_path(table_path, version), json.dumps(manifest)
@@ -198,6 +201,7 @@ def snapshot_commit(
     mode: str = "overwrite",
     partition_col: str | None = None,
     fmt: str = "parquet",
+    meta: dict | None = None,
 ) -> int:
     """Commit ``df`` as the next table version; returns the version.
 
@@ -205,7 +209,10 @@ def snapshot_commit(
     versions remain readable until vacuumed). ``append``: the new
     version carries the previous version's files plus these. Partition
     layout is fixed at table creation (hive-style ``col=value`` dirs);
-    later commits must pass the same ``partition_col``.
+    later commits must pass the same ``partition_col``. ``meta`` is an
+    arbitrary JSON-able dict stored in the manifest — the hook
+    cross-table consistency protocols hang their bookkeeping on (IVM
+    records the base version each rollup commit is consistent with).
     """
     if mode not in ("overwrite", "append"):
         raise ValueError(f"snapshot_commit: unknown mode {mode!r}")
@@ -227,7 +234,8 @@ def snapshot_commit(
     if mode == "append" and prev is not None:
         files = sorted(set(prev["files"]) | set(files))
     return _commit(
-        spark, fs, table_path, files, df.schema.json(), partition_col, mode
+        spark, fs, table_path, files, df.schema.json(), partition_col, mode,
+        meta=meta,
     )
 
 
@@ -378,6 +386,20 @@ def snapshot_merge_sink(
         )
 
     return apply
+
+
+def snapshot_manifest(
+    spark: SparkSession, table_path: str, version: int | None = None
+) -> dict:
+    """The raw manifest of ``version`` (default: latest) — version, op,
+    files, schema, partition_col, and the committer's ``meta``."""
+    fs, _ = _fs_and_path(spark, table_path)
+    if version is None:
+        versions = _list_versions(spark, fs, table_path)
+        if not versions:
+            raise FileNotFoundError(f"snapshot: no versions at {table_path}")
+        version = versions[-1]
+    return _load_manifest(spark, fs, table_path, version)
 
 
 def snapshot_history(spark: SparkSession, table_path: str) -> list[dict]:

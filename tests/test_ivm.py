@@ -131,6 +131,114 @@ class TestIvm:
         after = apply_agg_delta(agg0, delta, ["g"], ["x"])
         assert _rollup_dict(after) == {"b": (12, 2)}
 
+    def test_redelivery_and_crash_window_are_exactly_once(
+        self, spark, tmp_path
+    ):
+        """At-least-once delivery healing: (a) redelivering an already-
+        applied batch leaves the rollup unchanged (delta is literally
+        zero at the recorded cut); (b) a crash BETWEEN the base merge
+        and the rollup commit — simulated by merging the batch directly
+        then redelivering through the maintainer — catches the rollup
+        up instead of double- or under-counting."""
+        from amonaly_detection_in_time_series_data_spark.operators.snapshots import (
+            snapshot_manifest,
+            snapshot_merge,
+        )
+
+        base = str(tmp_path / "base")
+        agg = str(tmp_path / "agg")
+        base_rows = [(k, k % 2, "a" if k % 3 else "b", k * 10)
+                     for k in range(4)]
+        snapshot_commit(
+            spark, base, spark.createDataFrame(base_rows, SCHEMA),
+            partition_col="p",
+        )
+        kw = dict(keys=["k"], group_cols=["g"], sum_cols=["x"],
+                  seq_col="seq", delete_col="deleted", partition_col="p")
+
+        b1 = spark.createDataFrame(
+            [(0, 0, "a", 7, 1, False), (1, 1, None, 5, 1, False),
+             (2, 0, "b", 0, 1, True)],
+            CHANGES_SCHEMA,
+        )
+        maintain_agg_snapshot(spark, base, agg, b1, **kw)   # bootstrap
+        b2 = spark.createDataFrame(
+            [(1, 1, None, 50, 2, False), (5, 1, "b", 99, 2, False)],
+            CHANGES_SCHEMA,
+        )
+        maintain_agg_snapshot(spark, base, agg, b2, **kw)
+
+        def check_consistent():
+            got = _rollup_dict(read_snapshot(spark, agg))
+            want = _rollup_dict(
+                compute_agg(read_snapshot(spark, base), ["g"], ["x"])
+            )
+            assert got == want
+            assert (
+                snapshot_manifest(spark, agg)["meta"]["base_version"]
+                == snapshot_manifest(spark, base)["version"]
+            )
+
+        check_consistent()
+        # (a) plain redelivery of b2
+        maintain_agg_snapshot(spark, base, agg, b2, **kw)
+        check_consistent()
+
+        # (b) crash window: base merged b3, rollup never updated...
+        b3 = spark.createDataFrame(
+            [(0, 0, "a", 1000, 3, False), (5, 1, None, 3, 3, True)],
+            CHANGES_SCHEMA,
+        )
+        snapshot_merge(spark, base, b3, keys=["k"], seq_col="seq",
+                       delete_col="deleted")
+        # ...then the orchestrator redelivers b3 through the maintainer
+        maintain_agg_snapshot(spark, base, agg, b3, **kw)
+        check_consistent()
+
+    def test_streaming_sink_stands_up_base_and_rollup(self, spark, tmp_path):
+        """One foreachBatch sink bootstraps the base from the stream
+        schema, maintains the rollup per micro-batch, and the final
+        rollup equals a full recompute of the final base."""
+        from amonaly_detection_in_time_series_data_spark.operators.ivm import (
+            maintain_agg_sink,
+        )
+
+        base = str(tmp_path / "sbase")
+        agg = str(tmp_path / "sagg")
+        src = tmp_path / "feed"
+        batches = [
+            [(0, 0, "a", 5, 0, False), (1, 1, "b", 7, 0, False)],
+            [(0, 0, "a", 50, 1, False), (2, 0, None, 9, 1, False),
+             (1, 1, "b", 0, 1, True)],
+        ]
+        for i, rows in enumerate(batches):
+            spark.createDataFrame(rows, CHANGES_SCHEMA).coalesce(
+                1
+            ).write.mode("overwrite").parquet(str(src / f"b{i}"))
+        stream = (
+            spark.readStream.schema(CHANGES_SCHEMA)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(str(src / "b*"))
+        )
+        q = (
+            stream.writeStream.foreachBatch(
+                maintain_agg_sink(
+                    base, agg, keys=["k"], group_cols=["g"],
+                    sum_cols=["x"], seq_col="seq", delete_col="deleted",
+                    partition_col="p",
+                )
+            )
+            .option("checkpointLocation", str(tmp_path / "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
+        got = _rollup_dict(read_snapshot(spark, agg))
+        want = _rollup_dict(
+            compute_agg(read_snapshot(spark, base), ["g"], ["x"])
+        )
+        assert got == want == {"a": (50, 1), None: (9, 1)}
+
     def test_refresh_groups_min_max_under_delete(self, spark, tmp_path):
         base_after = spark.createDataFrame(
             [(1, 0, "a", 5), (3, 0, "a", 2), (4, 0, "b", 8)], SCHEMA
