@@ -1066,8 +1066,16 @@ def q_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     r6: PSI drift monitoring (operators.validation.psi_report) between
     the even/odd event_id populations over the same bins — per-bin
     shares are exact rationals (round 6 safe), psi_term's ln rounds at
-    4 (transcendental, never grid-valued)."""
+    4 (transcendental, never grid-valued). Merged r7: the ECDF drift
+    family (operators.validation.ecdf_drift) — per-bin cumulative
+    shares, the KS term |ECDF_a − ECDF_b| (KS statistic = max over
+    bins) and the binned Wasserstein-1 term (EMD = sum) — cumulated on
+    INTEGER counts with one division by the integer total, so both
+    engines compute the identical doubles (cum/5000-family rationals
+    have ≤4 decimals; round 6 exact), window ordered NULLS FIRST
+    explicitly on both sides."""
     from amonaly_detection_in_time_series_data_spark.operators.validation import (
+        ecdf_drift,
         psi_report,
     )
 
@@ -1083,6 +1091,7 @@ def q_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         ev.filter(F.col("event_id") % 2 == 1),
         b,
     )
+    psi = ecdf_drift(psi, bin_width=50.0)
     # null-safe left join, mirroring the oracle's LEFT JOIN: a NULL bin
     # (null value) must survive with its PSI row, not be dropped by the
     # equi-join's null-never-matches rule
@@ -1099,6 +1108,10 @@ def q_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("p_a", 6).alias("p_even"),
         F.round("p_b", 6).alias("p_odd"),
         F.round("psi_term", 4).alias("psi_term"),
+        F.round("cdf_a", 6).alias("cdf_even"),
+        F.round("cdf_b", 6).alias("cdf_odd"),
+        F.round("ks_term", 6).alias("ks_term"),
+        F.round("w1_term", 6).alias("w1_term"),
     )
 
 
@@ -2980,19 +2993,36 @@ b AS (
   SELECT CAST(floor(value / 50) AS BIGINT) AS bin, count(*) AS n_odd
   FROM events WHERE event_id % 2 = 1 GROUP BY 1
 )
-SELECT h.bin, h.n, h.lo, h.hi,
-       CAST(coalesce(n_even, 0) AS BIGINT) AS n_even,
-       CAST(coalesce(n_odd, 0) AS BIGINT) AS n_odd,
-       round(coalesce(n_even, 0) / (SELECT sum(n_even) FROM a), 6) AS p_even,
-       round(coalesce(n_odd, 0) / (SELECT sum(n_odd) FROM b), 6) AS p_odd,
-       round((greatest(coalesce(n_even, 0) / (SELECT sum(n_even) FROM a), 1e-6)
-              - greatest(coalesce(n_odd, 0) / (SELECT sum(n_odd) FROM b), 1e-6))
-             * ln(greatest(coalesce(n_even, 0) / (SELECT sum(n_even) FROM a), 1e-6)
-                  / greatest(coalesce(n_odd, 0) / (SELECT sum(n_odd) FROM b), 1e-6)),
-             4) AS psi_term
-FROM h
-LEFT JOIN a ON h.bin = a.bin
-LEFT JOIN b ON h.bin = b.bin
+SELECT bin, n, lo, hi, n_even, n_odd, p_even, p_odd, psi_term,
+       round(cdf_even, 6) AS cdf_even,
+       round(cdf_odd, 6) AS cdf_odd,
+       round(abs(cdf_even - cdf_odd), 6) AS ks_term,
+       round(abs(cdf_even - cdf_odd) * 50.0, 6) AS w1_term
+FROM (
+  SELECT h.bin, h.n, h.lo, h.hi,
+         CAST(coalesce(n_even, 0) AS BIGINT) AS n_even,
+         CAST(coalesce(n_odd, 0) AS BIGINT) AS n_odd,
+         round(coalesce(n_even, 0) / (SELECT sum(n_even) FROM a), 6) AS p_even,
+         round(coalesce(n_odd, 0) / (SELECT sum(n_odd) FROM b), 6) AS p_odd,
+         round((greatest(coalesce(n_even, 0) / (SELECT sum(n_even) FROM a), 1e-6)
+                - greatest(coalesce(n_odd, 0) / (SELECT sum(n_odd) FROM b), 1e-6))
+               * ln(greatest(coalesce(n_even, 0) / (SELECT sum(n_even) FROM a), 1e-6)
+                    / greatest(coalesce(n_odd, 0) / (SELECT sum(n_odd) FROM b), 1e-6)),
+               4) AS psi_term,
+         CASE WHEN h.bin IS NULL THEN NULL ELSE
+           sum(CASE WHEN h.bin IS NULL THEN 0 ELSE coalesce(n_even, 0) END)
+             OVER (ORDER BY h.bin ASC NULLS FIRST
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           / (SELECT sum(n_even) FROM a) END AS cdf_even,
+         CASE WHEN h.bin IS NULL THEN NULL ELSE
+           sum(CASE WHEN h.bin IS NULL THEN 0 ELSE coalesce(n_odd, 0) END)
+             OVER (ORDER BY h.bin ASC NULLS FIRST
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           / (SELECT sum(n_odd) FROM b) END AS cdf_odd
+  FROM h
+  LEFT JOIN a ON h.bin = a.bin
+  LEFT JOIN b ON h.bin = b.bin
+)
 """
 
     grams4 = (

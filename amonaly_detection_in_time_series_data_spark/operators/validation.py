@@ -31,8 +31,9 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
-__all__ = ["validate", "violation_expr", "psi_report"]
+__all__ = ["validate", "violation_expr", "psi_report", "ecdf_drift"]
 
 
 def violation_expr(rule: dict) -> Column:
@@ -139,3 +140,47 @@ def psi_report(
         .withColumn("psi_term", (p_a - p_b) * F.log(p_a / p_b))
         .drop("__ta", "__tb")
     )
+
+
+def ecdf_drift(psi: DataFrame, bin_width: float | None = None) -> DataFrame:
+    """Extend a :func:`psi_report` frame with the ECDF-family drift
+    ingredients: per-bin cumulative shares of both populations, the
+    two-sample Kolmogorov–Smirnov term ``|ECDF_a − ECDF_b|`` (the KS
+    statistic is its max over bins), and — when ``bin_width`` is given —
+    the binned Wasserstein-1 term ``|ECDF_a − ECDF_b| · width`` (earth
+    mover's distance = its sum; exact for the binned distributions,
+    width-resolution approximation of the continuous one). PSI reacts
+    to per-bin share shifts but is blind to WHERE mass moved; KS/W1 see
+    transport distance — together the standard drift triple.
+
+    The cumulation is ONE window over the bin table (already tiny:
+    O(bins), counts pre-aggregated), ordered with explicit
+    ``NULLS FIRST`` so any engine replays it identically; a NULL bin is
+    not part of the distribution's ordering, so its own cumulative
+    columns are NULL (masked, not dropped — the PSI columns still
+    cover it). Cumulation runs on INTEGER counts with one division by
+    the integer total at the end (shares are exact rationals, so every
+    engine computes the identical double — float cumsums would depend
+    on the engine's window-sum association); totals include a NULL
+    bin's mass, so the CDF tops out at ``1 − p_null`` by construction.
+    """
+    w = (
+        Window.orderBy(F.col("bin").asc_nulls_first())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    tot = Window.partitionBy(F.lit(1))
+    nn = F.col("bin").isNotNull()
+    cdf_a = F.sum(F.when(nn, F.col("n_a")).otherwise(0)).over(w) / F.sum(
+        "n_a"
+    ).over(tot)
+    cdf_b = F.sum(F.when(nn, F.col("n_b")).otherwise(0)).over(w) / F.sum(
+        "n_b"
+    ).over(tot)
+    out = (
+        psi.withColumn("cdf_a", F.when(nn, cdf_a))
+        .withColumn("cdf_b", F.when(nn, cdf_b))
+        .withColumn("ks_term", F.abs(F.col("cdf_a") - F.col("cdf_b")))
+    )
+    if bin_width is not None:
+        out = out.withColumn("w1_term", F.col("ks_term") * F.lit(bin_width))
+    return out

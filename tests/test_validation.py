@@ -105,3 +105,51 @@ class TestValidate:
             validate(df, [RULES[0], RULES[0]])
         with pytest.raises(ValueError, match="unknown check"):
             violation_expr({"name": "x", "column": "id", "check": "nope"})
+
+
+class TestEcdfDrift:
+    def test_ks_w1_hand_case_with_null_bin(self, spark):
+        """Hand-checkable two-population ECDF drift: a mass shift of 2
+        rows (of 10) from bin 0 to bin 2 gives KS = 0.2 at bins 0 and 1
+        and W1 = KS-sum x width; a NULL bin keeps its PSI row but has
+        NULL cumulative columns (it is not part of the ordering), and
+        its mass still counts in the totals (CDF tops out at 1 - p_null)."""
+        from amonaly_detection_in_time_series_data_spark.operators.validation import (
+            ecdf_drift,
+            psi_report,
+        )
+        from pyspark.sql import functions as F
+
+        # population A: bins [0]*4 + [1]*4 + [2]*2; B shifts 2 rows 0->2
+        rows_a = [(0.0,)] * 4 + [(1.0,)] * 4 + [(2.0,)] * 2
+        rows_b = [(0.0,)] * 2 + [(1.0,)] * 4 + [(2.0,)] * 4
+        a = spark.createDataFrame(rows_a, "v double")
+        b = spark.createDataFrame(rows_b, "v double")
+        drift = ecdf_drift(psi_report(a, b, F.col("v")), bin_width=1.0)
+        got = {
+            r["bin"]: (r["cdf_a"], r["cdf_b"], r["ks_term"], r["w1_term"])
+            for r in drift.collect()
+        }
+        assert got == {
+            0.0: (0.4, 0.2, pytest.approx(0.2), pytest.approx(0.2)),
+            1.0: (0.8, 0.6, pytest.approx(0.2), pytest.approx(0.2)),
+            2.0: (1.0, 1.0, pytest.approx(0.0), pytest.approx(0.0)),
+        }
+        # KS statistic / W1 distance from the terms
+        ks = drift.agg(F.max("ks_term")).first()[0]
+        w1 = drift.agg(F.sum("w1_term")).first()[0]
+        assert ks == pytest.approx(0.2) and w1 == pytest.approx(0.4)
+
+        # null bin: PSI row retained, cumulative columns masked, totals
+        # still include the null mass
+        a2 = spark.createDataFrame(rows_a + [(None,)] * 2, "v double")
+        drift2 = ecdf_drift(psi_report(a2, b, F.col("v")), bin_width=1.0)
+        nulls = [r for r in drift2.collect() if r["bin"] is None]
+        assert len(nulls) == 1
+        assert nulls[0]["cdf_a"] is None and nulls[0]["ks_term"] is None
+        assert nulls[0]["p_a"] == pytest.approx(2 / 12)
+        top = max(
+            (r for r in drift2.collect() if r["bin"] is not None),
+            key=lambda r: r["bin"],
+        )
+        assert top["cdf_a"] == pytest.approx(10 / 12)  # 1 - p_null
