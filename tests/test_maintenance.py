@@ -248,3 +248,57 @@ class TestSkippingScan:
 
         with pytest.raises(ValueError, match="both bounds open"):
             skipping_scan(spark, idx, {"v": (None, None)})
+
+    def test_property_skipping_is_always_a_superset(self, spark, tmp_path):
+        """Hypothesis: for ANY data layout and ANY range predicate, the
+        pruned scan filtered equals the full scan filtered — pruning
+        may only ever skip files that cannot match."""
+        from hypothesis import HealthCheck, given, settings
+        from hypothesis import strategies as st
+        from amonaly_detection_in_time_series_data_spark.operators.maintenance import (
+            file_stats_index,
+            skipping_scan,
+        )
+
+        counter = [0]
+
+        @settings(
+            max_examples=8, deadline=None,
+            suppress_health_check=[HealthCheck.function_scoped_fixture],
+        )
+        @given(
+            vals=st.lists(
+                st.one_of(st.integers(min_value=-100, max_value=100),
+                          st.none()),
+                min_size=1, max_size=40,
+            ),
+            n_files=st.integers(min_value=1, max_value=6),
+            lo=st.one_of(st.integers(min_value=-120, max_value=120), st.none()),
+            hi=st.one_of(st.integers(min_value=-120, max_value=120), st.none()),
+            clustered=st.booleans(),
+        )
+        def check(vals, n_files, lo, hi, clustered):
+            if lo is None and hi is None:
+                lo = 0
+            counter[0] += 1
+            path = str(tmp_path / f"prop_{counter[0]}")
+            df = spark.createDataFrame([(v,) for v in vals], "v int")
+            if clustered:
+                df = df.repartitionByRange(n_files, "v")
+            else:
+                df = df.repartition(n_files)
+            df.write.mode("overwrite").parquet(path)
+            idx = file_stats_index(spark, path, ["v"])
+            pruned, st_ = skipping_scan(spark, idx, {"v": (lo, hi)})
+            cond = F.lit(True)
+            if lo is not None:
+                cond = cond & (F.col("v") >= lo)
+            if hi is not None:
+                cond = cond & (F.col("v") <= hi)
+            full = spark.read.parquet(path).filter(cond)
+            assert sorted(
+                r["v"] for r in pruned.collect()
+            ) == sorted(r["v"] for r in full.collect())
+            assert st_["files_kept"] <= st_["files_total"]
+
+        check()
