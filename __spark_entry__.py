@@ -1828,10 +1828,45 @@ def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_pack_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Concat-and-chunk sequence packing: docs concatenated per language
     in doc_id order and cut every 256 tokens; each doc reports its
-    token count, running offset, and destination chunk."""
+    token count, running offset, and destination chunk. Merged r7
+    (tagged union, the set_ops precedent): the packing DUAL —
+    sliding-window chunking with overlap (operators.corpus.
+    chunk_text_overlap, size=128 / overlap=32, the RAG-indexing
+    chunker); each window row carries its index, start offset, token
+    count, and the md5 of the space-joined window so chunk CONTENT is
+    hash-proven cross-engine, map-only (no shuffle)."""
     docs = spread_small(load_table(spark, sf_dir, "documents"))
     out = pack_chunks(docs, ["lang"], ["doc_id"], "text", budget=256)
-    return out.select("doc_id", "lang", "n_tokens", "tokens_before", "chunk_id")
+    packed = out.select(
+        F.lit("pack").alias("profile"),
+        "doc_id",
+        "lang",
+        "n_tokens",
+        "tokens_before",
+        "chunk_id",
+        F.lit(None).cast("bigint").alias("chunk_idx"),
+        F.lit(None).cast("bigint").alias("chunk_start"),
+        F.lit(None).cast("bigint").alias("chunk_n_tokens"),
+        F.lit(None).cast("string").alias("chunk_hash"),
+    )
+    from amonaly_detection_in_time_series_data_spark.operators.corpus import (
+        chunk_text_overlap,
+    )
+
+    chunks = chunk_text_overlap(docs, "text", "doc_id", size=128, overlap=32)
+    chunked = chunks.select(
+        F.lit("chunk").alias("profile"),
+        "doc_id",
+        F.lit(None).cast("string").alias("lang"),
+        F.lit(None).cast("bigint").alias("n_tokens"),
+        F.lit(None).cast("bigint").alias("tokens_before"),
+        F.lit(None).cast("bigint").alias("chunk_id"),
+        "chunk_idx",
+        "chunk_start",
+        "chunk_n_tokens",
+        "chunk_hash",
+    )
+    return packed.unionByName(chunked)
 
 
 def q_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3205,8 +3240,37 @@ cum AS (
               PARTITION BY lang ORDER BY doc_id
               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS tokens_before
   FROM t
+),
+tk AS (
+  SELECT doc_id, {toks} AS tk FROM documents
+),
+cidx AS (
+  SELECT doc_id, tk,
+         unnest(range(0, CASE WHEN len(tk) = 0 THEN 0
+                              ELSE CAST(1 + greatest(0, floor((len(tk) - 32 - 1) / 96)) AS BIGINT)
+                         END)) AS chunk_idx
+  FROM tk
 )
-SELECT *, CAST(floor(tokens_before / 256.0) AS BIGINT) AS chunk_id FROM cum
+SELECT 'pack' AS profile, doc_id, lang, n_tokens, tokens_before,
+       CAST(floor(tokens_before / 256.0) AS BIGINT) AS chunk_id,
+       CAST(NULL AS BIGINT) AS chunk_idx,
+       CAST(NULL AS BIGINT) AS chunk_start,
+       CAST(NULL AS BIGINT) AS chunk_n_tokens,
+       CAST(NULL AS VARCHAR) AS chunk_hash
+FROM cum
+UNION ALL
+SELECT 'chunk' AS profile, doc_id,
+       CAST(NULL AS VARCHAR) AS lang,
+       CAST(NULL AS BIGINT) AS n_tokens,
+       CAST(NULL AS BIGINT) AS tokens_before,
+       CAST(NULL AS BIGINT) AS chunk_id,
+       CAST(chunk_idx AS BIGINT) AS chunk_idx,
+       CAST(chunk_idx * 96 AS BIGINT) AS chunk_start,
+       CAST(len(list_slice(tk, chunk_idx * 96 + 1, chunk_idx * 96 + 128)) AS BIGINT)
+         AS chunk_n_tokens,
+       md5(array_to_string(list_slice(tk, chunk_idx * 96 + 1, chunk_idx * 96 + 128), ' '))
+         AS chunk_hash
+FROM cidx
 """
 
     sql["tfidf_top_terms"] = f"""

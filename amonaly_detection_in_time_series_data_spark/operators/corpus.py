@@ -56,6 +56,7 @@ __all__ = [
     "decontaminate",
     "fuzzy_decontaminate",
     "pack_chunks",
+    "chunk_text_overlap",
     "tfidf_top_terms",
     "make_longdoc_corpus",
     "unigram_logprob",
@@ -534,6 +535,58 @@ def pack_chunks(
         n_tok.alias("n_tokens"),
         tokens_before.alias("tokens_before"),
     ).withColumn(chunk_col, (F.col("tokens_before") / budget).cast("bigint"))
+
+
+def chunk_text_overlap(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    size: int = 128,
+    overlap: int = 32,
+) -> DataFrame:
+    """Sliding-window chunking with overlap — the RAG-indexing /
+    long-doc pretraining chunker (:func:`pack_chunks` is the packing
+    dual: many docs → one training chunk; this is one doc → many
+    windows).
+
+    Token windows of ``size`` start every ``stride = size − overlap``
+    tokens. A window k ≥ 1 is emitted only if it contributes at least
+    one token beyond the previous window's coverage
+    (``k·stride + overlap < n_tokens``) — so the tail is covered by a
+    possibly-short last window, no window is a pure subrange of its
+    predecessor, consecutive full windows share exactly ``overlap``
+    tokens, and an empty doc yields no chunks. Emits per chunk: index,
+    start offset, token count, and an md5 of the space-joined window
+    (content equality is provable without shipping the text).
+
+    Entirely map-side: one ``explode`` with fan-out ≈ n_tokens/stride
+    per doc — no shuffle, no window exchange; at 100 TB the chunker
+    rides the scan it is fused into.
+    """
+    if not 0 <= overlap < size:
+        raise ValueError("chunk_text_overlap: need 0 <= overlap < size")
+    stride = size - overlap
+    n = F.size(F.col("__toks"))
+    # windows: k = 0, plus every k with k*stride + overlap < n
+    n_chunks = (
+        F.lit(1) + F.greatest(F.lit(0), F.floor((n - overlap - 1) / stride))
+    ).cast("int")
+    starts = F.when(n > 0, F.sequence(F.lit(0), n_chunks - 1)).otherwise(
+        F.array().cast("array<int>")
+    )
+    start = F.col("chunk_idx") * stride
+    window = F.slice(F.col("__toks"), start + 1, size)
+    return (
+        df.withColumn("__toks", tokenize(text_col))
+        .select(id_col, F.explode(starts).alias("chunk_idx"), "__toks")
+        .select(
+            id_col,
+            F.col("chunk_idx").cast("bigint").alias("chunk_idx"),
+            start.cast("bigint").alias("chunk_start"),
+            F.size(window).cast("bigint").alias("chunk_n_tokens"),
+            F.md5(F.concat_ws(" ", window)).alias("chunk_hash"),
+        )
+    )
 
 
 def tfidf_top_terms(

@@ -256,6 +256,62 @@ class TestPackChunks:
         assert all(r.m == 0 for r in firsts)  # each key restarts the stream
 
 
+class TestChunkTextOverlap:
+    def test_window_geometry_overlap_and_edges(self, spark):
+        from amonaly_detection_in_time_series_data_spark.operators.corpus import (
+            chunk_text_overlap,
+        )
+
+        tokens = [f"t{i}" for i in range(25)]
+        rows = [
+            (1, " ".join(tokens)),   # 25 tokens: windows at 0,8,16
+            # (a start at 24 would add no token beyond window 2 -> none)
+            (2, "a b c"),            # shorter than one window
+            (3, ""),                 # empty -> no chunks
+            (4, " ".join(tokens[:8])),  # exactly one stride -> 1 chunk
+            (5, "x y"),              # n_tokens == overlap -> still 1 chunk
+        ]
+        df = spark.createDataFrame(rows, ["doc_id", "text"])
+        out = chunk_text_overlap(df, "text", "doc_id", size=10, overlap=2)
+        got = {
+            (r.doc_id, r.chunk_idx): (r.chunk_start, r.chunk_n_tokens)
+            for r in out.collect()
+        }
+        assert got == {
+            (1, 0): (0, 10), (1, 1): (8, 10), (1, 2): (16, 9),
+            (2, 0): (0, 3),
+            (4, 0): (0, 8),
+            (5, 0): (0, 2),
+        }
+        # consecutive full windows share exactly `overlap` tokens:
+        # window 0 = t0..t9, window 1 = t8..t17 -> overlap {t8, t9}
+        import hashlib
+
+        h = {r.chunk_idx: r.chunk_hash for r in out.filter("doc_id = 1").collect()}
+        exp0 = hashlib.md5(" ".join(tokens[0:10]).encode()).hexdigest()
+        exp1 = hashlib.md5(" ".join(tokens[8:18]).encode()).hexdigest()
+        exp2 = hashlib.md5(" ".join(tokens[16:25]).encode()).hexdigest()
+        assert h == {0: exp0, 1: exp1, 2: exp2}
+
+        with pytest.raises(ValueError, match="overlap"):
+            chunk_text_overlap(df, size=10, overlap=10)
+
+    def test_map_only_plan(self, spark):
+        """The chunker must ride the scan: no Exchange anywhere."""
+        from amonaly_detection_in_time_series_data_spark.operators.corpus import (
+            chunk_text_overlap,
+        )
+
+        df = spark.createDataFrame([(1, "a b c d e")], ["doc_id", "text"])
+        plan = (
+            chunk_text_overlap(df, "text", "doc_id")
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        assert "Exchange" not in plan
+
+
 class TestTfIdf:
     def test_scores_match_formula(self, spark):
         df = spark.createDataFrame(
