@@ -218,32 +218,37 @@ def file_stats_index(
 def skipping_scan(
     spark: SparkSession,
     index: DataFrame,
-    ranges: dict[str, tuple],
+    ranges: dict[str, tuple] | None = None,
+    not_null: list[str] | None = None,
+    is_null: list[str] | None = None,
     fmt: str = "parquet",
 ) -> tuple[DataFrame, dict]:
-    """Scan only the files whose [min,max] interval can intersect the
-    conjunctive range predicate, then re-apply the exact predicate.
+    """Scan only the files whose stats can satisfy the conjunctive
+    predicate, then re-apply the exact predicate.
 
     ``ranges`` maps column → ``(lo, hi)`` (inclusive; ``None`` leaves
-    that side open). A file survives pruning iff for EVERY column its
-    stats interval overlaps the requested range; an all-null file
+    that side open). A file survives range pruning iff for EVERY column
+    its stats interval overlaps the requested range; an all-null file
     (``min``/``max`` null) cannot satisfy a range predicate — range
-    comparisons are null-rejecting — so it is skipped outright. The
-    exact filter is applied on top of the pruned scan, so the result is
-    identical to filtering the full table (pruning is a pure superset
-    guarantee); tests pin that equality on both clustered and random
-    layouts.
+    comparisons are null-rejecting — so it is skipped outright.
+    ``not_null`` / ``is_null`` prune on the index's null counts: an
+    all-null file cannot satisfy ``IS NOT NULL``, a null-free file
+    cannot satisfy ``IS NULL`` — the null-partition lookup ("find the
+    rows still missing enrichment") that range stats cannot express.
+    The exact filter is applied on top of the pruned scan, so the
+    result is identical to filtering the full table (pruning is a pure
+    superset guarantee); tests pin that equality on both clustered and
+    random layouts.
 
     The index collapse is driver-side but bounded by FILE COUNT, never
-    rows — the same O(files) the planner already pays for listing; the
-    kept-list read uses the parquet path form ``load(*files)``.
+    rows — the same O(files) the planner already pays for listing.
     Returns ``(df, {"files_total": n, "files_kept": k})``.
     """
-    if not ranges:
-        raise ValueError("skipping_scan: need at least one column range")
+    if not ranges and not not_null and not is_null:
+        raise ValueError("skipping_scan: need at least one predicate")
     keep = F.lit(True)
     exact = F.lit(True)
-    for c, (lo, hi) in ranges.items():
+    for c, (lo, hi) in (ranges or {}).items():
         if lo is None and hi is None:
             raise ValueError(f"skipping_scan: ({c}) both bounds open")
         if lo is not None:
@@ -252,6 +257,12 @@ def skipping_scan(
         if hi is not None:
             keep = keep & (F.col(f"min_{c}") <= F.lit(hi))
             exact = exact & (F.col(c) <= F.lit(hi))
+    for c in not_null or []:
+        keep = keep & (F.col(f"nulls_{c}") < F.col("n_rows"))
+        exact = exact & F.col(c).isNotNull()
+    for c in is_null or []:
+        keep = keep & (F.col(f"nulls_{c}") > 0)
+        exact = exact & F.col(c).isNull()
     files_total = index.count()
     if files_total == 0:
         raise ValueError("skipping_scan: empty index")

@@ -249,6 +249,46 @@ class TestSkippingScan:
         with pytest.raises(ValueError, match="both bounds open"):
             skipping_scan(spark, idx, {"v": (None, None)})
 
+    def test_null_count_pruning(self, spark, tmp_path):
+        """IS NULL / IS NOT NULL prune on the index's null counts: the
+        null-free file cannot hold IS NULL rows, the all-null file
+        cannot hold IS NOT NULL rows, and a mixed file survives both."""
+        from amonaly_detection_in_time_series_data_spark.operators.maintenance import (
+            file_stats_index,
+            skipping_scan,
+        )
+
+        path = str(tmp_path / "mix")
+        spark.createDataFrame(
+            [(1.0, "full")], "v double, tag string"
+        ).write.mode("overwrite").parquet(path)
+        spark.createDataFrame(
+            [(None, "allnull")], "v double, tag string"
+        ).coalesce(1).write.mode("append").parquet(path)
+        spark.createDataFrame(
+            [(2.0, "mixed"), (None, "mixed")], "v double, tag string"
+        ).coalesce(1).write.mode("append").parquet(path)
+        idx = file_stats_index(spark, path, ["v"]).localCheckpoint()
+        assert idx.count() == 3
+
+        df, st = skipping_scan(spark, idx, is_null=["v"])
+        assert st == {"files_total": 3, "files_kept": 2}
+        assert sorted(r["tag"] for r in df.collect()) == ["allnull", "mixed"]
+
+        df2, st2 = skipping_scan(spark, idx, not_null=["v"])
+        assert st2 == {"files_total": 3, "files_kept": 2}
+        assert sorted(r["tag"] for r in df2.collect()) == ["full", "mixed"]
+
+        # composes with a range: v >= 2 AND NOT NULL -> only the mixed file
+        df3, st3 = skipping_scan(
+            spark, idx, {"v": (2.0, None)}, not_null=["v"]
+        )
+        assert st3["files_kept"] == 1
+        assert [r["tag"] for r in df3.collect()] == ["mixed"]
+
+        with pytest.raises(ValueError, match="at least one predicate"):
+            skipping_scan(spark, idx)
+
     def test_property_skipping_is_always_a_superset(self, spark, tmp_path):
         """Hypothesis: for ANY data layout and ANY range predicate, the
         pruned scan filtered equals the full scan filtered — pruning
