@@ -53,7 +53,18 @@ def interval_join(
     practice, outer joins by contract). Column names are disambiguated
     by requiring them disjoint apart from the join key and timestamps —
     ambiguous extra columns raise rather than silently resolving.
+
+    ``how`` is restricted to ``inner`` / ``left_outer``: the output
+    keeps the LEFT key column, which is only lossless when every output
+    row has a left side. For the right-outer shape, swap the sides (and
+    mirror the bounds: right_ts ∈ [left_ts − lower, left_ts + upper] ⟺
+    left_ts ∈ [right_ts − upper, right_ts + lower]).
     """
+    if how not in ("inner", "left_outer", "left", "leftouter"):
+        raise ValueError(
+            f"interval_join: how={how!r} unsupported — the left key is the "
+            "output key; swap sides for the right-outer shape"
+        )
     shared = (set(left.columns) & set(right.columns)) - {on}
     # same-named timestamps are fine (renamed below); anything else is not
     if shared - {left_ts, right_ts}:

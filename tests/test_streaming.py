@@ -770,3 +770,5 @@ class TestStreamStreamIntervalJoin:
             interval_join(
                 lb.withColumn("tag", F.lit("x")), rb, on="user_id"
             )
+        with pytest.raises(ValueError, match="swap sides"):
+            interval_join(lb, rb, on="user_id", how="right_outer")
