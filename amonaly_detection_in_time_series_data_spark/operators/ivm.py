@@ -199,7 +199,13 @@ def maintain_agg_snapshot(
         agg_man = None
 
     if agg_man is not None:
-        base_cut = agg_man["meta"]["base_version"]
+        base_cut = (agg_man.get("meta") or {}).get("base_version")
+        if base_cut is None:
+            raise ValueError(
+                f"maintain_agg_snapshot: rollup at {agg_path} has no "
+                "recorded base_version (created outside the maintainer?); "
+                "delete it and let this function bootstrap it"
+            )
         # snapshot isolation does the work a cache/checkpoint would:
         # this read binds to immutable files of the recorded cut and
         # stays valid right through the merge below (which only ADDS
