@@ -1869,12 +1869,103 @@ def q_pack_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     return packed.unionByName(chunked)
 
 
+RETRIEVAL_QUERIES = [
+    ("q0", ["table", "scan", "filter"]),
+    ("q1", ["window", "agg", "merge"]),
+    ("q2", ["vector", "stream", "hash", "customer"]),
+]
+
+
 def q_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Top-3 TF-IDF terms per document (smooth idf), ranked on the
-    rounded score with the term as tiebreak so the ordering is
-    engine-portable."""
+    """Lexical-retrieval family, tagged union (merged r7: + BM25 +
+    hybrid RRF):
+
+    - tier='tfidf' — top-3 TF-IDF terms per document (smooth idf), the
+      indexing-side keyword extractor (query_id/n_hit null);
+    - tier='bm25' — top-5 documents per term query under BM25
+      (operators.retrieval.bm25_topk, Lucene idf), postings pruned to
+      the query vocabulary before the (doc,term) aggregate; n_hit =
+      number of query terms matched (term/tf/df null);
+    - tier='hybrid_rrf' — reciprocal-rank fusion (k_rrf=60) of the
+      BM25 top-10 over documents with the exact-cosine top-10 over
+      embeddings (vec_id ≡ doc_id in the synthetic corpus; query qN ≡
+      vec_id N), n_hit = number of contributing lists.
+
+    All tiers rank on ROUNDED scores (tfidf 6 dp, bm25 4 dp, rrf 6 dp)
+    with id/term tiebreaks so the ordering is engine-portable."""
+    from amonaly_detection_in_time_series_data_spark.operators.retrieval import (
+        bm25_topk,
+        rrf_fuse,
+    )
+
     docs = spread_small(load_table(spark, sf_dir, "documents"))
-    return tfidf_top_terms(docs, "text", "doc_id", k=3)
+    tfidf = (
+        tfidf_top_terms(docs, "text", "doc_id", k=3)
+        .select(
+            F.lit("tfidf").alias("tier"),
+            F.lit(None).cast("string").alias("query_id"),
+            "doc_id",
+            "term",
+            "tf",
+            "df",
+            F.lit(None).cast("bigint").alias("n_hit"),
+            "score",
+            "rank",
+        )
+    )
+
+    qdf = spark.createDataFrame(
+        RETRIEVAL_QUERIES, "query_id string, terms array<string>"
+    )
+    bm_full = bm25_topk(docs, qdf, k=10)
+    bm25 = bm_full.filter(F.col("rank") <= 5).select(
+        F.lit("bm25").alias("tier"),
+        "query_id",
+        "doc_id",
+        F.lit(None).cast("string").alias("term"),
+        F.lit(None).cast("bigint").alias("tf"),
+        F.lit(None).cast("bigint").alias("df"),
+        F.col("n_terms_hit").cast("bigint").alias("n_hit"),
+        "score",
+        "rank",
+    )
+
+    emb = spread_small(load_table(spark, sf_dir, "embeddings"))
+    q = emb.filter(F.col("vec_id") < 3).select(
+        F.concat(F.lit("q"), F.col("vec_id").cast("string")).alias("query_id"),
+        F.col("vec_id").alias("__qid"),
+        F.col("embedding").alias("__qvec"),
+    )
+    sim = F.round(cosine_similarity(F.col("embedding"), F.col("__qvec")), 4)
+    cos_w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("doc_id").asc()
+    )
+    cos_ranked = (
+        emb.crossJoin(F.broadcast(q))
+        .filter(F.col("vec_id") != F.col("__qid"))
+        .select(
+            "query_id", F.col("vec_id").alias("doc_id"), sim.alias("cosine")
+        )
+        .withColumn("rank", F.row_number().over(cos_w).cast("bigint"))
+        .filter(F.col("rank") <= 10)
+    )
+    hybrid = rrf_fuse(
+        [bm_full.select("query_id", "doc_id", "rank"),
+         cos_ranked.select("query_id", "doc_id", "rank")],
+        k_rrf=60,
+        k=5,
+    ).select(
+        F.lit("hybrid_rrf").alias("tier"),
+        "query_id",
+        "doc_id",
+        F.lit(None).cast("string").alias("term"),
+        F.lit(None).cast("bigint").alias("tf"),
+        F.lit(None).cast("bigint").alias("df"),
+        F.col("n_lists").cast("bigint").alias("n_hit"),
+        "score",
+        "rank",
+    )
+    return tfidf.unionByName(bm25).unionByName(hybrid)
 
 
 # ---------------------------------------------------------------------------
@@ -3273,6 +3364,9 @@ SELECT 'chunk' AS profile, doc_id,
 FROM cidx
 """
 
+    qset_rows = ", ".join(
+        f"('{qid}', '{t}')" for qid, terms in RETRIEVAL_QUERIES for t in terms
+    )
     sql["tfidf_top_terms"] = f"""
 WITH tok AS (
   SELECT doc_id, unnest({toks}) AS term FROM documents
@@ -3288,13 +3382,90 @@ scored AS (
   SELECT doc_id, term, tf, df,
          round(tf * (ln((1.0 + n_docs) / (1.0 + df)) + 1.0), 6) AS score
   FROM tf JOIN dfreq USING (term), n
+),
+tfidf_tier AS (
+  SELECT doc_id, term, CAST(tf AS BIGINT) AS tf, CAST(df AS BIGINT) AS df,
+         score, CAST(rn AS BIGINT) AS rank
+  FROM (
+    SELECT *, row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, term) AS rn
+    FROM scored
+  ) WHERE rn <= 3
+),
+-- BM25 tier: Lucene idf, k1=1.2, b=0.75, dl carried through the token
+-- stream, postings restricted to the query vocabulary (df unchanged)
+qset(query_id, term) AS (VALUES {qset_rows}),
+btok AS (
+  SELECT doc_id, len({toks}) AS dl, unnest({toks}) AS term FROM documents
+),
+btf AS (
+  SELECT doc_id, term, count(*) AS tf, max(dl) AS dl FROM btok
+  WHERE term IN (SELECT DISTINCT term FROM qset)
+  GROUP BY doc_id, term
+),
+bdf AS (SELECT term, count(*) AS df FROM btf GROUP BY term),
+bstats AS (
+  SELECT count(*) AS n_docs, avg(len({toks})) AS avgdl FROM documents
+),
+bm AS (
+  SELECT query_id, doc_id, CAST(count(*) AS BIGINT) AS n_hit,
+         round(sum(
+           ln(1 + (n_docs - df + 0.5) / (df + 0.5)) *
+           tf * (1.2 + 1.0) / (tf + 1.2 * (1 - 0.75 + 0.75 * dl / avgdl))
+         ), 4) AS score
+  FROM btf JOIN bdf USING (term) JOIN qset USING (term), bstats
+  GROUP BY query_id, doc_id
+),
+bm_ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY score DESC, doc_id) AS rn
+  FROM bm
+),
+-- cosine leg over embeddings (vec_id = doc_id), round-4 then rank
+cosq AS (
+  SELECT 'q' || CAST(vec_id AS VARCHAR) AS query_id, vec_id AS qid,
+         embedding::DOUBLE[] AS qv
+  FROM embeddings WHERE vec_id < 3
+),
+cosc AS (SELECT vec_id AS cid, embedding::DOUBLE[] AS cv FROM embeddings),
+cs AS (
+  SELECT query_id, cid AS doc_id,
+         round(
+           list_sum(list_transform(range(1, len(cv) + 1), i -> cv[i] * qv[i])) /
+           nullif(sqrt(list_sum(list_transform(range(1, len(cv) + 1), i -> cv[i] * cv[i]))) *
+                  sqrt(list_sum(list_transform(range(1, len(qv) + 1), i -> qv[i] * qv[i]))), 0),
+           4) AS cosine
+  FROM cosc, cosq WHERE cid <> qid
+),
+cos_ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, doc_id) AS rn
+  FROM cs
+),
+fuse_in AS (
+  SELECT query_id, doc_id, rn FROM bm_ranked WHERE rn <= 10
+  UNION ALL
+  SELECT query_id, doc_id, rn FROM cos_ranked WHERE rn <= 10
+),
+fused AS (
+  SELECT query_id, doc_id, CAST(count(*) AS BIGINT) AS n_hit,
+         round(sum(1.0 / (60 + rn)), 6) AS score
+  FROM fuse_in GROUP BY query_id, doc_id
+),
+fused_ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY score DESC, doc_id) AS rn
+  FROM fused
 )
-SELECT doc_id, term, CAST(tf AS BIGINT) AS tf, CAST(df AS BIGINT) AS df,
+SELECT 'tfidf' AS tier, CAST(NULL AS VARCHAR) AS query_id, doc_id, term,
+       tf, df, CAST(NULL AS BIGINT) AS n_hit, score, rank
+FROM tfidf_tier
+UNION ALL
+SELECT 'bm25' AS tier, query_id, doc_id, CAST(NULL AS VARCHAR) AS term,
+       CAST(NULL AS BIGINT) AS tf, CAST(NULL AS BIGINT) AS df, n_hit,
        score, CAST(rn AS BIGINT) AS rank
-FROM (
-  SELECT *, row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, term) AS rn
-  FROM scored
-) WHERE rn <= 3
+FROM bm_ranked WHERE rn <= 5
+UNION ALL
+SELECT 'hybrid_rrf' AS tier, query_id, doc_id, CAST(NULL AS VARCHAR) AS term,
+       CAST(NULL AS BIGINT) AS tf, CAST(NULL AS BIGINT) AS df, n_hit,
+       score, CAST(rn AS BIGINT) AS rank
+FROM fused_ranked WHERE rn <= 5
 """
 
     sql["rolling_time_window"] = f"""

@@ -1,0 +1,169 @@
+"""Lexical + hybrid retrieval tier: BM25 ranked search over an
+inverted-postings shape, and reciprocal-rank fusion (RRF) to combine
+ranked lists from heterogeneous retrievers (BM25 + embedding kNN).
+
+The reference pipeline has no search capability; this extends the
+engine's corpus surface (SURVEY.md §2.14 extension family) with the
+query-side twin of the indexing operators that already exist
+(tfidf_top_terms for per-doc keywords, the ANN ladder for vectors):
+given a set of term queries, return the top-k documents per query under
+BM25 (Robertson & Walker; the idf form is Lucene's non-negative
+variant), and fuse lexical + vector rankings with RRF
+(Cormack, Clarke & Buettcher, SIGIR 2009).
+
+100 TB shape (the reason this is NOT "join everything with everything"):
+
+- The corpus is never self-joined: document length is carried through
+  the token explode, so the per-(doc, term) aggregate already has it.
+- Postings are filtered to the query vocabulary BEFORE the aggregate
+  via a broadcast semi-join — the distributed analogue of a posting-
+  list fetch. The one big shuffle is the (doc, term) groupBy over
+  query-term hits only, not over the whole corpus's token stream.
+- df(term) computed on the filtered postings is still the CORPUS-wide
+  document frequency for those terms (filtering by term drops no doc
+  containing the term), so correctness survives the pruning.
+- Corpus stats (N, avgdl) are one tiny aggregate, broadcast back; the
+  query table and per-term df are broadcast; scores aggregate
+  map-side per (query, doc).
+
+Determinism / cross-engine portability: scores are ROUNDED before
+ranking (BM25 at 4 dp — ln is transcendental; RRF at 6 dp — sums of
+1/(k+rank) rationals), ties broken by document id ascending, matching
+the repo-wide round-then-rank convention the DuckDB oracles replay.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from ..functions.text import tokenize
+
+__all__ = ["bm25_topk", "rrf_fuse"]
+
+
+def bm25_topk(
+    df: DataFrame,
+    queries: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    query_id_col: str = "query_id",
+    terms_col: str = "terms",
+    k: int = 5,
+    k1: float = 1.2,
+    b: float = 0.75,
+    round_dp: int = 4,
+) -> DataFrame:
+    """Top-``k`` documents per query under BM25.
+
+    ``queries`` is a small DataFrame ``(query_id, terms: array<string>)``
+    (it is broadcast twice: once term-only for the postings prune, once
+    with ids to attach matches). Repeated query terms are deduplicated —
+    standard bag-of-words BM25 ignores query-side multiplicity.
+
+    Scoring: ``score(q, d) = Σ_t idf(t) · tf·(k1+1) /
+    (tf + k1·(1 − b + b·dl/avgdl))`` with Lucene's
+    ``idf = ln(1 + (N − df + 0.5)/(df + 0.5))``; documents with no
+    query-term hit are absent (score 0 by construction).
+
+    Output: ``(query_id, doc_id, n_terms_hit, score, rank)``, rank by
+    rounded score desc, doc id asc, filtered to ``rank <= k``.
+    """
+    qterms = (
+        queries.select(
+            F.col(query_id_col),
+            F.explode_outer(F.col(terms_col)).alias("__term"),
+        )
+        .distinct()
+    )
+    vocab = qterms.select("__term").distinct()
+
+    toks = df.select(
+        F.col(id_col),
+        F.size(tokenize(text_col)).alias("__dl"),
+        F.explode(tokenize(text_col)).alias("__term"),
+    )
+    hits = toks.join(F.broadcast(vocab), "__term", "semi")
+    tf = hits.groupBy(id_col, "__term").agg(
+        F.count("*").alias("__tf"), F.first("__dl").alias("__dl")
+    )
+    # corpus-wide df for the query terms — computed AFTER the prune,
+    # still exact (see module docstring)
+    dfreq = tf.groupBy("__term").agg(F.count("*").alias("__df"))
+    stats = df.agg(
+        F.count("*").alias("__n_docs"),
+        F.avg(F.size(tokenize(text_col))).alias("__avgdl"),
+    )
+
+    idf = F.log(
+        1.0
+        + (F.col("__n_docs") - F.col("__df") + 0.5) / (F.col("__df") + 0.5)
+    )
+    tf_norm = (F.col("__tf") * (k1 + 1.0)) / (
+        F.col("__tf")
+        + k1 * (1.0 - b + b * F.col("__dl") / F.col("__avgdl"))
+    )
+    scored = (
+        tf.join(F.broadcast(dfreq), "__term")
+        .crossJoin(F.broadcast(stats))
+        .join(F.broadcast(qterms), "__term")
+        .groupBy(query_id_col, id_col)
+        .agg(
+            F.count("*").alias("n_terms_hit"),
+            F.round(F.sum(idf * tf_norm), round_dp).alias("score"),
+        )
+    )
+    w = Window.partitionBy(query_id_col).orderBy(
+        F.col("score").desc(), F.col(id_col).asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rank") <= k)
+        .select(query_id_col, id_col, "n_terms_hit", "score", "rank")
+    )
+
+
+def rrf_fuse(
+    ranked: list[DataFrame],
+    query_id_col: str = "query_id",
+    id_col: str = "doc_id",
+    rank_col: str = "rank",
+    k_rrf: int = 60,
+    k: int = 5,
+    round_dp: int = 6,
+) -> DataFrame:
+    """Reciprocal-rank fusion of ``ranked`` lists (each
+    ``(query_id, id, rank)``): ``rrf(q, d) = Σ_lists 1/(k_rrf + rank)``,
+    re-ranked per query. An item missing from a list contributes 0 —
+    the property that makes RRF robust to incomparable score scales
+    (BM25 vs cosine), which is exactly the hybrid-search use.
+
+    Inputs are already top-k ranked lists (small relative to the
+    corpus); the union + groupBy shuffles only
+    ``O(n_queries · k · n_lists)`` rows.
+    """
+    if not ranked:
+        raise ValueError("rrf_fuse: need at least one ranked list")
+    parts = [
+        r.select(
+            F.col(query_id_col),
+            F.col(id_col),
+            (1.0 / (F.lit(k_rrf) + F.col(rank_col))).alias("__w"),
+        )
+        for r in ranked
+    ]
+    u = parts[0]
+    for p in parts[1:]:
+        u = u.unionByName(p)
+    fused = u.groupBy(query_id_col, id_col).agg(
+        F.count("*").cast("bigint").alias("n_lists"),
+        F.round(F.sum("__w"), round_dp).alias("score"),
+    )
+    w = Window.partitionBy(query_id_col).orderBy(
+        F.col("score").desc(), F.col(id_col).asc()
+    )
+    return (
+        fused.withColumn("rank", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rank") <= k)
+        .select(query_id_col, id_col, "n_lists", "score", "rank")
+    )

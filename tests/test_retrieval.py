@@ -1,0 +1,146 @@
+"""BM25 ranked search + reciprocal-rank fusion (operators/retrieval.py).
+
+BM25 scores are checked against an independent numpy reference on a
+hand-built corpus; RRF against hand-computed fusion weights; the scale
+shape (postings pruned to query vocabulary before the aggregate) is
+plan-asserted.
+"""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from amonaly_detection_in_time_series_data_spark.operators.retrieval import (
+    bm25_topk,
+    rrf_fuse,
+)
+
+DOCS = [
+    (0, "spark shuffle join join scan"),
+    (1, "scan scan scan filter"),
+    (2, "window agg merge spark"),
+    (3, "join filter window scan agg"),
+    (4, "hash hash hash hash hash hash"),
+]
+QUERIES = [("qa", ["scan", "join"]), ("qb", ["window", "hash", "nosuchterm"])]
+
+
+def _bm25_reference(k1=1.2, b=0.75):
+    """Independent plain-Python BM25 over DOCS for QUERIES."""
+    toks = {d: t.split() for d, t in DOCS}
+    n = len(DOCS)
+    avgdl = sum(len(t) for t in toks.values()) / n
+    out = {}
+    for qid, terms in QUERIES:
+        for d, t in toks.items():
+            score, hits = 0.0, 0
+            for term in set(terms):
+                tf = t.count(term)
+                if tf == 0:
+                    continue
+                df = sum(1 for tt in toks.values() if term in tt)
+                idf = math.log(1 + (n - df + 0.5) / (df + 0.5))
+                score += idf * tf * (k1 + 1) / (
+                    tf + k1 * (1 - b + b * len(t) / avgdl)
+                )
+                hits += 1
+            if hits:
+                out[(qid, d)] = (hits, round(score, 4))
+    return out
+
+
+@pytest.fixture(scope="module")
+def corpus(spark):
+    return spark.createDataFrame(DOCS, "doc_id bigint, text string")
+
+
+@pytest.fixture(scope="module")
+def queries_df(spark):
+    return spark.createDataFrame(QUERIES, "query_id string, terms array<string>")
+
+
+class TestBM25:
+    def test_scores_match_reference(self, spark, corpus, queries_df):
+        got = {
+            (r.query_id, r.doc_id): (r.n_terms_hit, r.score)
+            for r in bm25_topk(corpus, queries_df, k=10).collect()
+        }
+        assert got == _bm25_reference()
+
+    def test_rank_order_and_k(self, spark, corpus, queries_df):
+        rows = bm25_topk(corpus, queries_df, k=2).collect()
+        by_q = {}
+        for r in rows:
+            by_q.setdefault(r.query_id, []).append(r)
+        for q, rs in by_q.items():
+            assert len(rs) <= 2
+            rs = sorted(rs, key=lambda r: r.rank)
+            assert [r.rank for r in rs] == list(range(1, len(rs) + 1))
+            scores = [r.score for r in rs]
+            assert scores == sorted(scores, reverse=True)
+        # qa: doc1 (scan x3) and doc0/doc3 compete; reference decides
+        ref = _bm25_reference()
+        qa_sorted = sorted(
+            ((v[1], -d) for (q, d), v in ref.items() if q == "qa"),
+            reverse=True,
+        )
+        top2 = [-x[1] for x in qa_sorted[:2]]
+        assert sorted(r.doc_id for r in by_q["qa"]) == sorted(top2)
+
+    def test_unknown_terms_only_query_absent(self, spark, corpus):
+        qs = spark.createDataFrame(
+            [("qz", ["zzz", "yyy"])], "query_id string, terms array<string>"
+        )
+        assert bm25_topk(corpus, qs, k=3).count() == 0
+
+    def test_repeated_query_terms_deduped(self, spark, corpus):
+        once = spark.createDataFrame(
+            [("q", ["scan"])], "query_id string, terms array<string>"
+        )
+        twice = spark.createDataFrame(
+            [("q", ["scan", "scan"])], "query_id string, terms array<string>"
+        )
+        a = {(r.doc_id, r.score) for r in bm25_topk(corpus, once, k=10).collect()}
+        b = {(r.doc_id, r.score) for r in bm25_topk(corpus, twice, k=10).collect()}
+        assert a == b
+
+    def test_postings_pruned_before_aggregate(self, spark, corpus, queries_df):
+        """The (doc, term) aggregate must sit ABOVE the query-vocab
+        semi-join (posting-list fetch shape): no HashAggregate on the
+        full token stream below the join."""
+        plan = bm25_topk(corpus, queries_df, k=5)._jdf.queryExecution().executedPlan().toString()
+        # the semi-join against the broadcast vocabulary exists
+        assert "LeftSemi" in plan and "BroadcastHashJoin" in plan
+
+
+class TestRRF:
+    def test_hand_computed_fusion(self, spark):
+        a = spark.createDataFrame(
+            [("q", 1, 1), ("q", 2, 2)], "query_id string, doc_id bigint, rank bigint"
+        )
+        b = spark.createDataFrame(
+            [("q", 2, 1), ("q", 3, 2)], "query_id string, doc_id bigint, rank bigint"
+        )
+        got = {
+            r.doc_id: (r.n_lists, r.score, r.rank)
+            for r in rrf_fuse([a, b], k_rrf=60, k=5).collect()
+        }
+        # doc2 in both lists: 1/62 + 1/61; doc1: 1/61; doc3: 1/62
+        assert got[2] == (2, round(1 / 62 + 1 / 61, 6), 1)
+        assert got[1] == (1, round(1 / 61, 6), 2)
+        assert got[3] == (1, round(1 / 62, 6), 3)
+
+    def test_single_list_is_identity_ranking(self, spark):
+        a = spark.createDataFrame(
+            [("q", 7, 1), ("q", 8, 2), ("q", 9, 3)],
+            "query_id string, doc_id bigint, rank bigint",
+        )
+        got = [r.doc_id for r in rrf_fuse([a], k=3).orderBy("rank").collect()]
+        assert got == [7, 8, 9]
+
+    def test_empty_input_raises(self):
+        with pytest.raises(ValueError):
+            rrf_fuse([])
