@@ -1766,17 +1766,22 @@ def q_doc_quality_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     r6) the LM-style ``unigram_logprob`` score (mean per-token log
     probability under the corpus unigram model; the SQL-expressible
     reduction of CCNet/Gopher perplexity filtering), which adds the
-    query's single token shuffle."""
+    query's single token shuffle. Merged r7: CCNet head/middle/tail
+    perplexity bucketing (operators.corpus.ppl_bucket, exact-ntile
+    mode — the approx-percentile scale path is pytest-pinned)."""
     from amonaly_detection_in_time_series_data_spark.operators.corpus import (
+        ppl_bucket,
         unigram_logprob,
     )
 
     docs = spread_small(load_table(spark, sf_dir, "documents"))
-    out = unigram_logprob(quality_rules(docs, "text"), "text", "doc_id")
+    out = ppl_bucket(
+        unigram_logprob(quality_rules(docs, "text"), "text", "doc_id")
+    )
     return out.select(
         "doc_id", "n_tokens", "mean_word_len", "symbol_ratio",
         "top_token_frac", "dup_bigram_frac", "alpha_word_frac",
-        "bullet_line_frac", "unigram_logprob",
+        "bullet_line_frac", "unigram_logprob", "ppl_bucket",
         F.col("keep").cast("bigint").alias("keep"),
     )
 
@@ -3251,8 +3256,17 @@ lp AS (
 ulp AS (
   SELECT doc_id, round(avg(lp), 6) AS unigram_logprob
   FROM u JOIN lp USING (tok) GROUP BY doc_id
+),
+-- CCNet perplexity terciles: ntile over (score desc, doc_id) on docs
+-- WITH a score; NULL-score docs keep a NULL bucket
+tiles AS (
+  SELECT doc_id,
+         ntile(3) OVER (ORDER BY unigram_logprob DESC, doc_id) AS tile
+  FROM ulp WHERE unigram_logprob IS NOT NULL
 )
 SELECT m2.*, ulp.unigram_logprob,
+  CASE tiles.tile WHEN 1 THEN 'head' WHEN 2 THEN 'middle'
+                  WHEN 3 THEN 'tail' END AS ppl_bucket,
   CAST(n_tokens BETWEEN 10 AND 100000
    AND mean_word_len BETWEEN 2.0 AND 12.0
    AND symbol_ratio <= 0.30
@@ -3260,7 +3274,7 @@ SELECT m2.*, ulp.unigram_logprob,
    AND dup_bigram_frac <= 0.60
    AND alpha_word_frac >= 0.80
    AND bullet_line_frac <= 0.90 AS BIGINT) AS keep
-FROM m2 LEFT JOIN ulp USING (doc_id)
+FROM m2 LEFT JOIN ulp USING (doc_id) LEFT JOIN tiles USING (doc_id)
 """
 
     sql["decontaminate"] = f"""

@@ -60,6 +60,7 @@ __all__ = [
     "tfidf_top_terms",
     "make_longdoc_corpus",
     "unigram_logprob",
+    "ppl_bucket",
 ]
 
 
@@ -696,6 +697,84 @@ def unigram_logprob(
         .agg(score.alias(score_col))
     )
     return df.join(per_doc, id_col, "left")
+
+
+def ppl_bucket(
+    df: DataFrame,
+    score_col: str = "unigram_logprob",
+    id_col: str = "doc_id",
+    n_buckets: int = 3,
+    bucket_col: str = "ppl_bucket",
+    exact: bool = True,
+) -> DataFrame:
+    """CCNet-style perplexity bucketing (Wenzek et al. 2020): partition
+    the corpus into quality tiers by LM score — with the default 3
+    buckets, ``head`` (most in-distribution / highest mean log-prob),
+    ``middle``, ``tail``. Downstream mixing then samples tiers at
+    different rates (head-heavy for quality, tail kept for diversity).
+
+    ``exact=True``: ntile over (score desc, id) — deterministic,
+    engine-portable (ties broken by id, scores are pre-rounded by
+    ``unigram_logprob``), and ORACLE-CHECKABLE, but the ntile is one
+    global window: one row per document through a single reducer. Fine
+    for validation corpora; NOT the 100 TB path.
+
+    ``exact=False`` is the scale path: bucket cutoffs from
+    ``approx_percentile`` (one partial-aggregated pass, tiny result
+    broadcast back) and the assignment itself is a map-only CASE —
+    no global sort anywhere. Bucket sizes are then approximate at the
+    sketch's error bound, which is what CCNet itself does (its cutoffs
+    come from a sampled histogram).
+
+    NULL scores (zero-token docs) get a NULL bucket in both modes.
+    Bucket labels for n=3 are head/middle/tail; other n get 'b1'..'bN'
+    (b1 = best).
+    """
+    if n_buckets < 2:
+        raise ValueError(f"ppl_bucket: n_buckets must be >= 2, got {n_buckets}")
+    labels = (
+        ["head", "middle", "tail"]
+        if n_buckets == 3
+        else [f"b{i}" for i in range(1, n_buckets + 1)]
+    )
+    label_expr = None
+    scored = df.filter(F.col(score_col).isNotNull())
+    if exact:
+        w = Window.orderBy(F.col(score_col).desc(), F.col(id_col).asc())
+        tile = F.ntile(n_buckets).over(w)
+        buckets = scored.select(
+            F.col(id_col), tile.alias("__tile")
+        )
+    else:
+        probs = [i / n_buckets for i in range(1, n_buckets)]
+        cuts = scored.agg(
+            F.percentile_approx(
+                F.col(score_col), F.array(*[F.lit(p) for p in probs]), 10_000
+            ).alias("__cuts")
+        )
+        # tile i (1-based, 1 = best) = count of cutoffs >= score, + 1;
+        # cutoffs are ascending quantiles so the BEST tier is scores
+        # above the LAST cutoff
+        tile = (
+            F.size(
+                F.filter(
+                    F.col("__cuts"), lambda c: c >= F.col(score_col)
+                )
+            )
+            + 1
+        )
+        buckets = scored.crossJoin(F.broadcast(cuts)).select(
+            F.col(id_col), tile.alias("__tile")
+        )
+    for i, lab in enumerate(labels, start=1):
+        cond = F.col("__tile") == i
+        label_expr = (
+            F.when(cond, lab) if label_expr is None else label_expr.when(cond, lab)
+        )
+    buckets = buckets.select(
+        F.col(id_col), label_expr.alias(bucket_col)
+    )
+    return df.join(buckets, id_col, "left")
 
 
 def mixture_resample(

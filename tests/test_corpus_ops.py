@@ -421,6 +421,52 @@ class TestUnigramLogprob:
         assert out.unigram_logprob == pytest.approx(round(want, 6), abs=1e-9)
 
 
+class TestPplBucket:
+    def _scored(self, spark, n=30):
+        # distinct scores 0..-29 so terciles are unambiguous
+        rows = [(i, float(-i)) for i in range(n)] + [(n, None)]
+        return spark.createDataFrame(rows, "doc_id bigint, unigram_logprob double")
+
+    def test_exact_terciles(self, spark):
+        from amonaly_detection_in_time_series_data_spark.operators.corpus import (
+            ppl_bucket,
+        )
+
+        out = {r.doc_id: r.ppl_bucket for r in ppl_bucket(self._scored(spark)).collect()}
+        # highest scores (least negative) -> head
+        assert all(out[i] == "head" for i in range(10))
+        assert all(out[i] == "middle" for i in range(10, 20))
+        assert all(out[i] == "tail" for i in range(20, 30))
+        assert out[30] is None  # NULL score -> NULL bucket
+
+    def test_approx_agrees_on_separable_scores(self, spark):
+        from amonaly_detection_in_time_series_data_spark.operators.corpus import (
+            ppl_bucket,
+        )
+
+        df = self._scored(spark, n=300)
+        exact = {r.doc_id: r.ppl_bucket for r in ppl_bucket(df, exact=True).collect()}
+        approx = {r.doc_id: r.ppl_bucket for r in ppl_bucket(df, exact=False).collect()}
+        # sketch cutoffs may shift the boundary by a few ranks; on 300
+        # well-separated scores, the disagreement set must be tiny
+        diff = sum(1 for k in exact if exact[k] != approx[k])
+        assert diff <= 6
+        assert approx[300] is None
+
+    def test_n_buckets_labels_and_validation(self, spark):
+        from amonaly_detection_in_time_series_data_spark.operators.corpus import (
+            ppl_bucket,
+        )
+
+        out = {
+            r.doc_id: r.ppl_bucket
+            for r in ppl_bucket(self._scored(spark, 4), n_buckets=2).collect()
+        }
+        assert out[0] == "b1" and out[3] == "b2"
+        with pytest.raises(ValueError):
+            ppl_bucket(self._scored(spark, 4), n_buckets=1)
+
+
 class TestWinnowing:
     def test_selection_matches_python_and_match_guarantee(self, spark):
         """winnow_select == a from-scratch Python winnowing on the same
