@@ -613,6 +613,96 @@ def tukey_robust_flags(
     ).drop("__q1", "__q3", "__med_2", "__mad_8")
 
 
+def trend_ols_flags(
+    df: DataFrame,
+    target: str,
+    key_cols: Sequence[str],
+    order_cols: Sequence[str] | None = None,
+    x_col: str | None = None,
+    threshold: float = 3.0,
+    round_digits: int = 6,
+) -> DataFrame:
+    """Detrended anomaly detection: per-series closed-form OLS fit
+    ``y = a + b·x``, then flag points whose residual exceeds
+    ``threshold`` regression standard errors. Catches level drift that
+    a global z-score misreads (a steadily-rising series makes early
+    points "low" and late points "high") and flags genuine departures
+    from the trend line.
+
+    ``x_col``: the regressor — pass the epoch-seconds column for
+    irregular series. When None, x is the 0-based row index within the
+    series (``row_number`` over ``order_cols``, which is then
+    required), i.e. equal spacing is ASSUMED.
+
+    100 TB shape: the fit is the textbook closed form over the sufficient
+    statistics ``(n, Σx, Σy, Σx², Σxy, Σy²)`` — ONE partial-aggregated
+    groupBy pass per key, broadcast back, with SSE derived from the same
+    sums (``SSE = Syy − Sy²/n − b²·(Sxx − Sx²/n)``) so there is NO second
+    pass for the residual scale. With ``x_col`` given the whole detector
+    is aggregate + map: zero windows, zero sorts. Scoring is scalar.
+
+    Degenerate series (n < 3, or zero x-variance) yield NULL
+    slope/z/flag — surfaced, not silently zeroed.
+
+    Output adds: ``trend_slope``, ``trend_intercept``, ``trend_fit``
+    (fitted value), ``trend_resid``, ``trend_z``, ``trend_alarm``.
+    """
+    keys = list(key_cols)
+    if x_col is None:
+        if not order_cols:
+            raise ValueError(
+                "trend_ols_flags: order_cols is required when x_col is None"
+            )
+        w = Window.partitionBy(*keys).orderBy(*order_cols)
+        d = df.withColumn(
+            "__x", (F.row_number().over(w) - 1).cast("double")
+        )
+    else:
+        d = df.withColumn("__x", F.col(x_col).cast("double"))
+    y = F.col(target).cast("double")
+    base = d.filter(y.isNotNull() & F.col("__x").isNotNull())
+    stats = base.groupBy(*keys).agg(
+        F.count("*").cast("double").alias("__n"),
+        F.sum("__x").alias("__sx"),
+        F.sum(y).alias("__sy"),
+        F.sum(F.col("__x") * F.col("__x")).alias("__sxx"),
+        F.sum(F.col("__x") * y).alias("__sxy"),
+        F.sum(y * y).alias("__syy"),
+    )
+    n, sx, sy = F.col("__n"), F.col("__sx"), F.col("__sy")
+    sxx, sxy, syy = F.col("__sxx"), F.col("__sxy"), F.col("__syy")
+    vx = n * sxx - sx * sx  # n² · Var(x)
+    slope = F.when(
+        (n >= 3) & (vx > 0), (n * sxy - sx * sy) / vx
+    )
+    fitted = stats.withColumn("__b", slope).withColumn(
+        "__a", (sy - F.col("__b") * sx) / n
+    )
+    sse = F.greatest(
+        F.lit(0.0),
+        syy - sy * sy / n - F.col("__b") * F.col("__b") * (sxx - sx * sx / n),
+    )
+    fitted = fitted.withColumn(
+        "__s", F.when(n > 2, F.sqrt(sse / (n - 2)))
+    ).select(*keys, "__b", "__a", "__s")
+    out = d.join(F.broadcast(fitted), keys, "left")
+    fit = F.col("__a") + F.col("__b") * F.col("__x")
+    resid = y - fit
+    z = F.round(resid / F.nullif(F.col("__s"), F.lit(0.0)), round_digits)
+    return (
+        out.withColumn("trend_slope", F.round("__b", round_digits))
+        .withColumn("trend_intercept", F.round("__a", round_digits))
+        .withColumn("trend_fit", F.round(fit, round_digits))
+        .withColumn("trend_resid", F.round(resid, round_digits))
+        .withColumn("trend_z", z)
+        .withColumn(
+            "trend_alarm",
+            F.when(z.isNotNull(), (F.abs(z) > threshold).cast("int")),
+        )
+        .drop("__x", "__b", "__a", "__s")
+    )
+
+
 def seasonal_decompose(
     df: DataFrame,
     ts_col: str,

@@ -2400,3 +2400,99 @@ class TestHeavyHitters:
         assert got_b == got
         plan = hh._jdf.queryExecution().executedPlan().toString()
         assert "BroadcastHashJoin" in plan, plan
+
+
+class TestTrendOlsFlags:
+    """Closed-form per-series OLS detrending (operators.anomaly.
+    trend_ols_flags) vs numpy lstsq, plus the planted-outlier and
+    degenerate-series contracts."""
+
+    def _df(self, spark):
+        import numpy as np
+
+        rng = np.random.RandomState(7)
+        rows = []
+        for key, (a, b) in {"s1": (10.0, 0.5), "s2": (-3.0, -1.25)}.items():
+            for i in range(40):
+                v = a + b * i + float(rng.randn()) * 0.3
+                if key == "s1" and i == 25:
+                    v += 50.0  # planted departure from trend
+                rows.append((key, i, v))
+        return spark.createDataFrame(rows, "sid string, t int, v double")
+
+    def test_fit_matches_numpy(self, spark):
+        import numpy as np
+
+        from amonaly_detection_in_time_series_data_spark.operators.anomaly import (
+            trend_ols_flags,
+        )
+
+        df = self._df(spark)
+        out = trend_ols_flags(df, "v", ["sid"], order_cols=["t"]).collect()
+        pdf = df.toPandas()
+        for key in ("s1", "s2"):
+            x = pdf[pdf.sid == key].sort_values("t").t.values.astype(float)
+            y = pdf[pdf.sid == key].sort_values("t").v.values
+            b, a = np.polyfit(x, y, 1)
+            resid = y - (a + b * x)
+            s = float(np.sqrt((resid**2).sum() / (len(x) - 2)))
+            got = [r for r in out if r.sid == key][0]
+            assert got.trend_slope == pytest.approx(round(b, 6), abs=1e-5)
+            assert got.trend_intercept == pytest.approx(round(a, 6), abs=1e-4)
+            # spot-check one residual z
+            r7 = [r for r in out if r.sid == key and r.t == 7][0]
+            want_z = resid[7] / s
+            assert r7.trend_z == pytest.approx(want_z, abs=1e-4)
+
+    def test_planted_outlier_flagged_only(self, spark):
+        from amonaly_detection_in_time_series_data_spark.operators.anomaly import (
+            trend_ols_flags,
+        )
+
+        out = trend_ols_flags(
+            self._df(spark), "v", ["sid"], order_cols=["t"], threshold=3.0
+        ).collect()
+        alarms = {(r.sid, r.t) for r in out if r.trend_alarm == 1}
+        assert ("s1", 25) in alarms
+        # the clean series raises nothing
+        assert not any(sid == "s2" for sid, _ in alarms)
+
+    def test_x_col_mode_equals_index_mode_on_regular_grid(self, spark):
+        from amonaly_detection_in_time_series_data_spark.operators.anomaly import (
+            trend_ols_flags,
+        )
+
+        df = self._df(spark).withColumn("xreg", F.col("t").cast("double"))
+        a = trend_ols_flags(df, "v", ["sid"], order_cols=["t"])
+        b = trend_ols_flags(df, "v", ["sid"], x_col="xreg")
+        ka = {(r.sid, r.t): (r.trend_z, r.trend_alarm) for r in a.collect()}
+        kb = {(r.sid, r.t): (r.trend_z, r.trend_alarm) for r in b.collect()}
+        assert ka == kb
+
+    def test_degenerate_series_yield_nulls(self, spark):
+        from amonaly_detection_in_time_series_data_spark.operators.anomaly import (
+            trend_ols_flags,
+        )
+
+        rows = [("tiny", 0, 1.0), ("tiny", 1, 2.0)]  # n < 3
+        rows += [("flatx", 0, 1.0), ("flatx", 0, 2.0), ("flatx", 0, 3.0)]
+        df = spark.createDataFrame(rows, "sid string, t int, v double")
+        out = trend_ols_flags(df, "v", ["sid"], x_col="t").collect()
+        assert all(
+            r.trend_slope is None and r.trend_z is None and r.trend_alarm is None
+            for r in out
+        )
+
+    def test_x_col_mode_is_window_free(self, spark):
+        from amonaly_detection_in_time_series_data_spark.operators.anomaly import (
+            trend_ols_flags,
+        )
+
+        df = self._df(spark)
+        plan = (
+            trend_ols_flags(df, "v", ["sid"], x_col="t")
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        assert "Window" not in plan, plan
