@@ -284,26 +284,34 @@ def q_dedup_policies(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_missing_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
     # M1 (ffill) + M7 residual zero-fill, M2 (bfill), M3 (global mean),
     # M4 (exact global median) — all four strategies on the same nulled
-    # column in one pass. The two window fills share the (user_id) ->
-    # (ts, event_id) exchange; the two scalar fills share one stats
-    # aggregate + broadcast.
+    # column in one pass; + (merged r7) M9 time-weighted linear
+    # interpolation of interior nulls. The window fills share the
+    # (user_id) -> (ts, event_id) exchange; the two scalar fills share
+    # one stats aggregate + broadcast.
+    from amonaly_detection_in_time_series_data_spark.operators.missing import (
+        fill_interpolate,
+    )
+
     ev = _with_null_value(_events(spark, sf_dir)).select(
         "event_id", "user_id", "ts",
         F.col("value_n").alias("value_f"),
         F.col("value_n").alias("value_b"),
         F.col("value_n").alias("value_m"),
         F.col("value_n").alias("value_md"),
+        F.col("value_n").alias("value_i"),
     )
     out = ffill(ev, ["value_f"], KEY, ORDER)
     out = fill_zero(out, ["value_f"])  # M7 residual fill
     out = bfill(out, ["value_b"], KEY, ORDER)
     out = fill_with_strategies(out, {"value_m": "mean", "value_md": "median"})
+    out = fill_interpolate(out, ["value_i"], KEY, ORDER, ts_col="ts")
     return out.select(
         "event_id", "user_id", _ts_str("ts").alias("ts"),
         F.col("value_f").alias("value_ffill"),
         F.col("value_b").alias("value_bfill"),
         F.round("value_m", 6).alias("value_fill_mean"),
         F.round("value_md", 6).alias("value_fill_median"),
+        F.round("value_i", 6).alias("value_interp"),
     )
 
 
@@ -2343,8 +2351,22 @@ SELECT event_id, user_id, strftime(ts, '{fmt}') AS ts,
          PARTITION BY user_id ORDER BY ts, event_id
          ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS value_bfill,
        round(coalesce({value_n}, (SELECT avg({value_n}) FROM events)), 6) AS value_fill_mean,
-       round(coalesce({value_n}, (SELECT median({value_n}) FROM events)), 6) AS value_fill_median
+       round(coalesce({value_n}, (SELECT median({value_n}) FROM events)), 6) AS value_fill_median,
+       round(coalesce({value_n},
+         last_value({value_n} IGNORE NULLS) OVER wp
+         + (first_value({value_n} IGNORE NULLS) OVER wn
+            - last_value({value_n} IGNORE NULLS) OVER wp)
+           * (epoch_us(ts)
+              - last_value(CASE WHEN {value_n} IS NOT NULL THEN epoch_us(ts) END IGNORE NULLS) OVER wp)
+           / nullif(first_value(CASE WHEN {value_n} IS NOT NULL THEN epoch_us(ts) END IGNORE NULLS) OVER wn
+                    - last_value(CASE WHEN {value_n} IS NOT NULL THEN epoch_us(ts) END IGNORE NULLS) OVER wp,
+                    0)
+       ), 6) AS value_interp
 FROM events
+WINDOW wp AS (PARTITION BY user_id ORDER BY ts, event_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+       wn AS (PARTITION BY user_id ORDER BY ts, event_id
+              ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
 """
 
     sql["dropna_any"] = f"""

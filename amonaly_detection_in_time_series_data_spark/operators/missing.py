@@ -125,3 +125,63 @@ def drop_nulls(df: DataFrame, cols: Sequence[str] | None = None) -> DataFrame:
     """M6/M8: drop rows with nulls — per-column (M6,
     src/preprocessing.py:160-163) or any-column (M8, main.py:149-153)."""
     return df.na.drop(how="any", subset=list(cols) if cols else None)
+
+
+def fill_interpolate(
+    df: DataFrame,
+    cols: Sequence[str],
+    key_cols: Sequence[str],
+    order_cols: Sequence[str],
+    ts_col: str | None = None,
+) -> DataFrame:
+    """M9 (extension): per-series linear interpolation of INTERIOR
+    nulls — the missing member of the fill family (pandas
+    ``interpolate``; the reference stops at ffill/bfill/scalar fills).
+
+    ``ts_col=None`` interpolates on row position (pandas
+    ``method='linear'``); passing the timestamp column weights by time
+    (pandas ``method='time'``), the right choice on irregular grids.
+    Leading/trailing nulls have only one bound and stay NULL —
+    extrapolation is a modeling decision, not a fill (compose with
+    :func:`ffill`/:func:`bfill` when wanted). Null runs between two
+    equal x positions (duplicate timestamps) also stay NULL rather
+    than divide by zero.
+
+    Scale: two frames over the SAME ``(key, order)`` window the whole
+    feature stage already shuffles on — no extra exchange, no
+    self-join; the four bound lookups are ``last/first IGNORE NULLS``
+    over running frames, streamable by the window operator.
+    """
+    wp = _series_window(key_cols, order_cols).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    wn = _series_window(key_cols, order_cols).rowsBetween(
+        Window.currentRow, Window.unboundedFollowing
+    )
+    if ts_col is not None:
+        from pyspark.sql.types import TimestampType
+
+        dtype = df.schema[ts_col].dataType
+        if isinstance(dtype, TimestampType):
+            x = F.unix_micros(F.col(ts_col))
+        else:  # numeric regressor (epoch seconds, sensor tick, ...)
+            x = F.col(ts_col).cast("double")
+    else:
+        x = F.row_number().over(_series_window(key_cols, order_cols))
+    out = df.withColumn("__x", x)
+    updates = {}
+    for c in cols:
+        v = F.col(c)
+        prev_v = F.last(v, ignorenulls=True).over(wp)
+        prev_x = F.last(
+            F.when(v.isNotNull(), F.col("__x")), ignorenulls=True
+        ).over(wp)
+        next_v = F.first(v, ignorenulls=True).over(wn)
+        next_x = F.first(
+            F.when(v.isNotNull(), F.col("__x")), ignorenulls=True
+        ).over(wn)
+        interp = prev_v + (next_v - prev_v) * (F.col("__x") - prev_x) / (
+            F.nullif(next_x - prev_x, F.lit(0))
+        )
+        updates[c] = F.when(v.isNotNull(), v).otherwise(interp)
+    return out.withColumns(updates).drop("__x")

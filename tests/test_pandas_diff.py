@@ -234,3 +234,86 @@ class TestSequences:
         df = _series_df(spark, [1.0, 2.0])
         out = create_sequences(df, ["value"], 24, ["sid"], ["ts", "pos"])
         assert out.count() == 0
+
+
+class TestFillInterpolate:
+    """M9 linear interpolation (operators.missing.fill_interpolate) vs
+    pandas interpolate on interior points; edge/degenerate contracts."""
+
+    def test_interior_matches_pandas_position_mode(self, spark):
+        import numpy as np
+        import pandas as pd
+
+        from amonaly_detection_in_time_series_data_spark.operators.missing import (
+            fill_interpolate,
+        )
+
+        vals = [1.0, None, None, 4.0, 5.0, None, 7.0]
+        rows = [("s", i, v) for i, v in enumerate(vals)]
+        df = spark.createDataFrame(rows, "sid string, t int, v double")
+        out = {
+            r.t: r.v
+            for r in fill_interpolate(df, ["v"], ["sid"], ["t"]).collect()
+        }
+        want = pd.Series(vals, dtype="float64").interpolate(
+            method="linear", limit_area="inside"
+        )
+        for i, w in enumerate(want):
+            if np.isnan(w):
+                assert out[i] is None
+            else:
+                assert out[i] == pytest.approx(w, abs=1e-12)
+
+    def test_time_weighted_on_irregular_grid(self, spark):
+        import datetime
+
+        from amonaly_detection_in_time_series_data_spark.operators.missing import (
+            fill_interpolate,
+        )
+
+        t0 = datetime.datetime(2024, 1, 1)
+        # bounds at t=0h (v=0) and t=10h (v=10); null at t=1h -> 1.0 by
+        # time weighting (position weighting would give 5.0)
+        rows = [
+            ("s", t0, 0.0),
+            ("s", t0 + datetime.timedelta(hours=1), None),
+            ("s", t0 + datetime.timedelta(hours=10), 10.0),
+        ]
+        df = spark.createDataFrame(rows, "sid string, ts timestamp, v double")
+        out = {
+            r.ts: r.v
+            for r in fill_interpolate(
+                df, ["v"], ["sid"], ["ts"], ts_col="ts"
+            ).collect()
+        }
+        assert out[t0 + datetime.timedelta(hours=1)] == pytest.approx(1.0)
+
+    def test_edges_stay_null_and_duplicate_x_safe(self, spark):
+        from amonaly_detection_in_time_series_data_spark.operators.missing import (
+            fill_interpolate,
+        )
+
+        rows = [("s", 0, None), ("s", 1, 2.0), ("s", 2, None)]
+        df = spark.createDataFrame(rows, "sid string, t int, v double")
+        out = {r.t: r.v for r in fill_interpolate(df, ["v"], ["sid"], ["t"]).collect()}
+        assert out[0] is None and out[2] is None  # no extrapolation
+        # duplicate x positions around a null: division guarded to NULL
+        rows2 = [("s", 5, 1.0), ("s", 5, None), ("s", 5, 3.0)]
+        df2 = spark.createDataFrame(rows2, "sid string, t int, v double")
+        got = fill_interpolate(df2, ["v"], ["sid"], ["t"], ts_col="t").collect()
+        assert sum(1 for r in got if r.v is None) == 1
+
+    def test_single_exchange(self, spark):
+        from amonaly_detection_in_time_series_data_spark.operators.missing import (
+            fill_interpolate,
+        )
+
+        rows = [("s", i, float(i) if i % 3 else None) for i in range(20)]
+        df = spark.createDataFrame(rows, "sid string, t int, v double")
+        plan = (
+            fill_interpolate(df, ["v"], ["sid"], ["t"])
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        assert plan.count("Exchange hashpartitioning") == 1, plan
