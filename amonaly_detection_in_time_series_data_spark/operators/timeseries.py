@@ -303,3 +303,97 @@ def seasonal_naive_forecast(
         .withColumn("naive_mae", mae_i / scale)
         .drop("__err_i")
     )
+
+
+def xcorr_lags(
+    df: DataFrame,
+    a_col: str,
+    b_col: str,
+    key_cols: Sequence[str],
+    order_cols: Sequence[str],
+    max_lag: int = 12,
+    round_digits: int = 6,
+) -> DataFrame:
+    """Per-series lead-lag cross-correlation: Pearson corr between
+    ``a_t`` and ``b_{t-k}`` for each lag ``k`` in [0, max_lag] — the
+    classic "does signal B lead signal A by k steps?" diagnostic
+    (sensor pipelines: upstream pressure leading downstream flow;
+    market data: one book leading another). The argmax lag estimates
+    the transport delay between the two signals.
+
+    Output: one row per (key, lag) with ``xcorr`` (NULL when either
+    slice is constant or the overlap has < 3 points) and ``n_pairs``.
+
+    100 TB shape: all lags share the ONE ``(key, order)`` window
+    exchange the feature stage already pays (each lag is one more
+    ``lag()`` over the same sorted run, evaluated in a single Window
+    operator), then one (key)-grouped aggregate with map-side partial
+    ``corr`` buffers — no self-joins, no per-lag passes over the data.
+    ``max_lag`` is a plan-width knob (columns), not a scan-count knob.
+    """
+    if max_lag < 0:
+        raise ValueError(f"xcorr_lags: max_lag must be >= 0, got {max_lag}")
+    keys = list(key_cols)
+    w = Window.partitionBy(*keys).orderBy(*[F.col(c).asc() for c in order_cols])
+    lagged = df.select(
+        *keys,
+        F.col(a_col).cast("double").alias("__a"),
+        *[
+            F.lag(F.col(b_col).cast("double"), k).over(w).alias(f"__b{k}")
+            for k in range(max_lag + 1)
+        ],
+    )
+    # Pearson corr from sufficient statistics rather than F.corr: the
+    # built-in raises DIVIDE_BY_ZERO under ANSI mode when a slice is
+    # constant; this formulation NULLs the degenerate case instead.
+    # Sums are restricted to rows where BOTH sides are present (the
+    # pairwise-complete convention).
+    aggs = []
+    for k in range(max_lag + 1):
+        b = F.col(f"__b{k}")
+        both = F.col("__a").isNotNull() & b.isNotNull()
+        a_ = F.when(both, F.col("__a"))
+        b_ = F.when(both, b)
+        aggs.extend(
+            [
+                F.count(a_).cast("bigint").alias(f"__n{k}"),
+                F.sum(a_).alias(f"__sa{k}"),
+                F.sum(b_).alias(f"__sb{k}"),
+                F.sum(a_ * b_).alias(f"__sab{k}"),
+                F.sum(a_ * a_).alias(f"__saa{k}"),
+                F.sum(b_ * b_).alias(f"__sbb{k}"),
+            ]
+        )
+    stats = lagged.groupBy(*keys).agg(*aggs)
+
+    def corr_expr(k: int):
+        n = F.col(f"__n{k}").cast("double")
+        sa, sb = F.col(f"__sa{k}"), F.col(f"__sb{k}")
+        sab, saa, sbb = F.col(f"__sab{k}"), F.col(f"__saa{k}"), F.col(f"__sbb{k}")
+        cov = n * sab - sa * sb
+        va = n * saa - sa * sa
+        vb = n * sbb - sb * sb
+        denom = F.sqrt(F.when((va > 0) & (vb > 0), va * vb))
+        return F.when(
+            F.col(f"__n{k}") >= 3, F.round(cov / denom, round_digits)
+        )
+
+    per_lag = F.array(
+        *[
+            F.struct(
+                F.lit(k).cast("int").alias("lag"),
+                corr_expr(k).alias("xcorr"),
+                F.col(f"__n{k}").alias("n_pairs"),
+            )
+            for k in range(max_lag + 1)
+        ]
+    )
+    return (
+        stats.select(*keys, F.explode(per_lag).alias("__r"))
+        .select(
+            *keys,
+            F.col("__r.lag").alias("lag"),
+            F.col("__r.xcorr").alias("xcorr"),
+            F.col("__r.n_pairs").alias("n_pairs"),
+        )
+    )

@@ -2496,3 +2496,82 @@ class TestTrendOlsFlags:
             .toString()
         )
         assert "Window" not in plan, plan
+
+
+class TestXcorrLags:
+    """Lead-lag cross-correlation (operators.timeseries.xcorr_lags) vs
+    numpy on a planted-delay fixture."""
+
+    def _df(self, spark, delay=3, n=120):
+        import numpy as np
+
+        rng = np.random.RandomState(3)
+        base = rng.randn(n + delay)
+        rows = []
+        for i in range(n):
+            # b_t = base[t+delay], a_t = base[t] + noise, so
+            # a_t ~= b_{t-delay}: xcorr(a, b) peaks at lag=delay
+            rows.append(
+                ("s", i, float(base[i + delay]), float(base[i] + 0.05 * rng.randn()))
+            )
+        return spark.createDataFrame(rows, "sid string, t int, b double, a double")
+
+    def test_matches_numpy_and_peak_at_planted_delay(self, spark):
+        import numpy as np
+
+        from amonaly_detection_in_time_series_data_spark.operators.timeseries import (
+            xcorr_lags,
+        )
+
+        df = self._df(spark)
+        out = {
+            r.lag: (r.xcorr, r.n_pairs)
+            for r in xcorr_lags(df, "a", "b", ["sid"], ["t"], max_lag=6).collect()
+        }
+        pdf = df.toPandas().sort_values("t")
+        a, b = pdf.a.values, pdf.b.values
+        for k in range(7):
+            aa, bb = a[k:], b[: len(b) - k] if k else b
+            want = float(np.corrcoef(aa, bb)[0, 1])
+            got, n = out[k]
+            assert n == len(aa)
+            assert got == pytest.approx(want, abs=1e-6)
+        peak = max(out, key=lambda k: out[k][0])
+        assert peak == 3
+
+    def test_constant_slice_and_short_overlap_null(self, spark):
+        from amonaly_detection_in_time_series_data_spark.operators.timeseries import (
+            xcorr_lags,
+        )
+
+        rows = [("s", i, 1.0, float(i)) for i in range(5)]
+        df = spark.createDataFrame(rows, "sid string, t int, b double, a double")
+        out = {r.lag: r.xcorr for r in xcorr_lags(df, "a", "b", ["sid"], ["t"], max_lag=4).collect()}
+        assert all(v is None for v in out.values())  # b constant -> corr undefined
+        # overlap < 3 at lag 3 on a 4-row series
+        rows2 = [("s", i, float(i * i % 7), float(i)) for i in range(4)]
+        df2 = spark.createDataFrame(rows2, "sid string, t int, b double, a double")
+        out2 = {r.lag: r.xcorr for r in xcorr_lags(df2, "a", "b", ["sid"], ["t"], max_lag=3).collect()}
+        assert out2[3] is None
+
+    def test_single_window_exchange(self, spark):
+        from amonaly_detection_in_time_series_data_spark.operators.timeseries import (
+            xcorr_lags,
+        )
+
+        plan = (
+            xcorr_lags(self._df(spark), "a", "b", ["sid"], ["t"], max_lag=8)
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        assert plan.count("Exchange hashpartitioning") <= 2, plan
+        assert plan.count("Window") == 1, plan
+
+    def test_validation(self, spark):
+        from amonaly_detection_in_time_series_data_spark.operators.timeseries import (
+            xcorr_lags,
+        )
+
+        with pytest.raises(ValueError):
+            xcorr_lags(self._df(spark), "a", "b", ["sid"], ["t"], max_lag=-1)
