@@ -397,3 +397,93 @@ def xcorr_lags(
             F.col("__r.n_pairs").alias("n_pairs"),
         )
     )
+
+
+def acf_lags(
+    df: DataFrame,
+    value_col: str,
+    key_cols: Sequence[str],
+    order_cols: Sequence[str],
+    max_lag: int = 48,
+    round_digits: int = 6,
+) -> DataFrame:
+    """Per-series autocorrelation function: Pearson corr between the
+    series and itself shifted by ``k`` for each lag in [0, max_lag].
+
+    Convention: pairwise-Pearson over the overlapping slices (what
+    ``np.corrcoef(x[k:], x[:-k])`` computes), the same estimator
+    :func:`xcorr_lags` uses — each lag re-centers on its own slice, so
+    short series don't bias toward zero the way the fixed-mean
+    (statsmodels ``acf``) convention does. Lag 0 is 1.0 by definition
+    (emitted for completeness), constant slices NULL.
+
+    Plan shape is inherited from :func:`xcorr_lags`: ONE (key, order)
+    window exchange carries every lag column, then one grouped
+    aggregate — ``max_lag`` widens the plan, never adds a pass.
+    """
+    return xcorr_lags(
+        df,
+        a_col=value_col,
+        b_col=value_col,
+        key_cols=key_cols,
+        order_cols=order_cols,
+        max_lag=max_lag,
+        round_digits=round_digits,
+    ).withColumnRenamed("xcorr", "acf")
+
+
+def dominant_period(
+    acf: DataFrame,
+    key_cols: Sequence[str],
+    min_lag: int = 2,
+    harmonic_tol: float = 0.01,
+    acf_col: str = "acf",
+    lag_col: str = "lag",
+    n_col: str = "n_pairs",
+) -> DataFrame:
+    """Seasonality detection: per key, the dominant-period estimate from
+    the ACF — hourly data with daily seasonality lands on period 24; the
+    ``min_lag`` floor keeps the trivial lag-0/1 ridge from winning.
+
+    Raw argmax is harmonic-unstable: a period-p signal has near-equal
+    ACF at p, 2p, 3p, ... and noise decides which multiple edges ahead.
+    So every lag whose ACF is within ``harmonic_tol`` of the per-key max
+    counts as tied, and the SHORTEST tied lag wins — the fundamental,
+    not its echo. ``peak_acf`` is the ACF at the chosen lag (within tol
+    of the global max by construction).
+
+    Output: one row per key with ``period`` (NULL when no finite ACF
+    candidate exists), ``peak_acf``, and ``significant`` — Bartlett's
+    white-noise band test ``|r| > 2/sqrt(n)`` at the chosen lag.
+
+    Cost: one partition-only window (max over the per-lag rows — no
+    sort) + one grouped ``min`` over a (lag, acf, n) struct, all on the
+    already-tiny keys x lags table.
+    """
+    keys = list(key_cols)
+    ok = (F.col(lag_col) >= min_lag) & F.col(acf_col).isNotNull()
+    peak = F.max(F.when(ok, F.col(acf_col))).over(Window.partitionBy(*keys))
+    sel = ok & (F.col(acf_col) >= F.col("__peak") - F.lit(harmonic_tol))
+    cand = F.when(
+        sel,
+        F.struct(
+            F.col(lag_col).alias("lag"),
+            F.col(acf_col).alias("a"),
+            F.col(n_col).alias("n"),
+        ),
+    )
+    best = (
+        acf.withColumn("__peak", peak)
+        .groupBy(*keys)
+        .agg(F.min(cand).alias("__best"))
+    )
+    a = F.col("__best.a")
+    n = F.col("__best.n").cast("double")
+    return best.select(
+        *keys,
+        F.col("__best.lag").cast("int").alias("period"),
+        a.alias("peak_acf"),
+        F.when(a.isNotNull() & (n > 0), F.abs(a) > 2.0 / F.sqrt(n)).alias(
+            "significant"
+        ),
+    )

@@ -2568,6 +2568,108 @@ class TestXcorrLags:
         assert plan.count("Exchange hashpartitioning") <= 2, plan
         assert plan.count("Window") == 1, plan
 
+
+class TestAcfDominantPeriod:
+    """Autocorrelation + seasonality detection
+    (operators.timeseries.acf_lags / dominant_period) vs numpy on a
+    planted-period fixture."""
+
+    def _df(self, spark, period=12, n=144, noise=0.1, seed=7):
+        import math
+
+        import numpy as np
+
+        rng = np.random.RandomState(seed)
+        rows = [
+            (
+                "s",
+                i,
+                float(
+                    math.sin(2 * math.pi * i / period) + noise * rng.randn()
+                ),
+            )
+            for i in range(n)
+        ]
+        return spark.createDataFrame(rows, "sid string, t int, v double")
+
+    def test_acf_matches_numpy_and_lag0_is_one(self, spark):
+        import numpy as np
+
+        from amonaly_detection_in_time_series_data_spark.operators.timeseries import acf_lags
+
+        df = self._df(spark)
+        out = {
+            r.lag: r.acf
+            for r in acf_lags(df, "v", ["sid"], ["t"], max_lag=15).collect()
+        }
+        v = np.array(sorted(df.collect(), key=lambda r: r.t), dtype=object)
+        x = np.array([float(r[2]) for r in v])
+        assert out[0] == pytest.approx(1.0, abs=1e-9)
+        for k in range(1, 16):
+            want = float(np.corrcoef(x[k:], x[:-k])[0, 1])
+            assert out[k] == pytest.approx(want, abs=1e-6), k
+
+    def test_dominant_period_recovers_planted_seasonality(self, spark):
+        from amonaly_detection_in_time_series_data_spark.operators.timeseries import (
+            acf_lags,
+            dominant_period,
+        )
+
+        acf = acf_lags(self._df(spark, period=12), "v", ["sid"], ["t"], max_lag=30)
+        row = dominant_period(acf, ["sid"]).collect()[0]
+        assert row.period == 12
+        assert row.peak_acf > 0.8
+        assert row.significant is True
+
+    def test_white_noise_not_significant(self, spark):
+        import numpy as np
+
+        from amonaly_detection_in_time_series_data_spark.operators.timeseries import (
+            acf_lags,
+            dominant_period,
+        )
+
+        rng = np.random.RandomState(11)
+        rows = [("w", i, float(rng.randn())) for i in range(400)]
+        df = spark.createDataFrame(rows, "sid string, t int, v double")
+        acf = acf_lags(df, "v", ["sid"], ["t"], max_lag=24)
+        row = dominant_period(acf, ["sid"]).collect()[0]
+        # Some lag always wins argmax; on white noise it must sit inside
+        # (or graze) Bartlett's 2/sqrt(n) band rather than scream seasonality.
+        assert abs(row.peak_acf) < 4.0 / (400 ** 0.5)
+
+    def test_constant_series_null_period(self, spark):
+        from amonaly_detection_in_time_series_data_spark.operators.timeseries import (
+            acf_lags,
+            dominant_period,
+        )
+
+        df = spark.createDataFrame(
+            [("c", i, 5.0) for i in range(50)], "sid string, t int, v double"
+        )
+        row = dominant_period(
+            acf_lags(df, "v", ["sid"], ["t"], max_lag=10), ["sid"]
+        ).collect()[0]
+        assert row.period is None and row.peak_acf is None
+
+    def test_single_window_exchange(self, spark):
+        from amonaly_detection_in_time_series_data_spark.operators.timeseries import (
+            acf_lags,
+            dominant_period,
+        )
+
+        plan = (
+            dominant_period(
+                acf_lags(self._df(spark), "v", ["sid"], ["t"], max_lag=24), ["sid"]
+            )
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        # one ordered window over the raw rows (all lags share it) plus
+        # the partition-only max over the tiny per-lag table — nothing more
+        assert plan.count("Window") <= 2, plan
+
     def test_validation(self, spark):
         from amonaly_detection_in_time_series_data_spark.operators.timeseries import (
             xcorr_lags,
