@@ -253,6 +253,96 @@ class TestSnapshots:
         assert mid[1] == (1, "new5")
         assert 5 not in mid and 9 in mid
 
+    def test_snapshot_diff_keyed_and_positional(self, spark, tmp_path):
+        from amonaly_detection_in_time_series_data_spark.operators.snapshots import snapshot_diff
+
+        table = str(tmp_path / "t")
+        snapshot_commit(
+            spark,
+            table,
+            spark.createDataFrame(_base_rows(), SCHEMA),
+            partition_col="p",
+        )
+        snapshot_merge(
+            spark,
+            table,
+            spark.createDataFrame(CHANGES, CHANGES_SCHEMA),
+            keys=["k"],
+            seq_col="seq",
+            delete_col="deleted",
+        )
+
+        d = snapshot_diff(spark, table, 1, 2, keys=["k"])
+        # only partitions 1 and 2 were touched: their v1 files are the
+        # removed set, their rewrites the added set, p=0/p=3 carried
+        assert d["carried_files"] > 0
+        assert d["removed_files"] > 0 and d["added_files"] > 0
+        got = {
+            r["k"]: (r["__change"], r["p"], r["v"]) for r in d["rows"].collect()
+        }
+        # exactly the 5 net changes; rewritten-but-identical rows in the
+        # touched partitions (e.g. k=13 in p=1) must NOT appear
+        assert got == {
+            1: ("update", 1, "new9"),
+            2: ("update", 2, "upd2"),
+            5: ("delete", 1, "base_5"),
+            9: ("delete", 1, "base_9"),
+            101: ("insert", 1, "ins101"),
+        }
+
+        # positional mode: an update splits into delete(pre) + insert(post)
+        pos = snapshot_diff(spark, table, 1, 2)["rows"]
+        by_change = {
+            (r["__change"], r["k"]): r["v"] for r in pos.collect()
+        }
+        assert by_change[("delete", 1)] == "base_1"
+        assert by_change[("insert", 1)] == "new9"
+        n_ins = sum(1 for c, _ in by_change if c == "insert")
+        n_del = sum(1 for c, _ in by_change if c == "delete")
+        assert (n_ins, n_del) == (3, 4)
+
+    def test_snapshot_diff_identity_and_compaction_are_empty(
+        self, spark, tmp_path
+    ):
+        from amonaly_detection_in_time_series_data_spark.operators.snapshots import snapshot_diff
+
+        table = str(tmp_path / "t")
+        df = spark.createDataFrame(_base_rows(), SCHEMA)
+        snapshot_commit(spark, table, df, partition_col="p")
+        d = snapshot_diff(spark, table, 1, 1, keys=["k"])
+        assert d["rows"].count() == 0
+        assert d["added_files"] == d["removed_files"] == 0
+
+        # a physical rewrite with identical content (compaction shape):
+        # every file changes, no row change survives the keyed diff
+        snapshot_commit(
+            spark, table, df.repartition(1), partition_col="p"
+        )
+        d2 = snapshot_diff(spark, table, 1, 2, keys=["k"])
+        assert d2["removed_files"] > 0 and d2["added_files"] > 0
+        assert d2["rows"].count() == 0
+
+    def test_snapshot_diff_append_only_nonpartitioned(self, spark, tmp_path):
+        from amonaly_detection_in_time_series_data_spark.operators.snapshots import snapshot_diff
+
+        table = str(tmp_path / "t")
+        snapshot_commit(
+            spark, table, spark.createDataFrame([(1, 0, "a")], SCHEMA)
+        )
+        snapshot_commit(
+            spark,
+            table,
+            spark.createDataFrame([(2, 0, "b")], SCHEMA),
+            mode="append",
+        )
+        d = snapshot_diff(spark, table, 1, keys=["k"])  # to latest
+        assert d["to_version"] == 2
+        assert d["carried_files"] > 0 and d["removed_files"] == 0
+        rows = d["rows"].collect()
+        assert [(r["__change"], r["k"]) for r in rows] == [("insert", 2)]
+        with pytest.raises(ValueError, match="keys not in table"):
+            snapshot_diff(spark, table, 1, 2, keys=["nope"])
+
     def test_partition_col_mismatch_and_missing_table(self, spark, tmp_path):
         table = str(tmp_path / "t")
         snapshot_commit(
