@@ -1835,6 +1835,99 @@ class TestConnectedComponents:
         assert out == {2: 1, 5: 0, 9: 0, 7: 1, 8: 0}
 
 
+class TestPageRank:
+    """operators.graph.pagerank vs a numpy power-iteration reference
+    with identical dangling-mass handling."""
+
+    @staticmethod
+    def _np_pagerank(n, edges, d=0.85, tol=1e-12):
+        import numpy as np
+
+        out_w: dict = {}
+        for s, _, w in edges:
+            out_w[s] = out_w.get(s, 0.0) + w
+        M = np.zeros((n, n))
+        for s, t, w in edges:
+            M[t, s] += w / out_w[s]
+        dangling = [i for i in range(n) if i not in out_w]
+        r = np.ones(n) / n
+        for _ in range(500):
+            new = (1 - d) / n + d * (M @ r + r[dangling].sum() / n)
+            if np.abs(new - r).sum() < tol:
+                return new
+            r = new
+        return r
+
+    def test_cycle_is_uniform_and_sums_to_one(self, spark):
+        from amonaly_detection_in_time_series_data_spark.operators.graph import pagerank
+
+        df = spark.createDataFrame(
+            [(0, 1), (1, 2), (2, 0)], "src long, dst long"
+        )
+        got = {r["node"]: r["rank"] for r in pagerank(df).collect()}
+        for v in got.values():
+            assert v == pytest.approx(1 / 3, abs=1e-6)
+
+    def test_matches_numpy_with_dangling_and_isolated(self, spark):
+        from amonaly_detection_in_time_series_data_spark.operators.graph import pagerank
+
+        # 0,1,2 -> 3 (a hub), 3 dangling, 4 isolated
+        edges = [(0, 3), (1, 3), (2, 3), (0, 1)]
+        df = spark.createDataFrame(edges, "src long, dst long")
+        ndf = spark.createDataFrame([(i,) for i in range(5)], "id long")
+        got = {
+            r["node"]: r["rank"]
+            for r in pagerank(
+                df, nodes=ndf, node_col="id", damping=0.5, tol=1e-10, max_iter=60
+            ).collect()
+        }
+        want = self._np_pagerank(5, [(s, t, 1.0) for s, t in edges], d=0.5)
+        assert set(got) == set(range(5))
+        for i in range(5):
+            assert got[i] == pytest.approx(float(want[i]), abs=1e-6), i
+        assert sum(got.values()) == pytest.approx(1.0, abs=1e-8)
+        assert got[3] == max(got.values())  # the hub wins
+
+    def test_weighted_edges_fold_and_flow_proportionally(self, spark):
+        from amonaly_detection_in_time_series_data_spark.operators.graph import pagerank
+
+        # parallel (0,1) edges fold to weight 3; 0 also points at 2 with 1
+        rows = [(0, 1, 2.0), (0, 1, 1.0), (0, 2, 1.0), (1, 0, 1.0), (2, 0, 1.0)]
+        df = spark.createDataFrame(rows, "src long, dst long, w double")
+        got = {
+            r["node"]: r["rank"]
+            for r in pagerank(df, weight_col="w", damping=0.5, tol=1e-10, max_iter=60).collect()
+        }
+        want = self._np_pagerank(
+            3, [(0, 1, 3.0), (0, 2, 1.0), (1, 0, 1.0), (2, 0, 1.0)], d=0.5
+        )
+        for i in range(3):
+            assert got[i] == pytest.approx(float(want[i]), abs=1e-6), i
+
+    def test_duplicate_unweighted_edges_collapse(self, spark):
+        from amonaly_detection_in_time_series_data_spark.operators.graph import pagerank
+
+        df1 = spark.createDataFrame(
+            [(0, 1), (0, 1), (0, 2), (1, 0), (2, 0)], "src long, dst long"
+        )
+        df2 = spark.createDataFrame(
+            [(0, 1), (0, 2), (1, 0), (2, 0)], "src long, dst long"
+        )
+        g1 = {r["node"]: r["rank"] for r in pagerank(df1, damping=0.5, tol=1e-9, max_iter=60).collect()}
+        g2 = {r["node"]: r["rank"] for r in pagerank(df2, damping=0.5, tol=1e-9, max_iter=60).collect()}
+        for i in range(3):
+            assert g1[i] == pytest.approx(g2[i], abs=1e-7)
+
+    def test_bad_damping_raises(self, spark):
+        import pytest as _pytest
+
+        from amonaly_detection_in_time_series_data_spark.operators.graph import pagerank
+
+        df = spark.createDataFrame([(0, 1)], "src long, dst long")
+        with _pytest.raises(ValueError, match="damping"):
+            pagerank(df, damping=1.0)
+
+
 class TestProductQuantization:
     """operators.pq — PQ codebooks, Catalyst encode, ADC search."""
 
