@@ -1047,3 +1047,98 @@ class TestWeightedSample:
         assert {r["doc_id"] for r in out.collect()} == {1}
         plan = out._jdf.queryExecution().executedPlan().toString()
         assert "TakeOrderedAndProject" in plan, plan
+
+
+class TestBPE:
+    """operators.bpe — the Sennrich et al. (2016) fixture where the
+    merge sequence is hand-computable, plus the GPT-2 apply loop."""
+
+    def _df(self, spark):
+        # word frequencies: low x5, lower x2, newest x6, widest x3 —
+        # spread across rows to prove counting is corpus-wide
+        words = ["low"] * 5 + ["lower"] * 2 + ["newest"] * 6 + ["widest"] * 3
+        rows = [(i, " ".join(words[i::3])) for i in range(3)]
+        return spark.createDataFrame(rows, "doc_id int, text string")
+
+    def test_train_recovers_canonical_merge_sequence(self, spark):
+        from amonaly_detection_in_time_series_data_spark.operators.bpe import (
+            bpe_word_freq,
+            train_bpe,
+        )
+
+        wf = bpe_word_freq(self._df(spark), min_freq=1)
+        freqs = {r["word"]: r["freq"] for r in wf.collect()}
+        assert freqs == {"low": 5, "lower": 2, "newest": 6, "widest": 3}
+        merges = train_bpe(wf, n_merges=5)
+        assert merges == [
+            ("e", "s"),
+            ("es", "t"),
+            ("est", "</w>"),
+            ("l", "o"),
+            ("lo", "w"),
+        ]
+
+    def test_train_is_partition_invariant(self, spark):
+        from amonaly_detection_in_time_series_data_spark.operators.bpe import (
+            bpe_word_freq,
+            train_bpe,
+        )
+
+        df = self._df(spark)
+        m1 = train_bpe(bpe_word_freq(df, min_freq=1), n_merges=8)
+        m2 = train_bpe(bpe_word_freq(df.repartition(7), min_freq=1), n_merges=8)
+        assert m1 == m2
+
+    def test_encode_lowest_and_unknown_word(self, spark):
+        from amonaly_detection_in_time_series_data_spark.operators.bpe import (
+            bpe_encode,
+            bpe_word_freq,
+            train_bpe,
+        )
+
+        merges = train_bpe(bpe_word_freq(self._df(spark), min_freq=1), 5)
+        df = spark.createDataFrame(
+            [(1, "lowest"), (2, "xyz"), (3, None)], "id int, text string"
+        )
+        out = {
+            r["id"]: (list(r["bpe_tokens"]), r["n_bpe_tokens"])
+            for r in bpe_encode(df, merges).collect()
+        }
+        # the canonical segmentation from the paper's example
+        assert out[1] == (["low", "est</w>"], 2)
+        assert out[2] == (["x", "y", "z", "</w>"], 4)
+        assert out[3] == ([], 0)
+
+    def test_count_only_path_matches_token_path(self, spark):
+        from amonaly_detection_in_time_series_data_spark.operators.bpe import (
+            bpe_encode,
+            bpe_word_freq,
+            train_bpe,
+        )
+
+        df = self._df(spark)
+        merges = train_bpe(bpe_word_freq(df, min_freq=1), 5)
+        with_tokens = {
+            r["doc_id"]: r["n_bpe_tokens"]
+            for r in bpe_encode(df, merges).collect()
+        }
+        count_only = bpe_encode(df, merges, emit_tokens=False)
+        assert "bpe_tokens" not in count_only.columns
+        got = {r["doc_id"]: r["n_bpe_tokens"] for r in count_only.collect()}
+        assert got == with_tokens
+
+    def test_roundtrip_reconstruction(self, spark):
+        import re as _re
+
+        from amonaly_detection_in_time_series_data_spark.operators.bpe import (
+            WORD_PATTERN,
+            bpe_encode,
+            bpe_word_freq,
+            train_bpe,
+        )
+
+        df = self._df(spark)
+        merges = train_bpe(bpe_word_freq(df, min_freq=1), 8)
+        for r in bpe_encode(df, merges).collect():
+            rebuilt = "".join(r["bpe_tokens"]).replace("</w>", " ").split()
+            assert rebuilt == _re.findall(WORD_PATTERN, r["text"].lower())
