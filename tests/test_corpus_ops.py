@@ -1142,3 +1142,75 @@ class TestBPE:
         for r in bpe_encode(df, merges).collect():
             rebuilt = "".join(r["bpe_tokens"]).replace("</w>", " ").split()
             assert rebuilt == _re.findall(WORD_PATTERN, r["text"].lower())
+
+
+class TestUrlFunctions:
+    """functions.url — parse/normalize/domain-filter for web curation."""
+
+    def test_parts_and_registrable_domain(self, spark):
+        from amonaly_detection_in_time_series_data_spark.functions.url import url_parts
+
+        df = spark.createDataFrame(
+            [
+                (1, "https://Blog.Example.COM:443/a/b?x=1"),
+                (2, "http://sub.example.co.uk/path"),
+                (3, "not a url"),
+            ],
+            "id int, url string",
+        )
+        got = {
+            r["id"]: (r["host"], r["domain"], r["path"])
+            for r in url_parts(df).collect()
+        }
+        assert got[1] == ("blog.example.com", "example.com", "/a/b")
+        # documented heuristic: last-two-labels, NOT a PSL lookup
+        assert got[2] == ("sub.example.co.uk", "co.uk", "/path")
+        assert got[3][0] in (None, "")
+
+    def test_normalize_idempotent_and_strips_noise(self, spark):
+        from amonaly_detection_in_time_series_data_spark.functions.url import url_normalize
+
+        rows = [
+            (1, "HTTPS://Example.com:443/Path/?utm_source=x&a=1#frag"),
+            (2, "https://example.com/Path/?a=1"),
+            (3, "http://example.com:80/"),
+            (4, "https://example.com/?utm_campaign=z"),
+        ]
+        df = spark.createDataFrame(rows, "id int, url string")
+        out = df.select("id", url_normalize("url").alias("n"))
+        got = {r["id"]: r["n"] for r in out.collect()}
+        assert got[1] == "https://example.com/Path/?a=1"
+        assert got[2] == "https://example.com/Path/?a=1"
+        assert got[3] == "http://example.com"
+        assert got[4] == "https://example.com"
+        # idempotent: normalizing the normalized form changes nothing
+        again = {
+            r["id"]: r["n2"]
+            for r in out.select(
+                "id", url_normalize("n").alias("n2")
+            ).collect()
+        }
+        assert again == got
+
+    def test_domain_filter_block_allow_and_broadcast_plan(self, spark):
+        from amonaly_detection_in_time_series_data_spark.functions.url import domain_filter
+
+        df = spark.createDataFrame(
+            [
+                (1, "https://spamfarm.biz/x"),
+                (2, "https://docs.example.com/y"),
+                (3, "https://news.example.org/z"),
+            ],
+            "id int, url string",
+        )
+        bl = spark.createDataFrame([("SpamFarm.biz",)], "domain string")
+        blocked = domain_filter(df, bl, mode="block")
+        assert sorted(r["id"] for r in blocked.collect()) == [2, 3]
+        allowed = domain_filter(df, bl, mode="allow")
+        assert [r["id"] for r in allowed.collect()] == [1]
+        plan = (
+            blocked._jdf.queryExecution().executedPlan().toString()
+        )
+        assert "BroadcastHashJoin" in plan and "LeftAnti" in plan, plan
+        with pytest.raises(ValueError, match="unknown mode"):
+            domain_filter(df, bl, mode="nope")
