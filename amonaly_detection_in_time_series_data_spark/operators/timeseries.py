@@ -487,3 +487,115 @@ def dominant_period(
             "significant"
         ),
     )
+
+
+def holt_winters(
+    df: DataFrame,
+    ts_col: str,
+    value_col: str,
+    series_cols: Sequence[str],
+    season_rows: int = 24,
+    alpha: float = 0.2,
+    beta: float = 0.05,
+    gamma: float = 0.1,
+    horizon: int = 0,
+) -> DataFrame:
+    """Additive Holt-Winters (triple exponential smoothing, Winters
+    1960; recursions as in Hyndman & Athanasopoulos FPP ch. 8) — the
+    step up from :func:`seasonal_naive_forecast` when a series carries
+    trend as well as seasonality.
+
+    Per row (in-sample): ``hw_forecast`` — the ONE-STEP-AHEAD forecast
+    ``l_{t-1} + b_{t-1} + s_{t-m}`` (null across the first-season init
+    region), ``abs_err``, and ``hw_mae`` (expanding backtest mean, the
+    number a monitoring job compares against ``naive_mae``). With
+    ``horizon=h``, each series additionally emits ``h`` future rows
+    (``is_future=true``, ``value`` null) at the grid step inferred from
+    the series: ``l_n + k*b_n + s_{n+k-m}``.
+
+    Initialization (classic): level = mean of season 1, trend =
+    (mean season 2 - mean season 1)/m, seasonals = season-1 residuals
+    vs the level. Series shorter than ``2*season_rows`` come back with
+    null forecasts and no future rows (not enough data to initialize —
+    explicit, never extrapolated from garbage).
+
+    Input contract: a REGULAR, null-free grid per series (compose after
+    :func:`resample_grid` + a fill operator); a null value raises.
+
+    Execution: the recursion is inherently sequential per series — the
+    one shape Catalyst genuinely can't express — so it runs as numpy
+    inside ONE Arrow-batched ``applyInPandas`` per series group
+    (engine-design rule: Python only where built-ins can't go).
+    Parallelism comes from series count, the same axis every other
+    per-key operator here scales on; state is O(season_rows) per series
+    regardless of length.
+    """
+    if season_rows < 2:
+        raise ValueError(f"holt_winters: season_rows must be >= 2, got {season_rows}")
+    if horizon < 0:
+        raise ValueError(f"holt_winters: horizon must be >= 0, got {horizon}")
+    for p, v in (("alpha", alpha), ("beta", beta), ("gamma", gamma)):
+        if not 0.0 < v < 1.0:
+            raise ValueError(f"holt_winters: {p} must be in (0,1), got {v}")
+    keys = list(series_cols)
+    ts_field = df.schema[ts_col]
+    val_field = df.schema[value_col]
+    out_schema = (
+        ", ".join(f"`{k}` {df.schema[k].dataType.simpleString()}" for k in keys)
+        + f", `{ts_col}` {ts_field.dataType.simpleString()}"
+        + f", `{value_col}` {val_field.dataType.simpleString()}"
+        + ", hw_forecast double, abs_err double, hw_mae double,"
+        + " is_future boolean"
+    )
+    m, h = season_rows, horizon
+    a, b_, g = float(alpha), float(beta), float(gamma)
+
+    def fit(pdf):
+        import numpy as np
+        import pandas as pd
+
+        pdf = pdf.sort_values(ts_col).reset_index(drop=True)
+        y = pdf[value_col].to_numpy(dtype="float64")
+        n = len(y)
+        if np.isnan(y).any():
+            raise ValueError(
+                "holt_winters: null values in series — fill the grid first"
+            )
+        fc = np.full(n, np.nan)
+        if n >= 2 * m:
+            level = y[:m].mean()
+            trend = (y[m : 2 * m].mean() - y[:m].mean()) / m
+            seas = y[:m] - level
+            for t in range(m, n):
+                fc[t] = level + trend + seas[t % m]
+                prev_level = level
+                level = a * (y[t] - seas[t % m]) + (1 - a) * (level + trend)
+                trend = b_ * (level - prev_level) + (1 - b_) * trend
+                seas[t % m] = g * (y[t] - prev_level - trend) + (1 - g) * seas[t % m]
+        err = np.abs(y - fc)
+        with np.errstate(invalid="ignore"):
+            mae = (
+                pd.Series(err).expanding().mean().to_numpy()
+            )  # nan until the first finite err, matching naive_mae's nulls
+        out = pdf[keys + [ts_col, value_col]].copy()
+        out["hw_forecast"] = fc
+        out["abs_err"] = err
+        out["hw_mae"] = mae
+        out["is_future"] = False
+        if h > 0 and n >= 2 * m:
+            step = pdf[ts_col].iloc[1] - pdf[ts_col].iloc[0]
+            fut = {k: [pdf[k].iloc[0]] * h for k in keys}
+            fut[ts_col] = [pdf[ts_col].iloc[-1] + step * k for k in range(1, h + 1)]
+            fut[value_col] = [None] * h
+            fut["hw_forecast"] = [
+                level + k * trend + seas[(n + k - 1) % m] for k in range(1, h + 1)
+            ]
+            fut["abs_err"] = [None] * h
+            fut["hw_mae"] = [None] * h
+            fut["is_future"] = [True] * h
+            out = pd.concat([out, pd.DataFrame(fut)], ignore_index=True)
+        return out
+
+    return df.select(*keys, ts_col, value_col).groupBy(*keys).applyInPandas(
+        fit, out_schema
+    )

@@ -2770,3 +2770,110 @@ class TestAcfDominantPeriod:
 
         with pytest.raises(ValueError):
             xcorr_lags(self._df(spark), "a", "b", ["sid"], ["t"], max_lag=-1)
+
+
+class TestHoltWinters:
+    """operators.timeseries.holt_winters — hand-computed recursion pin,
+    perfect-series convergence, and the beats-naive backtest contract."""
+
+    def test_hand_computed_recursion_m2(self, spark):
+        from amonaly_detection_in_time_series_data_spark.operators.timeseries import holt_winters
+
+        rows = [("s", i, float(i + 1)) for i in range(6)]  # y = 1..6
+        df = spark.createDataFrame(rows, "sid string, t int, v double")
+        out = holt_winters(
+            df, "t", "v", ["sid"], season_rows=2,
+            alpha=0.5, beta=0.5, gamma=0.5, horizon=2,
+        ).collect()
+        insample = {r["t"]: r["hw_forecast"] for r in out if not r["is_future"]}
+        # init region (t=0,1) has no forecast
+        assert insample[0] is None and insample[1] is None
+        # hand-run of the FPP additive recursions with a=b=g=0.5:
+        # init level=1.5, trend=1.0, seas=[-0.5, 0.5]
+        assert insample[2] == pytest.approx(2.0, abs=1e-12)
+        assert insample[3] == pytest.approx(4.75, abs=1e-12)
+        assert insample[4] == pytest.approx(4.8125, abs=1e-12)
+        assert insample[5] == pytest.approx(6.359375, abs=1e-12)
+        fut = sorted(
+            (r["t"], r["hw_forecast"]) for r in out if r["is_future"]
+        )
+        assert fut[0] == (6, pytest.approx(6.92578125, abs=1e-12))
+        assert fut[1] == (7, pytest.approx(8.083984375, abs=1e-12))
+        # future rows carry null value and null backtest columns
+        f = [r for r in out if r["is_future"]][0]
+        assert f["v"] is None and f["abs_err"] is None and f["hw_mae"] is None
+
+    def test_perfect_additive_series_converges_and_extrapolates(self, spark):
+        from amonaly_detection_in_time_series_data_spark.operators.timeseries import holt_winters
+
+        seas = [2.0, -1.0, -3.0, 2.0]
+        truth = lambda t: 10.0 + 0.5 * t + seas[t % 4]
+        rows = [("s", t, truth(t)) for t in range(48)]
+        df = spark.createDataFrame(rows, "sid string, t int, v double")
+        out = holt_winters(
+            df, "t", "v", ["sid"], season_rows=4,
+            alpha=0.3, beta=0.1, gamma=0.3, horizon=4,
+        ).collect()
+        tail = [
+            r["abs_err"] for r in out if not r["is_future"] and r["t"] >= 44
+        ]
+        assert all(e < 0.15 for e in tail), tail
+        for r in out:
+            if r["is_future"]:
+                assert r["hw_forecast"] == pytest.approx(
+                    truth(r["t"]), abs=0.3
+                ), r["t"]
+
+    def test_beats_seasonal_naive_on_trend(self, spark):
+        from amonaly_detection_in_time_series_data_spark.operators.timeseries import (
+            holt_winters,
+            seasonal_naive_forecast,
+        )
+
+        seas = [5.0, 0.0, -5.0, 0.0]
+        rows = [
+            ("s", t, 100.0 + 2.0 * t + seas[t % 4]) for t in range(60)
+        ]
+        df = spark.createDataFrame(rows, "sid string, t int, v double")
+        hw = holt_winters(df, "t", "v", ["sid"], season_rows=4).collect()
+        nv = seasonal_naive_forecast(df, "t", "v", ["sid"], season_rows=4).collect()
+        hw_final = max((r for r in hw), key=lambda r: r["t"])["hw_mae"]
+        nv_final = max((r for r in nv), key=lambda r: r["t"])["naive_mae"]
+        # naive lags the trend by a full season (error ~= m*slope = 8);
+        # HW learns the trend
+        assert nv_final > 6.0
+        assert hw_final < nv_final / 2
+
+    def test_multi_series_and_short_series(self, spark):
+        from amonaly_detection_in_time_series_data_spark.operators.timeseries import holt_winters
+
+        rows = [("a", i, float(i + 1)) for i in range(6)] + [
+            ("b", i, 7.0) for i in range(3)  # < 2*m: too short
+        ]
+        df = spark.createDataFrame(rows, "sid string, t int, v double")
+        out = holt_winters(
+            df, "t", "v", ["sid"], season_rows=2,
+            alpha=0.5, beta=0.5, gamma=0.5, horizon=2,
+        ).collect()
+        a = [r for r in out if r["sid"] == "a"]
+        b = [r for r in out if r["sid"] == "b"]
+        # series a matches the single-series run exactly (independence)
+        ins = {r["t"]: r["hw_forecast"] for r in a if not r["is_future"]}
+        assert ins[5] == pytest.approx(6.359375, abs=1e-12)
+        # short series: rows preserved, all-null forecasts, no future rows
+        assert len(b) == 3
+        assert all(r["hw_forecast"] is None and not r["is_future"] for r in b)
+
+    def test_null_value_raises_and_param_validation(self, spark):
+        from amonaly_detection_in_time_series_data_spark.operators.timeseries import holt_winters
+
+        df = spark.createDataFrame(
+            [("s", 0, 1.0), ("s", 1, None), ("s", 2, 3.0), ("s", 3, 4.0)],
+            "sid string, t int, v double",
+        )
+        with pytest.raises(Exception, match="fill the grid"):
+            holt_winters(df, "t", "v", ["sid"], season_rows=2).collect()
+        with pytest.raises(ValueError, match="alpha"):
+            holt_winters(df, "t", "v", ["sid"], season_rows=2, alpha=1.0)
+        with pytest.raises(ValueError, match="season_rows"):
+            holt_winters(df, "t", "v", ["sid"], season_rows=1)
