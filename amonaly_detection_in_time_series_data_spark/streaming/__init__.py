@@ -4,6 +4,7 @@ from .rolling import (
     sessionized_stats,
     streaming_dedup,
     streaming_enrich,
+    streaming_ewma_deviation,
     streaming_page_hinkley,
     streaming_windowed_stats,
     streaming_zscore_flags,
@@ -16,6 +17,7 @@ __all__ = [
     "sessionized_stats",
     "streaming_zscore_flags",
     "streaming_page_hinkley",
+    "streaming_ewma_deviation",
     "streaming_dedup",
     "streaming_enrich",
     "interval_join",

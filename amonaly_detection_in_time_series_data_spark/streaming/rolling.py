@@ -336,6 +336,112 @@ def streaming_page_hinkley(
     )
 
 
+def streaming_ewma_deviation(
+    events: DataFrame,
+    window_rows: int = 8,
+    alpha: float = 0.5,
+    threshold: float = 3.0,
+    timeout_minutes: int | None = 60,
+) -> DataFrame:
+    """Online EWMA control chart per user — the streaming face of
+    :func:`operators.anomaly.ewma_deviation`, completing the streaming
+    detector battery (z-score, Page-Hinkley, EWMA).
+
+    State = the last ``window_rows`` values per key (same bounded deque
+    as the z-score twin; the batch operator truncates the EWMA for
+    exactly this reason — bounded state is what a stream must hold).
+    Each row is scored against state THEN appended, reproducing the
+    batch past-only [t-w, t-1] frame for in-order arrival. The weighted
+    sum accumulates most-recent-first with the same ``(1-alpha)^lag``
+    literals as the batch flat-codegen form, so parity holds to float
+    summation order (replay-asserted at rel 1e-6, the z-score twin's
+    contract).
+    """
+    import pandas as pd  # noqa: F401
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    out_schema = (
+        "user_id bigint, event_id bigint, ts timestamp, value double, "
+        "ewma double, ewma_dev double, ewma_alarm int"
+    )
+    state_schema = "values array<double>"
+
+    def score(key, pdf_iter, state):
+        import math
+
+        import pandas as pd
+
+        if state.hasTimedOut:
+            state.remove()
+            return
+
+        (user_id,) = key
+        buf = list(state.get[0]) if state.exists else []
+        rows = []
+        for pdf in pdf_iter:
+            pdf = pdf.sort_values(["ts", "event_id"])
+            for _, r in pdf.iterrows():
+                hist = buf[-window_rows:]
+                n = len(hist)
+                num = den = 0.0
+                for j, x in enumerate(reversed(hist), start=1):
+                    wt = (1.0 - alpha) ** (j - 1)
+                    num += x * wt
+                    den += wt
+                ewma = num / den if den > 0 else None
+                if n >= 2:
+                    mu = sum(hist) / n
+                    var = sum((x - mu) ** 2 for x in hist) / (n - 1)
+                    rstd = math.sqrt(var)
+                else:
+                    rstd = None
+                v = float(r["value"]) if r["value"] is not None else None
+                # batch contract: ewma_dev is the rstd-NORMALIZED
+                # deviation, NULL when no ewma or zero/undefined spread
+                dev = (
+                    (v - ewma) / rstd
+                    if (
+                        v is not None
+                        and ewma is not None
+                        and rstd is not None
+                        and rstd != 0.0
+                    )
+                    else None
+                )
+                alarm = int(dev is not None and abs(dev) > threshold)
+                rows.append(
+                    (user_id, int(r["event_id"]), r["ts"], v, ewma, dev, alarm)
+                )
+                if v is not None:
+                    buf.append(v)
+        state.update((buf[-window_rows:],))
+        if timeout_minutes is not None:
+            state.setTimeoutDuration(timeout_minutes * 60 * 1000)
+        yield pd.DataFrame(
+            rows,
+            columns=[
+                "user_id", "event_id", "ts", "value",
+                "ewma", "ewma_dev", "ewma_alarm",
+            ],
+        )
+
+    return (
+        events.withWatermark("ts", "2 hours")
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            score,
+            outputStructType=out_schema,
+            stateStructType=state_schema,
+            outputMode="append",
+            timeoutConf=(
+                GroupStateTimeout.ProcessingTimeTimeout
+                if timeout_minutes is not None
+                else GroupStateTimeout.NoTimeout
+            ),
+        )
+    )
+
+
 def streaming_dedup(
     events: DataFrame, key_cols=("event_id",), watermark: str = "2 hours"
 ) -> DataFrame:

@@ -153,6 +153,45 @@ class TestStreamingParity:
                 assert sz == pytest.approx(z, rel=1e-6), eid
             assert sflag == flag, eid
 
+    def test_stateful_ewma_matches_batch(self, spark, sf_dir):
+        """Streaming EWMA control chart == batch ewma_deviation on full
+        replay (rel 1e-6 — float summation order is the only slack;
+        alarms exactly equal), completing the streaming battery."""
+        from amonaly_detection_in_time_series_data_spark.operators.anomaly import ewma_deviation
+        from amonaly_detection_in_time_series_data_spark.streaming.rolling import (
+            streaming_ewma_deviation,
+        )
+
+        stream = replay_events_stream(spark, sf_dir)
+        out = streaming_ewma_deviation(
+            stream, window_rows=8, alpha=0.5, timeout_minutes=None
+        )
+        _run_stream_to_memory(out, "ewma_flags", "append")
+        streamed = {
+            r["event_id"]: (r["ewma"], r["ewma_dev"], r["ewma_alarm"])
+            for r in spark.sql("SELECT * FROM ewma_flags").collect()
+        }
+
+        ev = load_table(spark, sf_dir, "events")
+        batch = ewma_deviation(
+            ev, "value", 8, ["user_id"], ["ts", "event_id"], alpha=0.5
+        )
+        expected = {
+            r["event_id"]: (r["ewma"], r["ewma_dev"], r["ewma_alarm"])
+            for r in batch.collect()
+        }
+        assert len(streamed) == len(expected) > 0
+        for eid, (ew, dev, alarm) in expected.items():
+            sew, sdev, salarm = streamed[eid]
+            for want, got in ((ew, sew), (dev, sdev)):
+                if want is None:
+                    assert got is None or (
+                        isinstance(got, float) and math.isnan(got)
+                    ), eid
+                else:
+                    assert got == pytest.approx(want, rel=1e-6), eid
+            assert salarm == alarm, eid
+
     def test_stateful_page_hinkley_matches_batch_exactly(self, spark, sf_dir):
         """The integer-unit PH state machine is EXACT: stream output ==
         batch operator bit-for-bit (not approx) for in-order replay —
