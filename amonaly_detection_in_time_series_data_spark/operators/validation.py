@@ -29,11 +29,13 @@ oracle-checkable exactly.
 
 from __future__ import annotations
 
+from collections.abc import Sequence
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-__all__ = ["validate", "violation_expr", "psi_report", "ecdf_drift"]
+__all__ = ["validate", "violation_expr", "psi_report", "ecdf_drift", "detector_metrics"]
 
 
 def violation_expr(rule: dict) -> Column:
@@ -184,3 +186,63 @@ def ecdf_drift(psi: DataFrame, bin_width: float | None = None) -> DataFrame:
     if bin_width is not None:
         out = out.withColumn("w1_term", F.col("ks_term") * F.lit(bin_width))
     return out
+
+
+def detector_metrics(
+    df: DataFrame,
+    label_col: str,
+    flag_cols: Sequence[str],
+) -> DataFrame:
+    """Evaluation harness for the anomaly-detector battery: per flag
+    column, the confusion counts and precision/recall/F1 against a
+    ground-truth ``label_col`` (0/1; NULL labels are excluded from that
+    detector's counts, NULL flags count as "did not alarm" — a detector
+    that abstains on a true anomaly has missed it).
+
+    ONE aggregate pass over the scored frame for ALL detectors (each
+    metric is a conditional count — partial+final, map-side combined),
+    then a driver-side reshape of the single result row into one row
+    per detector. Precision/recall/F1 are NULL when undefined (no
+    alarms / no positives) rather than 0 — "never alarmed" and "alarmed
+    precisely never correctly" must not look alike.
+    """
+    flags = list(flag_cols)
+    if not flags:
+        raise ValueError("detector_metrics: no flag columns given")
+    lbl = F.col(label_col)
+    aggs = []
+    for c in flags:
+        fc = F.coalesce(F.col(c).cast("int"), F.lit(0))
+        labeled = lbl.isNotNull()
+        aggs.extend(
+            [
+                F.count(F.when(labeled & (lbl == 1) & (fc == 1), 1)).alias(f"__tp_{c}"),
+                F.count(F.when(labeled & (lbl == 0) & (fc == 1), 1)).alias(f"__fp_{c}"),
+                F.count(F.when(labeled & (lbl == 1) & (fc == 0), 1)).alias(f"__fn_{c}"),
+                F.count(F.when(labeled & (lbl == 0) & (fc == 0), 1)).alias(f"__tn_{c}"),
+            ]
+        )
+    row = df.agg(*aggs)
+    per = F.array(
+        *[
+            F.struct(
+                F.lit(c).alias("detector"),
+                F.col(f"__tp_{c}").alias("tp"),
+                F.col(f"__fp_{c}").alias("fp"),
+                F.col(f"__fn_{c}").alias("fn"),
+                F.col(f"__tn_{c}").alias("tn"),
+            )
+            for c in flags
+        ]
+    )
+    out = row.select(F.explode(per).alias("__m")).select("__m.*")
+    tp, fp, fn = F.col("tp"), F.col("fp"), F.col("fn")
+    precision = tp / F.nullif(tp + fp, F.lit(0))
+    recall = tp / F.nullif(tp + fn, F.lit(0))
+    f1 = 2 * precision * recall / F.nullif(precision + recall, F.lit(0.0))
+    return out.select(
+        "detector", "tp", "fp", "fn", "tn",
+        precision.alias("precision"),
+        recall.alias("recall"),
+        f1.alias("f1"),
+    )

@@ -153,3 +153,107 @@ class TestEcdfDrift:
             key=lambda r: r["bin"],
         )
         assert top["cdf_a"] == pytest.approx(10 / 12)  # 1 - p_null
+
+
+class TestDetectorMetrics:
+    """operators.validation.detector_metrics — hand confusion fixture,
+    NULL conventions, single-aggregate plan."""
+
+    def _df(self, spark):
+        # label, det_a, det_b(null flags), det_c(never alarms)
+        rows = [
+            (1, 1, 1, 0),
+            (1, 1, None, 0),   # null flag on a true anomaly = miss
+            (1, 0, 1, 0),
+            (0, 1, 0, 0),
+            (0, 0, 0, 0),
+            (None, 1, 1, 1),   # unlabeled: excluded everywhere
+        ]
+        return spark.createDataFrame(
+            rows, "label int, det_a int, det_b int, det_c int"
+        )
+
+    def test_hand_confusion_counts(self, spark):
+        from amonaly_detection_in_time_series_data_spark.operators.validation import (
+            detector_metrics,
+        )
+
+        out = {
+            r["detector"]: r.asDict()
+            for r in detector_metrics(
+                self._df(spark), "label", ["det_a", "det_b", "det_c"]
+            ).collect()
+        }
+        a = out["det_a"]
+        assert (a["tp"], a["fp"], a["fn"], a["tn"]) == (2, 1, 1, 1)
+        assert a["precision"] == pytest.approx(2 / 3)
+        assert a["recall"] == pytest.approx(2 / 3)
+        assert a["f1"] == pytest.approx(2 / 3)
+        b = out["det_b"]
+        assert (b["tp"], b["fp"], b["fn"], b["tn"]) == (2, 0, 1, 2)
+        assert b["precision"] == pytest.approx(1.0)
+        assert b["recall"] == pytest.approx(2 / 3)
+        # det_c never alarms on labeled rows: precision undefined (NULL),
+        # recall 0 — the distinction the NULL convention preserves
+        c = out["det_c"]
+        assert c["precision"] is None
+        assert c["recall"] == pytest.approx(0.0)
+        assert c["f1"] is None
+
+    def test_battery_recovers_injected_anomalies(self, spark):
+        """End-to-end: plant spikes in a quiet series, score with the
+        battery, and the metrics harness shows recall 1.0 at high
+        precision for the z-score detector."""
+        import numpy as np
+
+        from amonaly_detection_in_time_series_data_spark.operators.anomaly import (
+            rolling_zscore,
+        )
+        from amonaly_detection_in_time_series_data_spark.operators.validation import (
+            detector_metrics,
+        )
+
+        rng = np.random.RandomState(5)
+        rows = []
+        spikes = {100, 250, 400}
+        for i in range(500):
+            v = float(rng.randn() * 0.5 + 10.0)
+            if i in spikes:
+                v += 50.0
+            rows.append((1, i, f"2024-01-{1 + i // 96:02d} {(i % 96) // 4:02d}:{(i % 4) * 15:02d}:00", v, int(i in spikes)))
+        df = spark.createDataFrame(
+            rows, "user_id int, event_id int, ts string, value double, label int"
+        ).withColumn("ts", F.col("ts").cast("timestamp"))
+        scored = rolling_zscore(df, "value", 24, ["user_id"], ["ts", "event_id"], 3.0)
+        m = {
+            r["detector"]: r
+            for r in detector_metrics(scored, "label", ["is_anomaly"]).collect()
+        }["is_anomaly"]
+        assert m["recall"] == pytest.approx(1.0)
+        assert m["tp"] == 3
+        # FPs are data-dependent (tiny early windows alarm spuriously);
+        # bound them rather than pin them
+        assert m["fp"] <= 5
+
+    def test_single_aggregate_plan(self, spark):
+        from amonaly_detection_in_time_series_data_spark.operators.validation import (
+            detector_metrics,
+        )
+
+        plan = (
+            detector_metrics(self._df(spark), "label", ["det_a", "det_b"])
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        # one partial+final hash aggregate pair, no joins, no windows
+        assert plan.count("HashAggregate") <= 2, plan
+        assert "Join" not in plan and "Window" not in plan, plan
+
+    def test_no_flags_raises(self, spark):
+        from amonaly_detection_in_time_series_data_spark.operators.validation import (
+            detector_metrics,
+        )
+
+        with pytest.raises(ValueError, match="no flag columns"):
+            detector_metrics(self._df(spark), "label", [])
