@@ -1,5 +1,6 @@
 from .readers import (
     load_csv,
+    register_tables,
     load_evolving_table,
     load_table,
     normalize_columns,
@@ -18,6 +19,7 @@ from .multimodal import (
 
 __all__ = [
     "load_csv",
+    "register_tables",
     "load_evolving_table",
     "load_table",
     "normalize_columns",

@@ -240,3 +240,38 @@ def stamp_arrival_order(df: DataFrame, col_name: str = "arrival_id") -> DataFram
             F.monotonically_increasing_id().alias("pos"),
         ),
     )
+
+
+TESTDATA_TABLES = (
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings",
+)
+
+
+def register_tables(
+    spark: SparkSession,
+    sf_dir: str,
+    tables: tuple[str, ...] | list[str] = TESTDATA_TABLES,
+    prefix: str = "",
+) -> dict[str, DataFrame]:
+    """Register each table as a temp view so the engine has a direct
+    ``spark.sql`` surface (``SELECT ... FROM lineitem JOIN orders ...``)
+    next to the operator API — the same views the DuckDB oracle gets.
+
+    Views go through :func:`load_table`, so the ns-timestamp conversion
+    and header normalization hold (a bare ``spark.read.parquet`` on
+    these files throws PARQUET_TYPE_ILLEGAL). Views are lazy — nothing
+    scans until queried, and Catalyst prunes/pushes through them like
+    any subquery. Missing tables are skipped (per-SF directories vary).
+
+    Returns ``{name: DataFrame}`` for the registered tables.
+    """
+    out: dict[str, DataFrame] = {}
+    for name in tables:
+        path = os.path.join(sf_dir, f"{name}.parquet")
+        if not os.path.exists(path):
+            continue
+        df = load_table(spark, sf_dir, name)
+        df.createOrReplaceTempView(f"{prefix}{name}")
+        out[name] = df
+    return out

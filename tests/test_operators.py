@@ -2877,3 +2877,35 @@ class TestHoltWinters:
             holt_winters(df, "t", "v", ["sid"], season_rows=2, alpha=1.0)
         with pytest.raises(ValueError, match="season_rows"):
             holt_winters(df, "t", "v", ["sid"], season_rows=1)
+
+
+class TestRegisterTables:
+    """sources.readers.register_tables — the spark.sql surface."""
+
+    def test_sql_over_registered_views(self, spark, sf_dir):
+        from amonaly_detection_in_time_series_data_spark.sources.readers import register_tables
+
+        got = register_tables(spark, sf_dir)
+        assert {"lineitem", "orders", "events", "documents"} <= set(got)
+        # a real multi-table ANSI query through the view surface
+        row = spark.sql(
+            """
+            SELECT n.n_name, COUNT(*) AS n_orders
+            FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+            JOIN nation n ON c.c_nationkey = n.n_nationkey
+            GROUP BY n.n_name ORDER BY n_orders DESC, n.n_name LIMIT 1
+            """
+        ).collect()[0]
+        assert row["n_orders"] > 0
+        # the ns-timestamp conversion held through the view: ts is a
+        # real timestamp, usable in SQL date functions
+        r = spark.sql(
+            "SELECT MIN(date_trunc('hour', ts)) AS h FROM events"
+        ).collect()[0]
+        assert r["h"] is not None
+        # prefix mode and missing-table skip
+        got2 = register_tables(
+            spark, sf_dir, tables=("events", "nope"), prefix="t_"
+        )
+        assert set(got2) == {"events"}
+        assert spark.sql("SELECT COUNT(*) c FROM t_events").collect()[0]["c"] > 0
