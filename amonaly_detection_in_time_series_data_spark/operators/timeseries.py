@@ -599,3 +599,119 @@ def holt_winters(
     return df.select(*keys, ts_col, value_col).groupBy(*keys).applyInPandas(
         fit, out_schema
     )
+
+
+def m4_downsample(
+    df: DataFrame,
+    ts_col: str,
+    value_col: str,
+    series_cols: Sequence[str],
+    n_buckets: int = 1000,
+) -> DataFrame:
+    """M4 downsampling (Jugel et al., VLDB 2014) — the error-free way to
+    draw a billion-point series on a w-pixel chart: per time bucket keep
+    the rows holding the min, max, first, and last values; line-joining
+    those ≤4 points per pixel column renders the SAME pixels as the full
+    series.
+
+    Output: the selected original ROWS (all input columns) plus
+    ``bucket`` — at most ``4 * n_buckets`` rows per series, however
+    large the input. Buckets split each series' [min ts, max ts] span
+    evenly into ``n_buckets`` (the pixel-column analogy), computed from
+    one tiny per-series span aggregate broadcast back.
+
+    Plan: one per-series span aggregate (broadcast join), one
+    (series, bucket) aggregate selecting the four extreme (value, ts)
+    pairs via ``min_by``/``max_by``/``min``/``max`` structs, and one
+    semi-join back to fetch the rows — aggregates partial+final, the
+    big side shuffles once on the series key family. No windows, no
+    sorts over the raw data.
+    """
+    if n_buckets < 1:
+        raise ValueError(f"m4_downsample: n_buckets must be >= 1, got {n_buckets}")
+    keys = list(series_cols)
+    ts = F.col(ts_col).cast("double")
+    spans = df.groupBy(*keys).agg(
+        F.min(ts).alias("__lo"), F.max(ts).alias("__hi")
+    )
+    b = df.join(F.broadcast(spans), keys)
+    # last bucket is inclusive of the span max: clamp index to n-1
+    idx = F.least(
+        F.floor(
+            (ts - F.col("__lo"))
+            / F.nullif((F.col("__hi") - F.col("__lo")) / n_buckets, F.lit(0.0))
+        ).cast("int"),
+        F.lit(n_buckets - 1),
+    )
+    b = b.withColumn("bucket", F.coalesce(idx, F.lit(0)))
+    v = F.col(value_col)
+    picks = b.groupBy(*keys, "bucket").agg(
+        F.min_by(ts, v).alias("__t_min"),
+        F.max_by(ts, v).alias("__t_max"),
+        F.min(ts).alias("__t_first"),
+        F.max(ts).alias("__t_last"),
+    )
+    wanted = picks.select(
+        *keys,
+        F.explode(
+            F.array_distinct(
+                F.array("__t_min", "__t_max", "__t_first", "__t_last")
+            )
+        ).alias("__t_keep"),
+    ).where(F.col("__t_keep").isNotNull())
+    return (
+        b.withColumn("__keep_ts", ts)
+        .join(
+            wanted.withColumnRenamed("__t_keep", "__keep_ts"),
+            [*keys, "__keep_ts"],
+            "left_semi",
+        )
+        .drop("__keep_ts", "__lo", "__hi")
+    )
+
+
+def gap_report(
+    df: DataFrame,
+    ts_col: str,
+    series_cols: Sequence[str],
+    step: str = "1 hour",
+) -> DataFrame:
+    """Per-series continuity audit — the question asked before trusting
+    any window/fill/forecast result: where does the grid break?
+
+    Output: one row per series with ``n_rows``, ``span_start/end``,
+    ``n_gaps`` (consecutive-timestamp deltas strictly greater than
+    ``step``), ``max_gap_seconds``, ``missing_rows`` (how many grid
+    slots a :func:`resample_grid` pass would have to fill, i.e.
+    ``sum(ceil(delta/step) - 1)`` over the gaps), and ``n_dup_ts``
+    (duplicate timestamps — the thing dedup policies exist for).
+
+    One (series, ts) window for the deltas + one grouped aggregate —
+    the same exchange the downstream operators pay anyway.
+    """
+    keys = list(series_cols)
+    # INTERVAL -> seconds as a constant-folded expression (epoch + step)
+    step_sec = F.unix_timestamp(
+        F.to_timestamp(F.lit("1970-01-01 00:00:00"))
+        + F.expr(f"INTERVAL {step}")
+    ).cast("double")
+    d = df.select(*keys, F.col(ts_col).alias("__ts")).withColumn(
+        "__delta",
+        F.col("__ts").cast("double") - F.lag("__ts").over(
+            Window.partitionBy(*keys).orderBy(F.col("__ts").asc())
+        ).cast("double"),
+    )
+    is_gap = F.col("__delta") > step_sec
+    return d.groupBy(*keys).agg(
+        F.count("*").alias("n_rows"),
+        F.min("__ts").alias("span_start"),
+        F.max("__ts").alias("span_end"),
+        F.coalesce(F.sum(is_gap.cast("int")), F.lit(0)).alias("n_gaps"),
+        F.max(F.when(is_gap, F.col("__delta"))).alias("max_gap_seconds"),
+        F.sum(
+            F.when(is_gap, F.ceil(F.col("__delta") / step_sec) - 1).otherwise(
+                F.lit(0)
+            )
+        ).alias("missing_rows"),
+        (F.count("*") - F.count_distinct(F.col("__ts"))).alias("n_dup_ts"),
+    )

