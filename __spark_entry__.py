@@ -923,6 +923,10 @@ def q_resample_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
         seasonal_naive_forecast,
     )
 
+    from amonaly_detection_in_time_series_data_spark.operators.timeseries import (
+        gap_report,
+    )
+
     ev = _events(spark, sf_dir)
     grid = resample_grid(
         ev, ["user_id"], "ts", ["value"], step="1 hour", agg="avg", fill="ffill"
@@ -938,7 +942,18 @@ def q_resample_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
         dec.withColumn("value", F.round("value", 6)),
         "bucket_ts", "value", ["user_id"], season_rows=24, unit_digits=6,
     )
-    return fc.select(
+    # r7: the continuity audit that justifies the fill — per-series gap
+    # stats over the RAW events, broadcast back onto the grid rows.
+    # All-integer / exact-second arithmetic, so the merge stays
+    # hash-exact (deltas between equal timestamps are tie-order-proof).
+    gaps = gap_report(ev, "ts", ["user_id"]).select(
+        "user_id",
+        F.col("n_gaps").cast("bigint").alias("gap_count"),
+        F.col("max_gap_seconds").alias("max_gap_s"),
+        F.col("missing_rows").cast("bigint").alias("gap_missing_rows"),
+        F.col("n_dup_ts").cast("bigint").alias("dup_ts_rows"),
+    )
+    return fc.join(F.broadcast(gaps), "user_id", "left").select(
         "user_id",
         _ts_str("bucket_ts").alias("bucket_ts"),
         F.round("value", 6).alias("value"),
@@ -950,6 +965,10 @@ def q_resample_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("forecast", 6).alias("forecast"),
         F.round("abs_err", 6).alias("abs_err"),
         F.round("naive_mae", 6).alias("naive_mae"),
+        "gap_count",
+        "max_gap_s",
+        "gap_missing_rows",
+        "dup_ts_rows",
     )
 
 
@@ -2660,8 +2679,26 @@ f2 AS (
   FROM f
   WINDOW run AS (PARTITION BY user_id ORDER BY bucket_ts
                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+),
+gap_d AS (
+  SELECT user_id,
+         epoch(ts) - lag(epoch(ts)) OVER (PARTITION BY user_id ORDER BY ts)
+           AS delta,
+         ts
+  FROM events
+),
+gaps AS (
+  SELECT user_id,
+         CAST(coalesce(sum(CASE WHEN delta > 3600 THEN 1 ELSE 0 END), 0)
+              AS BIGINT) AS gap_count,
+         max(CASE WHEN delta > 3600 THEN delta END) AS max_gap_s,
+         CAST(coalesce(sum(CASE WHEN delta > 3600
+                           THEN CAST(ceil(delta / 3600.0) AS BIGINT) - 1
+                           ELSE 0 END), 0) AS BIGINT) AS gap_missing_rows,
+         CAST(count(*) - count(DISTINCT ts) AS BIGINT) AS dup_ts_rows
+  FROM gap_d GROUP BY user_id
 )
-SELECT user_id, strftime(bucket_ts, '{fmt}') AS bucket_ts,
+SELECT f2.user_id, strftime(bucket_ts, '{fmt}') AS bucket_ts,
        round(value, 6) AS value,
        trend_i / 1000000.0 AS trend,
        seas_i / 1000000.0 AS seasonal,
@@ -2671,8 +2708,12 @@ SELECT user_id, strftime(bucket_ts, '{fmt}') AS bucket_ts,
          AS is_anomaly,
        fc_i / 1000000.0 AS forecast,
        err_i / 1000000.0 AS abs_err,
-       mae_i / 1000000.0 AS naive_mae
-FROM f2
+       mae_i / 1000000.0 AS naive_mae,
+       g.gap_count,
+       g.max_gap_s,
+       g.gap_missing_rows,
+       g.dup_ts_rows
+FROM f2 LEFT JOIN gaps g ON f2.user_id = g.user_id
 """
 
     sql["ranking_functions"] = """
