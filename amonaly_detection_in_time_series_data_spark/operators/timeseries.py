@@ -715,3 +715,45 @@ def gap_report(
         ).alias("missing_rows"),
         (F.count("*") - F.count_distinct(F.col("__ts"))).alias("n_dup_ts"),
     )
+
+
+def conformal_band(
+    forecast_df: DataFrame,
+    series_cols: Sequence[str],
+    forecast_col: str = "hw_forecast",
+    err_col: str = "abs_err",
+    coverage: float = 0.9,
+) -> DataFrame:
+    """Split-conformal prediction intervals for any forecast column
+    (Vovk et al.; the distribution-free band): per series, take the
+    ``coverage`` quantile of the in-sample one-step absolute errors as
+    the half-width ``q``, then every row (in-sample or future) gets
+    ``lo = forecast - q``, ``hi = forecast + q``. Guarantees marginal
+    coverage ≥ ``coverage`` under exchangeability of residuals — no
+    distributional assumption, which is exactly what the model-free
+    battery philosophy wants.
+
+    Composes directly over :func:`holt_winters` or
+    :func:`seasonal_naive_forecast` output (any frame carrying a
+    forecast and an in-sample absolute-error column). One per-series
+    quantile aggregate (tiny) broadcast back; rows with no forecast
+    keep null bands.
+    """
+    if not 0.0 < coverage < 1.0:
+        raise ValueError(
+            f"conformal_band: coverage must be in (0,1), got {coverage}"
+        )
+    keys = list(series_cols)
+    q = forecast_df.groupBy(*keys).agg(
+        F.percentile(F.col(err_col), F.lit(coverage)).alias("__q"),
+        F.count(err_col).alias("__n_cal"),
+    )
+    out = forecast_df.join(F.broadcast(q), keys, "left")
+    fc = F.col(forecast_col)
+    return (
+        out.withColumn("band_halfwidth", F.col("__q"))
+        .withColumn("band_lo", fc - F.col("__q"))
+        .withColumn("band_hi", fc + F.col("__q"))
+        .withColumn("n_calibration", F.col("__n_cal"))
+        .drop("__q", "__n_cal")
+    )

@@ -3027,3 +3027,45 @@ class TestGapReport:
         )
         r = gap_report(df, "ts", ["sid"]).collect()[0]
         assert r["n_gaps"] == 0 and r["missing_rows"] == 0 and r["n_dup_ts"] == 0
+
+
+class TestConformalBand:
+    """operators.timeseries.conformal_band over holt_winters output."""
+
+    def test_coverage_and_width(self, spark):
+        import numpy as np
+
+        from amonaly_detection_in_time_series_data_spark.operators.timeseries import (
+            conformal_band,
+            holt_winters,
+        )
+
+        rng = np.random.RandomState(9)
+        seas = [3.0, 0.0, -3.0, 0.0]
+        rows = [
+            ("s", t, 50.0 + 0.3 * t + seas[t % 4] + float(rng.randn()) * 0.5)
+            for t in range(200)
+        ]
+        df = spark.createDataFrame(rows, "sid string, t int, v double")
+        fc = holt_winters(df, "t", "v", ["sid"], season_rows=4, horizon=4)
+        banded = conformal_band(fc, ["sid"], coverage=0.9)
+        rows_out = banded.collect()
+        ins = [
+            r for r in rows_out
+            if not r["is_future"] and r["hw_forecast"] is not None
+        ]
+        covered = sum(
+            1 for r in ins if r["band_lo"] <= r["v"] <= r["band_hi"]
+        )
+        # split-conformal marginal coverage: ~>= 0.9 on in-sample errors
+        # (exactly >= by construction minus interpolation slack)
+        assert covered / len(ins) >= 0.88, covered / len(ins)
+        # future rows get bands too (same half-width, no value)
+        fut = [r for r in rows_out if r["is_future"]]
+        assert fut and all(
+            r["band_lo"] is not None and r["band_hi"] is not None for r in fut
+        )
+        hw = {r["band_halfwidth"] for r in rows_out if r["band_halfwidth"]}
+        assert len(hw) == 1  # one per-series half-width
+        with pytest.raises(ValueError, match="coverage"):
+            conformal_band(fc, ["sid"], coverage=1.5)
