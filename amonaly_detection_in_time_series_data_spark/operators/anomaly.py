@@ -794,3 +794,99 @@ def seasonal_decompose(
         "is_anomaly",
         F.coalesce(F.abs(z) > z_threshold, F.lit(False)).cast("int"),
     )
+
+
+def throttle_alerts(
+    df: DataFrame,
+    key_cols: Sequence[str],
+    ts_col: str,
+    cooldown: str = "1 hour",
+    flag_col: str = "is_anomaly",
+    policy: str = "quiet-period",
+    order_tiebreak: Sequence[str] = (),
+) -> DataFrame:
+    """Alert fatigue control: of a burst of per-key alarms, deliver only
+    the ones a human should see. Adds ``alert_delivered`` (1/0; 0 for
+    non-alarm rows). Two standard policies, explicitly distinct:
+
+    - ``quiet-period`` (default): an alert is delivered only if NO alert
+      (delivered or not) fired within ``cooldown`` before it — i.e.
+      alert bursts collapse to their first member, and delivery resumes
+      only after a full quiet window. Purely relational: gap-based
+      :func:`~.timeseries.sessionize` over the alert rows + first-of-
+      session, one window exchange, unbounded scale.
+    - ``fixed-cooldown``: classic rate limiting — deliver, then suppress
+      for ``cooldown`` AFTER THE LAST DELIVERED alert, then deliver the
+      next alarm even mid-burst. "Previous DELIVERED" is a genuinely
+      sequential recursion (the suppression decision feeds its own
+      predicate), so it runs per key in Arrow ``applyInPandas`` — over
+      ALERT ROWS ONLY, which are a sliver of the stream, so the Python
+      stage sees alert-cardinality data, never the raw 100 TB.
+
+    The two differ exactly when a burst outlasts the cooldown: a
+    20-minute burst with a 5-minute cooldown delivers 1 alert under
+    quiet-period and 4 under fixed-cooldown — pinned in the tests.
+
+    Delivery is identified by (key, ts): if several alarm rows share a
+    timestamp, a delivery at that instant marks them all.
+    """
+    from amonaly_detection_in_time_series_data_spark.operators.timeseries import (
+        sessionize,
+    )
+
+    if policy not in ("quiet-period", "fixed-cooldown"):
+        raise ValueError(f"throttle_alerts: unknown policy {policy!r}")
+    keys = list(key_cols)
+    alerts = df.where(F.col(flag_col) == 1)
+    if policy == "quiet-period":
+        s = sessionize(
+            alerts, keys, ts_col, gap=cooldown, order_tiebreak=order_tiebreak
+        )
+        w = Window.partitionBy(*keys, "session_id").orderBy(
+            F.col(ts_col).asc(), *[F.col(c).asc() for c in order_tiebreak]
+        )
+        delivered = (
+            s.withColumn("__rn", F.row_number().over(w))
+            .where(F.col("__rn") == 1)
+            .select(*keys, F.col(ts_col).alias("__dts"), F.lit(1).alias("__d"))
+        )
+    else:
+        sec = F.unix_timestamp(
+            F.to_timestamp(F.lit("1970-01-01 00:00:00"))
+            + F.expr(f"INTERVAL {cooldown}")
+        ).cast("double")
+        cooldown_s = alerts.sparkSession.range(1).select(sec).collect()[0][0]
+        tie = list(order_tiebreak)
+        schema = ", ".join(
+            f"`{k}` {df.schema[k].dataType.simpleString()}" for k in keys
+        ) + f", `__dts` {df.schema[ts_col].dataType.simpleString()}, __d int"
+
+        def pick(pdf):
+            pdf = pdf.sort_values([ts_col, *tie]).reset_index(drop=True)
+            out_rows = []
+            last = None
+            for _, r in pdf.iterrows():
+                t = r[ts_col].timestamp()
+                if last is None or t - last > cooldown_s:
+                    out_rows.append([r[k] for k in keys] + [r[ts_col], 1])
+                    last = t
+            import pandas as pd
+
+            return pd.DataFrame(out_rows, columns=[*keys, "__dts", "__d"])
+
+        delivered = (
+            alerts.select(*keys, ts_col, *tie)
+            .groupBy(*keys)
+            .applyInPandas(pick, schema)
+        )
+    joined = df.join(
+        delivered.withColumnRenamed("__dts", ts_col),
+        [*keys, ts_col],
+        "left",
+    )
+    return joined.withColumn(
+        "alert_delivered",
+        F.when(
+            (F.col(flag_col) == 1) & (F.col("__d") == 1), F.lit(1)
+        ).otherwise(F.lit(0)),
+    ).drop("__d")

@@ -3069,3 +3069,70 @@ class TestConformalBand:
         assert len(hw) == 1  # one per-series half-width
         with pytest.raises(ValueError, match="coverage"):
             conformal_band(fc, ["sid"], coverage=1.5)
+
+
+class TestThrottleAlerts:
+    """operators.anomaly.throttle_alerts — both policies pinned on the
+    burst case where they differ."""
+
+    def _burst(self, spark):
+        rows = []
+        for m in range(21):  # alarm every minute, 00:00..00:20
+            rows.append(("u", f"2024-01-01 00:{m:02d}:00", 1))
+        rows.append(("u", "2024-01-01 02:00:00", 1))   # after quiet gap
+        rows.append(("u", "2024-01-01 03:00:00", 0))   # non-alarm row
+        rows.append(("v", "2024-01-01 00:00:00", 1))   # other key
+        df = spark.createDataFrame(
+            rows, "user_id string, ts string, is_anomaly int"
+        )
+        return df.withColumn("ts", F.col("ts").cast("timestamp"))
+
+    def _delivered(self, out):
+        return sorted(
+            str(r["ts"]) for r in out.collect()
+            if r["user_id"] == "u" and r["alert_delivered"] == 1
+        )
+
+    def test_quiet_period_collapses_burst(self, spark):
+        from amonaly_detection_in_time_series_data_spark.operators.anomaly import throttle_alerts
+
+        out = throttle_alerts(
+            self._burst(spark), ["user_id"], "ts", cooldown="5 minutes"
+        )
+        assert self._delivered(out) == [
+            "2024-01-01 00:00:00",   # first of the burst
+            "2024-01-01 02:00:00",   # after the quiet window
+        ]
+        # row count preserved; non-alarm rows never delivered
+        assert out.count() == 24
+        assert (
+            out.where("is_anomaly = 0 AND alert_delivered = 1").count() == 0
+        )
+
+    def test_fixed_cooldown_redelivers_mid_burst(self, spark):
+        from amonaly_detection_in_time_series_data_spark.operators.anomaly import throttle_alerts
+
+        out = throttle_alerts(
+            self._burst(spark), ["user_id"], "ts",
+            cooldown="5 minutes", policy="fixed-cooldown",
+        )
+        assert self._delivered(out) == [
+            "2024-01-01 00:00:00",
+            "2024-01-01 00:06:00",
+            "2024-01-01 00:12:00",
+            "2024-01-01 00:18:00",
+            "2024-01-01 02:00:00",
+        ]
+
+    def test_other_key_independent_and_bad_policy(self, spark):
+        from amonaly_detection_in_time_series_data_spark.operators.anomaly import throttle_alerts
+
+        out = throttle_alerts(
+            self._burst(spark), ["user_id"], "ts", cooldown="5 minutes"
+        )
+        v = [r for r in out.collect() if r["user_id"] == "v"]
+        assert len(v) == 1 and v[0]["alert_delivered"] == 1
+        with pytest.raises(ValueError, match="unknown policy"):
+            throttle_alerts(
+                self._burst(spark), ["user_id"], "ts", policy="nope"
+            )
