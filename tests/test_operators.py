@@ -3136,3 +3136,36 @@ class TestThrottleAlerts:
             throttle_alerts(
                 self._burst(spark), ["user_id"], "ts", policy="nope"
             )
+
+
+class TestPackageSurface:
+    """The public API stays importable and __all__ stays honest."""
+
+    def test_operators_all_resolves(self):
+        import amonaly_detection_in_time_series_data_spark.operators as ops
+
+        missing = [n for n in ops.__all__ if not hasattr(ops, n)]
+        assert missing == [], missing
+
+    def test_streaming_all_resolves(self):
+        import amonaly_detection_in_time_series_data_spark.streaming as st
+
+        missing = [n for n in st.__all__ if not hasattr(st, n)]
+        assert missing == [], missing
+
+    def test_r7_additions_exported(self):
+        from amonaly_detection_in_time_series_data_spark.operators import (  # noqa: F401
+            acf_lags,
+            conformal_band,
+            detector_metrics,
+            dominant_period,
+            gap_report,
+            holt_winters,
+            m4_downsample,
+            pagerank,
+            snapshot_diff,
+            throttle_alerts,
+        )
+        from amonaly_detection_in_time_series_data_spark.streaming import (  # noqa: F401
+            streaming_ewma_deviation,
+        )
