@@ -6,6 +6,7 @@ from .rolling import (
     streaming_enrich,
     streaming_ewma_deviation,
     streaming_page_hinkley,
+    streaming_throttle_alerts,
     streaming_windowed_stats,
     streaming_zscore_flags,
 )
@@ -18,6 +19,7 @@ __all__ = [
     "streaming_zscore_flags",
     "streaming_page_hinkley",
     "streaming_ewma_deviation",
+    "streaming_throttle_alerts",
     "streaming_dedup",
     "streaming_enrich",
     "interval_join",

@@ -442,6 +442,103 @@ def streaming_ewma_deviation(
     )
 
 
+def streaming_throttle_alerts(
+    flagged: DataFrame,
+    cooldown_seconds: float = 3600.0,
+    flag_col: str = "is_anomaly",
+    policy: str = "quiet-period",
+    timeout_minutes: int | None = 60,
+) -> DataFrame:
+    """Online alert throttling — the streaming face of
+    :func:`operators.anomaly.throttle_alerts`, for the pipeline tail
+    where alerts actually page someone.
+
+    The best streaming citizen in the family: state is TWO floats per
+    key — last ALERT ts (quiet-period re-arms on every alarm) and last
+    DELIVERED ts (fixed-cooldown re-arms on delivery) — O(1) however
+    long the stream. Both batch policies reproduce exactly for in-order
+    replay (asserted, not approximate: the decision rule is pure
+    timestamp comparisons, no float accumulation).
+
+    Input: a scored stream carrying ``user_id, event_id, ts`` and the
+    flag column. Output: same grain plus ``alert_delivered``.
+    """
+    import pandas as pd  # noqa: F401
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    if policy not in ("quiet-period", "fixed-cooldown"):
+        raise ValueError(
+            f"streaming_throttle_alerts: unknown policy {policy!r}"
+        )
+    out_schema = (
+        "user_id bigint, event_id bigint, ts timestamp, "
+        f"{flag_col} int, alert_delivered int"
+    )
+    state_schema = "last_alert double, last_delivered double"
+
+    def throttle(key, pdf_iter, state):
+        import pandas as pd
+
+        if state.hasTimedOut:
+            state.remove()
+            return
+
+        (user_id,) = key
+        last_alert, last_delivered = (
+            state.get if state.exists else (None, None)
+        )
+        rows = []
+        for pdf in pdf_iter:
+            pdf = pdf.sort_values(["ts", "event_id"])
+            for _, r in pdf.iterrows():
+                flag = int(r[flag_col]) if r[flag_col] is not None else 0
+                delivered = 0
+                if flag == 1:
+                    t = r["ts"].timestamp()
+                    if policy == "quiet-period":
+                        if last_alert is None or t - last_alert > cooldown_seconds:
+                            delivered = 1
+                        last_alert = t
+                    else:
+                        if (
+                            last_delivered is None
+                            or t - last_delivered > cooldown_seconds
+                        ):
+                            delivered = 1
+                            last_delivered = t
+                rows.append(
+                    (user_id, int(r["event_id"]), r["ts"], flag, delivered)
+                )
+        state.update(
+            (
+                float(last_alert) if last_alert is not None else None,
+                float(last_delivered) if last_delivered is not None else None,
+            )
+        )
+        if timeout_minutes is not None:
+            state.setTimeoutDuration(timeout_minutes * 60 * 1000)
+        yield pd.DataFrame(
+            rows,
+            columns=["user_id", "event_id", "ts", flag_col, "alert_delivered"],
+        )
+
+    return (
+        flagged.withWatermark("ts", "2 hours")
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            throttle,
+            outputStructType=out_schema,
+            stateStructType=state_schema,
+            outputMode="append",
+            timeoutConf=(
+                GroupStateTimeout.ProcessingTimeTimeout
+                if timeout_minutes is not None
+                else GroupStateTimeout.NoTimeout
+            ),
+        )
+    )
+
+
 def streaming_dedup(
     events: DataFrame, key_cols=("event_id",), watermark: str = "2 hours"
 ) -> DataFrame:

@@ -811,3 +811,61 @@ class TestStreamStreamIntervalJoin:
             )
         with pytest.raises(ValueError, match="swap sides"):
             interval_join(lb, rb, on="user_id", how="right_outer")
+
+
+class TestStreamingThrottle:
+    """streaming_throttle_alerts == batch throttle_alerts on full
+    replay, EXACTLY, for both policies (pure timestamp comparisons —
+    no float accumulation to blur; sf0.001 events have no duplicate
+    (user, ts), so the batch (key, ts) delivery identity is unique)."""
+
+    @pytest.mark.parametrize("policy", ["quiet-period", "fixed-cooldown"])
+    def test_matches_batch_exactly(self, spark, sf_dir, policy):
+        from amonaly_detection_in_time_series_data_spark.operators.anomaly import (
+            rolling_zscore,
+            throttle_alerts,
+        )
+        from amonaly_detection_in_time_series_data_spark.streaming.rolling import (
+            streaming_throttle_alerts,
+        )
+
+        ev = load_table(spark, sf_dir, "events")
+        scored_batch = rolling_zscore(
+            ev, "value", 24, ["user_id"], ["ts", "event_id"], 3.0
+        ).select("user_id", "event_id", "ts", "value", "is_anomaly")
+        batch = throttle_alerts(
+            scored_batch, ["user_id"], "ts", cooldown="2 hours",
+            policy=policy, order_tiebreak=["event_id"],
+        )
+        expected = {
+            r["event_id"]: r["alert_delivered"] for r in batch.collect()
+        }
+
+        # stream the scored frame itself (write it, replay it) so both
+        # sides throttle the IDENTICAL flag sequence
+        import tempfile
+
+        with tempfile.TemporaryDirectory() as d:
+            scored_batch.write.mode("overwrite").parquet(d)
+            stream = (
+                spark.readStream.schema(scored_batch.schema).parquet(d)
+            )
+            out = streaming_throttle_alerts(
+                stream, cooldown_seconds=2 * 3600.0, policy=policy,
+                timeout_minutes=None,
+            )
+            _run_stream_to_memory(out, f"throttle_{policy.replace('-','_')}", "append")
+            streamed = {
+                r["event_id"]: r["alert_delivered"]
+                for r in spark.sql(
+                    f"SELECT * FROM throttle_{policy.replace('-','_')}"
+                ).collect()
+            }
+        assert len(streamed) == len(expected) > 0
+        diffs = {
+            eid: (expected[eid], streamed[eid])
+            for eid in expected
+            if expected[eid] != streamed[eid]
+        }
+        assert diffs == {}, list(diffs.items())[:10]
+        assert sum(expected.values()) > 0  # the case isn't vacuous
