@@ -757,3 +757,59 @@ def conformal_band(
         .withColumn("n_calibration", F.col("__n_cal"))
         .drop("__q", "__n_cal")
     )
+
+
+def forecast_selector(
+    df: DataFrame,
+    ts_col: str,
+    value_col: str,
+    series_cols: Sequence[str],
+    season_rows: int = 24,
+    alpha: float = 0.2,
+    beta: float = 0.05,
+    gamma: float = 0.1,
+) -> DataFrame:
+    """Per-series champion table: run the seasonal-naive baseline and
+    Holt-Winters through their expanding backtests on the same grid and
+    pick the winner by FINAL backtest MAE — the standard "never deploy
+    a model that loses to naive" gate (Hyndman's golden rule).
+
+    Output: one row per series with ``naive_mae``, ``hw_mae``,
+    ``chosen`` ('naive' | 'holt_winters'), and ``mae_ratio``
+    (hw/naive; < 1 means HW earned its complexity). Ties and
+    null-backtest series (too short for HW init) fall back to 'naive'
+    — the conservative default.
+
+    Cost: both backtests share the input's series partitioning; the
+    final-MAE extraction is one ``max_by(mae, ts)`` aggregate per side
+    joined on the (tiny) series key table.
+    """
+    keys = list(series_cols)
+    nv = seasonal_naive_forecast(df, ts_col, value_col, keys, season_rows)
+    hw = holt_winters(
+        df, ts_col, value_col, keys,
+        season_rows=season_rows, alpha=alpha, beta=beta, gamma=gamma,
+    )
+    nv_final = nv.groupBy(*keys).agg(
+        F.max_by("naive_mae", F.col(ts_col)).alias("naive_mae")
+    )
+    hw_final = (
+        hw.where(~F.col("is_future"))
+        .groupBy(*keys)
+        .agg(F.max_by("hw_mae", F.col(ts_col)).alias("hw_mae"))
+    )
+    j = nv_final.join(hw_final, keys, "left")
+    hw_wins = F.col("hw_mae").isNotNull() & F.col("naive_mae").isNotNull() & (
+        F.col("hw_mae") < F.col("naive_mae")
+    )
+    return j.select(
+        *keys,
+        "naive_mae",
+        "hw_mae",
+        F.when(hw_wins, F.lit("holt_winters")).otherwise(F.lit("naive")).alias(
+            "chosen"
+        ),
+        (F.col("hw_mae") / F.nullif(F.col("naive_mae"), F.lit(0.0))).alias(
+            "mae_ratio"
+        ),
+    )

@@ -3169,3 +3169,32 @@ class TestPackageSurface:
         from amonaly_detection_in_time_series_data_spark.streaming import (  # noqa: F401
             streaming_ewma_deviation,
         )
+
+
+class TestForecastSelector:
+    """operators.timeseries.forecast_selector — champion table."""
+
+    def test_hw_wins_on_trend_naive_wins_on_pure_period(self, spark):
+        from amonaly_detection_in_time_series_data_spark.operators.timeseries import (
+            forecast_selector,
+        )
+
+        seas = [5.0, 0.0, -5.0, 0.0]
+        rows = []
+        for t in range(80):
+            rows.append(("trend", t, 100.0 + 2.0 * t + seas[t % 4]))
+            rows.append(("pure", t, 10.0 + seas[t % 4]))  # exactly periodic
+        rows += [("short", t, 1.0 * t) for t in range(5)]  # too short for HW
+        df = spark.createDataFrame(rows, "sid string, t int, v double")
+        out = {
+            r["sid"]: r.asDict()
+            for r in forecast_selector(df, "t", "v", ["sid"], season_rows=4).collect()
+        }
+        assert out["trend"]["chosen"] == "holt_winters"
+        assert out["trend"]["mae_ratio"] < 0.5
+        # the exactly-periodic series: naive error is 0 -> unbeatable
+        assert out["pure"]["naive_mae"] == pytest.approx(0.0)
+        assert out["pure"]["chosen"] == "naive"
+        # too short to initialize HW: conservative fallback
+        assert out["short"]["hw_mae"] is None
+        assert out["short"]["chosen"] == "naive"
