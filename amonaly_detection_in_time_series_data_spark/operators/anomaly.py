@@ -890,3 +890,71 @@ def throttle_alerts(
             (F.col(flag_col) == 1) & (F.col("__d") == 1), F.lit(1)
         ).otherwise(F.lit(0)),
     ).drop("__d")
+
+
+def hampel_flags(
+    df: DataFrame,
+    target: str,
+    window_rows: int,
+    key_cols: Sequence[str],
+    order_cols: Sequence[str],
+    k: float = 3.0,
+    centered: bool = True,
+) -> DataFrame:
+    """Hampel filter — the classic robust despiker the mean/std z-score
+    can't be: a rolling MEDIAN/MAD outlier test, immune to the masking
+    where a spike inflates its own window's std and hides itself.
+
+    Flags ``|x - rolling_median| > k * 1.4826 * rolling_MAD`` (1.4826 =
+    the Gaussian MAD-to-sigma constant). ``centered=True`` uses the
+    symmetric ±window frame (the textbook filter, for offline
+    cleaning); ``False`` uses the past-only [t-w, t-1] frame (the
+    battery's anti-leakage convention, for online detection). Adds
+    ``hampel_median``, ``hampel_mad``, ``hampel_flag`` (0 when the
+    frame is empty or the deviation is within the fence; a zero-MAD
+    window flags any value off the median).
+
+    Pure Catalyst for bounded windows: the frame's values come back as
+    ONE ``collect_list`` over the shared (key, order) window exchange,
+    and the exact median/MAD are array HOFs (``array_sort`` +
+    ``element_at`` interpolation; deviations via ``transform``) —
+    no second window pass, no Python. Cost is O(w log w) per row, the
+    same as every textbook Hampel; keep ``window_rows`` chart-sized
+    (the despiker's regime), not season-sized.
+    """
+    keys = list(key_cols)
+    w_ord = Window.partitionBy(*[F.col(c) for c in keys]).orderBy(
+        *[F.col(c).asc() for c in order_cols]
+    )
+    frame = (
+        w_ord.rowsBetween(-window_rows, window_rows)
+        if centered
+        else w_ord.rowsBetween(-window_rows, -1)
+    )
+    vals = F.array_sort(F.collect_list(F.col(target)).over(frame))
+
+    def arr_median(arr):
+        n = F.size(arr)
+        lo = F.element_at(arr, F.floor((n + 1) / 2).cast("int"))
+        hi = F.element_at(arr, F.ceil((n + 1) / 2).cast("int"))
+        return F.when(n > 0, (lo + hi) / 2.0)
+
+    d = df.withColumn("__vals", vals)
+    d = d.withColumn("hampel_median", arr_median(F.col("__vals")))
+    devs = F.array_sort(
+        F.transform(
+            F.col("__vals"), lambda v: F.abs(v - F.col("hampel_median"))
+        )
+    )
+    d = d.withColumn("hampel_mad", arr_median(devs))
+    x = F.col(target)
+    med, mad = F.col("hampel_median"), F.col("hampel_mad")
+    fence = F.lit(k) * F.lit(1.4826) * mad
+    flag = F.when(
+        x.isNull() | med.isNull(), F.lit(0)
+    ).when(
+        (mad == 0.0) & (x != med), F.lit(1)
+    ).when(
+        F.abs(x - med) > fence, F.lit(1)
+    ).otherwise(F.lit(0))
+    return d.withColumn("hampel_flag", flag).drop("__vals")

@@ -3198,3 +3198,100 @@ class TestForecastSelector:
         # too short to initialize HW: conservative fallback
         assert out["short"]["hw_mae"] is None
         assert out["short"]["chosen"] == "naive"
+
+
+class TestHampelFlags:
+    """operators.anomaly.hampel_flags vs an independent reference loop."""
+
+    @staticmethod
+    def _ref(xs, w, k=3.0, centered=True):
+        import statistics as st
+
+        out = []
+        n = len(xs)
+        for i in range(n):
+            if centered:
+                win = xs[max(0, i - w): i + w + 1]
+            else:
+                win = xs[max(0, i - w): i]
+            if not win:
+                out.append((None, None, 0))
+                continue
+            sw = sorted(win)
+            m = len(sw)
+            med = (sw[(m + 1) // 2 - 1] + sw[(m + 2) // 2 - 1]) / 2.0
+            devs = sorted(abs(v - med) for v in win)
+            mad = (devs[(m + 1) // 2 - 1] + devs[(m + 2) // 2 - 1]) / 2.0
+            if mad == 0.0:
+                flag = int(xs[i] != med)
+            else:
+                flag = int(abs(xs[i] - med) > k * 1.4826 * mad)
+            out.append((med, mad, flag))
+        return out
+
+    def _xs(self):
+        import math
+        import random
+
+        rng = random.Random(13)
+        xs = [math.sin(i / 5.0) * 2 + rng.gauss(0, 0.1) for i in range(120)]
+        for i in (30, 31, 77):  # adjacent spikes: the masking case
+            xs[i] += 25.0
+        return xs
+
+    @pytest.mark.parametrize("centered", [True, False])
+    def test_matches_reference(self, spark, centered):
+        from amonaly_detection_in_time_series_data_spark.operators.anomaly import hampel_flags
+
+        xs = self._xs()
+        df = spark.createDataFrame(
+            [("s", i, x) for i, x in enumerate(xs)],
+            "sid string, t int, v double",
+        )
+        out = {
+            r["t"]: (r["hampel_median"], r["hampel_mad"], r["hampel_flag"])
+            for r in hampel_flags(
+                df, "v", 7, ["sid"], ["t"], centered=centered
+            ).collect()
+        }
+        ref = self._ref(xs, 7, centered=centered)
+        for i, (med, mad, flag) in enumerate(ref):
+            gm, gd, gf = out[i]
+            if med is None:
+                assert gm is None
+            else:
+                assert gm == pytest.approx(med, abs=1e-12), i
+                assert gd == pytest.approx(mad, abs=1e-12), i
+            assert gf == flag, i
+
+    def test_catches_adjacent_spikes_no_false_positives(self, spark):
+        from amonaly_detection_in_time_series_data_spark.operators.anomaly import hampel_flags
+
+        xs = self._xs()
+        df = spark.createDataFrame(
+            [("s", i, x) for i, x in enumerate(xs)],
+            "sid string, t int, v double",
+        )
+        flagged = {
+            r["t"]
+            for r in hampel_flags(df, "v", 7, ["sid"], ["t"]).collect()
+            if r["hampel_flag"] == 1
+        }
+        assert {30, 31, 77} <= flagged      # even the adjacent pair
+        assert flagged <= {30, 31, 77}      # and nothing else (robustness)
+
+    def test_single_window_exchange(self, spark):
+        from amonaly_detection_in_time_series_data_spark.operators.anomaly import hampel_flags
+
+        df = spark.createDataFrame(
+            [("s", i, float(i)) for i in range(20)],
+            "sid string, t int, v double",
+        )
+        plan = (
+            hampel_flags(df, "v", 5, ["sid"], ["t"])
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        assert plan.count("Exchange hashpartitioning") == 1, plan
+        assert "BatchEvalPython" not in plan
