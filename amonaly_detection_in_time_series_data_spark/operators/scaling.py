@@ -50,3 +50,68 @@ def minmax_scale_ml(df: DataFrame, cols: Sequence[str], output_col: str = "featu
     scaler = MinMaxScaler(inputCol="__features", outputCol=output_col)
     model = Pipeline(stages=[assembler, scaler]).fit(df)
     return model.transform(df).drop("__features"), model
+
+
+def standard_scale(
+    df: DataFrame, cols: Sequence[str], ddof: int = 1
+) -> DataFrame:
+    """sklearn ``StandardScaler`` convention: ``(x - mean) / std``;
+    a zero-variance column maps to 0.0 (like the minmax constant-column
+    rule). ``ddof=1`` matches Spark's ``stddev_samp`` default; pass 0
+    for sklearn's population std. Same two-pass shape as
+    :func:`minmax_scale`: ONE aggregate job (partial+final), stats
+    broadcast as a 1-row frame, then a single projection.
+    """
+    sd = F.stddev_samp if ddof == 1 else F.stddev_pop
+    stats = df.agg(
+        *[F.avg(c).alias(f"__mu_{c}") for c in cols],
+        *[sd(c).alias(f"__sd_{c}") for c in cols],
+    )
+    out = df.crossJoin(F.broadcast(stats))
+    for c in cols:
+        mu, s = F.col(f"__mu_{c}"), F.col(f"__sd_{c}")
+        out = out.withColumn(
+            c,
+            F.when(
+                s.isNull() | (s == 0.0),
+                F.when(F.col(c).isNotNull(), F.lit(0.0)),
+            ).otherwise((F.col(c) - mu) / s),
+        )
+    return out.drop(
+        *[f"__mu_{c}" for c in cols], *[f"__sd_{c}" for c in cols]
+    )
+
+
+def robust_scale(df: DataFrame, cols: Sequence[str]) -> DataFrame:
+    """sklearn ``RobustScaler`` convention: ``(x - median) / IQR`` —
+    the scaler that outliers can't drag (median and quartiles move by
+    rank, not value). Zero-IQR columns map to 0.0. One aggregate job
+    computes the exact interpolated q1/median/q3 per column (Catalyst
+    folds the three percentile references into one buffer per column),
+    broadcast back, one projection.
+    """
+    stats = df.agg(
+        *[
+            F.percentile(F.col(c), F.lit(p)).alias(f"__p{int(p*100)}_{c}")
+            for c in cols
+            for p in (0.25, 0.5, 0.75)
+        ]
+    )
+    out = df.crossJoin(F.broadcast(stats))
+    for c in cols:
+        q1, med, q3 = (
+            F.col(f"__p25_{c}"),
+            F.col(f"__p50_{c}"),
+            F.col(f"__p75_{c}"),
+        )
+        iqr = q3 - q1
+        out = out.withColumn(
+            c,
+            F.when(
+                iqr.isNull() | (iqr == 0.0),
+                F.when(F.col(c).isNotNull(), F.lit(0.0)),
+            ).otherwise((F.col(c) - med) / iqr),
+        )
+    return out.drop(
+        *[f"__p{p}_{c}" for c in cols for p in (25, 50, 75)]
+    )

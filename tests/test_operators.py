@@ -3295,3 +3295,45 @@ class TestHampelFlags:
         )
         assert plan.count("Exchange hashpartitioning") == 1, plan
         assert "BatchEvalPython" not in plan
+
+
+class TestMoreScalers:
+    """operators.scaling.standard_scale / robust_scale vs numpy/sklearn
+    conventions (no sklearn in env — reference math inline)."""
+
+    def _df(self, spark):
+        rows = [
+            (float(v), float(v) * 2 + 1, 7.0)
+            for v in [1, 2, 3, 4, 5, 6, 7, 8, 9, 100]  # 100 = the outlier
+        ]
+        return spark.createDataFrame(rows, "a double, b double, c double")
+
+    def test_standard_scale_matches_numpy(self, spark):
+        import numpy as np
+
+        from amonaly_detection_in_time_series_data_spark.operators.scaling import standard_scale
+
+        df = self._df(spark)
+        a = np.array([r["a"] for r in df.collect()])
+        want = (a - a.mean()) / a.std(ddof=1)
+        got = sorted(r["a"] for r in standard_scale(df, ["a", "c"]).collect())
+        assert got == pytest.approx(sorted(want.tolist()), abs=1e-12)
+        # constant column -> 0.0 everywhere
+        assert {r["c"] for r in standard_scale(df, ["c"]).collect()} == {0.0}
+
+    def test_robust_scale_outlier_immune(self, spark):
+        import numpy as np
+
+        from amonaly_detection_in_time_series_data_spark.operators.scaling import robust_scale
+
+        df = self._df(spark)
+        a = np.array([r["a"] for r in df.collect()])
+        q1, med, q3 = np.percentile(a, [25, 50, 75])  # linear interp = F.percentile
+        want = sorted(((a - med) / (q3 - q1)).tolist())
+        got = sorted(r["a"] for r in robust_scale(df, ["a"]).collect())
+        assert got == pytest.approx(want, abs=1e-12)
+        # the scaled median sits at 0 and the bulk within ~[-1, 1]
+        # regardless of the outlier (the point of rank statistics)
+        inner = [v for v in got if abs(v) <= 1.0]
+        assert len(inner) >= 7
+        assert {r["c"] for r in robust_scale(df, ["c"]).collect()} == {0.0}
