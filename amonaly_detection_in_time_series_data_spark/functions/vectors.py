@@ -63,3 +63,22 @@ def l2_norm(a: Column) -> Column:
 
 def cosine_similarity(a: Column, b: Column) -> Column:
     return dot(a, b) / F.nullif(l2_norm(a) * l2_norm(b), F.lit(0.0))
+
+
+def l2_normalize(a: Column) -> Column:
+    """Unit-normalize; a zero vector stays zero (no NaN propagation)."""
+    n = l2_norm(a)
+    return F.when(
+        n > 0, F.transform(a, lambda x: x.cast("double") / n)
+    ).otherwise(_to_double(a))
+
+
+def truncate_embedding(a: Column, dims: int, renormalize: bool = True) -> Column:
+    """Matryoshka-style truncation (Kusupati et al. 2022): keep the
+    first ``dims`` components and re-unit-normalize, so downstream
+    cosine math stays calibrated. The cheap way to trade recall for
+    bytes in the ANN ladder — truncate at ingest, re-rank survivors on
+    the full vector. Pure ``slice``/``transform`` exprs, map-only.
+    """
+    t = F.slice(a, 1, dims)
+    return l2_normalize(t) if renormalize else t

@@ -3337,3 +3337,41 @@ class TestMoreScalers:
         inner = [v for v in got if abs(v) <= 1.0]
         assert len(inner) >= 7
         assert {r["c"] for r in robust_scale(df, ["c"]).collect()} == {0.0}
+
+
+class TestVectorHelpers:
+    """functions.vectors — truncation/normalization exprs."""
+
+    def test_truncate_and_normalize(self, spark):
+        import numpy as np
+
+        from amonaly_detection_in_time_series_data_spark.functions.vectors import (
+            cosine_similarity,
+            l2_normalize,
+            truncate_embedding,
+        )
+
+        rows = [([3.0, 4.0, 0.0, 12.0],), ([0.0, 0.0, 0.0, 0.0],)]
+        df = spark.createDataFrame(rows, "v array<double>")
+        out = df.select(
+            truncate_embedding(F.col("v"), 2).alias("t2"),
+            l2_normalize(F.col("v")).alias("n"),
+        ).collect()
+        # [3,4] -> unit [0.6, 0.8]
+        assert out[0]["t2"] == pytest.approx([0.6, 0.8], abs=1e-12)
+        assert np.linalg.norm(out[0]["n"]) == pytest.approx(1.0, abs=1e-12)
+        # zero vector: stays zero, never NaN
+        assert out[1]["t2"] == [0.0, 0.0]
+        assert out[1]["n"] == [0.0, 0.0, 0.0, 0.0]
+        # truncated cosine ~ full cosine for front-loaded vectors
+        a = [1.0, 0.5, 0.01, 0.01]
+        b = [0.9, 0.6, 0.02, 0.0]
+        df2 = spark.createDataFrame([(a, b)], "a array<double>, b array<double>")
+        r = df2.select(
+            cosine_similarity(
+                truncate_embedding(F.col("a"), 2),
+                truncate_embedding(F.col("b"), 2),
+            ).alias("c2"),
+            cosine_similarity(F.col("a"), F.col("b")).alias("c4"),
+        ).collect()[0]
+        assert r["c2"] == pytest.approx(r["c4"], abs=0.01)
