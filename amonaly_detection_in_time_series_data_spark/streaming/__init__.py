@@ -5,6 +5,7 @@ from .rolling import (
     streaming_dedup,
     streaming_enrich,
     streaming_ewma_deviation,
+    streaming_hampel_flags,
     streaming_page_hinkley,
     streaming_throttle_alerts,
     streaming_windowed_stats,
@@ -20,6 +21,7 @@ __all__ = [
     "streaming_page_hinkley",
     "streaming_ewma_deviation",
     "streaming_throttle_alerts",
+    "streaming_hampel_flags",
     "streaming_dedup",
     "streaming_enrich",
     "interval_join",

@@ -442,6 +442,98 @@ def streaming_ewma_deviation(
     )
 
 
+def streaming_hampel_flags(
+    events: DataFrame,
+    window_rows: int = 11,
+    k: float = 3.0,
+    timeout_minutes: int | None = 60,
+) -> DataFrame:
+    """Online Hampel despiker per user — the streaming face of
+    :func:`operators.anomaly.hampel_flags` in its past-only
+    (``centered=False``) mode, the one an online detector can have
+    (the centered textbook frame needs the future).
+
+    Same bounded-deque state as the z-score twin; each row is scored
+    against the previous ``window_rows`` values' exact interpolated
+    median/MAD (identical formulas to the batch operator, so replay
+    parity is exact — order statistics, nothing accumulates), then
+    appended.
+    """
+    import pandas as pd  # noqa: F401
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    out_schema = (
+        "user_id bigint, event_id bigint, ts timestamp, value double, "
+        "hampel_median double, hampel_mad double, hampel_flag int"
+    )
+    state_schema = "values array<double>"
+
+    def score(key, pdf_iter, state):
+        import pandas as pd
+
+        if state.hasTimedOut:
+            state.remove()
+            return
+
+        def med(sorted_vals):
+            m = len(sorted_vals)
+            return (
+                sorted_vals[(m + 1) // 2 - 1] + sorted_vals[(m + 2) // 2 - 1]
+            ) / 2.0
+
+        (user_id,) = key
+        buf = list(state.get[0]) if state.exists else []
+        rows = []
+        for pdf in pdf_iter:
+            pdf = pdf.sort_values(["ts", "event_id"])
+            for _, r in pdf.iterrows():
+                hist = buf[-window_rows:]
+                v = float(r["value"]) if r["value"] is not None else None
+                if hist:
+                    m = med(sorted(hist))
+                    mad = med(sorted(abs(x - m) for x in hist))
+                    if v is None:
+                        flag = 0
+                    elif mad == 0.0:
+                        flag = int(v != m)
+                    else:
+                        flag = int(abs(v - m) > k * 1.4826 * mad)
+                else:
+                    m = mad = None
+                    flag = 0
+                rows.append(
+                    (user_id, int(r["event_id"]), r["ts"], v, m, mad, flag)
+                )
+                if v is not None:
+                    buf.append(v)
+        state.update((buf[-window_rows:],))
+        if timeout_minutes is not None:
+            state.setTimeoutDuration(timeout_minutes * 60 * 1000)
+        yield pd.DataFrame(
+            rows,
+            columns=[
+                "user_id", "event_id", "ts", "value",
+                "hampel_median", "hampel_mad", "hampel_flag",
+            ],
+        )
+
+    return (
+        events.withWatermark("ts", "2 hours")
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            score,
+            outputStructType=out_schema,
+            stateStructType=state_schema,
+            outputMode="append",
+            timeoutConf=(
+                GroupStateTimeout.ProcessingTimeTimeout
+                if timeout_minutes is not None
+                else GroupStateTimeout.NoTimeout
+            ),
+        )
+    )
+
+
 def streaming_throttle_alerts(
     flagged: DataFrame,
     cooldown_seconds: float = 3600.0,

@@ -869,3 +869,40 @@ class TestStreamingThrottle:
         }
         assert diffs == {}, list(diffs.items())[:10]
         assert sum(expected.values()) > 0  # the case isn't vacuous
+
+
+class TestStreamingHampel:
+    """streaming_hampel_flags == batch hampel_flags(centered=False) on
+    full replay, EXACTLY — median/MAD are order statistics, nothing
+    accumulates to blur."""
+
+    def test_matches_batch_exactly(self, spark, sf_dir):
+        from amonaly_detection_in_time_series_data_spark.operators.anomaly import hampel_flags
+        from amonaly_detection_in_time_series_data_spark.streaming.rolling import (
+            streaming_hampel_flags,
+        )
+
+        stream = replay_events_stream(spark, sf_dir)
+        out = streaming_hampel_flags(stream, window_rows=11, timeout_minutes=None)
+        _run_stream_to_memory(out, "hampel", "append")
+        streamed = {
+            r["event_id"]: (r["hampel_median"], r["hampel_mad"], r["hampel_flag"])
+            for r in spark.sql("SELECT * FROM hampel").collect()
+        }
+
+        ev = load_table(spark, sf_dir, "events")
+        batch = hampel_flags(
+            ev, "value", 11, ["user_id"], ["ts", "event_id"], centered=False
+        )
+        expected = {
+            r["event_id"]: (r["hampel_median"], r["hampel_mad"], r["hampel_flag"])
+            for r in batch.collect()
+        }
+        assert len(streamed) == len(expected) > 0
+        for eid, (m, mad, flag) in expected.items():
+            sm, smad, sflag = streamed[eid]
+            if m is None:
+                assert sm is None or (isinstance(sm, float) and math.isnan(sm))
+            else:
+                assert sm == m and smad == mad, eid  # exact, not approx
+            assert sflag == flag, eid
