@@ -28,8 +28,10 @@ __all__ = [
 ]
 
 # query params that identify tracking, not content — stripped by
-# url_normalize so near-identical fetches dedup together
-_TRACKING_PARAM = r"(utm_[a-z]+|gclid|fbclid|ref|mc_eid)=[^&#]*"
+# url_normalize so near-identical fetches dedup together. The name is
+# anchored to a preceding ``?``/``&`` separator so params that merely
+# END in a tracking name (``href=``, ``subref=``) are left intact.
+_TRACKING_PARAM = r"(?<=[?&])(utm_[a-z]+|gclid|fbclid|ref|mc_eid)=[^&#]*&?"
 
 
 def url_host(url: Column | str) -> Column:
@@ -56,7 +58,7 @@ def url_normalize(url: Column | str) -> Column:
     u = F.concat(scheme_host, rest)
     u = F.regexp_replace(u, r"#.*$", "")  # fragment
     u = F.regexp_replace(u, r"(?<=://[^/?#]{1,200}):(80|443)(?=/|$|\?)", "")
-    u = F.regexp_replace(u, _TRACKING_PARAM + r"&?", "")
+    u = F.regexp_replace(u, _TRACKING_PARAM, "")
     u = F.regexp_replace(u, r"[?&]+$", "")
     u = F.regexp_replace(u, r"(://[^/?#]+)/$", r"$1")
     return u

@@ -192,6 +192,15 @@ def maintain_agg_snapshot(
     The rollup bootstraps on first call (full recompute of the merged
     base — the only full scan this function ever does, once per rollup
     lifetime).
+
+    **Contract on ``partition_col``: immutable per key.** The old-image
+    lookup prunes the base to the batch's touched partitions; if a key's
+    partition value could CHANGE between its old row and the batch, the
+    old image would live in an unpruned partition and the rollup would
+    double-count. Keys with NULL partition values are supported (the
+    pruning predicate carries an explicit ``isNull`` branch), but the
+    partition value of a key must never mutate — the same contract every
+    hive-partitioned merge strategy imposes.
     """
     try:
         agg_man = snapshot_manifest(spark, agg_path)
@@ -219,9 +228,17 @@ def maintain_agg_snapshot(
                 .distinct()
                 .collect()
             ]
-            base_at_cut = base_at_cut.filter(
-                F.col(partition_col).isin(touched)
+            # isin() never matches NULL; give NULL partition values an
+            # explicit isNull branch so their old images still retract
+            non_null = [v for v in touched if v is not None]
+            cond = (
+                F.col(partition_col).isin(non_null)
+                if non_null
+                else F.lit(False)
             )
+            if any(v is None for v in touched):
+                cond = cond | F.col(partition_col).isNull()
+            base_at_cut = base_at_cut.filter(cond)
         delta = agg_delta(
             base_at_cut, changes, keys, group_cols, sum_cols, seq_col,
             delete_col,

@@ -67,6 +67,7 @@ __all__ = [
     "read_snapshot",
     "snapshot_manifest",
     "snapshot_history",
+    "snapshot_diff",
     "vacuum_snapshots",
 ]
 
@@ -166,6 +167,37 @@ def _adopt_staging_files(
         rel_files.append(f"{_DATA_DIR}/{rel_dst}")
     fs.delete(jstaging, True)
     return sorted(rel_files)
+
+
+def _touched_partition_dirs(
+    spark: SparkSession, fs, root: str, latest: DataFrame,
+    partition_col: str, fmt: str,
+) -> list[str]:
+    """Hive-escaped directory names (``col=value``) for the partitions a
+    collapsed batch touches. Derived from an actual partitioned Spark
+    write of the distinct values — NOT from Python string formatting —
+    so NULL (``__HIVE_DEFAULT_PARTITION__``), booleans (``true`` vs
+    Python ``True``), and %%-escaped special characters classify exactly
+    as the real staged write lays them out. Cost: one tiny probe write,
+    one row per touched partition (bounded by ``max_touched_partitions``
+    at the caller)."""
+    probe = root + "_probe_touched"
+    (
+        latest.select(partition_col).distinct()
+        .withColumn("__one", F.lit(1))
+        .write.mode("overwrite").partitionBy(partition_col).format(fmt)
+        .save(probe)
+    )
+    jprobe = _jpath(spark, probe)
+    dirs = sorted(
+        st.getPath().getName()
+        for st in fs.listStatus(jprobe)
+        if st.isDirectory()
+        and "=" in st.getPath().getName()
+        and not st.getPath().getName().startswith(("_", "."))
+    )
+    fs.delete(jprobe, True)
+    return dirs
 
 
 def _commit(
@@ -301,8 +333,8 @@ def snapshot_merge(
     latest = latest_changes(changes, keys, seq_col, delete_col)
 
     if partition_col is not None:
-        touched = sorted(
-            r[0] for r in latest.select(partition_col).distinct().collect()
+        touched = _touched_partition_dirs(
+            spark, fs, root, latest, partition_col, fmt
         )
         if len(touched) > max_touched_partitions:
             raise ValueError(
@@ -310,9 +342,7 @@ def snapshot_merge(
                 f"(> max_touched_partitions={max_touched_partitions}); "
                 "run an explicit rewrite instead"
             )
-        prefixes = tuple(
-            f"{_DATA_DIR}/{partition_col}={v}/" for v in touched
-        )
+        prefixes = tuple(f"{_DATA_DIR}/{d}/" for d in touched)
         touched_files = [f for f in man["files"] if f.startswith(prefixes)]
         untouched_files = [f for f in man["files"] if not f.startswith(prefixes)]
     else:
@@ -538,10 +568,16 @@ def vacuum_snapshots(
     spark: SparkSession, table_path: str, keep_last: int = 2
 ) -> dict:
     """Drop all but the newest ``keep_last`` versions and delete every
-    data file no retained manifest references (including orphans from
-    crashed commits). Time travel to a vacuumed version then raises
-    with the retained range — the explicit retention boundary that
-    CoW-replace crosses silently."""
+    data file no retained manifest references (including post-adoption
+    orphans from crashed commits). Stale sibling staging directories
+    (``<table>_staging_vNNNNNNNN`` left by a crash BEFORE file adoption)
+    are also removed for versions at or below the newest committed
+    version — those versions already landed, so their staging dirs
+    cannot be in flight under the single-writer assumption. A staging
+    dir for a NOT-yet-committed version is left alone (it may be the
+    writer's live attempt). Time travel to a vacuumed version then
+    raises with the retained range — the explicit retention boundary
+    that CoW-replace crosses silently."""
     if keep_last < 1:
         raise ValueError("vacuum_snapshots: keep_last must be >= 1")
     fs, _ = _fs_and_path(spark, table_path)
@@ -561,8 +597,28 @@ def vacuum_snapshots(
             deleted_files += 1
     for v in drop:
         fs.delete(_jpath(spark, _manifest_path(root, v)), False)
+    # stale pre-adoption staging dirs + the merge probe dir: siblings of
+    # table_path, so scan its parent for our own name prefix only
+    deleted_staging = 0
+    latest_v = versions[-1] if versions else 0
+    jroot = _jpath(spark, root)
+    parent, base = jroot.getParent(), jroot.getName()
+    if parent is not None and fs.exists(parent):
+        import re as _re
+
+        pat = _re.compile(_re.escape(base) + r"_staging_v(\d{8})$")
+        for st in fs.listStatus(parent):
+            name = st.getPath().getName()
+            m = pat.match(name)
+            if m and int(m.group(1)) <= latest_v:
+                fs.delete(st.getPath(), True)
+                deleted_staging += 1
+            elif name == base + "_probe_touched":
+                fs.delete(st.getPath(), True)
+                deleted_staging += 1
     return {
         "kept_versions": keep,
         "dropped_versions": drop,
         "deleted_files": deleted_files,
+        "deleted_staging_dirs": deleted_staging,
     }

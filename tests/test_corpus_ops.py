@@ -1175,6 +1175,10 @@ class TestUrlFunctions:
             (2, "https://example.com/Path/?a=1"),
             (3, "http://example.com:80/"),
             (4, "https://example.com/?utm_campaign=z"),
+            # params whose NAME merely ends in a tracking name must
+            # survive (ADVICE r7: unanchored 'ref=' ate 'href=...')
+            (5, "https://a.com/page?href=http://b.com&x=1"),
+            (6, "https://a.com/p?subref=abc&ref=track&utm_a=1&b=2"),
         ]
         df = spark.createDataFrame(rows, "id int, url string")
         out = df.select("id", url_normalize("url").alias("n"))
@@ -1183,6 +1187,8 @@ class TestUrlFunctions:
         assert got[2] == "https://example.com/Path/?a=1"
         assert got[3] == "http://example.com"
         assert got[4] == "https://example.com"
+        assert got[5] == "https://a.com/page?href=http://b.com&x=1"
+        assert got[6] == "https://a.com/p?subref=abc&b=2"
         # idempotent: normalizing the normalized form changes nothing
         again = {
             r["id"]: r["n2"]

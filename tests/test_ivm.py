@@ -131,6 +131,37 @@ class TestIvm:
         after = apply_agg_delta(agg0, delta, ["g"], ["x"])
         assert _rollup_dict(after) == {"b": (12, 2)}
 
+    def test_null_partition_values_retract_old_images(self, spark, tmp_path):
+        """r7 ADVICE: ``isin()`` pruning never matches NULL, so changed
+        keys living in the NULL partition kept their old images and the
+        rollup double-counted. The predicate now carries an explicit
+        ``isNull`` branch."""
+        base = str(tmp_path / "base")
+        agg = str(tmp_path / "agg")
+        base_rows = [(1, None, "a", 10), (2, 0, "a", 20), (3, None, "b", 30)]
+        snapshot_commit(
+            spark, base, spark.createDataFrame(base_rows, SCHEMA),
+            partition_col="p",
+        )
+        kw = dict(
+            keys=["k"], group_cols=["g"], sum_cols=["x"],
+            seq_col="seq", delete_col="deleted", partition_col="p",
+        )
+        b0 = spark.createDataFrame([(4, 0, "b", 5, 1, False)], CHANGES_SCHEMA)
+        maintain_agg_snapshot(spark, base, agg, b0, **kw)
+        # update + delete keys whose partition value is NULL
+        b1 = spark.createDataFrame(
+            [(1, None, "a", 100, 2, False), (3, None, "b", 0, 2, True)],
+            CHANGES_SCHEMA,
+        )
+        res = maintain_agg_snapshot(spark, base, agg, b1, **kw)
+        assert res["agg_op"] == "incremental"
+        got = _rollup_dict(read_snapshot(spark, agg))
+        want = _rollup_dict(
+            compute_agg(read_snapshot(spark, base), ["g"], ["x"])
+        )
+        assert got == want == {"a": (120, 2), "b": (5, 1)}
+
     def test_redelivery_and_crash_window_are_exactly_once(
         self, spark, tmp_path
     ):

@@ -120,6 +120,66 @@ class TestSnapshots:
             1, 2, 3,
         ]
 
+    def test_merge_hive_escaped_and_null_partitions(self, spark, tmp_path):
+        """Partition values that hive-escape differently from their raw
+        Python repr (NULL → __HIVE_DEFAULT_PARTITION__, ``/`` and ``=``
+        → %%-escapes) must still classify their files as TOUCHED — the
+        r7 failure mode carried the old files forward next to the
+        rewrite, duplicating keys silently."""
+        table = str(tmp_path / "t")
+        schema = "k int, p string, v string"
+        base = [
+            (1, None, "a"),
+            (2, "plain", "b"),
+            (3, "a/b", "c"),
+            (4, "x=y", "d"),
+        ]
+        snapshot_commit(
+            spark, table, spark.createDataFrame(base, schema),
+            partition_col="p",
+        )
+        changes = spark.createDataFrame(
+            [
+                (1, None, "a2", 1, False),   # update inside NULL partition
+                (3, "a/b", None, 1, True),   # delete inside %-escaped dir
+                (5, "q?r", "e", 1, False),   # insert new escaped partition
+            ],
+            "k int, p string, v string, seq bigint, deleted boolean",
+        )
+        stats = snapshot_merge(
+            spark, table, changes, keys=["k"], seq_col="seq",
+            delete_col="deleted",
+        )
+        assert stats["touched_partitions"] == 3
+        got = {
+            r["k"]: (r["p"], r["v"])
+            for r in read_snapshot(spark, table).collect()
+        }
+        assert got == {
+            1: (None, "a2"),
+            2: ("plain", "b"),
+            4: ("x=y", "d"),
+            5: ("q?r", "e"),
+        }
+        # the failure mode was duplicate keys (old + new side by side)
+        assert read_snapshot(spark, table).count() == 4
+        # untouched escaped partition carried forward BY NAME; touched
+        # NULL partition was NOT carried forward
+        import json
+
+        def files(v):
+            with open(
+                os.path.join(table, "_manifests", f"v{v:08d}.json")
+            ) as fh:
+                return set(json.load(fh)["files"])
+
+        shared = files(1) & files(2)
+        assert any("p=plain" in f for f in shared)
+        assert any("p=x%3Dy" in f for f in shared)
+        assert not any("__HIVE_DEFAULT_PARTITION__" in f for f in shared)
+        # the probe directory is cleaned up after the merge
+        assert not os.path.exists(str(tmp_path / "t_probe_touched"))
+
     def test_vacuum_retention_and_orphans(self, spark, tmp_path):
         table = str(tmp_path / "t")
         snapshot_commit(
@@ -142,12 +202,25 @@ class TestSnapshots:
         orphan = os.path.join(orphan_dir, "s99999999-part-orphan.parquet")
         with open(orphan, "wb") as fh:
             fh.write(b"not really parquet")
+        # a crash BEFORE adoption leaves a sibling staging dir for an
+        # already-committed version — vacuum must collect it too
+        stale_staging = str(tmp_path / "t_staging_v00000002")
+        os.makedirs(stale_staging)
+        with open(os.path.join(stale_staging, "part-0.parquet"), "wb") as fh:
+            fh.write(b"stale")
+        # a staging dir for a NOT-yet-committed version may be a live
+        # writer attempt — must be left alone
+        live_staging = str(tmp_path / "t_staging_v00000009")
+        os.makedirs(live_staging)
 
         res = vacuum_snapshots(spark, table, keep_last=2)
         assert res["dropped_versions"] == [1]
         assert res["kept_versions"] == [2, 3]
         assert res["deleted_files"] > 0
+        assert res["deleted_staging_dirs"] == 1
         assert not os.path.exists(orphan)
+        assert not os.path.exists(stale_staging)
+        assert os.path.exists(live_staging)
 
         # retained versions still read correctly end-to-end
         assert _as_dict(read_snapshot(spark, table, version=2)) == _expected()
