@@ -172,53 +172,59 @@ def q_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
     detectors all share ONE (user_id, ts) exchange; IQR adds one
     per-key aggregate + broadcast join."""
     from amonaly_detection_in_time_series_data_spark.operators.anomaly import (
-        ewma_deviation,
-        page_hinkley,
-        tukey_robust_flags,
+        anomaly_battery,
     )
 
     ev = _events(spark, sf_dir)
-    scored = rolling_zscore(ev, "value", 24, KEY, ORDER, threshold=3.0)
-    # unit_digits=2: events.value sits on a 0.01 grid, so PH and the IQR
-    # fences run in EXACT integer centi-units — running sums of grid
-    # data land on decimal half-boundaries constantly (measured 8 + 62
-    # cross-engine rounding flips per 10k rows in float mode)
-    scored = page_hinkley(
-        scored, "value", KEY, ORDER, delta=0.0, lam=10.0, unit_digits=2
-    )
-    scored = ewma_deviation(scored, "value", 8, KEY, ORDER, alpha=0.5)
+    # The fused battery (r8): value-identical to the sequential
+    # rolling_zscore -> page_hinkley -> ewma_deviation ->
+    # tukey_robust_flags -> trend_ols_flags composition
+    # (differential-tested at tests/test_operators.py), but built in
+    # minimal analysis layers — driver plan time was the dominant warm
+    # cost of this query (~0.9 s composed). unit_digits=2: events.value
+    # sits on a 0.01 grid, so PH, the IQR fences, and the OLS
+    # sufficient statistics run in EXACT integer centi-units (running
+    # sums of grid data land on decimal half-boundaries constantly in
+    # float mode; the OLS sums are combine-order-proof BIGINTs).
     # stats_source=ev keeps each stats aggregate's lineage on the raw
-    # scan — aggregating over the composed frame would re-drag every
-    # prior broadcast join into each pass. The fused Tukey+robust
-    # operator computes q1/median/q3 in ONE order-stats aggregate
-    # (MAD keeps its inherent second pass): 3 FileScans total, vs 5
-    # for the separately-composed detectors (plan-asserted in tests).
-    scored = tukey_robust_flags(
-        scored, "value", KEY, k=1.5, unit_digits=2, stats_source=ev
+    # scan rather than re-dragging the composed joins into each pass.
+    scored = anomaly_battery(
+        ev, "value", KEY, ORDER, unit_digits=2, stats_source=ev
     )
-    return scored.select(
+    # selectExpr, not select: ~25 rounded Column objects would cost more
+    # py4j round trips than the whole battery build (same rationale as
+    # the battery's SQL-text layers). Fences are exact multiples of
+    # 1/800 (<=5 decimals): round at 6 so the true value can never sit
+    # on the rounding boundary.
+    return scored.selectExpr(
         "event_id",
         "user_id",
-        _ts_str("ts").alias("ts"),
+        "date_format(ts, 'yyyy-MM-dd HH:mm:ss') AS ts",
         "value",
-        F.round("value_roll_mean", 6).alias("roll_mean"),
-        F.round("value_roll_std", 6).alias("roll_std"),
-        F.round("value_zscore", 6).alias("zscore"),
-        F.col("is_anomaly").cast("bigint").alias("is_anomaly"),
-        F.round("ph_inc", 4).alias("ph_inc"),
-        F.round("ph_dec", 4).alias("ph_dec"),
-        F.col("ph_alarm").cast("bigint").alias("ph_alarm"),
-        F.round("ewma", 4).alias("ewma"),
-        F.round("ewma_dev", 4).alias("ewma_dev"),
-        F.col("ewma_alarm").cast("bigint").alias("ewma_alarm"),
-        # fences are exact multiples of 1/800 (<=5 decimals): round at 6
-        # so the true value can never sit on the rounding boundary
-        F.round("iqr_lo", 6).alias("iqr_lo"),
-        F.round("iqr_hi", 6).alias("iqr_hi"),
-        F.col("iqr_alarm").cast("bigint").alias("iqr_alarm"),
-        F.round("med", 6).alias("med"),
-        F.round("mad", 6).alias("mad"),
-        F.col("robust_alarm").cast("bigint").alias("robust_alarm"),
+        "round(value_roll_mean, 6) AS roll_mean",
+        "round(value_roll_std, 6) AS roll_std",
+        "round(value_zscore, 6) AS zscore",
+        "cast(is_anomaly as bigint) AS is_anomaly",
+        "round(ph_inc, 4) AS ph_inc",
+        "round(ph_dec, 4) AS ph_dec",
+        "cast(ph_alarm as bigint) AS ph_alarm",
+        "round(ewma, 4) AS ewma",
+        "round(ewma_dev, 4) AS ewma_dev",
+        "cast(ewma_alarm as bigint) AS ewma_alarm",
+        "round(iqr_lo, 6) AS iqr_lo",
+        "round(iqr_hi, 6) AS iqr_hi",
+        "cast(iqr_alarm as bigint) AS iqr_alarm",
+        "round(med, 6) AS med",
+        "round(mad, 6) AS mad",
+        "cast(robust_alarm as bigint) AS robust_alarm",
+        # r8: detrended tier — per-user closed-form OLS from exact
+        # integer sufficient statistics (rounded at 6 inside the battery)
+        "trend_slope",
+        "trend_intercept",
+        "trend_fit",
+        "trend_resid",
+        "trend_z",
+        "cast(trend_alarm as bigint) AS trend_alarm",
     )
 
 
@@ -385,6 +391,11 @@ def q_minmax_scale_both(spark: SparkSession, sf_dir: str) -> DataFrame:
         minmax_scale_ml,
     )
 
+    from amonaly_detection_in_time_series_data_spark.operators.scaling import (
+        robust_scale,
+        standard_scale,
+    )
+
     ev = _events(spark, sf_dir)
     sql_t = minmax_scale(ev, ["value"]).select(
         "event_id", F.round("value", 6).alias("value_scaled_sql")
@@ -396,7 +407,19 @@ def q_minmax_scale_both(spark: SparkSession, sf_dir: str) -> DataFrame:
             "value_scaled_ml"
         ),
     )
-    return sql_t.join(ml_t, "event_id")
+    # merged r8: the full scaler family — StandardScaler (mean/std from
+    # exact integer sums) and RobustScaler (median/IQR in exact
+    # quarter-units) ride the same query; each is one stats aggregate +
+    # broadcast, joined on event_id
+    std_t = standard_scale(
+        ev.select("event_id", "value"), ["value"], unit_digits=2
+    ).select("event_id", F.round("value", 6).alias("value_scaled_std"))
+    rob_t = robust_scale(
+        ev.select("event_id", "value"), ["value"], unit_digits=2
+    ).select("event_id", F.round("value", 6).alias("value_scaled_robust"))
+    return sql_t.join(ml_t, "event_id").join(std_t, "event_id").join(
+        rob_t, "event_id"
+    )
 
 
 def q_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -517,13 +540,38 @@ def q_orders_no_recent_lineitems(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_customers_with_big_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # left SEMI join: customers having >= 1 order over 300k
+    """Left SEMI join: customers having >= 1 order over 300k — DataFrame
+    form, plus (merged r8) the same query as SQL TEXT through the
+    ``register_tables`` temp-view surface (sources.readers:251): a
+    correlated EXISTS over the views, tagged and unioned, so the
+    ``spark.sql`` entry path gets its own CORRECTNESS row. Catalyst
+    rewrites the EXISTS to the identical left-semi plan, pushdowns
+    included — the views are lazy subqueries, not materializations."""
+    from amonaly_detection_in_time_series_data_spark.sources.readers import register_tables
+
     cust = load_table(spark, sf_dir, "customer")
     orders = load_table(spark, sf_dir, "orders").filter(
         F.col("o_totalprice") > 300000
     )
-    out = cust.join(orders, cust.c_custkey == orders.o_custkey, "left_semi")
-    return out.select("c_custkey", "c_name", "c_mktsegment")
+    df_form = (
+        cust.join(orders, cust.c_custkey == orders.o_custkey, "left_semi")
+        .select("c_custkey", "c_name", "c_mktsegment")
+        .withColumn("op", F.lit("df"))
+    )
+    register_tables(spark, sf_dir, tables=("customer", "orders"))
+    sql_form = spark.sql(
+        """
+        SELECT c_custkey, c_name, c_mktsegment, 'sql' AS op
+        FROM customer
+        WHERE EXISTS (
+          SELECT 1 FROM orders
+          WHERE o_custkey = c_custkey AND o_totalprice > 300000
+        )
+        """
+    )
+    return df_form.unionByName(sql_form).select(
+        "op", "c_custkey", "c_name", "c_mktsegment"
+    )
 
 
 def q_project_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1056,12 +1104,43 @@ def q_typed_aggs(spark: SparkSession, sf_dir: str) -> DataFrame:
     unique / regex compiled to violation counts) ride the SAME
     aggregate, proving the one-pass validation contract under oracle."""
     from amonaly_detection_in_time_series_data_spark.operators.validation import (
+        detector_metrics,
         violation_expr,
     )
 
     ev = _events(spark, sf_dir)
+    # merged r8: the detector evaluation harness — two rule detectors
+    # scored against a synthetic ground truth (every 50th label NULL to
+    # exercise exclusion; every 31st flag NULL to exercise the
+    # abstain-is-miss rule), confusion counts + precision/recall/F1 in
+    # ONE aggregate pass, pivoted to one row and cross-joined onto the
+    # per-type aggregate rows. Ratios of identical integer counts are
+    # identical doubles in any engine — emitted unrounded.
+    scored = ev.select(
+        F.when(F.col("event_id") % 50 == 0, F.lit(None))
+        .otherwise((F.col("value") > 200).cast("int"))
+        .alias("label"),
+        F.when(F.col("event_id") % 31 == 0, F.lit(None))
+        .otherwise((F.col("value") > 195).cast("int"))
+        .alias("flag_hi"),
+        (F.col("value") < 5).cast("int").alias("flag_lo"),
+    )
+    mets = detector_metrics(scored, "label", ["flag_hi", "flag_lo"])
+    piv = (
+        mets.groupBy()
+        .pivot("detector", ["flag_hi", "flag_lo"])
+        .agg(
+            F.first("tp").alias("tp"),
+            F.first("fp").alias("fp"),
+            F.first("fn").alias("fn"),
+            F.first("tn").alias("tn"),
+            F.first("precision").alias("precision"),
+            F.first("recall").alias("recall"),
+            F.first("f1").alias("f1"),
+        )
+    )
     pct = F.percentile("value", F.lit([0.5, 0.9]))
-    return ev.groupBy("event_type").agg(
+    agg = ev.groupBy("event_type").agg(
         F.round(pct[0], 6).alias("p50"),
         F.round(pct[1], 6).alias("p90"),
         F.countDistinct("user_id").alias("n_users"),
@@ -1085,6 +1164,7 @@ def q_typed_aggs(spark: SparkSession, sf_dir: str) -> DataFrame:
             }
         ).alias("bad_type_format"),
     )
+    return agg.crossJoin(F.broadcast(piv))
 
 
 def q_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1283,19 +1363,44 @@ def q_embedding_knn_tiers(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_rolling_time_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     """RANGE (time-interval) frame — per-user trailing-3h mean/count at
-    every event, frame bounded by event time, not row position."""
+    every event, frame bounded by event time, not row position.
+
+    Merged r8: (a) the Hampel despiker (operators.anomaly.hampel_flags,
+    centered ±10-row median/MAD fence — pure array HOFs over the same
+    per-user exchange; medians/MADs land on the exact 0.005/0.0025
+    grids, so round-6 is boundary-safe and the flag comparison is
+    bit-identical in any engine); (b) the ACF / dominant-period
+    seasonality detector (operators.timeseries.acf_lags +
+    dominant_period, max_lag=26 in exact centi-unit sufficient
+    statistics), one row of per-user scalars broadcast back onto the
+    event rows."""
+    from amonaly_detection_in_time_series_data_spark.operators.anomaly import hampel_flags
+    from amonaly_detection_in_time_series_data_spark.operators.timeseries import (
+        acf_lags,
+        dominant_period,
+    )
+
     ev = _events(spark, sf_dir)
     w = (
         Window.partitionBy("user_id")
         .orderBy(F.unix_micros(F.col("ts")))
         .rangeBetween(-3 * 3600 * 1_000_000, 0)
     )
-    return ev.select(
+    base = hampel_flags(ev, "value", 10, KEY, ORDER, k=3.0, centered=True)
+    acf = acf_lags(ev, "value", KEY, ORDER, max_lag=26, unit_digits=2)
+    period = dominant_period(acf, KEY, min_lag=2)
+    return base.join(F.broadcast(period), "user_id", "left").select(
         "event_id",
         "user_id",
         _ts_str("ts").alias("ts"),
         F.round(F.avg("value").over(w), 6).alias("avg_3h"),
         F.count("*").over(w).cast("bigint").alias("n_3h"),
+        F.round("hampel_median", 6).alias("hampel_median"),
+        F.round("hampel_mad", 6).alias("hampel_mad"),
+        F.col("hampel_flag").cast("bigint").alias("hampel_flag"),
+        F.col("period").cast("bigint").alias("period"),
+        F.col("peak_acf").alias("peak_acf"),
+        F.col("significant").cast("bigint").alias("period_significant"),
     )
 
 
@@ -1576,8 +1681,8 @@ def q_minhash_pairs_md5(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle-proven, mirrored as a HAVING count(*) filter in the SQL.
 
     Merged r6: the pair list is resolved into DEDUP GROUPS —
-    operators.graph.connected_components (iterative min-label
-    propagation) collapses transitively-linked candidates, and every doc
+    operators.graph.connected_components (large-star/small-star
+    contraction since r8) collapses transitively-linked candidates, and every doc
     (singletons included) gets a ``component`` row. Tagged union:
     kind='pair' rows carry (id_a, id_b, jaccard_est); kind='component'
     rows carry (doc_id, component, NULL). The oracle replays the
@@ -2297,6 +2402,42 @@ rz AS (
            abs(2 * CAST(round(e.value * 100) AS BIGINT) - iq.med_2), 0.5)) AS BIGINT) AS mad_8
   FROM events e JOIN iq ON e.user_id = iq.user_id
   GROUP BY e.user_id
+),
+-- r8 trend tier: per-user OLS from EXACT integer sufficient statistics
+-- (y in centi-units, x = 0-based row index) — the six sums are BIGINT,
+-- so both engines derive bit-identical slope/intercept/stderr doubles
+ols AS (
+  SELECT user_id,
+         CAST(count(*) AS DOUBLE) AS n,
+         CAST(sum(x) AS DOUBLE) AS sx,
+         CAST(sum(y) AS DOUBLE) AS sy,
+         CAST(sum(x * x) AS DOUBLE) AS sxx,
+         CAST(sum(x * y) AS DOUBLE) AS sxy,
+         CAST(sum(y * y) AS DOUBLE) AS syy
+  FROM (
+    SELECT user_id,
+           CAST(round(value * 100) AS BIGINT) AS y,
+           CAST(row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) - 1 AS BIGINT) AS x
+    FROM events
+  )
+  GROUP BY user_id
+),
+fit0 AS (
+  SELECT *, CASE WHEN n >= 3 AND n * sxx - sx * sx > 0
+                 THEN (n * sxy - sx * sy) / (n * sxx - sx * sx) END AS b
+  FROM ols
+),
+fit AS (
+  SELECT user_id, b,
+         (sy - b * sx) / n AS a,
+         CASE WHEN n > 2 THEN sqrt(greatest(0.0,
+           syy - sy * sy / n - b * b * (sxx - sx * sx / n)) / (n - 2)) END AS serr
+  FROM fit0
+),
+tx AS (
+  SELECT event_id,
+         CAST(row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) - 1 AS BIGINT) AS x
+  FROM events
 )
 SELECT p.event_id, p.user_id, strftime(p.ts, '{fmt}') AS ts, p.value,
        round(m, 6) AS roll_mean,
@@ -2314,11 +2455,21 @@ SELECT p.event_id, p.user_id, strftime(p.ts, '{fmt}') AS ts, p.value,
        CAST(8 * p.m_i < 5 * q1_4 - 3 * q3_4 OR 8 * p.m_i > 5 * q3_4 - 3 * q1_4 AS BIGINT) AS iqr_alarm,
        round(med_2 / 200.0, 6) AS med,
        round(mad_8 / 800.0, 6) AS mad,
-       CAST(mad_8 > 0 AND 26980 * abs(2 * p.m_i - med_2) > 35000 * mad_8 AS BIGINT) AS robust_alarm
+       CAST(mad_8 > 0 AND 26980 * abs(2 * p.m_i - med_2) > 35000 * mad_8 AS BIGINT) AS robust_alarm,
+       round(fit.b / 100, 6) AS trend_slope,
+       round(fit.a / 100, 6) AS trend_intercept,
+       round((fit.a + fit.b * CAST(tx.x AS DOUBLE)) / 100, 6) AS trend_fit,
+       round((CAST(p.m_i AS DOUBLE) - (fit.a + fit.b * CAST(tx.x AS DOUBLE))) / 100, 6) AS trend_resid,
+       round((CAST(p.m_i AS DOUBLE) - (fit.a + fit.b * CAST(tx.x AS DOUBLE))) / nullif(fit.serr, 0), 6) AS trend_z,
+       CASE WHEN round((CAST(p.m_i AS DOUBLE) - (fit.a + fit.b * CAST(tx.x AS DOUBLE))) / nullif(fit.serr, 0), 6) IS NOT NULL
+            THEN CAST(abs(round((CAST(p.m_i AS DOUBLE) - (fit.a + fit.b * CAST(tx.x AS DOUBLE))) / nullif(fit.serr, 0), 6)) > 3.0 AS BIGINT)
+            END AS trend_alarm
 FROM ph2 p
 LEFT JOIN ew ON p.event_id = ew.event_id
 JOIN iq ON p.user_id = iq.user_id
 JOIN rz ON p.user_id = rz.user_id
+LEFT JOIN fit ON p.user_id = fit.user_id
+JOIN tx ON p.event_id = tx.event_id
 """
 
     sql["clean_coerce"] = f"""
@@ -2434,10 +2585,34 @@ WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
 """
 
     sql["minmax_scale_both"] = """
+WITH st AS (
+  -- standard scaler from EXACT integer sums (centi-units): mean/std
+  -- are combine-order-proof, both engines derive identical doubles
+  SELECT CAST(count(value) AS DOUBLE) AS n,
+         CAST(sum(CAST(round(value * 100) AS BIGINT)) AS DOUBLE) AS s1,
+         CAST(sum(CAST(round(value * 100) AS BIGINT)
+                  * CAST(round(value * 100) AS BIGINT)) AS DOUBLE) AS s2
+  FROM events
+),
+rq AS (
+  -- robust scaler quartiles in exact quarter-centi-units
+  SELECT CAST(round(4 * quantile_cont(CAST(round(value * 100) AS BIGINT), 0.25)) AS BIGINT) AS q1_4,
+         CAST(round(4 * quantile_cont(CAST(round(value * 100) AS BIGINT), 0.5)) AS BIGINT) AS med_4,
+         CAST(round(4 * quantile_cont(CAST(round(value * 100) AS BIGINT), 0.75)) AS BIGINT) AS q3_4
+  FROM events
+)
 SELECT event_id,
        round(CASE WHEN mx = mn THEN 0.0 ELSE (value - mn) / (mx - mn) END, 6) AS value_scaled_sql,
-       round(CASE WHEN mx = mn THEN 0.0 ELSE (value - mn) / (mx - mn) END, 6) AS value_scaled_ml
-FROM events, (SELECT min(value) AS mn, max(value) AS mx FROM events)
+       round(CASE WHEN mx = mn THEN 0.0 ELSE (value - mn) / (mx - mn) END, 6) AS value_scaled_ml,
+       round(CASE WHEN sqrt((s2 - s1 * s1 / n) / (n - 1)) = 0 OR sqrt((s2 - s1 * s1 / n) / (n - 1)) IS NULL
+                  THEN CASE WHEN value IS NOT NULL THEN 0.0 END
+                  ELSE (CAST(CAST(round(value * 100) AS BIGINT) AS DOUBLE) - s1 / n)
+                       / sqrt((s2 - s1 * s1 / n) / (n - 1)) END, 6) AS value_scaled_std,
+       round(CASE WHEN q3_4 - q1_4 = 0 OR q3_4 - q1_4 IS NULL
+                  THEN CASE WHEN value IS NOT NULL THEN 0.0 END
+                  ELSE (4 * CAST(round(value * 100) AS BIGINT) - med_4)
+                       / (q3_4 - q1_4) END, 6) AS value_scaled_robust
+FROM events, (SELECT min(value) AS mn, max(value) AS mx FROM events), st, rq
 """
 
     sql["pricing_summary"] = """
@@ -2489,12 +2664,17 @@ WHERE NOT EXISTS (
 """
 
     sql["customers_with_big_orders"] = """
-SELECT c_custkey, c_name, c_mktsegment
-FROM customer
-WHERE EXISTS (
-  SELECT 1 FROM orders
-  WHERE o_custkey = c_custkey AND o_totalprice > 300000
+WITH hits AS (
+  SELECT c_custkey, c_name, c_mktsegment
+  FROM customer
+  WHERE EXISTS (
+    SELECT 1 FROM orders
+    WHERE o_custkey = c_custkey AND o_totalprice > 300000
+  )
 )
+SELECT 'df' AS op, * FROM hits
+UNION ALL
+SELECT 'sql' AS op, * FROM hits
 """
 
     sql["project_filter"] = """
@@ -2746,6 +2926,34 @@ GROUP BY GROUPING SETS ((c_mktsegment), (o_orderpriority), ())
 """
 
     sql["typed_aggs"] = """
+WITH scored AS (
+  SELECT CASE WHEN event_id % 50 = 0 THEN NULL
+              ELSE CAST(value > 200 AS INT) END AS lbl,
+         coalesce(CASE WHEN event_id % 31 = 0 THEN NULL
+                       ELSE CAST(value > 195 AS INT) END, 0) AS fh,
+         coalesce(CAST(value < 5 AS INT), 0) AS fl
+  FROM events
+),
+m AS (
+  SELECT
+    count(*) FILTER (WHERE lbl IS NOT NULL AND lbl = 1 AND fh = 1) AS hi_tp,
+    count(*) FILTER (WHERE lbl IS NOT NULL AND lbl = 0 AND fh = 1) AS hi_fp,
+    count(*) FILTER (WHERE lbl IS NOT NULL AND lbl = 1 AND fh = 0) AS hi_fn,
+    count(*) FILTER (WHERE lbl IS NOT NULL AND lbl = 0 AND fh = 0) AS hi_tn,
+    count(*) FILTER (WHERE lbl IS NOT NULL AND lbl = 1 AND fl = 1) AS lo_tp,
+    count(*) FILTER (WHERE lbl IS NOT NULL AND lbl = 0 AND fl = 1) AS lo_fp,
+    count(*) FILTER (WHERE lbl IS NOT NULL AND lbl = 1 AND fl = 0) AS lo_fn,
+    count(*) FILTER (WHERE lbl IS NOT NULL AND lbl = 0 AND fl = 0) AS lo_tn
+  FROM scored
+),
+mx AS (
+  SELECT *,
+         hi_tp / nullif(hi_tp + hi_fp, 0) AS hi_p,
+         hi_tp / nullif(hi_tp + hi_fn, 0) AS hi_r,
+         lo_tp / nullif(lo_tp + lo_fp, 0) AS lo_p,
+         lo_tp / nullif(lo_tp + lo_fn, 0) AS lo_r
+  FROM m
+)
 SELECT event_type,
        round(quantile_cont(value, 0.5), 6) AS p50,
        round(quantile_cont(value, 0.9), 6) AS p90,
@@ -2755,9 +2963,18 @@ SELECT event_type,
        CAST(sum(CASE WHEN value IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS value_nulls,
        CAST(sum(CASE WHEN value IS NOT NULL AND (value < 0 OR value > 250) THEN 1 ELSE 0 END) AS BIGINT) AS value_range_viol,
        count(event_id) - count(DISTINCT event_id) AS dup_event_ids,
-       CAST(sum(CASE WHEN event_type IS NOT NULL AND NOT regexp_matches(event_type, '^[a-z_]+$') THEN 1 ELSE 0 END) AS BIGINT) AS bad_type_format
-FROM events
-GROUP BY event_type
+       CAST(sum(CASE WHEN event_type IS NOT NULL AND NOT regexp_matches(event_type, '^[a-z_]+$') THEN 1 ELSE 0 END) AS BIGINT) AS bad_type_format,
+       hi_tp AS flag_hi_tp, hi_fp AS flag_hi_fp,
+       hi_fn AS flag_hi_fn, hi_tn AS flag_hi_tn,
+       hi_p AS flag_hi_precision, hi_r AS flag_hi_recall,
+       2 * hi_p * hi_r / nullif(hi_p + hi_r, 0.0) AS flag_hi_f1,
+       lo_tp AS flag_lo_tp, lo_fp AS flag_lo_fp,
+       lo_fn AS flag_lo_fn, lo_tn AS flag_lo_tn,
+       lo_p AS flag_lo_precision, lo_r AS flag_lo_recall,
+       2 * lo_p * lo_r / nullif(lo_p + lo_r, 0.0) AS flag_lo_f1
+FROM events, mx
+GROUP BY event_type, hi_tp, hi_fp, hi_fn, hi_tn, hi_p, hi_r,
+         lo_tp, lo_fp, lo_fn, lo_tn, lo_p, lo_r
 """
 
     sql["doc_dedup_exact"] = f"""
@@ -3546,11 +3763,103 @@ FROM fused_ranked WHERE rn <= 5
 """
 
     sql["rolling_time_window"] = f"""
-SELECT event_id, user_id, strftime(ts, '{fmt}') AS ts,
-       round(avg(value) OVER w, 6) AS avg_3h,
-       CAST(count(*) OVER w AS BIGINT) AS n_3h
-FROM events
-WINDOW w AS (PARTITION BY user_id ORDER BY ts
+WITH ham AS (
+  -- Hampel despiker: exact median/MAD of the ±10 frame via sorted-list
+  -- interpolation, same element arithmetic as the Spark array HOFs
+  SELECT event_id,
+         list_sort(list(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS BETWEEN 10 PRECEDING AND 10 FOLLOWING)) AS vals
+  FROM events
+),
+hm AS (
+  SELECT event_id, vals,
+         CASE WHEN len(vals) > 0 THEN
+           (list_extract(vals, CAST(floor((len(vals) + 1) / 2) AS INT))
+            + list_extract(vals, CAST(ceil((len(vals) + 1) / 2) AS INT))) / 2.0
+         END AS med
+  FROM ham
+),
+hd AS (
+  SELECT event_id, med,
+         list_sort(list_transform(vals, v -> abs(v - med))) AS devs
+  FROM hm
+),
+hmad AS (
+  SELECT event_id, med,
+         CASE WHEN len(devs) > 0 THEN
+           (list_extract(devs, CAST(floor((len(devs) + 1) / 2) AS INT))
+            + list_extract(devs, CAST(ceil((len(devs) + 1) / 2) AS INT))) / 2.0
+         END AS mad
+  FROM hd
+),
+-- ACF in exact centi-unit sufficient statistics: per (user, lag) the
+-- six sums are BIGINT (combine-order-proof), corr derived identically
+lagged AS (
+  SELECT user_id, CAST(round(value * 100) AS BIGINT) AS a,
+         row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+  FROM events
+),
+pairs AS (
+  SELECT l.user_id, k.lag AS lag, l.a AS a_i, b.a AS b_i
+  FROM lagged l
+  CROSS JOIN (SELECT unnest(range(0, 27)) AS lag) k
+  LEFT JOIN lagged b ON b.user_id = l.user_id AND b.rn = l.rn - k.lag
+),
+astat AS (
+  SELECT user_id, lag,
+         CAST(count(CASE WHEN b_i IS NOT NULL THEN 1 END) AS BIGINT) AS np,
+         CAST(sum(CASE WHEN b_i IS NOT NULL THEN a_i END) AS DOUBLE) AS sa,
+         CAST(sum(CASE WHEN b_i IS NOT NULL THEN b_i END) AS DOUBLE) AS sb,
+         CAST(sum(CASE WHEN b_i IS NOT NULL THEN a_i * b_i END) AS DOUBLE) AS sab,
+         CAST(sum(CASE WHEN b_i IS NOT NULL THEN a_i * a_i END) AS DOUBLE) AS saa,
+         CAST(sum(CASE WHEN b_i IS NOT NULL THEN b_i * b_i END) AS DOUBLE) AS sbb
+  FROM pairs GROUP BY user_id, lag
+),
+acf AS (
+  SELECT user_id, lag, np AS n_pairs,
+         CASE WHEN np >= 3 THEN
+           round((CAST(np AS DOUBLE) * sab - sa * sb)
+                 / sqrt(CASE WHEN CAST(np AS DOUBLE) * saa - sa * sa > 0
+                              AND CAST(np AS DOUBLE) * sbb - sb * sb > 0
+                             THEN (CAST(np AS DOUBLE) * saa - sa * sa)
+                                  * (CAST(np AS DOUBLE) * sbb - sb * sb) END), 6)
+         END AS acf
+  FROM astat
+),
+withpeak AS (
+  SELECT *, max(CASE WHEN lag >= 2 AND acf IS NOT NULL THEN acf END)
+              OVER (PARTITION BY user_id) AS peak
+  FROM acf
+),
+dp AS (
+  SELECT user_id,
+         min(lag) FILTER (WHERE lag >= 2 AND acf IS NOT NULL
+                            AND acf >= peak - 0.01) AS period
+  FROM withpeak GROUP BY user_id
+),
+dpx AS (
+  SELECT d.user_id, d.period, a.acf AS peak_acf, a.n_pairs AS pn
+  FROM dp d LEFT JOIN acf a
+    ON a.user_id = d.user_id AND a.lag = d.period
+)
+SELECT e.event_id, e.user_id, strftime(e.ts, '{fmt}') AS ts,
+       round(avg(e.value) OVER w, 6) AS avg_3h,
+       CAST(count(*) OVER w AS BIGINT) AS n_3h,
+       round(h.med, 6) AS hampel_median,
+       round(h.mad, 6) AS hampel_mad,
+       CAST(CASE WHEN e.value IS NULL OR h.med IS NULL THEN 0
+                 WHEN h.mad = 0.0 AND e.value <> h.med THEN 1
+                 WHEN abs(e.value - h.med) > 3.0 * 1.4826 * h.mad THEN 1
+                 ELSE 0 END AS BIGINT) AS hampel_flag,
+       CAST(p.period AS BIGINT) AS period,
+       p.peak_acf,
+       CASE WHEN p.peak_acf IS NOT NULL AND p.pn > 0
+            THEN CAST(abs(p.peak_acf) > 2.0 / sqrt(CAST(p.pn AS DOUBLE)) AS BIGINT)
+            END AS period_significant
+FROM events e
+JOIN hmad h ON e.event_id = h.event_id
+LEFT JOIN dpx p ON e.user_id = p.user_id
+WINDOW w AS (PARTITION BY e.user_id ORDER BY e.ts
              RANGE BETWEEN INTERVAL 3 HOUR PRECEDING AND CURRENT ROW)
 """
 

@@ -613,6 +613,64 @@ def tukey_robust_flags(
     ).drop("__q1", "__q3", "__med_2", "__mad_8")
 
 
+def _ols_stats_int(
+    src: DataFrame,
+    target: str,
+    keys: list[str],
+    order_cols: Sequence[str],
+    scale: int,
+) -> DataFrame:
+    """Exact-integer sufficient statistics for the per-key OLS fit:
+    ``y`` snapped to ``1/scale`` units (bigint), ``x`` = 0-based row
+    index — all six sums ``(n, Σx, Σy, Σx², Σxy, Σy²)`` are BIGINT, so
+    they are combine-order-proof and any engine derives bit-identical
+    slope/intercept/stderr doubles from them (the cross-engine
+    determinism convention of :func:`page_hinkley`). Returns one row per
+    key: ``__b`` (slope, y-units per step), ``__a`` (intercept), ``__s``
+    (residual std error), all in INTEGER y-units — callers divide by
+    ``scale`` at output. Bounded: Σx² overflows int64 only past ~2e6
+    rows per key; beyond that use the float path with ``x_col``."""
+    part = (
+        "PARTITION BY " + ", ".join(f"`{k}`" for k in keys)
+        + " ORDER BY " + ", ".join(f"`{c}` ASC" for c in order_cols)
+    )
+    d = src.selectExpr(
+        *[f"`{k}`" for k in keys],
+        f"cast(round(`{target}` * {scale}) as bigint) AS __y",
+        f"cast(row_number() OVER ({part}) - 1 as bigint) AS __x",
+    ).where("__y IS NOT NULL")
+    stats = d.groupBy(*keys).agg(
+        F.expr("count(*)").alias("__n"),
+        F.expr("sum(__x)").alias("__sx"),
+        F.expr("sum(__y)").alias("__sy"),
+        F.expr("sum(__x * __x)").alias("__sxx"),
+        F.expr("sum(__x * __y)").alias("__sxy"),
+        F.expr("sum(__y * __y)").alias("__syy"),
+    )
+    n, sx, sy = "cast(__n as double)", "cast(__sx as double)", "cast(__sy as double)"
+    sxx, sxy, syy = (
+        "cast(__sxx as double)",
+        "cast(__sxy as double)",
+        "cast(__syy as double)",
+    )
+    vx = f"{n} * {sxx} - {sx} * {sx}"
+    fitted = stats.selectExpr(
+        "*",
+        f"CASE WHEN {n} >= 3 AND {vx} > 0"
+        f" THEN ({n} * {sxy} - {sx} * {sy}) / ({vx}) END AS __b",
+    )
+    sse = (
+        f"greatest(0.0D, {syy} - {sy} * {sy} / {n}"
+        f" - __b * __b * ({sxx} - {sx} * {sx} / {n}))"
+    )
+    return fitted.selectExpr(
+        *[f"`{k}`" for k in keys],
+        "__b",
+        f"({sy} - __b * {sx}) / {n} AS __a",
+        f"CASE WHEN {n} > 2 THEN sqrt({sse} / ({n} - 2)) END AS __s",
+    )
+
+
 def trend_ols_flags(
     df: DataFrame,
     target: str,
@@ -621,6 +679,8 @@ def trend_ols_flags(
     x_col: str | None = None,
     threshold: float = 3.0,
     round_digits: int = 6,
+    unit_digits: int | None = None,
+    stats_source: DataFrame | None = None,
 ) -> DataFrame:
     """Detrended anomaly detection: per-series closed-form OLS fit
     ``y = a + b·x``, then flag points whose residual exceeds
@@ -646,8 +706,54 @@ def trend_ols_flags(
 
     Output adds: ``trend_slope``, ``trend_intercept``, ``trend_fit``
     (fitted value), ``trend_resid``, ``trend_z``, ``trend_alarm``.
+
+    ``unit_digits`` (requires ``x_col=None``): run the sufficient
+    statistics in EXACT integer units (:func:`_ols_stats_int`) so the
+    detector is cross-engine hash-exact. ``stats_source``: compute the
+    fit from this frame instead of ``df`` (same lineage-flattening
+    rationale as :func:`tukey_robust_flags` — keep the aggregate off a
+    battery-composed plan); the (keys, order) row sets must be
+    identical between the two frames.
     """
     keys = list(key_cols)
+    if unit_digits is not None:
+        if x_col is not None:
+            raise ValueError(
+                "trend_ols_flags: unit_digits requires x_col=None "
+                "(the integer x is the row index)"
+            )
+        if not order_cols:
+            raise ValueError("trend_ols_flags: order_cols is required")
+        scale = 10**unit_digits
+        src = stats_source if stats_source is not None else df
+        fitted = _ols_stats_int(src, target, keys, order_cols, scale)
+        w = Window.partitionBy(*keys).orderBy(
+            *[F.col(c).asc() for c in order_cols]
+        )
+        d = df.withColumn(
+            "__x", (F.row_number().over(w) - 1).cast("bigint")
+        ).join(F.broadcast(fitted), keys, "left")
+        y_i = F.round(F.col(target) * scale).cast("bigint").cast("double")
+        fit_i = F.col("__a") + F.col("__b") * F.col("__x").cast("double")
+        resid_i = y_i - fit_i
+        z = F.round(resid_i / F.nullif(F.col("__s"), F.lit(0.0)), round_digits)
+        return d.withColumns(
+            {
+                "trend_slope": F.round(F.col("__b") / scale, round_digits),
+                "trend_intercept": F.round(F.col("__a") / scale, round_digits),
+                "trend_fit": F.round(fit_i / scale, round_digits),
+                "trend_resid": F.round(resid_i / scale, round_digits),
+                "trend_z": z,
+                "trend_alarm": F.when(
+                    z.isNotNull(), (F.abs(z) > threshold).cast("int")
+                ),
+            }
+        ).drop("__x", "__b", "__a", "__s")
+    if stats_source is not None:
+        raise ValueError(
+            "trend_ols_flags: stats_source requires unit_digits (the "
+            "float path's x depends on df's own lineage)"
+        )
     if x_col is None:
         if not order_cols:
             raise ValueError(
@@ -958,3 +1064,195 @@ def hampel_flags(
         F.abs(x - med) > fence, F.lit(1)
     ).otherwise(F.lit(0))
     return d.withColumn("hampel_flag", flag).drop("__vals")
+
+
+def anomaly_battery(
+    df: DataFrame,
+    target: str,
+    key_cols: Sequence[str],
+    order_cols: Sequence[str],
+    z_window: int = 24,
+    ewma_window: int = 8,
+    ewma_alpha: float = 0.5,
+    z_threshold: float = 3.0,
+    ph_delta: float = 0.0,
+    ph_lam: float = 10.0,
+    tukey_k: float = 1.5,
+    unit_digits: int = 2,
+    stats_source: DataFrame | None = None,
+    trend: bool = True,
+    trend_threshold: float = 3.0,
+) -> DataFrame:
+    """The full model-free detector battery in ONE fused plan:
+    :func:`rolling_zscore` + :func:`page_hinkley` +
+    :func:`ewma_deviation` + :func:`tukey_robust_flags` (+
+    :func:`trend_ols_flags` when ``trend``), value-identical to the
+    sequential composition (differential-tested) but built in the
+    MINIMUM number of analysis layers.
+
+    Why: executor-side the composed battery was already one (key,
+    order) exchange + three FileScans — but DRIVER-side each
+    ``withColumn(s)``/``join`` re-analyzes the whole accumulated tree,
+    and the composed chain's ~17 passes over an ever-growing plan were
+    measured at ~0.9 s warm per call (the dominant term of the
+    anomaly_zscore bench query). The fusion batches every
+    data-independent expression into one layer:
+
+    - L1: ALL window functions over the shared (key, order) exchange —
+      z-mean/std, the EWMA lag terms, the EWMA-deviation std, the PH
+      running sum/count, the trend row index — plus the integer-unit
+      snap; Page-Hinkley's running-mean → running-deviation-sum →
+      running-min/max chain forces exactly two more window layers (L3,
+      L4) because each stage windows over the previous stage's output;
+    - L2/L5: the scalar arithmetic between them;
+    - the per-key order statistics (Tukey/MAD) and OLS sufficient
+      statistics aggregate over ``stats_source`` (default ``df``) on
+      their own short lineages and broadcast-join back.
+
+    Executor plan is unchanged vs the composition (same exchange, same
+    3 stats scans + 1 OLS scan); driver analysis drops to ~9 passes,
+    most over small trees. Integer-exact conventions (``unit_digits``)
+    and thresholds follow the component operators' docstrings.
+    """
+    keys = list(key_cols)
+    src = stats_source if stats_source is not None else df
+    scale = 10**unit_digits
+    if ewma_window > 32:
+        raise ValueError("anomaly_battery: ewma_window > 32")
+    if abs(tukey_k - 1.5) > 1e-12:
+        raise ValueError("anomaly_battery: integer mode supports k=1.5 only")
+
+    # Every expression is built as SQL TEXT and shipped through ONE
+    # selectExpr per layer: profiling showed the per-Column py4j round
+    # trips of the functions-API form cost more driver time than the
+    # analysis itself (~0.7 s of the 1.2 s composed build was pure
+    # Column-object construction). String building is free Python; the
+    # JVM parses each layer once.
+    t = f"`{target}`"
+    part = (
+        "PARTITION BY " + ", ".join(f"`{c}`" for c in keys)
+        + " ORDER BY " + ", ".join(f"`{c}` ASC" for c in order_cols)
+    )
+    wz = f"OVER ({part} ROWS BETWEEN {z_window} PRECEDING AND 1 PRECEDING)"
+    we = f"OVER ({part} ROWS BETWEEN {ewma_window} PRECEDING AND 1 PRECEDING)"
+    wrun = f"OVER ({part} ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)"
+    word = f"OVER ({part})"
+    mexp = f"cast(round({t} * {scale}) as bigint)"
+
+    # EWMA numerator/denominator: flat lag arithmetic (see
+    # ewma_deviation's codegen rationale); left-associated additions
+    # match the functions-API fold exactly
+    num_terms, den_terms = ["0.0D"], ["0.0D"]
+    for j in range(1, ewma_window + 1):
+        wt = repr(float((1.0 - ewma_alpha) ** (j - 1)))
+        lj = f"lag({t}, {j}) {word}"
+        num_terms.append(f"coalesce({lj} * {wt}D, 0.0D)")
+        den_terms.append(f"(CASE WHEN {lj} IS NOT NULL THEN {wt}D ELSE 0.0D END)")
+    num = " + ".join(num_terms)
+    den = " + ".join(den_terms)
+
+    p = target
+    l1 = [
+        "*",
+        f"avg({t}) {wz} AS `{p}_roll_mean`",
+        f"stddev_samp({t}) {wz} AS `{p}_roll_std`",
+        f"stddev_samp({t}) {we} AS __rstd",
+        f"CASE WHEN {den} > 0 THEN ({num}) / ({den}) END AS ewma",
+        f"{mexp} AS __m",
+        f"sum({mexp}) {wrun} AS __s_run",
+        f"count({mexp}) {wrun} AS __n_run",
+    ]
+    if trend:
+        l1.append(f"cast(row_number() {word} - 1 as bigint) AS __x")
+    d = df.selectExpr(*l1)
+
+    # L2: scalar over L1's materialized outputs
+    z = f"({t} - `{p}_roll_mean`) / nullif(`{p}_roll_std`, 0.0D)"
+    dv = f"({t} - ewma) / nullif(__rstd, 0.0D)"
+    zt = repr(float(z_threshold))
+    d = d.selectExpr(
+        "*",
+        f"{z} AS `{p}_zscore`",
+        f"coalesce(cast(abs({z}) > {zt}D as int), 0) AS is_anomaly",
+        f"{dv} AS ewma_dev",
+        f"coalesce(cast(abs({dv}) > {zt}D as int), 0) AS ewma_alarm",
+        "cast(floor((2 * __s_run + __n_run) / (2 * __n_run)) as bigint)"
+        " AS __xbar_i",
+    )
+
+    # L3/L4: Page-Hinkley's inherently sequential window stages
+    delta_i = int(round(ph_delta * scale))
+    d = d.selectExpr(
+        "*",
+        f"sum(__m - __xbar_i - {delta_i}) {wrun} AS __u",
+        f"sum(__m - __xbar_i + {delta_i}) {wrun} AS __d",
+    )
+    d = d.selectExpr(
+        "*",
+        f"__u - min(__u) {wrun} AS __inc_i",
+        f"max(__d) {wrun} - __d AS __dec_i",
+    )
+
+    # per-key stats on their own short lineages, broadcast back
+    pcts = f"percentile({mexp}, array(0.25, 0.5, 0.75))"
+    stats1 = src.groupBy(*keys).agg(
+        F.expr(f"cast(round(4 * {pcts}[0]) as bigint)").alias("__q1"),
+        F.expr(f"cast(round(4 * {pcts}[2]) as bigint)").alias("__q3"),
+        F.expr(f"cast(round(2 * {pcts}[1]) as bigint)").alias("__med_2"),
+    )
+    s2_src = src.join(F.broadcast(stats1), keys).selectExpr(
+        "*", f"abs(2 * {mexp} - __med_2) AS __sdev_2"
+    )
+    stats2 = s2_src.groupBy(*keys).agg(
+        F.expr("cast(round(4 * percentile(__sdev_2, 0.5)) as bigint)").alias(
+            "__mad_8"
+        )
+    )
+    d = d.join(F.broadcast(stats1), keys).join(F.broadcast(stats2), keys)
+    if trend:
+        fitted = _ols_stats_int(src, target, keys, order_cols, scale)
+        d = d.join(F.broadcast(fitted), keys, "left")
+
+    # L5 + drop in one pass: the final select lists the input columns,
+    # the public L1/L2 outputs, and the scalar battery columns — the
+    # __-helpers fall away without a separate drop() analysis pass
+    lam_i = int(round(ph_lam * scale))
+    m8 = f"(8 * {mexp})"
+    dev2 = f"abs(2 * {mexp} - __med_2)"
+    s8 = repr(8.0 * scale)
+    s2 = repr(2.0 * scale)
+    l5 = [
+        f"__inc_i / {scale} AS ph_inc",
+        f"__dec_i / {scale} AS ph_dec",
+        f"cast(__inc_i > {lam_i} OR __dec_i > {lam_i} as int) AS ph_alarm",
+        f"(5 * __q1 - 3 * __q3) / {s8}D AS iqr_lo",
+        f"(5 * __q3 - 3 * __q1) / {s8}D AS iqr_hi",
+        f"cast({m8} < 5 * __q1 - 3 * __q3 OR {m8} > 5 * __q3 - 3 * __q1"
+        " as int) AS iqr_alarm",
+        f"__med_2 / {s2}D AS med",
+        f"__mad_8 / {s8}D AS mad",
+        f"{dev2} / {s2}D AS dev",
+        f"cast(__mad_8 > 0 AND 26980 * {dev2} > 35000 * __mad_8 as int)"
+        " AS robust_alarm",
+    ]
+    if trend:
+        fit_i = "(__a + __b * cast(__x as double))"
+        resid_i = f"(cast({mexp} as double) - {fit_i})"
+        tz = f"round({resid_i} / nullif(__s, 0.0D), 6)"
+        tt = repr(float(trend_threshold))
+        l5.extend(
+            [
+                f"round(__b / {scale}, 6) AS trend_slope",
+                f"round(__a / {scale}, 6) AS trend_intercept",
+                f"round({fit_i} / {scale}, 6) AS trend_fit",
+                f"round({resid_i} / {scale}, 6) AS trend_resid",
+                f"{tz} AS trend_z",
+                f"CASE WHEN {tz} IS NOT NULL THEN"
+                f" cast(abs({tz}) > {tt}D as int) END AS trend_alarm",
+            ]
+        )
+    keep = [f"`{c}`" for c in df.columns] + [
+        f"`{p}_roll_mean`", f"`{p}_roll_std`", f"`{p}_zscore`",
+        "is_anomaly", "ewma", "ewma_dev", "ewma_alarm",
+    ]
+    return d.selectExpr(*keep, *l5)

@@ -7,22 +7,24 @@ group with one survivor. That grouping is connected components over the
 candidate-pair graph — the step every production dedup pipeline runs
 between "pairs" and "drop list".
 
-Algorithm: iterative min-label propagation — every node starts labeled
-with its own id; each round a node takes the min of its label and its
-neighbors' labels; at fixpoint the label is the min node id reachable,
-i.e. the component id. Rounds = graph diameter. Near-dup components are
-tiny and star-shaped (diameter 2-4 typical), so the loop converges in a
-handful of rounds; for adversarial long-chain graphs the
-large-star/small-star variant (Kiveris et al. 2014) halves the diameter
-per round — noted, not needed for the dedup workload this serves.
+Algorithm (r8): alternating large-star / small-star edge contraction
+(Kiveris et al. 2014, "Connected Components in MapReduce and Beyond" —
+public). Each round rewires every node's neighborhood toward the local
+minimum id; connectivity is preserved by construction, and the edge set
+converges to disjoint STARS centered on each component's min id in
+O(log n) practical rounds (O(log² n) proven) — versus the O(diameter)
+rounds of plain min-label propagation, which degrades to a full shuffle
+per hop on long-chain graphs. At fixpoint every edge reads
+``(member, component_min)`` directly.
 
-Scale (100 TB): each round is one join keyed by node id + one min
-aggregate — shuffle partitioning on the node id is stable across rounds
-so AQE reuses the exchange layout. The label frame is
-``localCheckpoint``-ed every round: iterative Spark loops otherwise grow
-the lineage exponentially and re-execute all prior rounds per action.
-Convergence is detected with a changed-row count (one small job per
-round). No driver-side graph state — only the converged/not bit.
+Scale (100 TB): each half-round is one groupBy(node) min + one join of
+the edge list against that min frame — shuffle keyed on node id, stable
+across rounds so AQE reuses the layout; the edge list SHRINKS as stars
+form (contraction, not just relabeling). Edge frames are
+``localCheckpoint``-ed per round: iterative Spark loops otherwise grow
+lineage exponentially. Convergence = the edge set reaches a fixpoint
+(count + exceptAll emptiness — two small jobs on the contracted list).
+No driver-side graph state.
 """
 
 from __future__ import annotations
@@ -39,76 +41,113 @@ def connected_components(
     nodes: DataFrame | None = None,
     node_col: str | None = None,
     max_iter: int = 25,
+    return_rounds: bool = False,
 ) -> DataFrame:
     """Resolve connected components of the undirected graph given by the
-    ``(id_a, id_b)`` pair list.
+    ``(id_a, id_b)`` pair list, via large-star/small-star contraction
+    (module docstring; Kiveris et al. 2014).
 
     Returns ``(node, component)`` where ``component`` is the smallest
     node id in the node's component — deterministic, engine-portable
     (equals "min reachable id", which a recursive-CTE oracle can
     replay). ``nodes`` (with ``node_col``) optionally supplies isolated
     vertices that appear in no pair; they come back as singleton
-    components.
+    components. NULL endpoints and self-pairs are dropped from the edge
+    list (a NULL id cannot name a component).
 
-    Raises ``RuntimeError`` if the propagation has not converged after
-    ``max_iter`` rounds (graph diameter > max_iter — raise the cap or
-    switch to the star-contraction variant).
+    ``return_rounds``: also return the number of star rounds taken —
+    O(log n) even on path graphs (test-asserted), where min-label
+    propagation needed O(diameter).
+
+    Raises ``RuntimeError`` after ``max_iter`` rounds without a
+    fixpoint.
     """
-    und = (
-        edges.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
-        .unionByName(
-            edges.select(
-                F.col(id_b).alias("src"), F.col(id_a).alias("dst")
-            )
+    e = (
+        edges.select(F.col(id_a).alias("a"), F.col(id_b).alias("b"))
+        .where(F.col("a").isNotNull() & F.col("b").isNotNull())
+        .select(
+            F.greatest("a", "b").alias("u"), F.least("a", "b").alias("v")
         )
+        .where(F.col("u") != F.col("v"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    vertices = (
+        e.select(F.col("u").alias("node"))
+        .unionByName(e.select(F.col("v").alias("node")))
         .distinct()
     )
-    vertices = und.select(F.col("src").alias("node")).distinct()
     if nodes is not None:
         if node_col is None:
             raise ValueError("nodes provided without node_col")
-        vertices = (
-            vertices.unionByName(
-                nodes.select(F.col(node_col).alias("node"))
-            ).distinct()
-        )
-    labels = vertices.select(
-        "node", F.col("node").alias("component")
-    ).localCheckpoint(eager=True)
+        vertices = vertices.unionByName(
+            nodes.select(F.col(node_col).alias("node"))
+        ).distinct()
 
+    rounds = 0
     for _ in range(max_iter):
-        # min label among neighbors, per node
-        neighbor_min = (
-            und.join(
-                labels.select(
-                    F.col("node").alias("dst"),
-                    F.col("component").alias("__nl"),
-                ),
-                "dst",
-            )
-            .groupBy(F.col("src").alias("node"))
-            .agg(F.min("__nl").alias("__nmin"))
+        if e.isEmpty():
+            break
+        rounds += 1
+        # LARGE-STAR: per node u over BOTH orientations, connect every
+        # strictly-larger neighbor to m = min(N(u) ∪ {u})
+        both = e.select("u", "v").unionByName(
+            e.select(F.col("v").alias("u"), F.col("u").alias("v"))
         )
-        updated = (
-            labels.join(neighbor_min, "node", "left")
+        mins = (
+            both.groupBy("u")
+            .agg(F.min("v").alias("__mn"))
+            .select("u", F.least("__mn", F.col("u")).alias("m"))
+        )
+        ls = (
+            both.join(mins, "u")
+            .where(F.col("v") > F.col("u"))
+            .select(F.col("v").alias("u"), F.col("m").alias("v"))
+            .where(F.col("u") != F.col("v"))
+            .distinct()
+        )
+        # SMALL-STAR: per node u over its smaller neighbors (the (u, v)
+        # orientation with v < u holds after large-star), connect them
+        # all — and u itself — to the minimum
+        mins2 = ls.groupBy("u").agg(F.min("v").alias("m"))
+        ss = (
+            ls.join(mins2, "u")
+            .select(F.col("v").alias("x"), "m")
+            .unionByName(mins2.select(F.col("u").alias("x"), "m"))
+            .where(F.col("x") != F.col("m"))
             .select(
-                "node",
-                F.least(
-                    F.col("component"), F.coalesce("__nmin", F.col("component"))
-                ).alias("component"),
-                (F.coalesce("__nmin", F.col("component")) < F.col("component"))
-                .cast("int")
-                .alias("__changed"),
+                F.greatest("x", "m").alias("u"),
+                F.least("x", "m").alias("v"),
             )
-        ).localCheckpoint(eager=True)
-        changed = updated.agg(F.sum("__changed")).collect()[0][0] or 0
-        labels = updated.drop("__changed")
-        if changed == 0:
-            return labels
-    raise RuntimeError(
-        f"connected_components: not converged after {max_iter} rounds "
-        "(diameter exceeds cap)"
+            .distinct()
+            .localCheckpoint(eager=True)
+        )
+        if ss.count() == e.count() and ss.exceptAll(e).isEmpty():
+            e = ss
+            break
+        e = ss
+    else:
+        raise RuntimeError(
+            f"connected_components: not converged after {max_iter} rounds"
+        )
+
+    # fixpoint = disjoint stars: every edge is (member, component_min)
+    members = e.select(F.col("u").alias("node"), F.col("v").alias("component"))
+    roots = (
+        e.select(F.col("v").alias("node"))
+        .distinct()
+        .select("node", F.col("node").alias("component"))
     )
+    labels = members.unionByName(roots)
+    out = (
+        vertices.join(labels, "node", "left")
+        .select(
+            "node", F.coalesce("component", F.col("node")).alias("component")
+        )
+    )
+    if return_rounds:
+        return out, rounds
+    return out
 
 
 def pagerank(

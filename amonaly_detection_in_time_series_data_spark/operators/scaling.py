@@ -53,7 +53,8 @@ def minmax_scale_ml(df: DataFrame, cols: Sequence[str], output_col: str = "featu
 
 
 def standard_scale(
-    df: DataFrame, cols: Sequence[str], ddof: int = 1
+    df: DataFrame, cols: Sequence[str], ddof: int = 1,
+    unit_digits: int | None = None,
 ) -> DataFrame:
     """sklearn ``StandardScaler`` convention: ``(x - mean) / std``;
     a zero-variance column maps to 0.0 (like the minmax constant-column
@@ -61,7 +62,43 @@ def standard_scale(
     for sklearn's population std. Same two-pass shape as
     :func:`minmax_scale`: ONE aggregate job (partial+final), stats
     broadcast as a 1-row frame, then a single projection.
+
+    ``unit_digits``: snap the column to ``10^-d`` units and compute mean
+    and std from EXACT integer sums ``(n, Σy, Σy²)`` — unlike min/max,
+    these are combine-order-sensitive in float, so the integer form is
+    what makes the scaler cross-engine hash-exact (the z-score is
+    unit-free, so the snapped result equals the float result up to the
+    input grid). BIGINT bound: Σy² caps at ~3e5 rows per 10⁶-unit value;
+    fine for any grid-valued metric column, use the float path for
+    free-scale data.
     """
+    if unit_digits is not None:
+        scale = 10**unit_digits
+        y = {c: F.round(F.col(c) * scale).cast("bigint") for c in cols}
+        stats = df.agg(
+            *[F.count(y[c]).alias(f"__n_{c}") for c in cols],
+            *[F.sum(y[c]).alias(f"__s1_{c}") for c in cols],
+            *[F.sum(y[c] * y[c]).alias(f"__s2_{c}") for c in cols],
+        )
+        out = df.crossJoin(F.broadcast(stats))
+        for c in cols:
+            n = F.col(f"__n_{c}").cast("double")
+            s1 = F.col(f"__s1_{c}").cast("double")
+            s2 = F.col(f"__s2_{c}").cast("double")
+            var = (s2 - s1 * s1 / n) / (n - ddof)
+            sd = F.sqrt(var)
+            out = out.withColumn(
+                c,
+                F.when(
+                    sd.isNull() | (sd == 0.0),
+                    F.when(F.col(c).isNotNull(), F.lit(0.0)),
+                ).otherwise((y[c].cast("double") - s1 / n) / sd),
+            )
+        return out.drop(
+            *[f"__n_{c}" for c in cols],
+            *[f"__s1_{c}" for c in cols],
+            *[f"__s2_{c}" for c in cols],
+        )
     sd = F.stddev_samp if ddof == 1 else F.stddev_pop
     stats = df.agg(
         *[F.avg(c).alias(f"__mu_{c}") for c in cols],
@@ -82,14 +119,60 @@ def standard_scale(
     )
 
 
-def robust_scale(df: DataFrame, cols: Sequence[str]) -> DataFrame:
+def robust_scale(
+    df: DataFrame, cols: Sequence[str], unit_digits: int | None = None
+) -> DataFrame:
     """sklearn ``RobustScaler`` convention: ``(x - median) / IQR`` —
     the scaler that outliers can't drag (median and quartiles move by
     rank, not value). Zero-IQR columns map to 0.0. One aggregate job
     computes the exact interpolated q1/median/q3 per column (Catalyst
     folds the three percentile references into one buffer per column),
     broadcast back, one projection.
+
+    ``unit_digits``: snap to ``10^-d`` units and keep the quartiles in
+    EXACT quarter-unit integers (``round(4·percentile)`` — interpolation
+    of integers lands on quarters, the :func:`~.anomaly
+    .tukey_robust_flags` convention), making the scaler cross-engine
+    hash-exact; the ratio ``(4y − med₄)/(q3₄ − q1₄)`` is unit-free, so
+    it equals the float result up to the input grid.
     """
+    if unit_digits is not None:
+        scale = 10**unit_digits
+        y = {c: F.round(F.col(c) * scale).cast("bigint") for c in cols}
+        pcts = {
+            c: F.expr(
+                f"percentile(cast(round(`{c}` * {scale}) as bigint),"
+                " array(0.25, 0.5, 0.75))"
+            )
+            for c in cols
+        }
+        stats = df.agg(
+            *[
+                F.round(4 * pcts[c][i]).cast("bigint").alias(
+                    f"__p{p}_{c}"
+                )
+                for c in cols
+                for i, p in ((0, 25), (1, 50), (2, 75))
+            ]
+        )
+        out = df.crossJoin(F.broadcast(stats))
+        for c in cols:
+            q1_4, med_4, q3_4 = (
+                F.col(f"__p25_{c}"),
+                F.col(f"__p50_{c}"),
+                F.col(f"__p75_{c}"),
+            )
+            iqr_4 = q3_4 - q1_4
+            out = out.withColumn(
+                c,
+                F.when(
+                    iqr_4.isNull() | (iqr_4 == 0),
+                    F.when(F.col(c).isNotNull(), F.lit(0.0)),
+                ).otherwise((4 * y[c] - med_4) / iqr_4),
+            )
+        return out.drop(
+            *[f"__p{p}_{c}" for c in cols for p in (25, 50, 75)]
+        )
     stats = df.agg(
         *[
             F.percentile(F.col(c), F.lit(p)).alias(f"__p{int(p*100)}_{c}")

@@ -313,6 +313,7 @@ def xcorr_lags(
     order_cols: Sequence[str],
     max_lag: int = 12,
     round_digits: int = 6,
+    unit_digits: int | None = None,
 ) -> DataFrame:
     """Per-series lead-lag cross-correlation: Pearson corr between
     ``a_t`` and ``b_{t-k}`` for each lag ``k`` in [0, max_lag] — the
@@ -330,16 +331,29 @@ def xcorr_lags(
     operator), then one (key)-grouped aggregate with map-side partial
     ``corr`` buffers — no self-joins, no per-lag passes over the data.
     ``max_lag`` is a plan-width knob (columns), not a scan-count knob.
+
+    ``unit_digits``: snap both signals to ``10^-d`` units so every
+    sufficient-statistic sum is an EXACT BIGINT — Pearson corr is
+    scale-invariant, so the result equals the float estimator up to the
+    input grid, and the statistic becomes cross-engine hash-exact (the
+    repo's integer-unit determinism convention).
     """
     if max_lag < 0:
         raise ValueError(f"xcorr_lags: max_lag must be >= 0, got {max_lag}")
     keys = list(key_cols)
     w = Window.partitionBy(*keys).orderBy(*[F.col(c).asc() for c in order_cols])
+    if unit_digits is not None:
+        scale = 10**unit_digits
+        a_in = F.round(F.col(a_col) * scale).cast("bigint")
+        b_in = F.round(F.col(b_col) * scale).cast("bigint")
+    else:
+        a_in = F.col(a_col).cast("double")
+        b_in = F.col(b_col).cast("double")
     lagged = df.select(
         *keys,
-        F.col(a_col).cast("double").alias("__a"),
+        a_in.alias("__a"),
         *[
-            F.lag(F.col(b_col).cast("double"), k).over(w).alias(f"__b{k}")
+            F.lag(b_in, k).over(w).alias(f"__b{k}")
             for k in range(max_lag + 1)
         ],
     )
@@ -368,8 +382,18 @@ def xcorr_lags(
 
     def corr_expr(k: int):
         n = F.col(f"__n{k}").cast("double")
-        sa, sb = F.col(f"__sa{k}"), F.col(f"__sb{k}")
-        sab, saa, sbb = F.col(f"__sab{k}"), F.col(f"__saa{k}"), F.col(f"__sbb{k}")
+        # int mode: sums are BIGINT — cast to double explicitly so the
+        # arithmetic shape (and thus every IEEE result) matches the SQL
+        # oracle formulation bit-for-bit
+        sa, sb = (
+            F.col(f"__sa{k}").cast("double"),
+            F.col(f"__sb{k}").cast("double"),
+        )
+        sab, saa, sbb = (
+            F.col(f"__sab{k}").cast("double"),
+            F.col(f"__saa{k}").cast("double"),
+            F.col(f"__sbb{k}").cast("double"),
+        )
         cov = n * sab - sa * sb
         va = n * saa - sa * sa
         vb = n * sbb - sb * sb
@@ -406,6 +430,7 @@ def acf_lags(
     order_cols: Sequence[str],
     max_lag: int = 48,
     round_digits: int = 6,
+    unit_digits: int | None = None,
 ) -> DataFrame:
     """Per-series autocorrelation function: Pearson corr between the
     series and itself shifted by ``k`` for each lag in [0, max_lag].
@@ -429,6 +454,7 @@ def acf_lags(
         order_cols=order_cols,
         max_lag=max_lag,
         round_digits=round_digits,
+        unit_digits=unit_digits,
     ).withColumnRenamed("xcorr", "acf")
 
 

@@ -6,6 +6,11 @@ JSON line: {"metric": ..., "value": N, "unit": "sec", "queries": {...},
 Each query is materialized through the ``noop`` sink so every output
 column is computed (a bare .count() would let Catalyst prune the very
 work being measured).
+
+Since r8 the headline "value" is the sum of per-query MEDIANS of
+(wall - JVM GC time) over 5 in-session repetitions — best-of-3 was not
+noise-robust on this host (SCALING.md §11). "queries_detail" carries
+median/best/gc plus the driver-side plan time per query.
 """
 
 from __future__ import annotations
@@ -85,28 +90,57 @@ def main() -> None:
         spark.read.parquet(os.path.join(sf_dir, f"{t}.parquet")).count()
     spark.range(1).write.format("noop").mode("overwrite").save()
 
-    # best-of-3 per query: this container shows bursty host-level noise
-    # (the same binary measured 24s..59s total across runs); the min of
-    # three materializations measures the engine, not the neighbor. The
-    # first-run times are reported alongside as "queries_cold", and a
-    # normalized physical-plan fingerprint as "plans", so a cross-round
-    # time drift can be attributed: fingerprint unchanged -> host noise,
-    # fingerprint changed -> the plan actually changed.
+    def jvm_gc_ms() -> int:
+        beans = (
+            spark.sparkContext._jvm.java.lang.management.ManagementFactory
+            .getGarbageCollectorMXBeans()
+        )
+        total, it = 0, beans.iterator()
+        while it.hasNext():
+            total += it.next().getCollectionTime()
+        return total
+
+    # r8 noise protocol (the r7 drift investigation showed best-of-3 is
+    # not enough on this host — same-code runs spread >4x): 5 in-session
+    # repetitions per query, each with its JVM GC time measured, and the
+    # headline per-query number is the MEDIAN of (wall - gc). "queries"
+    # stays the cross-round comparable series; "queries_detail" carries
+    # {median, best, gc, plan} where "plan" is the driver-side
+    # analyze+optimize+physical-plan time (measured separately because
+    # wide-expression queries pay a real per-invocation planning cost).
+    # First-run times are "queries_cold", and a normalized physical-plan
+    # fingerprint is "plans", so cross-round drift can be attributed:
+    # fingerprint unchanged -> host noise, changed -> the plan changed.
     timings: dict[str, float] = {}
+    detail: dict[str, dict[str, float]] = {}
     cold: dict[str, float] = {}
     plans: dict[str, str] = {}
     for name in HEADLINE:
         fn = qs[name]
         plans[name] = plan_fingerprint(fn(spark, sf_dir))
-        best = float("inf")
-        for i in range(3):
+        t0 = time.perf_counter()
+        fn(spark, sf_dir)._jdf.queryExecution().executedPlan()
+        plan_sec = time.perf_counter() - t0
+        reps: list[float] = []
+        minus_gc: list[float] = []
+        for i in range(5):
+            gc0 = jvm_gc_ms()
             start = time.perf_counter()
             fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
             elapsed = time.perf_counter() - start
+            gc_sec = (jvm_gc_ms() - gc0) / 1000.0
             if i == 0:
                 cold[name] = round(elapsed, 3)
-            best = min(best, elapsed)
-        timings[name] = round(best, 3)
+            reps.append(elapsed)
+            minus_gc.append(elapsed - gc_sec)
+        med = sorted(minus_gc)[len(minus_gc) // 2]
+        timings[name] = round(med, 3)
+        detail[name] = {
+            "median": round(sorted(reps)[len(reps) // 2], 3),
+            "best": round(min(reps), 3),
+            "gc": round(sum(r - m for r, m in zip(reps, minus_gc)), 3),
+            "plan": round(plan_sec, 3),
+        }
 
     # long-document scale ladder (NOT part of the headline total, which
     # is the cross-round comparable series): quality_rules +
@@ -126,16 +160,6 @@ def main() -> None:
     from amonaly_detection_in_time_series_data_spark.sources.readers import load_table
 
     docs = load_table(spark, sf_dir, "documents")
-
-    def jvm_gc_ms() -> int:
-        beans = (
-            spark.sparkContext._jvm.java.lang.management.ManagementFactory
-            .getGarbageCollectorMXBeans()
-        )
-        total, it = 0, beans.iterator()
-        while it.hasNext():
-            total += it.next().getCollectionTime()
-        return total
 
     # per-rung hygiene so the ladder measures the OPERATORS, not heap
     # history: unpersist each rung's checkpointed input before the next
@@ -176,6 +200,7 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
+                "queries_detail": detail,
                 "queries_cold": cold,
                 "plans": plans,
                 "longdoc_ladder_16docs": longdoc,

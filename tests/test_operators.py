@@ -598,6 +598,61 @@ class TestAnomalyTiers:
         assert n_scans == 3, f"expected 3 FileScans, got {n_scans}:\n{final[:4000]}"
         assert "ReusedExchange" in final, final[:4000]
 
+    def test_fused_battery_equals_composition(self, spark):
+        """anomaly_battery (one minimal-layer plan, built for driver
+        plan-time) must be VALUE-identical to the sequential operator
+        composition it replaces, trend tier included."""
+        import random
+
+        from amonaly_detection_in_time_series_data_spark.operators.anomaly import (
+            anomaly_battery,
+            ewma_deviation,
+            page_hinkley,
+            rolling_zscore,
+            trend_ols_flags,
+            tukey_robust_flags,
+        )
+
+        rng = random.Random(8)
+        rows = [
+            (i % 4, i, round(rng.uniform(0, 100) + (i % 4) * 0.07 * i, 2))
+            for i in range(600)
+        ]
+        df = spark.createDataFrame(
+            rows, "user_id bigint, i bigint, value double"
+        )
+        composed = rolling_zscore(df, "value", 24, ["user_id"], ["i"])
+        composed = page_hinkley(
+            composed, "value", ["user_id"], ["i"],
+            delta=0.0, lam=10.0, unit_digits=2,
+        )
+        composed = ewma_deviation(
+            composed, "value", 8, ["user_id"], ["i"], alpha=0.5
+        )
+        composed = tukey_robust_flags(
+            composed, "value", ["user_id"], k=1.5, unit_digits=2,
+            stats_source=df,
+        )
+        composed = trend_ols_flags(
+            composed, "value", ["user_id"], ["i"], unit_digits=2,
+            stats_source=df,
+        )
+        fused = anomaly_battery(
+            df, "value", ["user_id"], ["i"], unit_digits=2,
+            stats_source=df,
+        )
+        cols = [
+            "user_id", "i", "value_roll_mean", "value_roll_std",
+            "value_zscore", "is_anomaly", "ph_inc", "ph_dec", "ph_alarm",
+            "ewma", "ewma_dev", "ewma_alarm", "iqr_lo", "iqr_hi",
+            "iqr_alarm", "med", "mad", "dev", "robust_alarm",
+            "trend_slope", "trend_intercept", "trend_fit", "trend_resid",
+            "trend_z", "trend_alarm",
+        ]
+        want = [tuple(r) for r in composed.select(cols).orderBy("i").collect()]
+        got = [tuple(r) for r in fused.select(cols).orderBy("i").collect()]
+        assert got == want
+
 
 class TestBucketedRolling:
     def test_matches_single_partition_window(self, spark):
@@ -1807,6 +1862,28 @@ class TestConnectedComponents:
         }
         assert set(got.values()) == {0} and len(got) == 16
 
+    def test_path_graph_converges_in_log_rounds(self, spark):
+        """The r8 large-star/small-star rewrite's reason to exist: a
+        128-node path has diameter 127 (min-label propagation = 127
+        shuffle rounds) but star contraction reaches the fixpoint in
+        O(log n) rounds — asserted, with a partition-invariance check."""
+        from amonaly_detection_in_time_series_data_spark.operators.graph import (
+            connected_components,
+        )
+
+        edges = [(i, i + 1) for i in range(127)]
+        df = spark.createDataFrame(edges, "id_a long, id_b long")
+        out, rounds = connected_components(
+            df, max_iter=25, return_rounds=True
+        )
+        got = {r["node"]: r["component"] for r in out.collect()}
+        assert set(got.values()) == {0} and len(got) == 128
+        assert rounds <= 10, rounds  # ~log2(128)=7 + slack, never 127
+        # partition-invariant: a different input layout, same labels
+        out2 = connected_components(df.repartition(13, "id_b"))
+        got2 = {r["node"]: r["component"] for r in out2.collect()}
+        assert got2 == got
+
     def test_non_convergence_raises(self, spark):
         import pytest as _pytest
 
@@ -1814,10 +1891,10 @@ class TestConnectedComponents:
             connected_components,
         )
 
-        edges = [(i, i + 1) for i in range(12)]
+        edges = [(i, i + 1) for i in range(300)]
         df = spark.createDataFrame(edges, "id_a long, id_b long")
         with _pytest.raises(RuntimeError):
-            connected_components(df, max_iter=2)
+            connected_components(df, max_iter=1)
 
     def test_dedup_group_keep_flags_min_member(self, spark):
         from amonaly_detection_in_time_series_data_spark.operators.graph import (
@@ -2590,6 +2667,42 @@ class TestTrendOlsFlags:
         )
         assert "Window" not in plan, plan
 
+    def test_unit_mode_matches_float_on_grid_data(self, spark):
+        """unit_digits (r8, cross-engine hash-exact BIGINT sums): on
+        grid-valued data the integer-unit fit equals the float fit to
+        float tolerance; NULL contracts carry over; stats_source on the
+        raw frame gives the same answer."""
+        df = self._df(spark).withColumn("v", F.round("v", 2))
+        from amonaly_detection_in_time_series_data_spark.operators.anomaly import (
+            trend_ols_flags,
+        )
+
+        f = {
+            (r.sid, r.t): (r.trend_slope, r.trend_z, r.trend_alarm)
+            for r in trend_ols_flags(
+                df, "v", ["sid"], order_cols=["t"]
+            ).collect()
+        }
+        i = {
+            (r.sid, r.t): (r.trend_slope, r.trend_z, r.trend_alarm)
+            for r in trend_ols_flags(
+                df, "v", ["sid"], order_cols=["t"], unit_digits=2,
+                stats_source=df,
+            ).collect()
+        }
+        assert set(f) == set(i)
+        for k in f:
+            assert i[k][0] == pytest.approx(f[k][0], abs=1e-5)
+            assert i[k][1] == pytest.approx(f[k][1], abs=1e-4)
+            assert i[k][2] == f[k][2]
+        # degenerate series stay NULL in unit mode too
+        rows = [("tiny", 0, 1.0), ("tiny", 1, 2.0)]
+        dg = spark.createDataFrame(rows, "sid string, t int, v double")
+        out = trend_ols_flags(
+            dg, "v", ["sid"], order_cols=["t"], unit_digits=2
+        ).collect()
+        assert all(r.trend_slope is None and r.trend_alarm is None for r in out)
+
 
 class TestXcorrLags:
     """Lead-lag cross-correlation (operators.timeseries.xcorr_lags) vs
@@ -2660,6 +2773,36 @@ class TestXcorrLags:
         )
         assert plan.count("Exchange hashpartitioning") <= 2, plan
         assert plan.count("Window") == 1, plan
+
+    def test_unit_mode_matches_float_on_grid_data(self, spark):
+        """unit_digits (r8, the cross-engine hash-exact path): corr is
+        scale-invariant, so on data already ON the grid the integer-sum
+        estimator equals the float estimator to float tolerance."""
+        from amonaly_detection_in_time_series_data_spark.operators.timeseries import (
+            xcorr_lags,
+        )
+
+        import numpy as np
+
+        rng = np.random.RandomState(11)
+        rows = [
+            ("s", i, round(float(rng.uniform(0, 50)), 2),
+             round(float(rng.uniform(0, 50)), 2))
+            for i in range(150)
+        ]
+        df = spark.createDataFrame(rows, "sid string, t int, b double, a double")
+        f = {
+            r.lag: r.xcorr
+            for r in xcorr_lags(df, "a", "b", ["sid"], ["t"], max_lag=5).collect()
+        }
+        i = {
+            r.lag: r.xcorr
+            for r in xcorr_lags(
+                df, "a", "b", ["sid"], ["t"], max_lag=5, unit_digits=2
+            ).collect()
+        }
+        for k in range(6):
+            assert i[k] == pytest.approx(f[k], abs=2e-6)
 
 
 class TestAcfDominantPeriod:
@@ -3338,8 +3481,27 @@ class TestMoreScalers:
         assert len(inner) >= 7
         assert {r["c"] for r in robust_scale(df, ["c"]).collect()} == {0.0}
 
+    def test_unit_modes_match_float_on_grid_data(self, spark):
+        """unit_digits (r8, cross-engine hash-exact sums): on data
+        already on the grid both scalers equal their float twins to
+        float tolerance; constant columns still map to 0.0."""
+        import numpy as np
 
-class TestVectorHelpers:
+        from amonaly_detection_in_time_series_data_spark.operators.scaling import (
+            robust_scale,
+            standard_scale,
+        )
+
+        rng = np.random.RandomState(5)
+        rows = [(round(float(v), 2), 7.0) for v in rng.uniform(0, 100, 200)]
+        df = spark.createDataFrame(rows, "a double, c double")
+        for op in (standard_scale, robust_scale):
+            f = sorted(r["a"] for r in op(df, ["a"]).collect())
+            i = sorted(r["a"] for r in op(df, ["a"], unit_digits=2).collect())
+            assert i == pytest.approx(f, abs=1e-9)
+            assert {r["c"] for r in op(df, ["c"], unit_digits=2).collect()} == {
+                0.0
+            }
     """functions.vectors — truncation/normalization exprs."""
 
     def test_truncate_and_normalize(self, spark):
