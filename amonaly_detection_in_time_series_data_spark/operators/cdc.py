@@ -316,6 +316,8 @@ def cdc_merge_sink(
     seq_col: str,
     delete_col: str | None = None,
     partition_col: str | None = None,
+    stats_index_path: str | None = None,
+    stats_cols: list[str] | None = None,
     **kw,
 ):
     """``foreachBatch`` adapter: apply each micro-batch of a CDC change
@@ -335,6 +337,11 @@ def cdc_merge_sink(
     ordering; within and across redelivered batches, last-writer-wins
     by ``seq_col`` makes the merge insensitive to replay interleaving
     for keys carrying distinct sequence numbers.
+
+    ``stats_index_path`` + ``stats_cols``: after each merge, upsert the
+    persisted :func:`~.maintenance.file_stats_index` for the files the
+    merge rewrote (new files gain rows, replaced files drop out) —
+    O(touched partition files), never a table rescan.
     """
 
     def apply(batch_df: DataFrame, batch_id: int) -> None:
@@ -344,5 +351,14 @@ def cdc_merge_sink(
             batch_df.sparkSession, table_path, batch_df, keys, seq_col,
             delete_col=delete_col, partition_col=partition_col, **kw,
         )
+        if stats_index_path is not None:
+            from amonaly_detection_in_time_series_data_spark.operators.maintenance import (
+                file_stats_index_update,
+            )
+
+            file_stats_index_update(
+                batch_df.sparkSession, table_path, stats_cols or [],
+                stats_index_path,
+            )
 
     return apply

@@ -180,6 +180,8 @@ def incremental_neardup_batch(
 def incremental_ingest_sink(
     store_path: str,
     out_path: str,
+    stats_index_path: str | None = None,
+    stats_cols: list[str] | None = None,
     **cfg,
 ) -> Callable[[DataFrame, int], None]:
     """``foreachBatch`` adapter: per micro-batch, run
@@ -191,6 +193,13 @@ def incremental_ingest_sink(
         (stream.writeStream.foreachBatch(
             incremental_ingest_sink(store, out, threshold=0.8))
          .option("checkpointLocation", ckpt).start())
+
+    ``stats_index_path`` + ``stats_cols``: keep a persisted
+    :func:`~.maintenance.file_stats_index` in lockstep with the output
+    table — each batch upserts index rows for ITS written files only
+    (O(batch files), never a table rescan), so
+    :func:`~.maintenance.skipping_scan` stays usable on a continuously
+    ingested table.
     """
 
     def write_batch(df: DataFrame, batch_id: int) -> None:
@@ -204,5 +213,13 @@ def incremental_ingest_sink(
             .option("partitionOverwriteMode", "dynamic")
             .parquet(out_path)
         )
+        if stats_index_path is not None:
+            from amonaly_detection_in_time_series_data_spark.operators.maintenance import (
+                file_stats_index_update,
+            )
+
+            file_stats_index_update(
+                df.sparkSession, out_path, stats_cols or [], stats_index_path
+            )
 
     return write_batch

@@ -525,11 +525,19 @@ def holt_winters(
     beta: float = 0.05,
     gamma: float = 0.1,
     horizon: int = 0,
+    phi: float = 1.0,
 ) -> DataFrame:
     """Additive Holt-Winters (triple exponential smoothing, Winters
     1960; recursions as in Hyndman & Athanasopoulos FPP ch. 8) — the
     step up from :func:`seasonal_naive_forecast` when a series carries
     trend as well as seasonality.
+
+    ``phi``: trend damping (Gardner & McKenzie 1985; FPP §8.6) —
+    ``phi=1`` is the classic additive form (bit-identical to the
+    pre-damping implementation); ``phi<1`` replaces every ``b`` with
+    ``phi*b`` in the recursions and the h-step-ahead trend term with
+    the geometric sum ``(phi + ... + phi^h)*b``, the standard fix for
+    linear-trend over-extrapolation at horizon.
 
     Per row (in-sample): ``hw_forecast`` — the ONE-STEP-AHEAD forecast
     ``l_{t-1} + b_{t-1} + s_{t-m}`` (null across the first-season init
@@ -563,6 +571,8 @@ def holt_winters(
     for p, v in (("alpha", alpha), ("beta", beta), ("gamma", gamma)):
         if not 0.0 < v < 1.0:
             raise ValueError(f"holt_winters: {p} must be in (0,1), got {v}")
+    if not 0.0 < phi <= 1.0:
+        raise ValueError(f"holt_winters: phi must be in (0,1], got {phi}")
     keys = list(series_cols)
     ts_field = df.schema[ts_col]
     val_field = df.schema[value_col]
@@ -574,7 +584,7 @@ def holt_winters(
         + " is_future boolean"
     )
     m, h = season_rows, horizon
-    a, b_, g = float(alpha), float(beta), float(gamma)
+    a, b_, g, ph = float(alpha), float(beta), float(gamma), float(phi)
 
     def fit(pdf):
         import numpy as np
@@ -593,10 +603,10 @@ def holt_winters(
             trend = (y[m : 2 * m].mean() - y[:m].mean()) / m
             seas = y[:m] - level
             for t in range(m, n):
-                fc[t] = level + trend + seas[t % m]
+                fc[t] = level + ph * trend + seas[t % m]
                 prev_level = level
-                level = a * (y[t] - seas[t % m]) + (1 - a) * (level + trend)
-                trend = b_ * (level - prev_level) + (1 - b_) * trend
+                level = a * (y[t] - seas[t % m]) + (1 - a) * (level + ph * trend)
+                trend = b_ * (level - prev_level) + (1 - b_) * ph * trend
                 seas[t % m] = g * (y[t] - prev_level - trend) + (1 - g) * seas[t % m]
         err = np.abs(y - fc)
         with np.errstate(invalid="ignore"):
@@ -613,8 +623,12 @@ def holt_winters(
             fut = {k: [pdf[k].iloc[0]] * h for k in keys}
             fut[ts_col] = [pdf[ts_col].iloc[-1] + step * k for k in range(1, h + 1)]
             fut[value_col] = [None] * h
+            # damped h-step trend term: (phi + ... + phi^k) * b;
+            # phi=1 reduces to the classic k * b exactly
+            phis = np.cumsum([ph**j for j in range(1, h + 1)])
             fut["hw_forecast"] = [
-                level + k * trend + seas[(n + k - 1) % m] for k in range(1, h + 1)
+                level + phis[k - 1] * trend + seas[(n + k - 1) % m]
+                for k in range(1, h + 1)
             ]
             fut["abs_err"] = [None] * h
             fut["hw_mae"] = [None] * h
@@ -794,17 +808,22 @@ def forecast_selector(
     alpha: float = 0.2,
     beta: float = 0.05,
     gamma: float = 0.1,
+    phi: float = 0.9,
 ) -> DataFrame:
-    """Per-series champion table: run the seasonal-naive baseline and
-    Holt-Winters through their expanding backtests on the same grid and
-    pick the winner by FINAL backtest MAE — the standard "never deploy
-    a model that loses to naive" gate (Hyndman's golden rule).
+    """Per-series champion table: run the seasonal-naive baseline,
+    Holt-Winters, and (r8) the φ-DAMPED Holt-Winters through their
+    expanding backtests on the same grid and pick the winner by FINAL
+    backtest MAE — the standard "never deploy a model that loses to
+    naive" gate (Hyndman's golden rule), with the damped form covering
+    saturating trends that the linear trend over-extrapolates.
 
     Output: one row per series with ``naive_mae``, ``hw_mae``,
-    ``chosen`` ('naive' | 'holt_winters'), and ``mae_ratio``
-    (hw/naive; < 1 means HW earned its complexity). Ties and
-    null-backtest series (too short for HW init) fall back to 'naive'
-    — the conservative default.
+    ``hw_damped_mae``, ``chosen`` ('naive' | 'holt_winters' |
+    'holt_winters_damped'), and ``mae_ratio`` (best-HW/naive; < 1 means
+    the smoother earned its complexity). Ties and null-backtest series
+    (too short for HW init) fall back to 'naive' — the conservative
+    default; between the two HW forms a tie goes to the damped one
+    (fewer effective degrees of extrapolation).
 
     Cost: both backtests share the input's series partitioning; the
     final-MAE extraction is one ``max_by(mae, ts)`` aggregate per side
@@ -812,30 +831,43 @@ def forecast_selector(
     """
     keys = list(series_cols)
     nv = seasonal_naive_forecast(df, ts_col, value_col, keys, season_rows)
-    hw = holt_winters(
-        df, ts_col, value_col, keys,
-        season_rows=season_rows, alpha=alpha, beta=beta, gamma=gamma,
-    )
     nv_final = nv.groupBy(*keys).agg(
         F.max_by("naive_mae", F.col(ts_col)).alias("naive_mae")
     )
-    hw_final = (
-        hw.where(~F.col("is_future"))
-        .groupBy(*keys)
-        .agg(F.max_by("hw_mae", F.col(ts_col)).alias("hw_mae"))
+
+    def final_mae(p: float, out: str) -> DataFrame:
+        hw = holt_winters(
+            df, ts_col, value_col, keys,
+            season_rows=season_rows, alpha=alpha, beta=beta, gamma=gamma,
+            phi=p,
+        )
+        return (
+            hw.where(~F.col("is_future"))
+            .groupBy(*keys)
+            .agg(F.max_by("hw_mae", F.col(ts_col)).alias(out))
+        )
+
+    j = (
+        nv_final.join(final_mae(1.0, "hw_mae"), keys, "left")
+        .join(final_mae(phi, "hw_damped_mae"), keys, "left")
     )
-    j = nv_final.join(hw_final, keys, "left")
-    hw_wins = F.col("hw_mae").isNotNull() & F.col("naive_mae").isNotNull() & (
-        F.col("hw_mae") < F.col("naive_mae")
+    naive, hw_m, dm = (
+        F.col("naive_mae"), F.col("hw_mae"), F.col("hw_damped_mae")
     )
+    # best HW form: damped wins ties (least extrapolation)
+    best_is_damped = dm.isNotNull() & (hw_m.isNull() | (dm <= hw_m))
+    best_hw = F.when(best_is_damped, dm).otherwise(hw_m)
+    hw_wins = best_hw.isNotNull() & naive.isNotNull() & (best_hw < naive)
     return j.select(
         *keys,
         "naive_mae",
         "hw_mae",
-        F.when(hw_wins, F.lit("holt_winters")).otherwise(F.lit("naive")).alias(
-            "chosen"
-        ),
-        (F.col("hw_mae") / F.nullif(F.col("naive_mae"), F.lit(0.0))).alias(
-            "mae_ratio"
-        ),
+        "hw_damped_mae",
+        F.when(
+            hw_wins & best_is_damped, F.lit("holt_winters_damped")
+        )
+        .when(hw_wins, F.lit("holt_winters"))
+        .otherwise(F.lit("naive"))
+        .alias("chosen"),
+        (best_hw / F.nullif(naive, F.lit(0.0))).alias("mae_ratio"),
     )

@@ -342,3 +342,92 @@ class TestSkippingScan:
             assert st_["files_kept"] <= st_["files_total"]
 
         check()
+
+
+class TestIncrementalIndex:
+    """file_stats_index_update: a persisted index maintained at
+    O(touched files) per batch must equal the from-scratch rebuild
+    after ANY sequence of appends and partition rewrites, and
+    skipping_scan over it must stay exact."""
+
+    @staticmethod
+    def _norm(df):
+        return sorted(tuple(r) for r in df.collect())
+
+    def test_incremental_equals_full_rebuild_with_rewrites(
+        self, spark, tmp_path
+    ):
+        from amonaly_detection_in_time_series_data_spark.operators.maintenance import (
+            file_stats_index,
+            file_stats_index_update,
+            skipping_scan,
+        )
+
+        table = str(tmp_path / "t")
+        index = str(tmp_path / "t_index")
+        # three append batches, each its own partition
+        for b in range(3):
+            rows = [(b, float(b * 100 + i)) for i in range(50)]
+            (
+                spark.createDataFrame(rows, "p int, v double")
+                .write.mode("overwrite")
+                .partitionBy("p")
+                .option("partitionOverwriteMode", "dynamic")
+                .parquet(table)
+            )
+            idx = file_stats_index_update(spark, table, ["v"], index)
+        # partition rewrite (CoW merge shape): p=1 gets NEW files, the
+        # old ones disappear — update must drop their index rows
+        rows = [(1, float(1000 + i)) for i in range(20)]
+        (
+            spark.createDataFrame(rows, "p int, v double")
+            .repartition(2)
+            .write.mode("overwrite")
+            .partitionBy("p")
+            .option("partitionOverwriteMode", "dynamic")
+            .parquet(table)
+        )
+        idx = file_stats_index_update(spark, table, ["v"], index)
+        full = file_stats_index(spark, table, ["v"])
+        assert self._norm(idx) == self._norm(full)
+        # and skipping over the incrementally-maintained index is exact
+        pruned, st = skipping_scan(spark, idx, {"v": (1000.0, 1010.0)})
+        want = (
+            spark.read.parquet(table)
+            .filter(F.col("v").between(1000.0, 1010.0))
+        )
+        assert sorted(r["v"] for r in pruned.collect()) == sorted(
+            r["v"] for r in want.collect()
+        )
+        assert st["files_kept"] < st["files_total"]
+
+    def test_ingest_sink_keeps_index_in_lockstep(self, spark, tmp_path):
+        from amonaly_detection_in_time_series_data_spark.operators.ingest import (
+            incremental_ingest_sink,
+        )
+        from amonaly_detection_in_time_series_data_spark.operators.maintenance import (
+            file_stats_index,
+        )
+
+        store = str(tmp_path / "store")
+        out = str(tmp_path / "out")
+        index = str(tmp_path / "out_index")
+        sink = incremental_ingest_sink(
+            store, out, stats_index_path=index, stats_cols=["doc_id"],
+            n_hashes=8, n_bands=4,
+        )
+        b0 = spark.createDataFrame(
+            [(1, "the quick brown fox jumps over the lazy dog today"),
+             (2, "an entirely different document about spark engines")],
+            "doc_id long, text string",
+        )
+        b1 = spark.createDataFrame(
+            [(3, "the quick brown fox jumps over the lazy dog today"),
+             (4, "yet another novel text with its own fresh content")],
+            "doc_id long, text string",
+        )
+        sink(b0, 0)
+        sink(b1, 1)
+        idx = spark.read.parquet(index)
+        full = file_stats_index(spark, out, ["doc_id"])
+        assert self._norm(idx) == self._norm(full)

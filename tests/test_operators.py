@@ -2946,6 +2946,59 @@ class TestHoltWinters:
         f = [r for r in out if r["is_future"]][0]
         assert f["v"] is None and f["abs_err"] is None and f["hw_mae"] is None
 
+    def test_damped_recursion_matches_hand_loop_and_phi1_is_classic(
+        self, spark
+    ):
+        """r8 phi-damping (Gardner & McKenzie): the damped recursion is
+        pinned against an independent pure-python loop, and phi=1
+        reproduces the classic output bit-for-bit."""
+        from amonaly_detection_in_time_series_data_spark.operators.timeseries import holt_winters
+
+        rows = [("s", i, float((i + 1) * (i % 3 + 1))) for i in range(10)]
+        df = spark.createDataFrame(rows, "sid string, t int, v double")
+        a, b_, g, ph, m, h = 0.4, 0.3, 0.2, 0.8, 2, 3
+        out = holt_winters(
+            df, "t", "v", ["sid"], season_rows=m,
+            alpha=a, beta=b_, gamma=g, horizon=h, phi=ph,
+        ).collect()
+        # independent hand loop (FPP §8.6 damped-additive recursions)
+        y = [float((i + 1) * (i % 3 + 1)) for i in range(10)]
+        level = sum(y[:m]) / m
+        trend = (sum(y[m : 2 * m]) / m - sum(y[:m]) / m) / m
+        seas = [y[i] - level for i in range(m)]
+        want = {}
+        for t in range(m, len(y)):
+            want[t] = level + ph * trend + seas[t % m]
+            prev = level
+            level = a * (y[t] - seas[t % m]) + (1 - a) * (level + ph * trend)
+            trend = b_ * (level - prev) + (1 - b_) * ph * trend
+            seas[t % m] = g * (y[t] - prev - trend) + (1 - g) * seas[t % m]
+        got = {r["t"]: r["hw_forecast"] for r in out if not r["is_future"]}
+        for t in range(m, len(y)):
+            assert got[t] == pytest.approx(want[t], abs=1e-12), t
+        fut = {r["t"]: r["hw_forecast"] for r in out if r["is_future"]}
+        run = 0.0
+        for k in range(1, h + 1):
+            run += ph**k
+            assert fut[len(y) + k - 1] == pytest.approx(
+                level + run * trend + seas[(len(y) + k - 1) % m], abs=1e-12
+            )
+        # phi=1 == the classic form, value for value
+        classic = holt_winters(
+            df, "t", "v", ["sid"], season_rows=m,
+            alpha=a, beta=b_, gamma=g, horizon=h,
+        ).collect()
+        phi1 = holt_winters(
+            df, "t", "v", ["sid"], season_rows=m,
+            alpha=a, beta=b_, gamma=g, horizon=h, phi=1.0,
+        ).collect()
+        key = lambda rs: sorted(
+            (r["t"], r["hw_forecast"], r["is_future"]) for r in rs
+        )
+        assert key(phi1) == key(classic)
+        with pytest.raises(ValueError, match="phi"):
+            holt_winters(df, "t", "v", ["sid"], season_rows=m, phi=0.0)
+
     def test_perfect_additive_series_converges_and_extrapolates(self, spark):
         from amonaly_detection_in_time_series_data_spark.operators.timeseries import holt_winters
 
@@ -3341,6 +3394,29 @@ class TestForecastSelector:
         # too short to initialize HW: conservative fallback
         assert out["short"]["hw_mae"] is None
         assert out["short"]["chosen"] == "naive"
+
+    def test_damped_wins_on_saturating_trend(self, spark):
+        """r8 third candidate: a ramp that PLATEAUS — the linear trend
+        keeps extrapolating into the flat region while phi-damping
+        decays it, so the damped form takes the champion slot."""
+        import math
+
+        from amonaly_detection_in_time_series_data_spark.operators.timeseries import (
+            forecast_selector,
+        )
+
+        seas = [3.0, 0.0, -3.0, 0.0]
+        rows = [
+            ("sat", t, 100.0 * (1.0 - math.exp(-t / 15.0)) + seas[t % 4])
+            for t in range(96)
+        ]
+        df = spark.createDataFrame(rows, "sid string, t int, v double")
+        out = forecast_selector(
+            df, "t", "v", ["sid"], season_rows=4, phi=0.8
+        ).collect()[0]
+        assert out["chosen"] == "holt_winters_damped", out
+        assert out["hw_damped_mae"] < out["hw_mae"]
+        assert out["hw_damped_mae"] < out["naive_mae"]
 
 
 class TestHampelFlags:
