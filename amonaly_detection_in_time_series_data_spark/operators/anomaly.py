@@ -639,14 +639,25 @@ def _ols_stats_int(
         f"cast(round(`{target}` * {scale}) as bigint) AS __y",
         f"cast(row_number() OVER ({part}) - 1 as bigint) AS __x",
     ).where("__y IS NOT NULL")
-    stats = d.groupBy(*keys).agg(
+    stats = _ols_sums(d, keys, y_col="__y")
+    return _ols_fit_from_sums(stats, keys)
+
+
+def _ols_sums(d: DataFrame, keys: list[str], y_col: str) -> DataFrame:
+    """The six exact-BIGINT OLS sums per key over (__x, y_col) rows."""
+    return d.groupBy(*keys).agg(
         F.expr("count(*)").alias("__n"),
         F.expr("sum(__x)").alias("__sx"),
-        F.expr("sum(__y)").alias("__sy"),
+        F.expr(f"sum({y_col})").alias("__sy"),
         F.expr("sum(__x * __x)").alias("__sxx"),
-        F.expr("sum(__x * __y)").alias("__sxy"),
-        F.expr("sum(__y * __y)").alias("__syy"),
+        F.expr(f"sum(__x * {y_col})").alias("__sxy"),
+        F.expr(f"sum({y_col} * {y_col})").alias("__syy"),
     )
+
+
+def _ols_fit_from_sums(stats: DataFrame, keys: list[str]) -> DataFrame:
+    """Slope / intercept / residual-stderr from the exact integer sums —
+    identical IEEE expression shape to the SQL-oracle formulation."""
     n, sx, sy = "cast(__n as double)", "cast(__sx as double)", "cast(__sy as double)"
     sxx, sxy, syy = (
         "cast(__sxx as double)",
@@ -1165,6 +1176,7 @@ def anomaly_battery(
     if trend:
         l1.append(f"cast(row_number() {word} - 1 as bigint) AS __x")
     d = df.selectExpr(*l1)
+    l1_frame = d
 
     # L2: scalar over L1's materialized outputs
     z = f"({t} - `{p}_roll_mean`) / nullif(`{p}_roll_std`, 0.0D)"
@@ -1210,7 +1222,16 @@ def anomaly_battery(
     )
     d = d.join(F.broadcast(stats1), keys).join(F.broadcast(stats2), keys)
     if trend:
-        fitted = _ols_stats_int(src, target, keys, order_cols, scale)
+        # OLS sufficient statistics off the L1 frame (pre-join lineage:
+        # scan→exchange→window only): __m IS y_i and __x is already
+        # materialized, so no second row_number window is planned.
+        # (Measured: AQE still plans this branch's exchange separately
+        # rather than reusing the main one — cost parity with a
+        # stats_source aggregate, one cleaner lineage.)
+        sums = _ols_sums(
+            l1_frame.where("__m IS NOT NULL"), keys, y_col="__m"
+        )
+        fitted = _ols_fit_from_sums(sums, keys)
         d = d.join(F.broadcast(fitted), keys, "left")
 
     # L5 + drop in one pass: the final select lists the input columns,
