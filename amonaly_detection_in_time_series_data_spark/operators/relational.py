@@ -86,6 +86,54 @@ def salted_agg(
     )
 
 
+def salted_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: Sequence[str],
+    salt_source: str,
+    n_salt: int = 16,
+    how: str = "inner",
+) -> DataFrame:
+    """Skew-resistant equi-join by key salting: the companion of
+    :func:`salted_agg` for the join side of the skew problem.
+
+    When ONE join key owns a large share of the probe side, a sort-merge
+    join puts that key's entire row set into one reducer. AQE's
+    skew-join split fixes the common case, but it only fires for
+    sort-merge joins with AQE stats and cannot split a key WITHIN a
+    single partition-sized unit finer than its target size. The
+    explicit form: the (large, skewed) ``left`` gets a deterministic
+    salt from ``salt_source`` (any roughly-uniform existing column);
+    the (smaller) ``right`` is REPLICATED ``n_salt`` times via one
+    ``explode`` of a literal range; the join key becomes
+    ``on + [salt]``, so the hot key's rows spread over ``n_salt``
+    reducers. Row multiplicity is exactly that of the plain join
+    (differential-tested, duplicates included) because every left row
+    matches exactly ONE replica of each right match.
+
+    ``how``: 'inner', 'left', 'left_semi', or 'left_anti' — the shapes
+    where replicating the right side cannot change multiplicity
+    (left_semi/left_anti still benefit: the probe side is the skewed
+    one). Right/full-outer would surface unmatched right REPLICAS and
+    are refused. Cost: right side × ``n_salt`` (keep it the small side
+    — if it broadcasts anyway, broadcast and skip salting entirely).
+    """
+    if how not in ("inner", "left", "left_semi", "left_anti"):
+        raise ValueError(
+            f"salted_join: how={how!r} unsupported (replicating the right"
+            " side would change outer multiplicity)"
+        )
+    keys = list(on)
+    lsalt = left.withColumn(
+        "__salt", F.pmod(F.xxhash64(F.col(salt_source)), F.lit(n_salt))
+    )
+    rsalt = right.withColumn(
+        "__salt", F.explode(F.array(*[F.lit(i) for i in range(n_salt)]))
+    ).withColumn("__salt", F.col("__salt").cast("bigint"))
+    out = lsalt.join(rsalt, [*keys, "__salt"], how)
+    return out.drop("__salt")
+
+
 def heavy_hitters(
     df: DataFrame,
     col: str,

@@ -3613,3 +3613,46 @@ class TestMoreScalers:
             cosine_similarity(F.col("a"), F.col("b")).alias("c4"),
         ).collect()[0]
         assert r["c2"] == pytest.approx(r["c4"], abs=0.01)
+
+
+class TestSaltedJoin:
+    """operators.relational.salted_join — skew-resistant equi-join must
+    be row-for-row identical to the plain join (duplicates included)."""
+
+    def _sides(self, spark):
+        import random
+
+        rng = random.Random(23)
+        # heavy skew: key 0 owns 70% of the probe side; duplicate keys
+        # on BOTH sides so multiplicity is actually exercised
+        left = [
+            (0 if rng.random() < 0.7 else rng.randrange(10), i, rng.randrange(100))
+            for i in range(600)
+        ]
+        right = [
+            (k, f"r{k}_{j}") for k in range(8) for j in range(rng.randrange(1, 4))
+        ]
+        return (
+            spark.createDataFrame(left, "k int, rid int, v int"),
+            spark.createDataFrame(right, "k int, tag string"),
+        )
+
+    def test_matches_plain_join_all_hows(self, spark):
+        from amonaly_detection_in_time_series_data_spark.operators.relational import (
+            salted_join,
+        )
+
+        left, right = self._sides(spark)
+        for how in ("inner", "left", "left_semi", "left_anti"):
+            plain = left.join(right, ["k"], how)
+            salted = salted_join(left, right, ["k"], "rid", n_salt=7, how=how)
+            assert sorted(map(tuple, salted.collect())) == sorted(
+                map(tuple, plain.collect())
+            ), how
+        plan = (
+            salted_join(left, right, ["k"], "rid", n_salt=7)
+            ._jdf.queryExecution().executedPlan().toString()
+        )
+        assert "CartesianProduct" not in plan
+        with pytest.raises(ValueError, match="unsupported"):
+            salted_join(left, right, ["k"], "rid", how="full")
