@@ -820,6 +820,91 @@ def trend_ols_flags(
     )
 
 
+def trend_ols_expanding(
+    df: DataFrame,
+    target: str,
+    key_cols: Sequence[str],
+    order_cols: Sequence[str],
+    threshold: float = 3.0,
+    unit_digits: int = 2,
+    min_points: int = 3,
+) -> DataFrame:
+    """ONLINE detrended anomaly detection — the expanding-window face of
+    :func:`trend_ols_flags`: at every row, fit ``y = a + b·x`` on the
+    PAST rows only ([first, t-1] — the battery's anti-leakage
+    convention) from running sufficient statistics, and flag the current
+    row's residual against the past fit's standard error. This is the
+    recursive-least-squares semantics a stream can carry with O(1)
+    state, expressed relationally: SIX running sums over ONE
+    ``rowsBetween(unboundedPreceding, -1)`` frame on the shared (key,
+    order) exchange — no iteration, no Python.
+
+    Integer-exact by construction (``unit_digits``): y snaps to the
+    unit grid (BIGINT), x is the 0-based row index, so every running
+    sum is an exact integer and the derived doubles are bit-identical
+    in any engine — and bit-identical to the streaming twin
+    (:func:`~..streaming.rolling.streaming_trend_ols`), which replays
+    the same integer recursion with Python's unbounded ints. Outputs
+    ``trend_run_slope``, ``trend_run_fit``, ``trend_run_z``,
+    ``trend_run_alarm`` — UNROUNDED doubles (exactness comes from the
+    integer sums, so no rounding convention is needed; rows whose past
+    window has fewer than ``min_points`` usable points, zero x-variance,
+    or zero residual scale get NULLs).
+    """
+    if min_points < 3:
+        raise ValueError("trend_ols_expanding: min_points must be >= 3")
+    keys = list(key_cols)
+    scale = 10**unit_digits
+    w_ord = Window.partitionBy(*[F.col(c) for c in keys]).orderBy(
+        *[F.col(c).asc() for c in order_cols]
+    )
+    past = w_ord.rowsBetween(Window.unboundedPreceding, -1)
+    y_i = F.round(F.col(target) * scale).cast("bigint")
+    d = df.withColumns(
+        {
+            "__yi": y_i,
+            "__x": (F.row_number().over(w_ord) - 1).cast("bigint"),
+        }
+    )
+    xm = F.when(F.col("__yi").isNotNull(), F.col("__x"))
+    ym = F.col("__yi")
+    d = d.withColumns(
+        {
+            "__n": F.count(ym).over(past),
+            "__sx": F.sum(xm).over(past),
+            "__sy": F.sum(ym).over(past),
+            "__sxx": F.sum(xm * xm).over(past),
+            "__sxy": F.sum(xm * ym).over(past),
+            "__syy": F.sum(ym * ym).over(past),
+        }
+    )
+    n = F.col("__n").cast("double")
+    sx, sy = F.col("__sx").cast("double"), F.col("__sy").cast("double")
+    sxx = F.col("__sxx").cast("double")
+    sxy = F.col("__sxy").cast("double")
+    syy = F.col("__syy").cast("double")
+    vx = n * sxx - sx * sx
+    b = F.when((n >= min_points) & (vx > 0), (n * sxy - sx * sy) / vx)
+    a = (sy - b * sx) / n
+    sse = F.greatest(
+        F.lit(0.0),
+        syy - sy * sy / n - b * b * (sxx - sx * sx / n),
+    )
+    s = F.when(n > 2, F.sqrt(sse / (n - 2)))
+    fit_i = a + b * F.col("__x").cast("double")
+    z = (F.col("__yi").cast("double") - fit_i) / F.nullif(s, F.lit(0.0))
+    return d.withColumns(
+        {
+            "trend_run_slope": b / scale,
+            "trend_run_fit": fit_i / scale,
+            "trend_run_z": z,
+            "trend_run_alarm": F.when(
+                z.isNotNull(), (F.abs(z) > F.lit(threshold)).cast("int")
+            ),
+        }
+    ).drop("__yi", "__x", "__n", "__sx", "__sy", "__sxx", "__sxy", "__syy")
+
+
 def seasonal_decompose(
     df: DataFrame,
     ts_col: str,

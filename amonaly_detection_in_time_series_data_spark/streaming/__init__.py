@@ -8,6 +8,7 @@ from .rolling import (
     streaming_hampel_flags,
     streaming_page_hinkley,
     streaming_throttle_alerts,
+    streaming_trend_ols,
     streaming_windowed_stats,
     streaming_zscore_flags,
 )
@@ -19,6 +20,7 @@ __all__ = [
     "sessionized_stats",
     "streaming_zscore_flags",
     "streaming_page_hinkley",
+    "streaming_trend_ols",
     "streaming_ewma_deviation",
     "streaming_throttle_alerts",
     "streaming_hampel_flags",

@@ -534,6 +534,135 @@ def streaming_hampel_flags(
     )
 
 
+def streaming_trend_ols(
+    events: DataFrame,
+    threshold: float = 3.0,
+    unit_digits: int = 2,
+    min_points: int = 3,
+    timeout_minutes: int | None = 60,
+) -> DataFrame:
+    """Online recursive-least-squares detrending per user — the
+    streaming face of :func:`operators.anomaly.trend_ols_expanding`.
+
+    State is SEVEN integers per key — the row counter and the six OLS
+    sufficient statistics (n, Σx, Σy, Σx², Σxy, Σy²) in exact
+    ``10^-unit_digits`` units — O(1) regardless of stream length, the
+    same citizenship class as :func:`streaming_page_hinkley`. Every row
+    is scored against the fit of the rows BEFORE it (the batch twin's
+    ``rowsBetween(unboundedPreceding, -1)`` frame), then folded into the
+    sums. Because both sides derive their doubles from the SAME exact
+    integers with the same IEEE expression order, the stream's output
+    equals the batch operator's bit-for-bit on in-order replay —
+    asserted exactly in the parity test. Python ints are
+    arbitrary-precision, so the sums cannot overflow before the batch
+    side's BIGINT would.
+    """
+    import pandas as pd  # noqa: F401
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    scale = 10**unit_digits
+    out_schema = (
+        "user_id bigint, event_id bigint, ts timestamp, value double, "
+        "trend_run_slope double, trend_run_fit double, "
+        "trend_run_z double, trend_run_alarm int"
+    )
+    state_schema = (
+        "rn bigint, n bigint, sx bigint, sy bigint, "
+        "sxx bigint, sxy bigint, syy bigint"
+    )
+
+    def detect(key, pdf_iter, state):
+        import math
+
+        import pandas as pd
+
+        if state.hasTimedOut:
+            state.remove()
+            return
+
+        (user_id,) = key
+        rn, n_i, sx_i, sy_i, sxx_i, sxy_i, syy_i = (
+            state.get if state.exists else (0, 0, 0, 0, 0, 0, 0)
+        )
+        rows = []
+        for pdf in pdf_iter:
+            pdf = pdf.sort_values(["ts", "event_id"])
+            for _, r in pdf.iterrows():
+                x = rn  # 0-based row index, null y rows included
+                y_raw = r["value"]
+                y_ok = y_raw is not None and not (
+                    isinstance(y_raw, float) and math.isnan(y_raw)
+                )
+                m = int(round(float(y_raw) * scale)) if y_ok else None
+                # score vs the PAST fit — same IEEE expression order as
+                # the batch columns (floats from the same exact ints)
+                slope = fit = z = alarm = None
+                n = float(n_i)
+                sx, sy = float(sx_i), float(sy_i)
+                sxx, sxy, syy = float(sxx_i), float(sxy_i), float(syy_i)
+                vx = n * sxx - sx * sx
+                if n >= min_points and vx > 0:
+                    b = (n * sxy - sx * sy) / vx
+                    a = (sy - b * sx) / n
+                    sse = max(
+                        0.0, syy - sy * sy / n - b * b * (sxx - sx * sx / n)
+                    )
+                    s = math.sqrt(sse / (n - 2)) if n > 2 else None
+                    fit_i = a + b * float(x)
+                    slope = b / scale
+                    fit = fit_i / scale
+                    if m is not None and s is not None and s != 0.0:
+                        z = (float(m) - fit_i) / s
+                        alarm = int(abs(z) > threshold)
+                rows.append(
+                    (
+                        user_id,
+                        int(r["event_id"]),
+                        r["ts"],
+                        float(y_raw) if y_ok else None,
+                        slope,
+                        fit,
+                        z,
+                        alarm,
+                    )
+                )
+                rn += 1
+                if m is not None:
+                    n_i += 1
+                    sx_i += x
+                    sy_i += m
+                    sxx_i += x * x
+                    sxy_i += x * m
+                    syy_i += m * m
+        state.update((rn, n_i, sx_i, sy_i, sxx_i, sxy_i, syy_i))
+        if timeout_minutes is not None:
+            state.setTimeoutDuration(timeout_minutes * 60 * 1000)
+        yield pd.DataFrame(
+            rows,
+            columns=[
+                "user_id", "event_id", "ts", "value",
+                "trend_run_slope", "trend_run_fit",
+                "trend_run_z", "trend_run_alarm",
+            ],
+        )
+
+    return (
+        events.withWatermark("ts", "2 hours")
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            detect,
+            outputStructType=out_schema,
+            stateStructType=state_schema,
+            outputMode="append",
+            timeoutConf=(
+                GroupStateTimeout.ProcessingTimeTimeout
+                if timeout_minutes is not None
+                else GroupStateTimeout.NoTimeout
+            ),
+        )
+    )
+
+
 def streaming_throttle_alerts(
     flagged: DataFrame,
     cooldown_seconds: float = 3600.0,

@@ -3656,3 +3656,72 @@ class TestSaltedJoin:
         assert "CartesianProduct" not in plan
         with pytest.raises(ValueError, match="unsupported"):
             salted_join(left, right, ["k"], "rid", how="full")
+
+
+class TestTrendOlsExpanding:
+    """operators.anomaly.trend_ols_expanding — per-row past-only OLS
+    from running integer sums, vs an independent numpy loop."""
+
+    def test_matches_numpy_expanding_fit(self, spark):
+        import numpy as np
+
+        from amonaly_detection_in_time_series_data_spark.operators.anomaly import (
+            trend_ols_expanding,
+        )
+
+        rng = np.random.RandomState(4)
+        rows = []
+        for sid in ("a", "b"):
+            base = 5.0 if sid == "a" else 50.0
+            slope = 0.5 if sid == "a" else -1.25
+            for t in range(60):
+                v = round(base + slope * t + float(rng.randn()) * 0.25, 2)
+                rows.append((sid, t, v))
+        rows[30] = ("a", 30, rows[30][2] + 40.0)  # planted departure
+        df = spark.createDataFrame(rows, "sid string, t int, v double")
+        out = {
+            (r["sid"], r["t"]): (
+                r["trend_run_slope"], r["trend_run_fit"],
+                r["trend_run_z"], r["trend_run_alarm"],
+            )
+            for r in trend_ols_expanding(
+                df, "v", ["sid"], ["t"], unit_digits=2
+            ).collect()
+        }
+        for sid in ("a", "b"):
+            ys = [v for s, t, v in rows if s == sid]
+            for t in range(60):
+                got = out[(sid, t)]
+                if t < 3:
+                    assert got == (None, None, None, None), (sid, t)
+                    continue
+                x = np.arange(t, dtype=float)
+                y = np.array(ys[:t])
+                b, a = np.polyfit(x, y, 1)
+                resid = y - (a + b * x)
+                s = float(np.sqrt((resid**2).sum() / (t - 2)))
+                fit = a + b * t
+                assert got[0] == pytest.approx(b, abs=1e-6), (sid, t)
+                assert got[1] == pytest.approx(fit, abs=1e-4), (sid, t)
+                if s > 0:
+                    assert got[2] == pytest.approx(
+                        (ys[t] - fit) / s, abs=1e-3
+                    ), (sid, t)
+        # the planted spike is flagged; its clean neighbours are not
+        assert out[("a", 30)][3] == 1
+        assert out[("a", 29)][3] == 0 and out[("a", 32)][3] == 0
+
+    def test_single_exchange_plan(self, spark):
+        from amonaly_detection_in_time_series_data_spark.operators.anomaly import (
+            trend_ols_expanding,
+        )
+
+        df = spark.createDataFrame(
+            [("s", i, float(i)) for i in range(20)],
+            "sid string, t int, v double",
+        )
+        plan = (
+            trend_ols_expanding(df, "v", ["sid"], ["t"])
+            ._jdf.queryExecution().executedPlan().toString()
+        )
+        assert plan.count("Exchange hashpartitioning") == 1, plan

@@ -906,3 +906,53 @@ class TestStreamingHampel:
             else:
                 assert sm == m and smad == mad, eid  # exact, not approx
             assert sflag == flag, eid
+
+
+class TestStreamingTrendOls:
+    """streaming_trend_ols == batch trend_ols_expanding on full replay,
+    BIT-FOR-BIT — both sides derive their doubles from the same exact
+    integer sufficient statistics with the same expression order."""
+
+    def test_matches_batch_exactly(self, spark, sf_dir):
+        from amonaly_detection_in_time_series_data_spark.operators.anomaly import (
+            trend_ols_expanding,
+        )
+        from amonaly_detection_in_time_series_data_spark.streaming.rolling import (
+            streaming_trend_ols,
+        )
+
+        stream = replay_events_stream(spark, sf_dir)
+        out = streaming_trend_ols(stream, timeout_minutes=None)
+        _run_stream_to_memory(out, "trend_ols_s", "append")
+        streamed = {
+            r["event_id"]: (
+                r["trend_run_slope"], r["trend_run_fit"],
+                r["trend_run_z"], r["trend_run_alarm"],
+            )
+            for r in spark.sql("SELECT * FROM trend_ols_s").collect()
+        }
+
+        ev = load_table(spark, sf_dir, "events")
+        batch = trend_ols_expanding(
+            ev, "value", ["user_id"], ["ts", "event_id"]
+        )
+        expected = {
+            r["event_id"]: (
+                r["trend_run_slope"], r["trend_run_fit"],
+                r["trend_run_z"], r["trend_run_alarm"],
+            )
+            for r in batch.collect()
+        }
+        assert len(streamed) == len(expected) > 0
+        n_alarm = 0
+        for eid, exp in expected.items():
+            got = streamed[eid]
+            for e, g in zip(exp, got):
+                if e is None:
+                    assert g is None or (
+                        isinstance(g, float) and math.isnan(g)
+                    ), eid
+                else:
+                    assert g == e, (eid, exp, got)  # exact, not approx
+            n_alarm += exp[3] or 0
+        assert n_alarm > 0  # the parity isn't vacuous
