@@ -347,9 +347,18 @@ def q_time_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_window_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     # F2 (lags) + F3 (rolling past-only aggregates) in one query — both
     # operators share the single (user_id) -> (ts, event_id) exchange, so
-    # the merged plan still has exactly one shuffle.
+    # the merged plan still has exactly one shuffle. Merged r8: the
+    # expanding-window OLS detector (operators.anomaly.
+    # trend_ols_expanding) rides the SAME exchange — per-row past-only
+    # fit from six running BIGINT sums; its doubles are derived from
+    # exact integers, so the columns ship UNROUNDED and still hash-match.
+    from amonaly_detection_in_time_series_data_spark.operators.anomaly import (
+        trend_ols_expanding,
+    )
+
     ev = _events(spark, sf_dir)
-    out = add_lag_features(ev, "value", [1, 2, 3, 24], KEY, ORDER)
+    out = trend_ols_expanding(ev, "value", KEY, ORDER, unit_digits=2)
+    out = add_lag_features(out, "value", [1, 2, 3, 24], KEY, ORDER)
     out = add_rolling_features(
         out, "value", [3, 24], ["mean", "std", "min", "max"], KEY, ORDER
     )
@@ -360,6 +369,10 @@ def q_window_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_id", "user_id", _ts_str("ts").alias("ts"), "value",
         "value_lag_1", "value_lag_2", "value_lag_3", "value_lag_24",
         *[F.round(c, 6).alias(c) for c in roll_cols],
+        "trend_run_slope",
+        "trend_run_fit",
+        "trend_run_z",
+        F.col("trend_run_alarm").cast("bigint").alias("trend_run_alarm"),
     )
 
 
@@ -2574,13 +2587,56 @@ FROM events
         )
     )
     sql["window_features"] = f"""
+WITH base AS (
+  SELECT *,
+         CAST(round(value * 100) AS BIGINT) AS yi,
+         CAST(row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) - 1 AS BIGINT) AS x
+  FROM events
+),
+sums AS (
+  -- expanding-OLS sufficient statistics over the PAST rows only —
+  -- exact BIGINTs, so the derived doubles match Spark bit-for-bit
+  SELECT *,
+         CAST(count(yi) OVER wp AS DOUBLE) AS n,
+         CAST(sum(CASE WHEN yi IS NOT NULL THEN x END) OVER wp AS DOUBLE) AS sx,
+         CAST(sum(yi) OVER wp AS DOUBLE) AS sy,
+         CAST(sum(CASE WHEN yi IS NOT NULL THEN x * x END) OVER wp AS DOUBLE) AS sxx,
+         CAST(sum(x * yi) OVER wp AS DOUBLE) AS sxy,
+         CAST(sum(yi * yi) OVER wp AS DOUBLE) AS syy
+  FROM base
+  WINDOW wp AS (PARTITION BY user_id ORDER BY ts, event_id
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+),
+fit AS (
+  SELECT *,
+         CASE WHEN n >= 3 AND n * sxx - sx * sx > 0
+              THEN (n * sxy - sx * sy) / (n * sxx - sx * sx) END AS b
+  FROM sums
+),
+fit2 AS (
+  SELECT *,
+         (sy - b * sx) / n AS a,
+         CASE WHEN n > 2 THEN sqrt(greatest(0.0,
+           syy - sy * sy / n - b * b * (sxx - sx * sx / n)) / (n - 2)) END AS serr
+  FROM fit
+),
+scored AS (
+  SELECT *,
+         a + b * CAST(x AS DOUBLE) AS fit_i,
+         (CAST(yi AS DOUBLE) - (a + b * CAST(x AS DOUBLE))) / nullif(serr, 0) AS z
+  FROM fit2
+)
 SELECT event_id, user_id, strftime(ts, '{fmt}') AS ts, value,
        lag(value, 1) OVER w AS value_lag_1,
        lag(value, 2) OVER w AS value_lag_2,
        lag(value, 3) OVER w AS value_lag_3,
        lag(value, 24) OVER w AS value_lag_24,
-       {roll_cols}
-FROM events
+       {roll_cols},
+       b / 100 AS trend_run_slope,
+       fit_i / 100 AS trend_run_fit,
+       z AS trend_run_z,
+       CASE WHEN z IS NOT NULL THEN CAST(abs(z) > 3.0 AS BIGINT) END AS trend_run_alarm
+FROM scored
 WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
 """
 
