@@ -1391,6 +1391,7 @@ def q_rolling_time_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     from amonaly_detection_in_time_series_data_spark.operators.timeseries import (
         acf_lags,
         dominant_period,
+        xcorr_lags,
     )
 
     ev = _events(spark, sf_dir)
@@ -1402,18 +1403,43 @@ def q_rolling_time_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     base = hampel_flags(ev, "value", 10, KEY, ORDER, k=3.0, centered=True)
     acf = acf_lags(ev, "value", KEY, ORDER, max_lag=26, unit_digits=2)
     period = dominant_period(acf, KEY, min_lag=2)
-    return base.join(F.broadcast(period), "user_id", "left").select(
-        "event_id",
-        "user_id",
-        _ts_str("ts").alias("ts"),
-        F.round(F.avg("value").over(w), 6).alias("avg_3h"),
-        F.count("*").over(w).cast("bigint").alias("n_3h"),
-        F.round("hampel_median", 6).alias("hampel_median"),
-        F.round("hampel_mad", 6).alias("hampel_mad"),
-        F.col("hampel_flag").cast("bigint").alias("hampel_flag"),
-        F.col("period").cast("bigint").alias("period"),
-        F.col("peak_acf").alias("peak_acf"),
-        F.col("significant").cast("bigint").alias("period_significant"),
+    # r8 second widening: TWO-signal lead-lag xcorr — the probe signal
+    # LEADS the value by exactly 3 events (probe_t = value_{t+3};
+    # deterministic, and SQL replays it as an index shift), so
+    # "value lags probe by 3" and the transport-delay estimate must
+    # recover lag 3 for every series; the delay pick reuses
+    # dominant_period with tol=0 (ties on the rounded xcorr resolve to
+    # the shortest lag)
+    w_ord = Window.partitionBy(*KEY).orderBy(*[F.col(c).asc() for c in ORDER])
+    two = ev.withColumn("probe", F.lag("value", -3).over(w_ord))
+    xc = xcorr_lags(
+        two, "value", "probe", KEY, ORDER, max_lag=6, unit_digits=2
+    )
+    delay = dominant_period(
+        xc, KEY, min_lag=0, harmonic_tol=0.0, acf_col="xcorr"
+    ).select(
+        F.col("user_id"),
+        F.col("period").alias("xcorr_delay"),
+        F.col("peak_acf").alias("xcorr_peak"),
+    )
+    return (
+        base.join(F.broadcast(period), "user_id", "left")
+        .join(F.broadcast(delay), "user_id", "left")
+        .select(
+            "event_id",
+            "user_id",
+            _ts_str("ts").alias("ts"),
+            F.round(F.avg("value").over(w), 6).alias("avg_3h"),
+            F.count("*").over(w).cast("bigint").alias("n_3h"),
+            F.round("hampel_median", 6).alias("hampel_median"),
+            F.round("hampel_mad", 6).alias("hampel_mad"),
+            F.col("hampel_flag").cast("bigint").alias("hampel_flag"),
+            F.col("period").cast("bigint").alias("period"),
+            F.col("peak_acf").alias("peak_acf"),
+            F.col("significant").cast("bigint").alias("period_significant"),
+            F.col("xcorr_delay").cast("bigint").alias("xcorr_delay"),
+            F.col("xcorr_peak").alias("xcorr_peak"),
+        )
     )
 
 
@@ -3897,6 +3923,57 @@ dpx AS (
   SELECT d.user_id, d.period, a.acf AS peak_acf, a.n_pairs AS pn
   FROM dp d LEFT JOIN acf a
     ON a.user_id = d.user_id AND a.lag = d.period
+),
+-- two-signal lead-lag xcorr: probe LEADS value by 3 events
+-- (probe_t = a_{{t+3}}), so b at (row, lag k) is the value at row
+-- rn - k + 3. Masking replays BOTH stages of the Spark side: the
+-- probe itself is NULL past the series end (rn - k + 3 <= max rn,
+-- enforced by the join), AND lag(probe, k) is NULL before the series
+-- start (l.rn - k.lag >= 1, the extra predicate)
+xpairs AS (
+  SELECT l.user_id, k.lag AS lag, l.a AS a_i, b.a AS b_i
+  FROM lagged l
+  CROSS JOIN (SELECT unnest(range(0, 7)) AS lag) k
+  LEFT JOIN lagged b ON b.user_id = l.user_id
+                    AND b.rn = l.rn - k.lag + 3
+                    AND l.rn - k.lag >= 1
+),
+xstat AS (
+  SELECT user_id, lag,
+         CAST(count(CASE WHEN b_i IS NOT NULL THEN 1 END) AS BIGINT) AS np,
+         CAST(sum(CASE WHEN b_i IS NOT NULL THEN a_i END) AS DOUBLE) AS sa,
+         CAST(sum(CASE WHEN b_i IS NOT NULL THEN b_i END) AS DOUBLE) AS sb,
+         CAST(sum(CASE WHEN b_i IS NOT NULL THEN a_i * b_i END) AS DOUBLE) AS sab,
+         CAST(sum(CASE WHEN b_i IS NOT NULL THEN a_i * a_i END) AS DOUBLE) AS saa,
+         CAST(sum(CASE WHEN b_i IS NOT NULL THEN b_i * b_i END) AS DOUBLE) AS sbb
+  FROM xpairs GROUP BY user_id, lag
+),
+xcorr AS (
+  SELECT user_id, lag, np,
+         CASE WHEN np >= 3 THEN
+           round((CAST(np AS DOUBLE) * sab - sa * sb)
+                 / sqrt(CASE WHEN CAST(np AS DOUBLE) * saa - sa * sa > 0
+                              AND CAST(np AS DOUBLE) * sbb - sb * sb > 0
+                             THEN (CAST(np AS DOUBLE) * saa - sa * sa)
+                                  * (CAST(np AS DOUBLE) * sbb - sb * sb) END), 6)
+         END AS xc
+  FROM xstat
+),
+xpeak AS (
+  SELECT *, max(CASE WHEN lag >= 0 AND xc IS NOT NULL THEN xc END)
+              OVER (PARTITION BY user_id) AS peak
+  FROM xcorr
+),
+xd AS (
+  SELECT user_id,
+         min(lag) FILTER (WHERE lag >= 0 AND xc IS NOT NULL
+                            AND xc >= peak - 0.0) AS xdelay
+  FROM xpeak GROUP BY user_id
+),
+xdx AS (
+  SELECT d.user_id, d.xdelay, a.xc AS xpeak_v
+  FROM xd d LEFT JOIN xcorr a
+    ON a.user_id = d.user_id AND a.lag = d.xdelay
 )
 SELECT e.event_id, e.user_id, strftime(e.ts, '{fmt}') AS ts,
        round(avg(e.value) OVER w, 6) AS avg_3h,
@@ -3911,10 +3988,13 @@ SELECT e.event_id, e.user_id, strftime(e.ts, '{fmt}') AS ts,
        p.peak_acf,
        CASE WHEN p.peak_acf IS NOT NULL AND p.pn > 0
             THEN CAST(abs(p.peak_acf) > 2.0 / sqrt(CAST(p.pn AS DOUBLE)) AS BIGINT)
-            END AS period_significant
+            END AS period_significant,
+       CAST(x.xdelay AS BIGINT) AS xcorr_delay,
+       x.xpeak_v AS xcorr_peak
 FROM events e
 JOIN hmad h ON e.event_id = h.event_id
 LEFT JOIN dpx p ON e.user_id = p.user_id
+LEFT JOIN xdx x ON e.user_id = x.user_id
 WINDOW w AS (PARTITION BY e.user_id ORDER BY e.ts
              RANGE BETWEEN INTERVAL 3 HOUR PRECEDING AND CURRENT ROW)
 """
