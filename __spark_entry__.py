@@ -660,14 +660,35 @@ def q_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
     # and unioned so one query checks both. The urgent/high legs give
     # NON-EMPTY results for both ops at every sf (the previous
     # error-minus-purchase except leg was vacuously 0 rows).
+    #
+    # Merged r8: a third tagged leg runs the exact two-pass
+    # heavy-hitters operator (freqItems superset sketch -> exact count
+    # verify) over o_custkey at support 0.0015 — ~666 sketch slots, so
+    # the >500-candidate broadcast-join fallback path (r6 demerit fix)
+    # is the one exercised. The sketch's candidate SET may vary with
+    # partitioning; the verified OUTPUT cannot (superset guarantee +
+    # exact filter), which is what makes it oracle-safe.
+    from amonaly_detection_in_time_series_data_spark.operators.relational import heavy_hitters
+
     orders = load_table(spark, sf_dir, "orders")
     urgent = orders.filter(F.col("o_orderpriority") == "1-URGENT").select(
         "o_custkey"
     )
     high = orders.filter(F.col("o_orderpriority") == "2-HIGH").select("o_custkey")
-    ex = urgent.subtract(high).withColumn("op", F.lit("except"))
-    ix = urgent.intersect(high).withColumn("op", F.lit("intersect"))
-    return ex.unionByName(ix).select("op", "o_custkey")
+    nulls = (
+        F.lit(None).cast("bigint").alias("cnt"),
+        F.lit(None).cast("double").alias("frac"),
+    )
+    ex = urgent.subtract(high).select(
+        F.lit("except").alias("op"), "o_custkey", *nulls
+    )
+    ix = urgent.intersect(high).select(
+        F.lit("intersect").alias("op"), "o_custkey", *nulls
+    )
+    hh = heavy_hitters(orders, "o_custkey", support=0.0015).select(
+        F.lit("heavy").alias("op"), "o_custkey", "cnt", "frac"
+    )
+    return ex.unionByName(ix).unionByName(hh)
 
 
 def q_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2792,17 +2813,28 @@ FROM ranked WHERE match_rank <= 3
 """
 
     sql["set_ops"] = """
-SELECT 'except' AS op, o_custkey FROM (
+SELECT 'except' AS op, o_custkey,
+       CAST(NULL AS BIGINT) AS cnt, CAST(NULL AS DOUBLE) AS frac
+FROM (
   SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT'
   EXCEPT
   SELECT o_custkey FROM orders WHERE o_orderpriority = '2-HIGH'
 )
 UNION ALL
-SELECT 'intersect' AS op, o_custkey FROM (
+SELECT 'intersect' AS op, o_custkey,
+       CAST(NULL AS BIGINT) AS cnt, CAST(NULL AS DOUBLE) AS frac
+FROM (
   SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT'
   INTERSECT
   SELECT o_custkey FROM orders WHERE o_orderpriority = '2-HIGH'
 )
+UNION ALL
+SELECT 'heavy' AS op, o_custkey,
+       count(*) AS cnt,
+       count(*) / (SELECT count(*) FROM orders) AS frac
+FROM orders
+GROUP BY o_custkey
+HAVING count(*) >= 0.0015 * (SELECT count(*) FROM orders)
 """
 
     sql["column_cleanup"] = """
