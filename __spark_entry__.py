@@ -1024,6 +1024,19 @@ def q_resample_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
         dec.withColumn("value", F.round("value", 6)),
         "bucket_ts", "value", ["user_id"], season_rows=24, unit_digits=6,
     )
+    # r8: split-conformal prediction bands over the naive backtest —
+    # per-series 0.9-quantile of the in-sample absolute errors in exact
+    # tenth-micro-unit integers (operators.timeseries.conformal_band
+    # unit mode), broadcast back; the bands derive from exact integers,
+    # so they ship UNROUNDED and still hash-match
+    from amonaly_detection_in_time_series_data_spark.operators.timeseries import (
+        conformal_band,
+    )
+
+    fc = conformal_band(
+        fc, ["user_id"], forecast_col="forecast", err_col="abs_err",
+        coverage=0.9, unit_digits=6,
+    )
     # r7: the continuity audit that justifies the fill — per-series gap
     # stats over the RAW events, broadcast back onto the grid rows.
     # All-integer / exact-second arithmetic, so the merge stays
@@ -1047,6 +1060,10 @@ def q_resample_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("forecast", 6).alias("forecast"),
         F.round("abs_err", 6).alias("abs_err"),
         F.round("naive_mae", 6).alias("naive_mae"),
+        "band_halfwidth",
+        "band_lo",
+        "band_hi",
+        F.col("n_calibration").cast("bigint").alias("n_calibration"),
         "gap_count",
         "max_gap_s",
         "gap_missing_rows",
@@ -2974,6 +2991,15 @@ f2 AS (
   WINDOW run AS (PARTITION BY user_id ORDER BY bucket_ts
                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
 ),
+conf AS (
+  -- split-conformal half-width: 0.9-quantile of the integer errors in
+  -- exact tenth-micro-units (fraction grid 0.1 -> 10x quantile of ints
+  -- is an exact integer)
+  SELECT user_id,
+         CAST(round(10 * quantile_cont(err_i, 0.9)) AS BIGINT) / 10000000.0 AS qv,
+         CAST(count(err_i) AS BIGINT) AS n_cal
+  FROM f2 GROUP BY user_id
+),
 gap_d AS (
   SELECT user_id,
          epoch(ts) - lag(epoch(ts)) OVER (PARTITION BY user_id ORDER BY ts)
@@ -3003,11 +3029,17 @@ SELECT f2.user_id, strftime(bucket_ts, '{fmt}') AS bucket_ts,
        fc_i / 1000000.0 AS forecast,
        err_i / 1000000.0 AS abs_err,
        mae_i / 1000000.0 AS naive_mae,
+       c.qv AS band_halfwidth,
+       fc_i / 1000000.0 - c.qv AS band_lo,
+       fc_i / 1000000.0 + c.qv AS band_hi,
+       c.n_cal AS n_calibration,
        g.gap_count,
        g.max_gap_s,
        g.gap_missing_rows,
        g.dup_ts_rows
-FROM f2 LEFT JOIN gaps g ON f2.user_id = g.user_id
+FROM f2
+LEFT JOIN conf c ON f2.user_id = c.user_id
+LEFT JOIN gaps g ON f2.user_id = g.user_id
 """
 
     sql["ranking_functions"] = """

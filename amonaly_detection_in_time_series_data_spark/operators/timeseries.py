@@ -763,6 +763,7 @@ def conformal_band(
     forecast_col: str = "hw_forecast",
     err_col: str = "abs_err",
     coverage: float = 0.9,
+    unit_digits: int | None = None,
 ) -> DataFrame:
     """Split-conformal prediction intervals for any forecast column
     (Vovk et al.; the distribution-free band): per series, take the
@@ -778,16 +779,41 @@ def conformal_band(
     forecast and an in-sample absolute-error column). One per-series
     quantile aggregate (tiny) broadcast back; rows with no forecast
     keep null bands.
+
+    ``unit_digits``: snap the error column to ``10^-d`` units and keep
+    the quantile in exact tenth-unit integers (``round(10·percentile)``
+    — with coverage on the 0.1 grid the interpolation fraction is a
+    tenth, so 10× the quantile of integers is an exact integer; the
+    repo's cross-engine determinism convention). The half-width is then
+    an exact multiple of ``10^-(d+1)`` and the bands derive as
+    identical doubles in any engine — emit them unrounded.
     """
     if not 0.0 < coverage < 1.0:
         raise ValueError(
             f"conformal_band: coverage must be in (0,1), got {coverage}"
         )
     keys = list(series_cols)
-    q = forecast_df.groupBy(*keys).agg(
-        F.percentile(F.col(err_col), F.lit(coverage)).alias("__q"),
-        F.count(err_col).alias("__n_cal"),
-    )
+    if unit_digits is not None:
+        if abs(coverage * 10 - round(coverage * 10)) > 1e-12:
+            raise ValueError(
+                "conformal_band: unit mode needs coverage on the 0.1 grid"
+            )
+        scale = 10**unit_digits
+        err_i = F.round(F.col(err_col) * scale).cast("bigint")
+        q = forecast_df.groupBy(*keys).agg(
+            (
+                F.round(10 * F.percentile(err_i, F.lit(coverage))).cast(
+                    "bigint"
+                )
+                / F.lit(float(10 * scale))
+            ).alias("__q"),
+            F.count(err_col).alias("__n_cal"),
+        )
+    else:
+        q = forecast_df.groupBy(*keys).agg(
+            F.percentile(F.col(err_col), F.lit(coverage)).alias("__q"),
+            F.count(err_col).alias("__n_cal"),
+        )
     out = forecast_df.join(F.broadcast(q), keys, "left")
     fc = F.col(forecast_col)
     return (

@@ -3228,6 +3228,33 @@ class TestGapReport:
 class TestConformalBand:
     """operators.timeseries.conformal_band over holt_winters output."""
 
+    def test_unit_mode_matches_float_on_grid_errors(self, spark):
+        """r8 unit mode (cross-engine hash-exact tenth-unit quantile):
+        on grid-valued errors it equals the float path to quantile-grid
+        tolerance; off-grid coverage is refused."""
+        from amonaly_detection_in_time_series_data_spark.operators.timeseries import (
+            conformal_band,
+        )
+
+        rows = [
+            ("s", i, 10.0 + i * 0.25, round(0.01 * ((i * 7) % 40), 2))
+            for i in range(40)
+        ]
+        df = spark.createDataFrame(
+            rows, "sid string, t int, hw_forecast double, abs_err double"
+        )
+        f = conformal_band(df, ["sid"], coverage=0.9).collect()
+        u = conformal_band(
+            df, ["sid"], coverage=0.9, unit_digits=2
+        ).collect()
+        fq = {r["t"]: (r["band_halfwidth"], r["band_lo"]) for r in f}
+        uq = {r["t"]: (r["band_halfwidth"], r["band_lo"]) for r in u}
+        for t in fq:
+            assert uq[t][0] == pytest.approx(fq[t][0], abs=1e-9)
+            assert uq[t][1] == pytest.approx(fq[t][1], abs=1e-9)
+        with pytest.raises(ValueError, match="0.1 grid"):
+            conformal_band(df, ["sid"], coverage=0.85, unit_digits=2)
+
     def test_coverage_and_width(self, spark):
         import numpy as np
 
