@@ -1941,12 +1941,16 @@ def q_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_sampling_splits(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic corpus partitioning, three ops in one per-doc row:
     hash-based train/val/test split (md5 bucket, 80/10/10), per-language
-    stratified sampling (20% quota by seeded md5 order), and (merged r6)
+    stratified sampling (20% quota by seeded md5 order), (merged r6)
     domain-mixture resampling (operators.corpus.mixture_resample — keep
     quotas matching a 0.4/0.3/0.2/0.1 target over four sources, no
-    upsampling) — the split/mixing primitives of a training-data
-    pipeline."""
+    upsampling), and (merged r8) the per-domain cap
+    (operators.corpus.domain_cap flag form, cap=15 by seeded md5
+    order, BINDING at every sf — the C4/RefinedWeb source-balancing
+    primitive) — the
+    split/mixing primitives of a training-data pipeline."""
     from amonaly_detection_in_time_series_data_spark.operators.corpus import (
+        domain_cap,
         mixture_resample,
     )
 
@@ -1960,11 +1964,15 @@ def q_sampling_splits(spark: SparkSession, sf_dir: str) -> DataFrame:
         {"src0": 0.4, "src1": 0.3, "src2": 0.2, "src3": 0.1},
         seed=11,
     )
-    return mixed.select(
+    capped = domain_cap(
+        mixed, "source", "doc_id", cap=15, seed=13, keep_col="cap_keep"
+    )
+    return capped.select(
         "doc_id", "lang", "bucket", "split",
         F.col("strat_keep").cast("bigint").alias("strat_keep"),
         "source", "mix_quota",
         F.col("mix_keep").cast("bigint").alias("mix_keep"),
+        F.col("cap_keep").cast("bigint").alias("cap_keep"),
     )
 
 
@@ -3607,7 +3615,8 @@ WITH base AS (
   SELECT doc_id, lang, source,
          CAST('0x' || substr(md5('42:' || CAST(doc_id AS VARCHAR)), 1, 15) AS BIGINT) % 100 AS bucket,
          CAST('0x' || substr(md5('7:' || CAST(doc_id AS VARCHAR)), 1, 15) AS BIGINT) % 1000000007 AS h7,
-         CAST('0x' || substr(md5('11:' || CAST(doc_id AS VARCHAR)), 1, 15) AS BIGINT) % 1000000007 AS h11
+         CAST('0x' || substr(md5('11:' || CAST(doc_id AS VARCHAR)), 1, 15) AS BIGINT) % 1000000007 AS h11,
+         CAST('0x' || substr(md5('13:' || CAST(doc_id AS VARCHAR)), 1, 15) AS BIGINT) % 1000000007 AS h13
   FROM documents
 ),
 counts AS (
@@ -3632,7 +3641,9 @@ SELECT b.doc_id, b.lang, b.bucket,
        b.source,
        CAST(q.mix_quota AS BIGINT) AS mix_quota,
        CAST(row_number() OVER (PARTITION BY b.source ORDER BY h11, b.doc_id)
-            <= q.mix_quota AS BIGINT) AS mix_keep
+            <= q.mix_quota AS BIGINT) AS mix_keep,
+       CAST(row_number() OVER (PARTITION BY b.source ORDER BY h13, b.doc_id)
+            <= 15 AS BIGINT) AS cap_keep
 FROM base b LEFT JOIN quotas q USING (source)
 """
 
