@@ -1674,7 +1674,18 @@ def q_pivot_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """§2.8 pivot: long->wide per-user event-type value totals with an
     EXPLICIT pivot value list — at 100 TB an implicit pivot needs an
     extra distinct-values job and risks a wide explosion; pinning the
-    columns keeps it one shuffle and a stable schema."""
+    columns keeps it one shuffle and a stable schema.
+
+    Merged r8: the M4 chart downsampler (operators.timeseries.
+    m4_downsample, 16 buckets, deterministic struct-ordered picks) —
+    its FULL row selection folds into the per-user hash digest
+    (count + mod-summed md5 of every kept (bucket, ts, value) row, the
+    sequences_digest convention), so the oracle checks exactly WHICH
+    rows M4 kept, not just how many."""
+    from amonaly_detection_in_time_series_data_spark.operators.timeseries import (
+        m4_downsample,
+    )
+
     ev = _events(spark, sf_dir)
     types = ["click", "error", "purchase", "signup", "view"]
     out = (
@@ -1682,8 +1693,37 @@ def q_pivot_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         .pivot("event_type", types)
         .agg(F.round(F.sum("value"), 2))
     )
-    return out.select(
-        "user_id", *[F.col(t).alias(f"sum_{t}") for t in types]
+    m4 = m4_downsample(ev, "ts", "value", ["user_id"], n_buckets=16)
+    term = (
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat_ws(
+                        "|",
+                        F.lit("m4"),
+                        F.col("user_id").cast("string"),
+                        F.col("bucket").cast("string"),
+                        F.unix_micros(F.col("ts")).cast("string"),
+                        F.round(F.col("value") * 100).cast("bigint").cast("string"),
+                    )
+                ),
+                1,
+                15,
+            ),
+            16,
+            10,
+        ).cast("bigint")
+        % 1000000007
+    )
+    dig = m4.groupBy("user_id").agg(
+        F.count("*").alias("m4_rows"),
+        F.sum(term).alias("m4_digest"),
+    )
+    return out.join(F.broadcast(dig), "user_id").select(
+        "user_id",
+        *[F.col(t).alias(f"sum_{t}") for t in types],
+        "m4_rows",
+        "m4_digest",
     )
 
 
@@ -2888,14 +2928,60 @@ SELECT event_id, user_id, value FROM events
 """
 
     sql["pivot_events"] = """
-SELECT user_id,
+WITH m4b AS (
+  SELECT user_id, ts, value, epoch(ts) AS t
+  FROM events
+),
+span AS (
+  SELECT user_id, min(t) AS lo, max(t) AS hi FROM m4b GROUP BY user_id
+),
+wb AS (
+  SELECT m.*, coalesce(
+           least(CAST(floor((t - lo) / nullif((hi - lo) / 16, 0.0)) AS INT), 15),
+           0) AS bucket
+  FROM m4b m JOIN span USING (user_id)
+),
+picks AS (
+  -- deterministic struct-ordered picks, mirroring the operator:
+  -- min value (earliest ts on ties), max value (earliest ts via -t),
+  -- first, last
+  SELECT user_id, bucket,
+         min({'v': value, 't': t}).t AS t_vmin,
+         -(max({'v': value, 'nt': -t}).nt) AS t_vmax,
+         min(t) AS t_first, max(t) AS t_last
+  FROM wb GROUP BY user_id, bucket
+),
+wanted AS (
+  SELECT DISTINCT user_id, t_keep FROM (
+    SELECT user_id, unnest([t_vmin, t_vmax, t_first, t_last]) AS t_keep
+    FROM picks
+  ) WHERE t_keep IS NOT NULL
+),
+kept AS (
+  SELECT w.* FROM wb w
+  WHERE EXISTS (SELECT 1 FROM wanted k
+                WHERE k.user_id = w.user_id AND k.t_keep = w.t)
+),
+dig AS (
+  SELECT user_id,
+         CAST(count(*) AS BIGINT) AS m4_rows,
+         CAST(sum(CAST('0x' || substr(md5(
+               'm4|' || CAST(user_id AS VARCHAR) || '|' ||
+               CAST(bucket AS VARCHAR) || '|' ||
+               CAST(epoch_us(ts) AS VARCHAR) || '|' ||
+               CAST(CAST(round(value * 100) AS BIGINT) AS VARCHAR)
+             ), 1, 15) AS BIGINT) % 1000000007) AS BIGINT) AS m4_digest
+  FROM kept GROUP BY user_id
+)
+SELECT e.user_id,
        round(sum(CASE WHEN event_type = 'click' THEN value END), 2) AS sum_click,
        round(sum(CASE WHEN event_type = 'error' THEN value END), 2) AS sum_error,
        round(sum(CASE WHEN event_type = 'purchase' THEN value END), 2) AS sum_purchase,
        round(sum(CASE WHEN event_type = 'signup' THEN value END), 2) AS sum_signup,
-       round(sum(CASE WHEN event_type = 'view' THEN value END), 2) AS sum_view
-FROM events
-GROUP BY user_id
+       round(sum(CASE WHEN event_type = 'view' THEN value END), 2) AS sum_view,
+       d.m4_rows, d.m4_digest
+FROM events e JOIN dig d USING (user_id)
+GROUP BY e.user_id, d.m4_rows, d.m4_digest
 """
 
     sql["topk_per_group"] = """

@@ -685,9 +685,21 @@ def m4_downsample(
     )
     b = b.withColumn("bucket", F.coalesce(idx, F.lit(0)))
     v = F.col(value_col)
+    # struct-ordered picks, NOT min_by/max_by: ties on the value would
+    # otherwise select an arbitrary row (engine- and partitioning-
+    # dependent). Lexicographic (value, ts) makes the choice
+    # deterministic and engine-portable: min -> earliest ts among
+    # minima (pandas idxmin convention), max -> earliest ts among
+    # maxima via the negated-ts trick (pandas idxmax convention).
+    # NULL values are excluded from the value picks (min/max skip
+    # null structs), as min_by did.
+    vmin_s = F.when(v.isNotNull(), F.struct(v.alias("v"), ts.alias("t")))
+    vmax_s = F.when(
+        v.isNotNull(), F.struct(v.alias("v"), (-ts).alias("nt"))
+    )
     picks = b.groupBy(*keys, "bucket").agg(
-        F.min_by(ts, v).alias("__t_min"),
-        F.max_by(ts, v).alias("__t_max"),
+        F.min(vmin_s).getField("t").alias("__t_min"),
+        (-F.max(vmax_s).getField("nt")).alias("__t_max"),
         F.min(ts).alias("__t_first"),
         F.max(ts).alias("__t_last"),
     )
