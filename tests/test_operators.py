@@ -598,6 +598,36 @@ class TestAnomalyTiers:
         assert n_scans == 3, f"expected 3 FileScans, got {n_scans}:\n{final[:4000]}"
         assert "ReusedExchange" in final, final[:4000]
 
+    def test_fused_battery_plan_four_scans_with_trend(self, spark, tmp_path):
+        """The fused battery + trend tier must read the source exactly
+        4 times in the final adaptive plan (main window pass, fused
+        order-stats, MAD, OLS sums) with the MAD pass reusing the
+        order-stats exchange — the r6 three-scan guarantee plus one
+        bounded scan for the new tier, never more."""
+        import random
+
+        from amonaly_detection_in_time_series_data_spark.operators.anomaly import (
+            anomaly_battery,
+        )
+
+        rng = random.Random(5)
+        rows = [(i % 5, i, round(rng.uniform(0, 100), 2)) for i in range(500)]
+        src_path = str(tmp_path / "ev")
+        spark.createDataFrame(
+            rows, "user_id bigint, i bigint, value double"
+        ).write.parquet(src_path)
+        ev = spark.read.parquet(src_path)
+        scored = anomaly_battery(
+            ev, "value", ["user_id"], ["i"], unit_digits=2, stats_source=ev
+        )
+        scored.collect()
+        plan = scored._jdf.queryExecution().executedPlan().toString()
+        final = plan.split("== Initial Plan ==")[0]
+        n_scans = final.count("FileScan")
+        assert n_scans == 4, f"expected 4 FileScans, got {n_scans}"
+        assert "ReusedExchange" in final
+        assert "BatchEvalPython" not in final
+
     def test_fused_battery_equals_composition(self, spark):
         """anomaly_battery (one minimal-layer plan, built for driver
         plan-time) must be VALUE-identical to the sequential operator
