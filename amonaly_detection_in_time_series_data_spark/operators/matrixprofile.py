@@ -1,0 +1,211 @@
+"""Matrix profile (STOMP) and time-series discord discovery.
+
+The matrix profile (Yeh et al., ICDM 2016 "Matrix Profile I"; Zhu et
+al., ICDM 2016 "Matrix Profile II" for the STOMP recurrence) is the
+canonical subsequence-anomaly primitive: for every length-``m``
+subsequence of a series it records the z-normalized Euclidean distance
+to its nearest non-trivial neighbor in the same series. Large profile
+values are *discords* — subsequences unlike anything else in the
+series — the classic shape-based anomaly detector that complements the
+point-wise battery in ``operators.anomaly`` (reference scope:
+``src/models/*.py`` detects point anomalies only; discords are a
+beyond-reference extension).
+
+Engine design (the repo rule: Python only where Catalyst can't go):
+the O(n^2) intra-series recurrence is inherently sequential per
+series, so it runs as numpy inside ONE Arrow-batched
+``applyInPandas`` per series group. Parallelism comes from the series
+count — the same axis every other per-key operator scales on; there
+is exactly one shuffle (the groupBy on the series key). State is
+O(n) per series; the driver never sees data.
+
+Scale bound (stated, not hidden): STOMP is O(n^2) *per series* — at
+100 TB this operator is for many bounded series (sensors, SKUs,
+hosts), not one giant series. For a single very long series, window
+the series first (e.g. per-day segments via ``resample_grid``) or use
+the anomaly battery's O(n) detectors.
+
+Numerics: the STOMP dot-product recurrence drifts in float64 over
+long series, so the sliding dot product is re-anchored with an exact
+FFT correlation every ``recompute_every`` rows (drift is then bounded
+by the re-anchor interval; the tests pin STOMP against a naive
+O(n^2 m) reference at 1e-6 relative).
+"""
+
+from __future__ import annotations
+
+import math
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+__all__ = ["matrix_profile", "top_discords", "stomp_numpy"]
+
+
+def _sliding_dot(query, series):
+    """dot(query, series[j:j+m]) for every j, via one FFT correlation."""
+    import numpy as np
+
+    n, m = len(series), len(query)
+    size = 1 << (n + m - 1).bit_length()
+    fs = np.fft.rfft(series, size)
+    fq = np.fft.rfft(query[::-1], size)
+    prod = np.fft.irfft(fs * fq, size)
+    return prod[m - 1 : n]
+
+
+def stomp_numpy(y, m, exclusion=None, recompute_every=512):
+    """Self-join matrix profile of 1-D array ``y`` with window ``m``.
+
+    Returns ``(mp, mp_idx)`` — per subsequence start, the z-normalized
+    Euclidean distance to the nearest neighbor outside the trivial-match
+    exclusion zone (|i-j| < exclusion, default ceil(m/2)), and that
+    neighbor's start index (-1 when no valid neighbor exists).
+
+    Constant-subsequence convention (both std == 0): distance 0 if both
+    flat, sqrt(m) if exactly one is flat — the standard z-norm limit
+    used by the public SCAMP/stumpy implementations.
+    """
+    import numpy as np
+
+    y = np.asarray(y, dtype="float64")
+    n = len(y)
+    if m < 3:
+        raise ValueError(f"matrix_profile: window must be >= 3, got {m}")
+    if np.isnan(y).any():
+        raise ValueError("matrix_profile: null values in series (fill first)")
+    l = n - m + 1
+    if l < 2:
+        return np.full(max(l, 0), np.nan), np.full(max(l, 0), -1, dtype="int64")
+    excl = int(exclusion) if exclusion is not None else int(math.ceil(m / 2))
+
+    cs = np.concatenate([[0.0], np.cumsum(y)])
+    cs2 = np.concatenate([[0.0], np.cumsum(y * y)])
+    mu = (cs[m:] - cs[:-m]) / m
+    var = np.maximum((cs2[m:] - cs2[:-m]) / m - mu * mu, 0.0)
+    sig = np.sqrt(var)
+    flat = sig <= 1e-13
+
+    qt_first = _sliding_dot(y[:m], y)  # QT row for i=0 (exact)
+    qt = qt_first.copy()
+    mp = np.full(l, np.inf)
+    mp_idx = np.full(l, -1, dtype="int64")
+    j_idx = np.arange(l)
+
+    for i in range(l):
+        if i > 0:
+            if recompute_every and i % recompute_every == 0:
+                qt = _sliding_dot(y[i : i + m], y)
+            else:
+                # QT_i[j] = QT_{i-1}[j-1] - y[j-1]*y[i-1] + y[j+m-1]*y[i+m-1]
+                qt[1:] = qt[:-1] - y[: l - 1] * y[i - 1] + y[m : m + l - 1] * y[i + m - 1]
+                qt[0] = qt_first[i]
+        if flat[i]:
+            d = np.where(flat, 0.0, math.sqrt(m))
+        else:
+            with np.errstate(divide="ignore", invalid="ignore"):
+                corr = (qt - m * mu[i] * mu) / (m * sig[i] * sig)
+            d2 = 2.0 * m * (1.0 - corr)
+            d = np.sqrt(np.maximum(d2, 0.0))
+            d = np.where(flat, math.sqrt(m), d)
+        lo, hi = max(0, i - excl + 1), min(l, i + excl)
+        d[lo:hi] = np.inf
+        j = int(np.argmin(d))
+        if np.isfinite(d[j]):
+            mp[i] = d[j]
+            mp_idx[i] = j_idx[j]
+    mp = np.where(np.isfinite(mp), mp, np.nan)
+    return mp, mp_idx
+
+
+def matrix_profile(
+    df: DataFrame,
+    ts_col: str,
+    value_col: str,
+    series_cols: Sequence[str],
+    window: int,
+    exclusion: int | None = None,
+) -> DataFrame:
+    """Per-series self-join matrix profile.
+
+    Output: the series keys + ``ts_col`` (the subsequence START
+    timestamp), ``pos`` (0-based subsequence index in time order),
+    ``mp`` (z-normalized Euclidean distance to the nearest non-trivial
+    neighbor; null when the series is too short to have one) and
+    ``mp_pos`` (that neighbor's ``pos``; -1 when null). One output row
+    per subsequence, i.e. n - window + 1 rows per length-n series.
+
+    Input contract: a REGULAR, null-free grid per series (compose
+    after ``resample_grid`` + a fill operator); ties in ``ts_col``
+    raise — a matrix profile over an ambiguous ordering is undefined.
+    """
+    keys = list(series_cols)
+    m = int(window)
+    out_schema = (
+        ", ".join(f"`{k}` {df.schema[k].dataType.simpleString()}" for k in keys)
+        + f", `{ts_col}` {df.schema[ts_col].dataType.simpleString()}"
+        + ", pos int, mp double, mp_pos int"
+    )
+
+    def profile(pdf):
+        import numpy as np
+        import pandas as pd
+
+        pdf = pdf.sort_values(ts_col).reset_index(drop=True)
+        if pdf[ts_col].duplicated().any():
+            raise ValueError("matrix_profile: duplicate timestamps in a series")
+        y = pdf[value_col].to_numpy(dtype="float64")
+        l = max(len(y) - m + 1, 0)
+        if l == 0:
+            return pd.DataFrame(
+                {
+                    **{k: pdf[k].iloc[:0] for k in keys},
+                    ts_col: pdf[ts_col].iloc[:0],
+                    "pos": np.array([], dtype="int32"),
+                    "mp": np.array([], dtype="float64"),
+                    "mp_pos": np.array([], dtype="int32"),
+                }
+            )
+        mp, mp_idx = stomp_numpy(y, m, exclusion)
+        return pd.DataFrame(
+            {
+                **{k: pdf[k].iloc[:l].to_numpy() for k in keys},
+                ts_col: pdf[ts_col].iloc[:l].to_numpy(),
+                "pos": np.arange(l, dtype="int32"),
+                "mp": mp,
+                "mp_pos": mp_idx.astype("int32"),
+            }
+        )
+
+    return (
+        df.select(*keys, ts_col, value_col)
+        .groupBy(*keys)
+        .applyInPandas(profile, out_schema)
+    )
+
+
+def top_discords(
+    df: DataFrame,
+    ts_col: str,
+    value_col: str,
+    series_cols: Sequence[str],
+    window: int,
+    k: int = 3,
+    exclusion: int | None = None,
+) -> DataFrame:
+    """Top-``k`` discords per series: the ``k`` subsequences with the
+    LARGEST matrix-profile value (most unlike everything else), ranked
+    1..k with deterministic ties (earlier ``pos`` wins). Null-profile
+    rows (series too short) are excluded. One extra window pass on the
+    same series key — no new shuffle axis.
+    """
+    from pyspark.sql import Window as W
+
+    prof = matrix_profile(df, ts_col, value_col, series_cols, window, exclusion)
+    w = W.partitionBy(*series_cols).orderBy(F.col("mp").desc(), F.col("pos").asc())
+    return (
+        prof.where(F.col("mp").isNotNull())
+        .withColumn("discord_rank", F.row_number().over(w))
+        .where(F.col("discord_rank") <= int(k))
+    )
