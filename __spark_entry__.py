@@ -1144,9 +1144,37 @@ def q_cube_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
         GROUP BY GROUPING SETS ((c_mktsegment), (o_orderpriority), ())
         """
     ).withColumn("op", F.lit("gsets"))
-    return cube.unionByName(rollup).unionByName(gsets).select(
+    relational = cube.unionByName(rollup).unionByName(gsets).select(
         "op", "c_mktsegment", "o_orderpriority", "total", "n_orders"
     )
+    # Merged r8: event funnel + day-cohort retention (operators.
+    # product_analytics) as tagged rows in the same 5-column shape —
+    # op / dim1 / dim2 / ratio / count. Ratios are UNROUNDED exact
+    # integer-ratio doubles (same IEEE division in DuckDB), so every
+    # funnel step and cohort cell is value-hashed individually.
+    from amonaly_detection_in_time_series_data_spark.operators.product_analytics import (
+        cohort_retention,
+        funnel_steps,
+    )
+
+    ev = _events(spark, sf_dir)
+    fun = funnel_steps(
+        ev, "ts", "user_id", "event_type", ["signup", "view", "click", "purchase"]
+    ).select(
+        F.lit("funnel").alias("op"),
+        F.col("step_name").alias("c_mktsegment"),
+        F.col("step_idx").cast("string").alias("o_orderpriority"),
+        F.col("conv_from_first").alias("total"),
+        F.col("users").cast("bigint").alias("n_orders"),
+    )
+    coh = cohort_retention(ev, "ts", "user_id", period="day").select(
+        F.lit("cohort").alias("op"),
+        F.col("cohort").cast("string").alias("c_mktsegment"),
+        F.col("offset").cast("string").alias("o_orderpriority"),
+        F.col("retention").alias("total"),
+        F.col("users").cast("bigint").alias("n_orders"),
+    )
+    return relational.unionByName(fun).unionByName(coh)
 
 
 def q_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3212,6 +3240,56 @@ SELECT 'gsets' AS op, c_mktsegment, o_orderpriority,
        count(*) AS n_orders
 FROM orders JOIN customer ON o_custkey = c_custkey
 GROUP BY GROUPING SETS ((c_mktsegment), (o_orderpriority), ())
+UNION ALL
+-- funnel (merged r8): chained min-over-filter = the strict-ts ordered
+-- walk; conversions as exact double divisions of the same integers
+SELECT 'funnel' AS op, s.step_name AS c_mktsegment,
+       CAST(s.step_idx AS VARCHAR) AS o_orderpriority,
+       CASE WHEN f.s1 > 0 THEN
+         CAST(CASE s.step_idx WHEN 1 THEN f.s1 WHEN 2 THEN f.s2
+              WHEN 3 THEN f.s3 ELSE f.s4 END AS DOUBLE) / f.s1
+       END AS total,
+       CASE s.step_idx WHEN 1 THEN f.s1 WHEN 2 THEN f.s2
+            WHEN 3 THEN f.s3 ELSE f.s4 END AS n_orders
+FROM (VALUES (1, 'signup'), (2, 'view'), (3, 'click'), (4, 'purchase'))
+     AS s(step_idx, step_name)
+CROSS JOIN (
+  WITH t1 AS (SELECT user_id, min(ts) AS ts1 FROM events
+              WHERE event_type = 'signup' GROUP BY user_id),
+       t2 AS (SELECT e.user_id, min(e.ts) AS ts2 FROM events e
+              JOIN t1 ON e.user_id = t1.user_id
+              WHERE e.event_type = 'view' AND e.ts > t1.ts1 GROUP BY e.user_id),
+       t3 AS (SELECT e.user_id, min(e.ts) AS ts3 FROM events e
+              JOIN t2 ON e.user_id = t2.user_id
+              WHERE e.event_type = 'click' AND e.ts > t2.ts2 GROUP BY e.user_id),
+       t4 AS (SELECT e.user_id, min(e.ts) AS ts4 FROM events e
+              JOIN t3 ON e.user_id = t3.user_id
+              WHERE e.event_type = 'purchase' AND e.ts > t3.ts3 GROUP BY e.user_id)
+  SELECT (SELECT count(*) FROM t1) AS s1, (SELECT count(*) FROM t2) AS s2,
+         (SELECT count(*) FROM t3) AS s3, (SELECT count(*) FROM t4) AS s4
+) AS f
+UNION ALL
+-- day-cohort retention (merged r8): cohort = day of first event;
+-- retention = users / cohort size, exact integer-ratio double
+SELECT 'cohort' AS op, CAST(c.cohort AS VARCHAR) AS c_mktsegment,
+       CAST(c.off AS VARCHAR) AS o_orderpriority,
+       CAST(c.users AS DOUBLE) / b.cohort_size AS total,
+       c.users AS n_orders
+FROM (
+  WITH firstd AS (SELECT user_id, min(CAST(date_trunc('day', ts) AS DATE)) AS cohort
+                  FROM events GROUP BY user_id),
+       active AS (SELECT DISTINCT user_id, CAST(date_trunc('day', ts) AS DATE) AS p
+                  FROM events)
+  SELECT f.cohort, date_diff('day', f.cohort, a.p) AS off,
+         count(DISTINCT a.user_id) AS users
+  FROM active a JOIN firstd f ON a.user_id = f.user_id
+  GROUP BY f.cohort, date_diff('day', f.cohort, a.p)
+) AS c
+JOIN (
+  WITH firstd AS (SELECT user_id, min(CAST(date_trunc('day', ts) AS DATE)) AS cohort
+                  FROM events GROUP BY user_id)
+  SELECT cohort, count(*) AS cohort_size FROM firstd GROUP BY cohort
+) AS b ON c.cohort = b.cohort
 """
 
     sql["typed_aggs"] = """

@@ -1,0 +1,176 @@
+"""Event-stream product analytics: funnel conversion and cohort
+retention — the two queries every events pipeline runs (classic
+web/product analytics; see e.g. the funnel/retention surfaces of
+ClickHouse's ``windowFunnel`` and every BI tool). Beyond-reference
+extensions over the ``events`` table, next to sessionization.
+
+Scale shapes:
+
+- ``funnel_steps`` is ONE shuffle: per-user time-sorted event arrays
+  (``collect_list`` + ``sort_array``) walked by a Catalyst ``aggregate``
+  higher-order function — no per-step join cascade (k steps would be k
+  shuffles), no Python. Per-user memory is bounded by that user's event
+  count, the same contract as ``operators.sequences``; cap or pre-filter
+  pathological mega-users upstream.
+- ``cohort_retention`` is two aggregations and one shuffled join on the
+  user key, then a small rollup — every step keyed, nothing global.
+
+Determinism: step advancement requires a STRICTLY LATER timestamp
+(``ts > last``), so equal-timestamp ties can never change the walk and
+the result is independent of intra-timestamp ordering — this is what
+makes the operator exactly SQL-expressible (chained min-over-filter
+CTEs) and therefore oracle-checkable.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+__all__ = ["funnel_steps", "funnel_user_depth", "cohort_retention"]
+
+
+def funnel_user_depth(
+    df: DataFrame,
+    ts_col: str,
+    user_col: str,
+    event_col: str,
+    steps: Sequence[str],
+) -> DataFrame:
+    """Per-user funnel depth: how many of ``steps`` the user completed
+    in order, each at a strictly later timestamp than the previous.
+    Returns one row per user: ``user_col``, ``funnel_depth`` (0..k).
+
+    One shuffle (the groupBy); the walk itself is a Catalyst
+    ``aggregate`` HOF over the sorted event array — JVM-side, no UDF.
+    """
+    k = len(steps)
+    if k < 1:
+        raise ValueError("funnel_steps: need at least one step")
+    if len(set(steps)) != k:
+        raise ValueError(f"funnel_steps: steps must be distinct, got {steps!r}")
+    step_arr = F.array(*[F.lit(s) for s in steps])
+    events = F.sort_array(
+        F.collect_list(F.struct(F.col(ts_col).alias("ts"), F.col(event_col).alias("ev")))
+    )
+    # acc: (done steps, timestamp of the last completed step)
+    walk = F.aggregate(
+        events,
+        F.struct(
+            F.lit(0).alias("done"),
+            F.lit("1900-01-01 00:00:00").cast("timestamp").alias("last"),
+        ),
+        lambda acc, e: F.when(
+            (acc["done"] < k)
+            & (e["ev"] == F.get(step_arr, acc["done"]))
+            & ((acc["done"] == 0) | (e["ts"] > acc["last"])),
+            F.struct((acc["done"] + 1).alias("done"), e["ts"].alias("last")),
+        ).otherwise(acc),
+    )
+    return (
+        df.select(user_col, ts_col, event_col)
+        .where(F.col(event_col).isin(list(steps)))
+        .groupBy(user_col)
+        .agg(walk["done"].alias("funnel_depth"))
+    )
+
+
+def funnel_steps(
+    df: DataFrame,
+    ts_col: str,
+    user_col: str,
+    event_col: str,
+    steps: Sequence[str],
+) -> DataFrame:
+    """Funnel conversion table: one row per step with ``step_idx``
+    (1-based), ``step_name``, ``users`` (users whose ordered walk
+    reached at least this step), ``conv_from_first`` and
+    ``conv_from_prev`` (exact integer-ratio doubles, unrounded; null
+    when the base is 0 — and ``conv_from_first`` is 1.0 on the first
+    step by definition).
+
+    Steps with zero users still appear (count 0), so the output always
+    has exactly ``len(steps)`` rows.
+    """
+    k = len(steps)
+    depth = funnel_user_depth(df, ts_col, user_col, event_col, steps)
+    # users reaching >= step i, for i = 1..k: tiny k-row aggregate
+    reached = depth.select(
+        *[
+            F.sum((F.col("funnel_depth") >= i).cast("bigint")).alias(f"s{i}")
+            for i in range(1, k + 1)
+        ]
+    )
+    spark = df.sparkSession
+    names = spark.createDataFrame(
+        [(i + 1, s) for i, s in enumerate(steps)], "step_idx int, step_name string"
+    )
+    wide = names.crossJoin(F.broadcast(reached))
+    users = F.coalesce(
+        *[
+            F.when(F.col("step_idx") == i, F.col(f"s{i}"))
+            for i in range(1, k + 1)
+        ]
+    )
+    prev_users = F.coalesce(
+        *[
+            F.when(F.col("step_idx") == i, F.col(f"s{i - 1}"))
+            for i in range(2, k + 1)
+        ],
+        F.col("s1"),
+    )
+    out = wide.select(
+        "step_idx",
+        "step_name",
+        users.alias("users"),
+        F.when(F.col("s1") > 0, users / F.col("s1")).alias("conv_from_first"),
+        F.when(prev_users > 0, users / prev_users).alias("conv_from_prev"),
+    )
+    return out
+
+
+def cohort_retention(
+    df: DataFrame,
+    ts_col: str,
+    user_col: str,
+    period: str = "week",
+) -> DataFrame:
+    """Cohort retention matrix in long form: users are cohorted by the
+    ``period`` (``date_trunc`` grain) of their FIRST event; for every
+    (cohort, period-offset) cell, ``users`` = distinct users of that
+    cohort active in that period and ``retention`` = users /
+    cohort size (the offset-0 cell; exact integer-ratio double,
+    unrounded). Offset 0 always has retention 1.0.
+
+    ``period``: ``day`` or ``week`` (grains where the offset is an
+    exact integer day-difference ratio in both Spark and ANSI SQL).
+    """
+    if period not in ("day", "week"):
+        raise ValueError(f"cohort_retention: period must be day|week, got {period!r}")
+    days = 1 if period == "day" else 7
+    bucket = F.date_trunc(period, F.col(ts_col)).cast("date")
+    first = (
+        df.groupBy(user_col)
+        .agg(F.min(bucket).alias("cohort"))
+    )
+    active = df.select(user_col, bucket.alias("p")).distinct()
+    cells = (
+        active.join(first, user_col)
+        .groupBy("cohort", ((F.datediff("p", "cohort") / days).cast("int")).alias("offset"))
+        .agg(F.countDistinct(user_col).alias("users"))
+    )
+    base = cells.where(F.col("offset") == 0).select(
+        F.col("cohort").alias("c0"), F.col("users").alias("cohort_size")
+    )
+    return (
+        cells.join(F.broadcast(base), cells.cohort == base.c0)
+        .select(
+            "cohort",
+            "offset",
+            "users",
+            "cohort_size",
+            (F.col("users") / F.col("cohort_size")).alias("retention"),
+        )
+    )

@@ -1,0 +1,174 @@
+"""Funnel and cohort-retention analytics: hand fixtures, a
+chained-min-join reference implementation differential, and
+partition invariance."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from amonaly_detection_in_time_series_data_spark.operators.product_analytics import (
+    cohort_retention,
+    funnel_steps,
+    funnel_user_depth,
+)
+
+T0 = dt.datetime(2024, 3, 1, 12, 0, 0)
+
+
+def _ev(spark, rows):
+    return spark.createDataFrame(
+        [(u, T0 + dt.timedelta(minutes=m), e) for u, m, e in rows],
+        "user_id string, ts timestamp, event string",
+    )
+
+
+STEPS = ["signup", "view", "purchase"]
+
+
+def _ref_depth(pdf: pd.DataFrame, steps) -> dict[str, int]:
+    """Chained min-over-filter reference (the oracle-SQL formulation)."""
+    out = {}
+    for u, g in pdf.groupby("user_id"):
+        last = None
+        depth = 0
+        for s in steps:
+            cand = g[g.event == s]
+            if last is not None:
+                cand = cand[cand.ts > last]
+            if len(cand) == 0:
+                break
+            last = cand.ts.min()
+            depth += 1
+        out[u] = depth
+    return out
+
+
+class TestFunnel:
+    def test_hand_fixture(self, spark):
+        rows = [
+            # u1 completes everything in order
+            ("u1", 0, "signup"), ("u1", 5, "view"), ("u1", 9, "purchase"),
+            # u2 purchases BEFORE viewing -> depth 2 only... but a later
+            # purchase exists, so depth 3 via the later one
+            ("u2", 0, "signup"), ("u2", 1, "purchase"), ("u2", 2, "view"),
+            ("u2", 3, "purchase"),
+            # u3 same-timestamp view (not strictly later) -> stuck at 1
+            ("u3", 0, "signup"), ("u3", 0, "view"),
+            # u4 never signs up -> 0
+            ("u4", 0, "view"), ("u4", 1, "purchase"),
+        ]
+        df = _ev(spark, rows)
+        depth = {
+            r["user_id"]: r["funnel_depth"]
+            for r in funnel_user_depth(df, "ts", "user_id", "event", STEPS).collect()
+        }
+        assert depth == {"u1": 3, "u2": 3, "u3": 1, "u4": 0}
+        fun = (
+            funnel_steps(df, "ts", "user_id", "event", STEPS)
+            .toPandas()
+            .sort_values("step_idx")
+            .reset_index(drop=True)
+        )
+        assert fun["users"].tolist() == [3, 2, 2]
+        assert fun["conv_from_first"].tolist() == [1.0, 2 / 3, 2 / 3]
+        assert fun["conv_from_prev"].tolist() == [1.0, 2 / 3, 1.0]
+
+    def test_zero_user_steps_still_emitted(self, spark):
+        df = _ev(spark, [("u1", 0, "signup")])
+        fun = funnel_steps(df, "ts", "user_id", "event", STEPS).toPandas()
+        assert len(fun) == 3
+        got = fun.sort_values("step_idx")["users"].tolist()
+        assert got == [1, 0, 0]
+        assert fun.sort_values("step_idx")["conv_from_first"].tolist() == [1.0, 0.0, 0.0]
+
+    def test_differential_vs_chained_min_join(self, spark):
+        rng = np.random.default_rng(44)
+        evs = ["signup", "view", "click", "purchase", "error"]
+        rows = [
+            (
+                f"u{rng.integers(0, 40)}",
+                int(rng.integers(0, 500)),
+                evs[rng.integers(0, len(evs))],
+            )
+            for _ in range(2000)
+        ]
+        df = _ev(spark, rows)
+        steps = ["signup", "view", "click", "purchase"]
+        got = {
+            r["user_id"]: r["funnel_depth"]
+            for r in funnel_user_depth(df, "ts", "user_id", "event", steps).collect()
+        }
+        pdf = pd.DataFrame(
+            [(u, T0 + dt.timedelta(minutes=m), e) for u, m, e in rows],
+            columns=["user_id", "ts", "event"],
+        )
+        ref = _ref_depth(pdf, steps)
+        ref = {u: d for u, d in ref.items() if pdf[pdf.user_id == u].event.isin(steps).any()}
+        assert got == ref
+
+    def test_partition_invariance(self, spark):
+        rng = np.random.default_rng(45)
+        rows = [
+            (f"u{rng.integers(0, 20)}", int(rng.integers(0, 300)), s)
+            for s in ["signup", "view", "purchase"] * 300
+        ]
+        df = _ev(spark, rows)
+        a = funnel_steps(df, "ts", "user_id", "event", STEPS).toPandas()
+        b = funnel_steps(df.repartition(17), "ts", "user_id", "event", STEPS).toPandas()
+        k = "step_idx"
+        pd.testing.assert_frame_equal(
+            a.sort_values(k).reset_index(drop=True),
+            b.sort_values(k).reset_index(drop=True),
+        )
+
+    def test_duplicate_steps_raise(self, spark):
+        df = _ev(spark, [("u1", 0, "signup")])
+        with pytest.raises(ValueError, match="distinct"):
+            funnel_steps(df, "ts", "user_id", "event", ["a", "a"])
+
+
+class TestCohortRetention:
+    def test_hand_fixture_days(self, spark):
+        rows = [
+            ("a", 0, "x"), ("a", 60 * 24, "x"), ("a", 60 * 48, "x"),  # days 0,1,2
+            ("b", 0, "x"), ("b", 60 * 48, "x"),                       # days 0,2
+            ("c", 60 * 24, "x"),                                      # day 1 only
+        ]
+        df = _ev(spark, rows)
+        out = cohort_retention(df, "ts", "user_id", period="day").toPandas()
+        out = out.sort_values(["cohort", "offset"]).reset_index(drop=True)
+        d1 = dt.date(2024, 3, 1)
+        d2 = dt.date(2024, 3, 2)
+        got = {
+            (r.cohort, r.offset): (r.users, r.cohort_size, r.retention)
+            for r in out.itertuples()
+        }
+        assert got[(d1, 0)] == (2, 2, 1.0)
+        assert got[(d1, 1)] == (1, 2, 0.5)
+        assert got[(d1, 2)] == (2, 2, 1.0)
+        assert got[(d2, 0)] == (1, 1, 1.0)
+        assert len(got) == 4
+
+    def test_week_offsets_integral(self, spark):
+        rng = np.random.default_rng(46)
+        rows = [
+            (f"u{rng.integers(0, 30)}", int(rng.integers(0, 60 * 24 * 35)), "x")
+            for _ in range(1500)
+        ]
+        df = _ev(spark, rows)
+        out = cohort_retention(df, "ts", "user_id", period="week").toPandas()
+        assert (out["offset"] >= 0).all()
+        assert (out["users"] <= out["cohort_size"]).all()
+        base = out[out.offset == 0]
+        assert (base["retention"] == 1.0).all()
+        # every user's cohort has an offset-0 cell (by construction)
+        assert out.groupby("cohort")["offset"].min().eq(0).all()
+
+    def test_bad_period_raises(self, spark):
+        df = _ev(spark, [("u1", 0, "x")])
+        with pytest.raises(ValueError, match="period"):
+            cohort_retention(df, "ts", "user_id", period="month")
