@@ -6,6 +6,7 @@ from .rolling import (
     streaming_enrich,
     streaming_ewma_deviation,
     streaming_hampel_flags,
+    streaming_kalman_level,
     streaming_page_hinkley,
     streaming_throttle_alerts,
     streaming_trend_ols,
@@ -24,6 +25,7 @@ __all__ = [
     "streaming_ewma_deviation",
     "streaming_throttle_alerts",
     "streaming_hampel_flags",
+    "streaming_kalman_level",
     "streaming_dedup",
     "streaming_enrich",
     "interval_join",

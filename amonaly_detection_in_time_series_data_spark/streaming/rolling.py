@@ -663,6 +663,116 @@ def streaming_trend_ols(
     )
 
 
+def streaming_kalman_level(
+    events: DataFrame,
+    q_var: float,
+    r_var: float,
+    threshold: float = 3.0,
+    timeout_minutes: int | None = 60,
+) -> DataFrame:
+    """Online local-level Kalman filter per user — the streaming face
+    of :func:`operators.kalman.kalman_level` (filter half; the RTS
+    smoother needs the future and has no streaming face by nature).
+
+    State is TWO floats per key — the filtered level and its variance —
+    O(1) regardless of stream length, the textbook reason Kalman
+    filters ARE streaming algorithms. Unlike the batch operator,
+    ``q_var``/``r_var`` must be explicit: the batch default estimates R
+    from the whole series (Hall difference estimator), which a stream
+    cannot see.
+
+    Both sides execute the identical IEEE expression sequence
+    (predict, innovate, gain, update), so the stream equals the batch
+    operator BIT-FOR-BIT on in-order replay — asserted exactly in the
+    parity test.
+    """
+    import pandas as pd  # noqa: F401
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    if q_var is None or r_var is None:
+        raise ValueError(
+            "streaming_kalman_level: q_var and r_var must be explicit — "
+            "a stream cannot estimate R from the full series"
+        )
+    Q, R = float(q_var), float(r_var)
+    thr = float(threshold)
+    out_schema = (
+        "user_id bigint, event_id bigint, ts timestamp, value double, "
+        "kf_pred double, kf_level double, kf_innov_sd double, "
+        "kf_score double, kf_flag boolean"
+    )
+    state_schema = "level double, var double"
+
+    def filt(key, pdf_iter, state):
+        import math
+
+        import pandas as pd
+
+        if state.hasTimedOut:
+            state.remove()
+            return
+
+        (user_id,) = key
+        if state.exists:
+            a, P = state.get
+            have = True
+        else:
+            a, P = 0.0, 0.0
+            have = False
+        rows = []
+        for pdf in pdf_iter:
+            pdf = pdf.sort_values(["ts", "event_id"])
+            for _, r in pdf.iterrows():
+                y = float(r["value"])
+                if not have:
+                    a, P = y, R
+                    have = True
+                    rows.append(
+                        (user_id, int(r["event_id"]), r["ts"], y,
+                         None, a, None, None, None)
+                    )
+                    continue
+                a_pred = a
+                p_pred = P + Q
+                F_t = p_pred + R
+                v = y - a_pred
+                K = p_pred / F_t
+                a = a_pred + K * v
+                P = (1.0 - K) * p_pred
+                sd = math.sqrt(F_t)
+                score = v / sd
+                rows.append(
+                    (user_id, int(r["event_id"]), r["ts"], y,
+                     a_pred, a, sd, score, abs(score) > thr)
+                )
+        state.update((a, P))
+        if timeout_minutes is not None:
+            state.setTimeoutDuration(timeout_minutes * 60 * 1000)
+        yield pd.DataFrame(
+            rows,
+            columns=[
+                "user_id", "event_id", "ts", "value",
+                "kf_pred", "kf_level", "kf_innov_sd", "kf_score", "kf_flag",
+            ],
+        )
+
+    return (
+        events.withWatermark("ts", "2 hours")
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            filt,
+            outputStructType=out_schema,
+            stateStructType=state_schema,
+            outputMode="append",
+            timeoutConf=(
+                GroupStateTimeout.ProcessingTimeTimeout
+                if timeout_minutes is not None
+                else GroupStateTimeout.NoTimeout
+            ),
+        )
+    )
+
+
 def streaming_throttle_alerts(
     flagged: DataFrame,
     cooldown_seconds: float = 3600.0,

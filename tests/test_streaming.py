@@ -956,3 +956,54 @@ class TestStreamingTrendOls:
                     assert g == e, (eid, exp, got)  # exact, not approx
             n_alarm += exp[3] or 0
         assert n_alarm > 0  # the parity isn't vacuous
+
+
+class TestStreamingKalman:
+    def test_kalman_matches_batch_exactly(self, spark, sf_dir):
+        """Streaming local-level Kalman filter == batch kalman_level
+        bit-for-bit on full replay (identical IEEE expression order on
+        both sides; the filter's O(1)-state design is the textbook
+        streaming algorithm)."""
+        from amonaly_detection_in_time_series_data_spark.operators.kalman import kalman_level
+        from amonaly_detection_in_time_series_data_spark.streaming.rolling import (
+            replay_events_stream,
+            streaming_kalman_level,
+        )
+
+        Q, R = 0.05, 1.0
+        stream = replay_events_stream(spark, sf_dir)
+        out = streaming_kalman_level(stream, q_var=Q, r_var=R, timeout_minutes=None)
+        _run_stream_to_memory(out, "kf_stream", "append")
+        streamed = {
+            (r["user_id"], r["ts"]): (
+                r["kf_pred"], r["kf_level"], r["kf_innov_sd"],
+                r["kf_score"], r["kf_flag"],
+            )
+            for r in spark.sql("SELECT * FROM kf_stream").collect()
+        }
+
+        ev = load_table(spark, sf_dir, "events")
+        # (user_id, ts) is a unique key in the testdata; the batch
+        # operator's output doesn't carry event_id, so compare on it
+        assert ev.groupBy("user_id", "ts").count().filter("count > 1").count() == 0
+        batch = kalman_level(ev, "ts", "value", ["user_id"], q_var=Q, r_var=R)
+        expected = {
+            (r["user_id"], r["ts"]): (
+                r["kf_pred"], r["kf_level"], r["kf_innov_sd"],
+                r["kf_score"], r["kf_flag"],
+            )
+            for r in batch.collect()
+        }
+        assert len(streamed) == len(expected) > 0
+        n_flag = 0
+        for eid, exp in expected.items():
+            got = streamed[eid]
+            for e, g in zip(exp, got):
+                if e is None:
+                    assert g is None or (
+                        isinstance(g, float) and math.isnan(g)
+                    ), eid
+                else:
+                    assert g == e, (eid, exp, got)  # exact, not approx
+            n_flag += 1 if exp[4] else 0
+        assert n_flag > 0  # the parity isn't vacuous
