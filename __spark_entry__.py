@@ -322,12 +322,25 @@ def q_missing_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_dropna_any(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M8 whole-frame dropna. Merged r8: bivariate Mahalanobis flags
+    (operators.mahalanobis — the integer-exact d=2 closed form) over
+    the surviving rows, features (value_n, event_id % 97); every score
+    is an exact-int-derived double, so the cloud fit AND the per-row
+    quadratic form are value-hashed against the DuckDB twin."""
+    from amonaly_detection_in_time_series_data_spark.operators.mahalanobis import (
+        mahalanobis_flags,
+    )
+
     ev = _with_null_value(_events(spark, sf_dir)).withColumn(
         "props_n",
         F.when(F.col("event_id") % 13 == 0, F.lit(None)).otherwise(F.col("props")),
     )
     out = ev.na.drop(how="any", subset=["value_n", "props_n"])
-    return out.select("event_id", "user_id", "value_n", "props_n")
+    out = out.withColumn("x2", (F.col("event_id") % 97).cast("double"))
+    scored = mahalanobis_flags(out, "value_n", "x2", x_digits=2, y_digits=0)
+    return scored.select(
+        "event_id", "user_id", "value_n", "props_n", "mah_score", "mah_flag"
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -2713,13 +2726,56 @@ WINDOW wp AS (PARTITION BY user_id ORDER BY ts, event_id
               ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
 """
 
+    # the Mahalanobis fragments MUST be the operator's own SQL text so
+    # both engines build the identical IEEE expression tree over the
+    # identical exact integers (operators.mahalanobis._score_text)
+    from amonaly_detection_in_time_series_data_spark.operators.mahalanobis import (
+        _score_text as _mah_text,
+    )
+
+    _mah_det, _mah_m2 = _mah_text()
     sql["dropna_any"] = f"""
-SELECT event_id, user_id,
-       {value_n} AS value_n,
-       CASE WHEN event_id % 13 = 0 THEN NULL ELSE props END AS props_n
-FROM events
-WHERE {value_n} IS NOT NULL
-  AND (CASE WHEN event_id % 13 = 0 THEN NULL ELSE props END) IS NOT NULL
+WITH kept AS (
+  SELECT event_id, user_id,
+         {value_n} AS value_n,
+         CASE WHEN event_id % 13 = 0 THEN NULL ELSE props END AS props_n
+  FROM events
+  WHERE {value_n} IS NOT NULL
+    AND (CASE WHEN event_id % 13 = 0 THEN NULL ELSE props END) IS NOT NULL
+),
+ints AS (
+  SELECT *, CAST(round(value_n * 100) AS BIGINT) AS __xi,
+         CAST(round(CAST(event_id % 97 AS DOUBLE) * 1) AS BIGINT) AS __yi
+  FROM kept
+),
+s AS (
+  SELECT count(*) AS __n,
+         CAST(sum(__xi) AS BIGINT) AS __sx, CAST(sum(__yi) AS BIGINT) AS __sy,
+         CAST(sum(__xi * __xi) AS BIGINT) AS __sxx,
+         CAST(sum(__yi * __yi) AS BIGINT) AS __syy,
+         CAST(sum(__xi * __yi) AS BIGINT) AS __sxy
+  FROM ints
+  WHERE __xi IS NOT NULL AND __yi IS NOT NULL
+),
+abc AS (
+  SELECT __n, __sx, __sy,
+         __n * __sxx - __sx * __sx AS __A,
+         __n * __syy - __sy * __sy AS __B,
+         __n * __sxy - __sx * __sy AS __C
+  FROM s
+),
+scored AS (
+  SELECT i.event_id, i.user_id, i.value_n, i.props_n,
+         CASE WHEN __xi IS NOT NULL AND __yi IS NOT NULL AND __n >= 3
+              AND {_mah_det} > cast(0 as double)
+              THEN {_mah_m2} END AS mah_score
+  FROM ints i CROSS JOIN abc
+)
+SELECT event_id, user_id, value_n, props_n, mah_score,
+       CASE WHEN mah_score IS NULL THEN NULL ELSE
+            mah_score > cast(138155 as double) / cast(10000 as double)
+       END AS mah_flag
+FROM scored
 """
 
     sql["time_features"] = """

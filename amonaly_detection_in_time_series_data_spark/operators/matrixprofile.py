@@ -40,7 +40,7 @@ from collections.abc import Sequence
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["matrix_profile", "top_discords", "stomp_numpy"]
+__all__ = ["matrix_profile", "top_discords", "top_motifs", "stomp_numpy"]
 
 
 def _sliding_dot(query, series):
@@ -208,4 +208,30 @@ def top_discords(
         prof.where(F.col("mp").isNotNull())
         .withColumn("discord_rank", F.row_number().over(w))
         .where(F.col("discord_rank") <= int(k))
+    )
+
+
+def top_motifs(
+    df: DataFrame,
+    ts_col: str,
+    value_col: str,
+    series_cols: Sequence[str],
+    window: int,
+    k: int = 3,
+    exclusion: int | None = None,
+) -> DataFrame:
+    """Top-``k`` motifs per series — the dual of :func:`top_discords`:
+    the ``k`` subsequences with the SMALLEST matrix-profile value (a
+    repeated shape; ``mp_pos`` points at the matching occurrence).
+    Ranked 1..k with deterministic ties (earlier ``pos`` wins), null
+    profiles excluded; same single-shuffle plan as the discord query.
+    """
+    from pyspark.sql import Window as W
+
+    prof = matrix_profile(df, ts_col, value_col, series_cols, window, exclusion)
+    w = W.partitionBy(*series_cols).orderBy(F.col("mp").asc(), F.col("pos").asc())
+    return (
+        prof.where(F.col("mp").isNotNull())
+        .withColumn("motif_rank", F.row_number().over(w))
+        .where(F.col("motif_rank") <= int(k))
     )

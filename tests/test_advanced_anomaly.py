@@ -383,3 +383,126 @@ class TestIsolationForest:
         )
         driver_scores = model.scores(pdf[["x", "y"]].to_numpy())
         np.testing.assert_allclose(spark_scores, driver_scores, rtol=1e-12)
+
+
+class TestMotifs:
+    def test_motif_pair_found(self, spark):
+        rng = np.random.default_rng(71)
+        y = rng.normal(0, 1, 300)
+        shape = np.sin(np.arange(20) * 0.5) * 4
+        y[40:60] = shape + rng.normal(0, 0.01, 20)
+        y[200:220] = shape + rng.normal(0, 0.01, 20)  # repeated -> motif
+        df = _series_df(spark, {"s": y})
+        from amonaly_detection_in_time_series_data_spark.operators.matrixprofile import top_motifs
+
+        got = top_motifs(df, "ts", "value", ["user_id"], window=20, k=1).toPandas()
+        assert len(got) == 1
+        pos, mate = int(got["pos"].iloc[0]), int(got["mp_pos"].iloc[0])
+        assert {min(pos, mate) // 5, max(pos, mate) // 5} == {8, 40}
+        # the motif is the profile MINIMUM, discord machinery's dual
+        assert got["motif_rank"].iloc[0] == 1
+
+
+def _mah_ref(xi, yi, qx, qy):
+    """Independent numpy Mahalanobis from the snapped integers."""
+    pts = np.stack([xi, yi], axis=1).astype("float64")
+    mu = pts.mean(axis=0)
+    cov = np.cov(pts.T, bias=True)
+    inv = np.linalg.inv(cov)
+    d = pts - mu
+    return np.einsum("ij,jk,ik->i", d, inv, d)
+
+
+class TestMahalanobis:
+    def test_matches_numpy(self, spark):
+        from amonaly_detection_in_time_series_data_spark.operators.mahalanobis import (
+            mahalanobis_flags,
+        )
+
+        rng = np.random.default_rng(72)
+        x = rng.normal(0, 1, 400)
+        y = 0.7 * x + rng.normal(0, 0.5, 400)  # correlated cloud
+        pdf = pd.DataFrame({"rid": np.arange(400), "x": x, "y": y})
+        df = spark.createDataFrame(pdf)
+        out = (
+            mahalanobis_flags(df, "x", "y", x_digits=4, y_digits=4)
+            .toPandas()
+            .sort_values("rid")
+            .reset_index(drop=True)
+        )
+        xi = np.round(x * 10000)
+        yi = np.round(y * 10000)
+        ref = _mah_ref(xi, yi, 4, 4)
+        np.testing.assert_allclose(out["mah_score"].to_numpy(), ref, rtol=1e-9)
+
+    def test_outlier_flagged_calibration_holds(self, spark):
+        from amonaly_detection_in_time_series_data_spark.operators.mahalanobis import (
+            mahalanobis_flags,
+        )
+
+        rng = np.random.default_rng(73)
+        n = 5000
+        x = rng.normal(0, 1, n)
+        y = rng.normal(0, 1, n)
+        x[0], y[0] = 9.0, -9.0
+        pdf = pd.DataFrame({"rid": np.arange(n), "x": x, "y": y})
+        out = (
+            mahalanobis_flags(spark.createDataFrame(pdf), "x", "y", x_digits=4, y_digits=4)
+            .toPandas()
+            .sort_values("rid")
+            .reset_index(drop=True)
+        )
+        assert bool(out.loc[0, "mah_flag"])
+        # chi2(2) 0.999 quantile -> ~0.1% background flags
+        assert out["mah_flag"].iloc[1:].sum() < 30
+
+    def test_null_inputs_and_singular_guard(self, spark):
+        from amonaly_detection_in_time_series_data_spark.operators.mahalanobis import (
+            mahalanobis_flags,
+        )
+
+        pdf = pd.DataFrame(
+            {"rid": range(6), "x": [1.0, 2.0, 3.0, 4.0, None, 6.0],
+             "y": [1.0, 2.0, 3.0, 4.0, 5.0, 6.0]}
+        )
+        out = (
+            mahalanobis_flags(spark.createDataFrame(pdf), "x", "y")
+            .toPandas()
+            .sort_values("rid")
+            .reset_index(drop=True)
+        )
+        # y == x exactly on complete rows -> singular scatter -> all null
+        assert out["mah_score"].isna().all()
+        assert out["mah_flag"].isna().all()
+        # null x -> null score even when the fit would be fine
+        pdf2 = pd.DataFrame(
+            {"rid": range(5), "x": [1.0, 2.0, None, 4.0, 8.0],
+             "y": [2.0, 1.0, 3.0, 9.0, 4.0]}
+        )
+        out2 = (
+            mahalanobis_flags(spark.createDataFrame(pdf2), "x", "y")
+            .toPandas()
+            .sort_values("rid")
+            .reset_index(drop=True)
+        )
+        assert pd.isna(out2.loc[2, "mah_score"])
+        assert out2["mah_score"].notna().sum() == 4
+
+    def test_per_key_clouds(self, spark):
+        from amonaly_detection_in_time_series_data_spark.operators.mahalanobis import (
+            mahalanobis_flags,
+        )
+
+        rng = np.random.default_rng(74)
+        rows = []
+        for g, (mx, my) in (("a", (0.0, 0.0)), ("b", (100.0, 100.0))):
+            for i in range(200):
+                rows.append((g, i, mx + rng.normal(), my + rng.normal()))
+        pdf = pd.DataFrame(rows, columns=["g", "rid", "x", "y"])
+        out = mahalanobis_flags(
+            spark.createDataFrame(pdf), "x", "y", keys=["g"], x_digits=4, y_digits=4
+        ).toPandas()
+        # per-key fit: each cloud is scored against ITS OWN center, so
+        # group b's points are not all outliers despite the +100 offset
+        assert out[out.g == "b"]["mah_flag"].sum() < 5
+        assert out[out.g == "a"]["mah_flag"].sum() < 5
