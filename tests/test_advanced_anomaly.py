@@ -506,3 +506,66 @@ class TestMahalanobis:
         # group b's points are not all outliers despite the +100 offset
         assert out[out.g == "b"]["mah_flag"].sum() < 5
         assert out[out.g == "a"]["mah_flag"].sum() < 5
+
+
+class TestPOT:
+    def test_gpd_moment_fit_recovers_parameters(self):
+        rng = np.random.default_rng(81)
+        for gamma, sigma in ((0.3, 2.0), (-0.2, 1.0)):
+            u = rng.uniform(size=200_000)
+            x = sigma / gamma * ((1 - u) ** (-gamma) - 1.0)
+            from amonaly_detection_in_time_series_data_spark.operators.evt import gpd_fit_numpy
+
+            g, s = gpd_fit_numpy(x)
+            assert g == pytest.approx(gamma, abs=0.05)
+            assert s == pytest.approx(sigma, rel=0.1)
+
+    def test_exponential_tail_gamma_near_zero(self):
+        rng = np.random.default_rng(82)
+        from amonaly_detection_in_time_series_data_spark.operators.evt import gpd_fit_numpy
+
+        g, s = gpd_fit_numpy(rng.exponential(2.0, 200_000))
+        assert abs(g) < 0.02
+        assert s == pytest.approx(2.0, rel=0.05)
+
+    def test_calibrated_exceedance_rate(self):
+        rng = np.random.default_rng(83)
+        from amonaly_detection_in_time_series_data_spark.operators.evt import pot_numpy
+
+        y = rng.lognormal(0.0, 1.0, 300_000)  # heavy-tailed
+        q = 1e-3
+        _, zq, _, _, _ = pot_numpy(y, init_quantile=0.98, q=q)
+        rate = float((y > zq).mean())
+        assert q / 3 < rate < 3 * q
+        # and the Gaussian 3-sigma rule over-alarms by an order of
+        # magnitude on the same data — the reason POT exists
+        three_sigma = y.mean() + 3 * y.std()
+        assert (y > three_sigma).mean() > 3 * q
+
+    def test_few_excesses_fallback_never_alerts(self):
+        from amonaly_detection_in_time_series_data_spark.operators.evt import pot_numpy
+
+        y = np.arange(20.0)
+        t, zq, g, s, nt = pot_numpy(y, init_quantile=0.98, min_excesses=10)
+        assert zq == y.max()
+        assert nt < 10
+
+    def test_spark_matches_numpy(self, spark):
+        rng = np.random.default_rng(84)
+        from amonaly_detection_in_time_series_data_spark.operators.evt import (
+            pot_numpy,
+            pot_threshold,
+        )
+
+        ya = rng.lognormal(0, 0.8, 3000)
+        yb = rng.normal(10, 1, 2000)
+        df = _series_df(spark, {"a": ya, "b": yb})
+        out = pot_threshold(
+            df, "ts", "value", ["user_id"], init_quantile=0.97, q=1e-3
+        ).toPandas()
+        a = out[out.user_id == "a"]
+        t, zq, g, s, _ = pot_numpy(ya, init_quantile=0.97, q=1e-3)
+        assert a["pot_z"].iloc[0] == pytest.approx(zq, rel=1e-12)
+        assert a["pot_gamma"].iloc[0] == pytest.approx(g, rel=1e-12)
+        assert int(a["pot_flag"].sum()) == int((ya > zq).sum())
+        assert len(out) == 5000
