@@ -196,7 +196,7 @@ def q_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the battery's SQL-text layers). Fences are exact multiples of
     # 1/800 (<=5 decimals): round at 6 so the true value can never sit
     # on the rounding boundary.
-    return scored.selectExpr(
+    out = scored.selectExpr(
         "event_id",
         "user_id",
         "date_format(ts, 'yyyy-MM-dd HH:mm:ss') AS ts",
@@ -225,6 +225,20 @@ def q_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
         "trend_resid",
         "trend_z",
         "cast(trend_alarm as bigint) AS trend_alarm",
+    )
+    # Merged r8: ensemble vote over the six battery alarms
+    # (operators.anomaly.ensemble_flags) — exact integer addition over
+    # 0/1 columns (NULL = abstain), k=2 majority-leaning fusion. One
+    # more SQL-text layer, no joins.
+    from amonaly_detection_in_time_series_data_spark.operators.anomaly import (
+        ensemble_flags,
+    )
+
+    return ensemble_flags(
+        out,
+        ["is_anomaly", "ph_alarm", "ewma_alarm", "iqr_alarm", "robust_alarm",
+         "trend_alarm"],
+        k=2,
     )
 
 
@@ -2626,6 +2640,7 @@ tx AS (
          CAST(row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) - 1 AS BIGINT) AS x
   FROM events
 )
+, battery AS (
 SELECT p.event_id, p.user_id, strftime(p.ts, '{fmt}') AS ts, p.value,
        round(m, 6) AS roll_mean,
        round(s, 6) AS roll_std,
@@ -2657,6 +2672,19 @@ JOIN iq ON p.user_id = iq.user_id
 JOIN rz ON p.user_id = rz.user_id
 LEFT JOIN fit ON p.user_id = fit.user_id
 JOIN tx ON p.event_id = tx.event_id
+)
+-- ensemble vote (merged r8): exact integer addition over the six 0/1
+-- alarm outputs, NULL = abstain; k=2 majority-leaning fusion
+SELECT *,
+       CAST(coalesce(CAST(is_anomaly AS INT), 0) + coalesce(CAST(ph_alarm AS INT), 0)
+          + coalesce(CAST(ewma_alarm AS INT), 0) + coalesce(CAST(iqr_alarm AS INT), 0)
+          + coalesce(CAST(robust_alarm AS INT), 0) + coalesce(CAST(trend_alarm AS INT), 0)
+          AS BIGINT) AS votes,
+       CAST((coalesce(CAST(is_anomaly AS INT), 0) + coalesce(CAST(ph_alarm AS INT), 0)
+          + coalesce(CAST(ewma_alarm AS INT), 0) + coalesce(CAST(iqr_alarm AS INT), 0)
+          + coalesce(CAST(robust_alarm AS INT), 0) + coalesce(CAST(trend_alarm AS INT), 0)) >= 2
+          AS BIGINT) AS ensemble_alarm
+FROM battery
 """
 
     sql["clean_coerce"] = f"""

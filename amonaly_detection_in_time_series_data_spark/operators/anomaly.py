@@ -1362,3 +1362,36 @@ def anomaly_battery(
         "is_anomaly", "ewma", "ewma_dev", "ewma_alarm",
     ]
     return d.selectExpr(*keep, *l5)
+
+
+def ensemble_flags(
+    df: DataFrame,
+    flag_cols: Sequence[str],
+    k: int = 2,
+    votes_col: str = "votes",
+    alarm_col: str = "ensemble_alarm",
+) -> DataFrame:
+    """Detector-ensemble vote: ``votes_col`` = how many of
+    ``flag_cols`` fired (NULL = abstain = 0, the detector-metrics
+    convention), ``alarm_col`` = votes >= ``k``. The standard
+    fusion step over a battery — k=1 is union (max recall), k=len is
+    intersection (max precision), in between trades them; see e.g.
+    Aggarwal, "Outlier Analysis" ch. 6 (ensemble methods).
+
+    Pure SQL-text expression layer (the §12 plan-time rule): one
+    ``selectExpr``, no joins, no shuffle, trivially oracle-mirrorable
+    — the vote arithmetic is exact integer addition over 0/1 columns.
+    """
+    cols = list(flag_cols)
+    if not cols:
+        raise ValueError("ensemble_flags: need at least one flag column")
+    if not 1 <= int(k) <= len(cols):
+        raise ValueError(
+            f"ensemble_flags: k must be in [1, {len(cols)}], got {k}"
+        )
+    terms = " + ".join(f"coalesce(cast(`{c}` as int), 0)" for c in cols)
+    return df.selectExpr(
+        "*",
+        f"cast(({terms}) as bigint) AS `{votes_col}`",
+        f"cast(({terms}) >= {int(k)} as bigint) AS `{alarm_col}`",
+    )

@@ -569,3 +569,35 @@ class TestPOT:
         assert a["pot_gamma"].iloc[0] == pytest.approx(g, rel=1e-12)
         assert int(a["pot_flag"].sum()) == int((ya > zq).sum())
         assert len(out) == 5000
+
+
+class TestEnsembleFlags:
+    def test_votes_and_threshold(self, spark):
+        from amonaly_detection_in_time_series_data_spark.operators.anomaly import ensemble_flags
+
+        pdf = pd.DataFrame(
+            {
+                "rid": [0, 1, 2, 3],
+                "a": [1, 1, 0, None],
+                "b": [1, 0, 0, None],
+                "c": [0, 1, 0, 1],
+            }
+        )
+        df = spark.createDataFrame(pdf.astype({"a": "Int64", "b": "Int64", "c": "Int64"}))
+        out = (
+            ensemble_flags(df, ["a", "b", "c"], k=2)
+            .toPandas()
+            .sort_values("rid")
+            .reset_index(drop=True)
+        )
+        assert out["votes"].tolist() == [2, 2, 0, 1]  # NULL = abstain
+        assert out["ensemble_alarm"].tolist() == [1, 1, 0, 0]
+
+    def test_k_bounds(self, spark):
+        from amonaly_detection_in_time_series_data_spark.operators.anomaly import ensemble_flags
+
+        df = spark.createDataFrame(pd.DataFrame({"a": [1]}))
+        with pytest.raises(ValueError, match="k must be"):
+            ensemble_flags(df, ["a"], k=2)
+        with pytest.raises(ValueError, match="at least one"):
+            ensemble_flags(df, [], k=1)
