@@ -601,3 +601,30 @@ class TestEnsembleFlags:
             ensemble_flags(df, ["a"], k=2)
         with pytest.raises(ValueError, match="at least one"):
             ensemble_flags(df, [], k=1)
+
+
+class TestDetectorSuite:
+    def test_composed_suite_consensus(self, spark):
+        from amonaly_detection_in_time_series_data_spark.plans import detector_suite
+
+        rng = np.random.default_rng(91)
+        season = np.sin(np.arange(240) * 2 * np.pi / 24)
+        y = season * 2 + rng.normal(0, 0.15, 240)
+        y[180] += 8.0  # consensus spike
+        df = _series_df(spark, {"s1": y, "s2": rng.normal(0, 1, 240)},
+                        step_s=3600)
+        out = (
+            detector_suite(df, "ts", "value", ["user_id"], grid_step="1 hour")
+            .toPandas()
+        )
+        # joins preserved the grid grain: one row per (series, bucket)
+        assert len(out) == 240 * 2
+        assert not out.duplicated(["user_id", "bucket_ts"]).any()
+        s1 = out[out.user_id == "s1"].sort_values("bucket_ts").reset_index(drop=True)
+        # the implanted spike is a consensus anomaly (>=2 detectors)
+        assert int(s1.loc[180, "votes"]) >= 2
+        assert s1.loc[180, "ensemble_alarm"] == 1
+        # votes stay within [0, n_detectors]
+        assert out["votes"].between(0, 4).all()
+        # consensus is rarer than any single detector's flags
+        assert out["ensemble_alarm"].sum() <= out["z_flag"].fillna(False).sum() + 1
