@@ -2371,6 +2371,51 @@ def q_sketch_aggs(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("shard")
 
 
+def q_mp_discords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Matrix-profile discords (operators.matrixprofile, r8): top-3
+    shape anomalies per user series at window 12. Rows-only tier: the
+    STOMP recurrence is an iterative per-series DP no SQL engine
+    reproduces; the kernel is pinned vs a naive O(n^2 m) reference and
+    the Spark operator vs the kernel in tests/test_advanced_anomaly.py."""
+    from amonaly_detection_in_time_series_data_spark.operators.matrixprofile import (
+        top_discords,
+    )
+
+    ev = _events(spark, sf_dir)
+    out = top_discords(ev, "ts", "value", ["user_id"], window=12, k=3)
+    return out.select(
+        "user_id",
+        _ts_str("ts").alias("ts"),
+        "pos",
+        F.round("mp", 6).alias("mp"),
+        "mp_pos",
+        "discord_rank",
+    )
+
+
+def q_kalman_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kalman local-level filter (operators.kalman, r8): standardized-
+    innovation scores + RTS-smoothed level per user series. Rows-only
+    tier: the filter recursion is sequential per series; pinned vs an
+    independent textbook recursion (1e-12) and bit-exactly against its
+    streaming twin in the test suite."""
+    from amonaly_detection_in_time_series_data_spark.operators.kalman import (
+        kalman_level,
+    )
+
+    ev = _events(spark, sf_dir)
+    out = kalman_level(ev, "ts", "value", ["user_id"], q_var=0.05, r_var=1.0)
+    return out.select(
+        "user_id",
+        _ts_str("ts").alias("ts"),
+        "value",
+        F.round("kf_level", 6).alias("kf_level"),
+        F.round("kf_smooth", 6).alias("kf_smooth"),
+        F.round("kf_score", 6).alias("kf_score"),
+        F.col("kf_flag").cast("int").alias("kf_flag"),
+    )
+
+
 def q_pq_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Product-quantization ANN (operators.pq, Jégou et al. 2011 /
     FAISS IVF-PQ layout): seeded per-subspace k-means codebooks
@@ -2522,6 +2567,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "semantic_dedup": q_semantic_dedup,
         "pq_knn": q_pq_knn,
         "sketch_aggs": q_sketch_aggs,
+        "mp_discords": q_mp_discords,
+        "kalman_scores": q_kalman_scores,
     }
 
 
