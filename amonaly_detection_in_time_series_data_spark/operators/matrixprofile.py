@@ -85,7 +85,15 @@ def stomp_numpy(y, m, exclusion=None, recompute_every=512):
     mu = (cs[m:] - cs[:-m]) / m
     var = np.maximum((cs2[m:] - cs2[:-m]) / m - mu * mu, 0.0)
     sig = np.sqrt(var)
-    flat = sig <= 1e-13
+    # flatness must be EXACT (window max == min), not a sigma
+    # threshold: the cumsum variance suffers cancellation when the mean
+    # dominates, so a sigma cutoff would classify the same window
+    # differently after a constant shift (shift-invariance is asserted
+    # by a property test). sliding ptp is O(n*m) — STOMP is O(n^2)
+    # anyway, and this is fully vectorized.
+    windows = np.lib.stride_tricks.sliding_window_view(y, m)
+    flat = (windows.max(axis=1) - windows.min(axis=1)) == 0.0
+    sig = np.where(flat, 0.0, np.maximum(sig, 1e-300))
 
     qt_first = _sliding_dot(y[:m], y)  # QT row for i=0 (exact)
     qt = qt_first.copy()
