@@ -80,18 +80,17 @@ def stomp_numpy(y, m, exclusion=None, recompute_every=512):
         return np.full(max(l, 0), np.nan), np.full(max(l, 0), -1, dtype="int64")
     excl = int(exclusion) if exclusion is not None else int(math.ceil(m / 2))
 
-    cs = np.concatenate([[0.0], np.cumsum(y)])
-    cs2 = np.concatenate([[0.0], np.cumsum(y * y)])
-    mu = (cs[m:] - cs[:-m]) / m
-    var = np.maximum((cs2[m:] - cs2[:-m]) / m - mu * mu, 0.0)
-    sig = np.sqrt(var)
-    # flatness must be EXACT (window max == min), not a sigma
-    # threshold: the cumsum variance suffers cancellation when the mean
-    # dominates, so a sigma cutoff would classify the same window
-    # differently after a constant shift (shift-invariance is asserted
-    # by a property test). sliding ptp is O(n*m) — STOMP is O(n^2)
-    # anyway, and this is fully vectorized.
+    # window statistics via a TWO-PASS sliding computation, not the
+    # cumsum shortcut: E[x^2] - mu^2 cancels catastrophically when the
+    # mean dominates the variance, which (a) classified the same window
+    # differently after a constant shift and (b) can zero the sigma of
+    # a non-flat window, poisoning the division below. O(n*m)
+    # vectorized — STOMP is O(n^2) anyway. Flatness is the EXACT
+    # window max == min, affine-proof by construction (property-tested).
     windows = np.lib.stride_tricks.sliding_window_view(y, m)
+    mu = windows.mean(axis=1)
+    centered = windows - mu[:, None]
+    sig = np.sqrt(np.einsum("ij,ij->i", centered, centered) / m)
     flat = (windows.max(axis=1) - windows.min(axis=1)) == 0.0
     sig = np.where(flat, 0.0, np.maximum(sig, 1e-300))
 
