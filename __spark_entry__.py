@@ -971,7 +971,29 @@ def q_sessionize_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("is_alert").cast("bigint").alias("is_alert"),
         F.col("alert_delivered").cast("bigint").alias("alert_delivered"),
     )
-    return sessions.join(hourly, "event_id").join(thr, "event_id")
+    # Merged r8 (late): alert EPISODES (operators.anomaly.
+    # anomaly_episodes) — flag runs collapsed at a 2-hour gap; every
+    # alert row carries its episode id + start/size/peak, so the
+    # episode segmentation AND its aggregates are value-hashed.
+    from amonaly_detection_in_time_series_data_spark.operators.anomaly import (
+        anomaly_episodes,
+    )
+
+    epi = anomaly_episodes(
+        flagged, KEY, "ts", "is_alert", gap="2 hours",
+        order_tiebreak=["event_id"], value_col="value", attach=True,
+    ).select(
+        "event_id",
+        F.col("episode_id").cast("bigint").alias("episode_id"),
+        _ts_str("episode_start").alias("ep_start"),
+        F.col("episode_n").cast("bigint").alias("ep_n"),
+        F.col("episode_peak").alias("ep_peak"),
+    )
+    return (
+        sessions.join(hourly, "event_id")
+        .join(thr, "event_id")
+        .join(epi, "event_id", "left")
+    )
 
 
 def q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3190,15 +3212,41 @@ del AS (
                               ORDER BY ts, event_id) AS rn
     FROM al2
   ) WHERE rn = 1
+),
+-- alert episodes (merged r8): flag runs collapsed at a 2-hour gap,
+-- the same lag/cumsum sessionization applied to the ALERT rows
+ep AS (
+  SELECT event_id, user_id, ts, value,
+         CAST(sum(CASE WHEN prev IS NULL OR ts - prev > INTERVAL 2 HOUR
+                       THEN 1 ELSE 0 END)
+              OVER (PARTITION BY user_id ORDER BY ts, event_id
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+           AS episode_id
+  FROM (
+    SELECT event_id, user_id, ts, value,
+           lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+    FROM events WHERE value > 100
+  )
+),
+epa AS (
+  SELECT user_id, episode_id, min(ts) AS est, count(*) AS en,
+         max(value) AS epeak
+  FROM ep GROUP BY user_id, episode_id
 )
-SELECT event_id, sess.user_id, strftime(sess.ts, '{fmt}') AS ts, session_id,
+SELECT sess.event_id, sess.user_id, strftime(sess.ts, '{fmt}') AS ts, session_id,
        hour_avg, hour_n,
        CAST(sess.value > 100 AS BIGINT) AS is_alert,
        CAST(CASE WHEN sess.value > 100 AND del.dts IS NOT NULL
-                 THEN 1 ELSE 0 END AS BIGINT) AS alert_delivered
+                 THEN 1 ELSE 0 END AS BIGINT) AS alert_delivered,
+       ep.episode_id,
+       strftime(epa.est, '{fmt}') AS ep_start,
+       epa.en AS ep_n,
+       epa.epeak AS ep_peak
 FROM sess
 JOIN hourly ON date_trunc('hour', sess.ts) = hourly.h
 LEFT JOIN del ON sess.user_id = del.user_id AND sess.ts = del.dts
+LEFT JOIN ep ON sess.event_id = ep.event_id
+LEFT JOIN epa ON ep.user_id = epa.user_id AND ep.episode_id = epa.episode_id
 """
 
     sql["json_extract"] = """

@@ -1395,3 +1395,50 @@ def ensemble_flags(
         f"cast(({terms}) as bigint) AS `{votes_col}`",
         f"cast(({terms}) >= {int(k)} as bigint) AS `{alarm_col}`",
     )
+
+
+def anomaly_episodes(
+    df: DataFrame,
+    keys: Sequence[str],
+    ts_col: str,
+    flag_col: str,
+    gap: str = "2 hours",
+    order_tiebreak: Sequence[str] = (),
+    value_col: str | None = None,
+    attach: bool = False,
+) -> DataFrame:
+    """Collapse consecutive flagged points into EPISODES — the unit an
+    on-call rotation actually reasons about (one incident, not 40
+    pages): flagged rows closer than ``gap`` belong to the same
+    episode (the same lag/cumsum sessionization as
+    :func:`operators.timeseries.sessionize`, applied to the ALERT rows
+    only — the gap clock ignores healthy points in between).
+
+    ``attach=False``: one row per episode — keys + ``episode_id`` +
+    ``episode_start`` / ``episode_end`` / ``episode_n`` and, with
+    ``value_col``, ``episode_peak`` (max). ``attach=True``: the flagged
+    rows themselves, each carrying its ``episode_id`` and the episode's
+    summary columns (broadcast-sized per key in practice, but joined on
+    the same (key, episode_id) partitioning — no new shuffle axis).
+
+    Pure relational (two window passes + one grouped aggregate), so
+    exactly SQL-expressible and oracle-checkable.
+    """
+    from .timeseries import sessionize
+
+    flagged = df.where(F.col(flag_col).cast("boolean"))
+    assigned = sessionize(
+        flagged, list(keys), ts_col, gap=gap,
+        order_tiebreak=list(order_tiebreak), session_col="episode_id",
+    )
+    aggs = [
+        F.min(ts_col).alias("episode_start"),
+        F.max(ts_col).alias("episode_end"),
+        F.count("*").alias("episode_n"),
+    ]
+    if value_col:
+        aggs.append(F.max(value_col).alias("episode_peak"))
+    episodes = assigned.groupBy(*keys, "episode_id").agg(*aggs)
+    if not attach:
+        return episodes
+    return assigned.join(episodes, [*keys, "episode_id"])

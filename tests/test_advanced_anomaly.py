@@ -628,3 +628,43 @@ class TestDetectorSuite:
         assert out["votes"].between(0, 4).all()
         # consensus is rarer than any single detector's flags
         assert out["ensemble_alarm"].sum() <= out["z_flag"].fillna(False).sum() + 1
+
+
+class TestAnomalyEpisodes:
+    def test_hand_fixture(self, spark):
+        from amonaly_detection_in_time_series_data_spark.operators.anomaly import (
+            anomaly_episodes,
+        )
+
+        # flags at minutes 0,10,20 | 200,205 | 500 — gap 60min -> 3 episodes
+        rows = []
+        for i, (mn, flag, val) in enumerate(
+            [(0, 1, 5.0), (10, 1, 9.0), (20, 1, 7.0), (100, 0, 1.0),
+             (200, 1, 3.0), (205, 1, 4.0), (500, 1, 2.0)]
+        ):
+            rows.append(("u", i, dt.datetime(2024, 1, 1) + dt.timedelta(minutes=mn),
+                         flag, val))
+        df = spark.createDataFrame(
+            rows, "user_id string, event_id long, ts timestamp, is_alert int, value double"
+        )
+        eps = (
+            anomaly_episodes(df, ["user_id"], "ts", "is_alert", gap="60 minutes",
+                             order_tiebreak=["event_id"], value_col="value")
+            .toPandas()
+            .sort_values("episode_id")
+            .reset_index(drop=True)
+        )
+        assert len(eps) == 3
+        assert eps["episode_n"].tolist() == [3, 2, 1]
+        assert eps["episode_peak"].tolist() == [9.0, 4.0, 2.0]
+        assert eps.loc[0, "episode_start"] == dt.datetime(2024, 1, 1)
+        assert eps.loc[0, "episode_end"] == dt.datetime(2024, 1, 1, 0, 20)
+        att = anomaly_episodes(
+            df, ["user_id"], "ts", "is_alert", gap="60 minutes",
+            order_tiebreak=["event_id"], value_col="value", attach=True
+        ).toPandas()
+        # only flagged rows come back, each with its episode's summary
+        assert len(att) == 6
+        assert (att.groupby("episode_id")["episode_n"].nunique() == 1).all()
+        one = att[att.event_id == 1].iloc[0]
+        assert one["episode_id"] == 1 and one["episode_peak"] == 9.0
