@@ -4,6 +4,7 @@ from .rolling import (
     sessionized_stats,
     streaming_dedup,
     streaming_enrich,
+    streaming_episode_assign,
     streaming_ewma_deviation,
     streaming_hampel_flags,
     streaming_kalman_level,
@@ -28,6 +29,7 @@ __all__ = [
     "streaming_kalman_level",
     "streaming_dedup",
     "streaming_enrich",
+    "streaming_episode_assign",
     "interval_join",
     "replay_events_stream",
     "replay_table_stream",

@@ -773,6 +773,90 @@ def streaming_kalman_level(
     )
 
 
+def streaming_episode_assign(
+    events: DataFrame,
+    gap_seconds: float = 7200.0,
+    flag_col: str = "is_alert",
+    timeout_minutes: int | None = 60,
+) -> DataFrame:
+    """Online episode-id assignment per user — the streaming face of
+    :func:`operators.anomaly.anomaly_episodes`' sessionization step
+    (the episode SUMMARY aggregates need the episode to close and stay
+    a batch/foreachBatch concern; the id assignment itself is the
+    O(1)-state part a stream can own).
+
+    State is TWO numbers per key — the last ALERT timestamp (epoch
+    micros) and the running episode counter — exactly the lag/cumsum
+    recurrence the batch operator evaluates, so replay equals the batch
+    ``attach=True`` assignment BIT-for-bit (asserted in the parity
+    test). Non-alert rows pass through with a null episode_id and do
+    not touch the gap clock.
+    """
+    import pandas as pd  # noqa: F401
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    gap_us = int(round(float(gap_seconds) * 1_000_000))
+    out_schema = (
+        "user_id bigint, event_id bigint, ts timestamp, value double, "
+        f"{flag_col} int, episode_id bigint"
+    )
+    state_schema = "last_us long, counter long"
+
+    def assign(key, pdf_iter, state):
+        import pandas as pd
+
+        if state.hasTimedOut:
+            state.remove()
+            return
+
+        (user_id,) = key
+        # last_us = -1 is the "no alert seen yet" sentinel (a typed
+        # state column cannot hold null)
+        last_us, counter = state.get if state.exists else (-1, 0)
+        rows = []
+        for pdf in pdf_iter:
+            pdf = pdf.sort_values(["ts", "event_id"])
+            for _, r in pdf.iterrows():
+                flag = r[flag_col]
+                v = float(r["value"]) if r["value"] is not None else None
+                if flag is None or int(flag) == 0:
+                    rows.append(
+                        (user_id, int(r["event_id"]), r["ts"], v,
+                         int(flag) if flag is not None else None, None)
+                    )
+                    continue
+                t_us = int(pd.Timestamp(r["ts"]).value // 1000)
+                if last_us < 0 or t_us - last_us > gap_us:
+                    counter += 1
+                last_us = t_us
+                rows.append(
+                    (user_id, int(r["event_id"]), r["ts"], v, int(flag), counter)
+                )
+        state.update((last_us, counter))
+        if timeout_minutes is not None:
+            state.setTimeoutDuration(timeout_minutes * 60 * 1000)
+        yield pd.DataFrame(
+            rows,
+            columns=["user_id", "event_id", "ts", "value", flag_col, "episode_id"],
+        )
+
+    return (
+        events.withWatermark("ts", "2 hours")
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            assign,
+            outputStructType=out_schema,
+            stateStructType=state_schema,
+            outputMode="append",
+            timeoutConf=(
+                GroupStateTimeout.ProcessingTimeTimeout
+                if timeout_minutes is not None
+                else GroupStateTimeout.NoTimeout
+            ),
+        )
+    )
+
+
 def streaming_throttle_alerts(
     flagged: DataFrame,
     cooldown_seconds: float = 3600.0,

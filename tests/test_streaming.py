@@ -1007,3 +1007,52 @@ class TestStreamingKalman:
                     assert g == e, (eid, exp, got)  # exact, not approx
             n_flag += 1 if exp[4] else 0
         assert n_flag > 0  # the parity isn't vacuous
+
+
+class TestStreamingEpisodes:
+    def test_episode_assignment_matches_batch_exactly(self, spark, sf_dir):
+        """Streaming episode-id assignment == the batch
+        anomaly_episodes(attach=True) sessionization bit-for-bit on
+        full replay — the same two-numbers-of-state lag/cumsum
+        recurrence on both sides."""
+        from amonaly_detection_in_time_series_data_spark.operators.anomaly import (
+            anomaly_episodes,
+        )
+        from amonaly_detection_in_time_series_data_spark.streaming.rolling import (
+            replay_events_stream,
+            streaming_episode_assign,
+        )
+
+        stream = replay_events_stream(spark, sf_dir).withColumn(
+            "is_alert", (F.col("value") > 100).cast("int")
+        ).select("user_id", "event_id", "ts", "value", "is_alert")
+        out = streaming_episode_assign(
+            stream, gap_seconds=7200.0, timeout_minutes=None
+        )
+        _run_stream_to_memory(out, "episodes_s", "append")
+        streamed = {
+            r["event_id"]: r["episode_id"]
+            for r in spark.sql("SELECT * FROM episodes_s").collect()
+        }
+
+        ev = load_table(spark, sf_dir, "events").withColumn(
+            "is_alert", (F.col("value") > 100).cast("int")
+        )
+        batch = anomaly_episodes(
+            ev, ["user_id"], "ts", "is_alert", gap="2 hours",
+            order_tiebreak=["event_id"], attach=True,
+        )
+        expected = {
+            r["event_id"]: r["episode_id"] for r in batch.collect()
+        }
+        assert len(expected) > 0
+        # every alert row matches exactly; non-alert rows are null
+        n_alerts = 0
+        for eid, sid in streamed.items():
+            if eid in expected:
+                assert sid == expected[eid], eid
+                n_alerts += 1
+            else:
+                assert sid is None, eid
+        assert n_alerts == len(expected)
+        assert max(expected.values()) > 1  # segmentation isn't vacuous
