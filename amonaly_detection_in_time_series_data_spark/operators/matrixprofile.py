@@ -40,7 +40,14 @@ from collections.abc import Sequence
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["matrix_profile", "top_discords", "top_motifs", "stomp_numpy"]
+__all__ = [
+    "matrix_profile",
+    "top_discords",
+    "top_motifs",
+    "stomp_numpy",
+    "stomp_ab_numpy",
+    "mp_shape_search",
+]
 
 
 def _sliding_dot(query, series):
@@ -242,3 +249,162 @@ def top_motifs(
         .withColumn("motif_rank", F.row_number().over(w))
         .where(F.col("motif_rank") <= int(k))
     )
+
+
+def _window_stats(y, m):
+    """Two-pass sliding mean/sigma + exact flatness (see stomp_numpy)."""
+    import numpy as np
+
+    windows = np.lib.stride_tricks.sliding_window_view(y, m)
+    mu = windows.mean(axis=1)
+    centered = windows - mu[:, None]
+    sig = np.sqrt(np.einsum("ij,ij->i", centered, centered) / m)
+    flat = (windows.max(axis=1) - windows.min(axis=1)) == 0.0
+    return mu, np.where(flat, 0.0, np.maximum(sig, 1e-300)), flat
+
+
+def stomp_ab_numpy(query, ref, m, recompute_every=512):
+    """AB-join matrix profile: for every length-``m`` subsequence of
+    ``query``, the z-normalized Euclidean distance to its nearest
+    subsequence of ``ref`` (Matrix Profile I's join variant — no
+    exclusion zone, the series are different). Returns (dist, ref_pos)
+    arrays of length len(query) - m + 1; ``stomp_ab_numpy(y, y, m)``
+    is identically zero by construction."""
+    import numpy as np
+
+    q = np.asarray(query, dtype="float64")
+    r = np.asarray(ref, dtype="float64")
+    nq, nr = len(q), len(r)
+    if m < 3:
+        raise ValueError(f"stomp_ab: window must be >= 3, got {m}")
+    lq, lr = nq - m + 1, nr - m + 1
+    if lq < 1 or lr < 1:
+        return np.full(max(lq, 0), np.nan), np.full(max(lq, 0), -1, dtype="int64")
+    if np.isnan(q).any() or np.isnan(r).any():
+        raise ValueError("stomp_ab: null values in series (fill first)")
+    mu_q, sig_q, flat_q = _window_stats(q, m)
+    mu_r, sig_r, flat_r = _window_stats(r, m)
+
+    qt_first = _sliding_dot(q[:m], r)  # dot(q[0:m], r[j:j+m]) for all j
+    qt = qt_first.copy()
+    dist = np.empty(lq)
+    pos = np.empty(lq, dtype="int64")
+    sqrt_m = math.sqrt(m)
+    for i in range(lq):
+        if i > 0:
+            if recompute_every and i % recompute_every == 0:
+                qt = _sliding_dot(q[i : i + m], r)
+            else:
+                qt[1:] = qt[:-1] - r[: lr - 1] * q[i - 1] + r[m : m + lr - 1] * q[i + m - 1]
+                qt[0] = _first_col_ab(q, r, i, m, qt_first)
+        if flat_q[i]:
+            d = np.where(flat_r, 0.0, sqrt_m)
+        else:
+            corr = (qt - m * mu_q[i] * mu_r) / (m * sig_q[i] * sig_r)
+            d2 = 2.0 * m * (1.0 - corr)
+            d = np.sqrt(np.maximum(d2, 0.0))
+            d = np.where(flat_r, sqrt_m, d)
+        j = int(np.argmin(d))
+        dist[i] = d[j]
+        pos[i] = j
+    return dist, pos
+
+
+def _first_col_ab(q, r, i, m, qt_first):
+    """QT_i[0] = dot(q[i:i+m], r[0:m]) via the column recurrence
+    anchored on the exact first row is not available in the AB case
+    (qt_first indexes REF positions), so compute it directly —
+    O(m) per row, O(n*m) total, dominated by the O(n_q * n_r) join."""
+    import numpy as np
+
+    return float(np.dot(q[i : i + m], r[:m]))
+
+
+def mp_shape_search(
+    df: DataFrame,
+    ts_col: str,
+    value_col: str,
+    series_cols: Sequence[str],
+    refs: DataFrame,
+    ref_key: str,
+    window: int,
+    ref_ts_col: str | None = None,
+    ref_value_col: str | None = None,
+    max_refs: int = 256,
+) -> DataFrame:
+    """Shape search: for every (series, reference-template) pair, the
+    best z-normalized subsequence match — "has this reference shape
+    occurred in this series, where, and how closely".
+
+    Same bounded-broadcast contract as ``operators.dtw.dtw_match``:
+    the template library is collected driver-side (``max_refs``
+    enforced — unbounded all-pairs joins are refused by design), the
+    big side stays distributed, one ``applyInPandas`` per series.
+
+    Output: series keys + ``ref`` + ``best_dist`` (min AB-profile
+    value), ``query_pos`` (subsequence start index in the series, time
+    order), ``ref_pos`` (matching start in the reference) and
+    ``is_best`` (this series' closest template; smallest distance,
+    ties to lexicographic ref). Series shorter than ``window`` emit
+    null distances.
+    """
+    import numpy as _np
+
+    keys = list(series_cols)
+    rts = ref_ts_col or ts_col
+    rval = ref_value_col or value_col
+    ref_pdf = refs.select(ref_key, rts, rval).toPandas()
+    ref_names = sorted(ref_pdf[ref_key].unique().tolist())
+    if len(ref_names) == 0:
+        raise ValueError("mp_shape_search: refs is empty")
+    if len(ref_names) > int(max_refs):
+        raise ValueError(
+            f"mp_shape_search: {len(ref_names)} templates exceeds max_refs="
+            f"{max_refs} — raise it deliberately or use the LSH family"
+        )
+    m = int(window)
+    ref_arrays = {}
+    for name in ref_names:
+        g = ref_pdf[ref_pdf[ref_key] == name].sort_values(rts)
+        ref_arrays[str(name)] = g[rval].to_numpy(dtype="float64")
+
+    out_schema = (
+        ", ".join(f"`{k}` {df.schema[k].dataType.simpleString()}" for k in keys)
+        + ", ref string, best_dist double, query_pos int, ref_pos int"
+    )
+
+    def search(pdf):
+        import numpy as np
+        import pandas as pd
+
+        pdf = pdf.sort_values(ts_col).reset_index(drop=True)
+        y = pdf[value_col].to_numpy(dtype="float64")
+        first = pdf[keys].iloc[0]
+        rows = []
+        for name, arr in ref_arrays.items():
+            if len(y) < m or len(arr) < m:
+                rows.append(
+                    {**{k: first[k] for k in keys}, "ref": name,
+                     "best_dist": None, "query_pos": None, "ref_pos": None}
+                )
+                continue
+            dist, pos = stomp_ab_numpy(y, arr, m)
+            i = int(np.argmin(dist))
+            rows.append(
+                {**{k: first[k] for k in keys}, "ref": name,
+                 "best_dist": float(dist[i]), "query_pos": i,
+                 "ref_pos": int(pos[i])}
+            )
+        return pd.DataFrame(rows)
+
+    out = (
+        df.select(*keys, ts_col, value_col)
+        .groupBy(*keys)
+        .applyInPandas(search, out_schema)
+    )
+    from pyspark.sql import Window as W
+
+    w = W.partitionBy(*keys).orderBy(
+        F.col("best_dist").asc_nulls_last(), F.col("ref").asc()
+    )
+    return out.withColumn("is_best", F.row_number().over(w) == 1)

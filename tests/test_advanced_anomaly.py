@@ -668,3 +668,94 @@ class TestAnomalyEpisodes:
         assert (att.groupby("episode_id")["episode_n"].nunique() == 1).all()
         one = att[att.event_id == 1].iloc[0]
         assert one["episode_id"] == 1 and one["episode_peak"] == 9.0
+
+
+def _naive_ab(q, r, m):
+    lq, lr = len(q) - m + 1, len(r) - m + 1
+    dist = np.full(lq, np.inf)
+    pos = np.full(lq, -1)
+    for i in range(lq):
+        a = q[i : i + m]
+        sa = a.std()
+        for j in range(lr):
+            b = r[j : j + m]
+            sb = b.std()
+            if sa == 0 and sb == 0:
+                d = 0.0
+            elif sa == 0 or sb == 0:
+                d = math.sqrt(m)
+            else:
+                d = float(np.linalg.norm((a - a.mean()) / sa - (b - b.mean()) / sb))
+            if d < dist[i]:
+                dist[i], pos[i] = d, j
+    return dist, pos
+
+
+class TestShapeSearch:
+    def test_ab_matches_naive(self):
+        from amonaly_detection_in_time_series_data_spark.operators.matrixprofile import (
+            stomp_ab_numpy,
+        )
+
+        rng = np.random.default_rng(101)
+        q = np.cumsum(rng.normal(size=120))
+        r = np.cumsum(rng.normal(size=90))
+        dist, pos = stomp_ab_numpy(q, r, 12)
+        ref_d, _ = _naive_ab(q, r, 12)
+        np.testing.assert_allclose(dist, ref_d, rtol=1e-6, atol=1e-8)
+
+    def test_self_join_is_zero(self):
+        from amonaly_detection_in_time_series_data_spark.operators.matrixprofile import (
+            stomp_ab_numpy,
+        )
+
+        rng = np.random.default_rng(102)
+        y = rng.normal(size=80)
+        dist, pos = stomp_ab_numpy(y, y, 8)
+        np.testing.assert_allclose(dist, 0.0, atol=1e-6)
+        np.testing.assert_array_equal(pos, np.arange(len(dist)))
+
+    def test_spark_finds_planted_shape(self, spark):
+        from amonaly_detection_in_time_series_data_spark.operators.matrixprofile import (
+            mp_shape_search,
+            stomp_ab_numpy,
+        )
+
+        rng = np.random.default_rng(103)
+        shape = np.sin(np.arange(24) * 0.4) * 3
+        other = np.sign(np.sin(np.arange(24) * 0.4)) * 2
+        refs = _series_df(spark, {"wave": shape, "square": other}).withColumnRenamed(
+            "user_id", "tname"
+        )
+        s1 = rng.normal(0, 0.3, 150)
+        s1[60:84] = shape * 1.7 + 5 + rng.normal(0, 0.01, 24)  # scaled+shifted plant
+        s2 = rng.normal(0, 0.3, 150)
+        df = _series_df(spark, {"s1": s1, "s2": s2})
+        out = mp_shape_search(
+            df, "ts", "value", ["user_id"], refs, "tname", window=24
+        ).toPandas()
+        assert len(out) == 4
+        hit = out[(out.user_id == "s1") & (out.ref == "wave")].iloc[0]
+        assert hit["best_dist"] < 0.2  # z-norm kills the scale/shift
+        assert abs(hit["query_pos"] - 60) <= 1
+        assert bool(hit["is_best"])
+        miss = out[(out.user_id == "s2") & out.is_best].iloc[0]
+        assert miss["best_dist"] > 1.0  # noise matches nothing well
+        # parity with the kernel
+        d_ref, _ = stomp_ab_numpy(s1, shape, 24)
+        assert hit["best_dist"] == pytest.approx(float(d_ref.min()), rel=1e-9)
+
+    def test_short_series_null(self, spark):
+        from amonaly_detection_in_time_series_data_spark.operators.matrixprofile import (
+            mp_shape_search,
+        )
+
+        refs = _series_df(spark, {"t": np.sin(np.arange(30))}).withColumnRenamed(
+            "user_id", "tname"
+        )
+        df = _series_df(spark, {"tiny": [1.0, 2.0, 3.0]})
+        out = mp_shape_search(
+            df, "ts", "value", ["user_id"], refs, "tname", window=10
+        ).toPandas()
+        assert len(out) == 1
+        assert pd.isna(out["best_dist"].iloc[0])
