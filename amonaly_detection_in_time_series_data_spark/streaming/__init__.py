@@ -3,6 +3,7 @@ from .rolling import (
     replay_table_stream,
     sessionized_stats,
     streaming_dedup,
+    streaming_adwin,
     streaming_enrich,
     streaming_episode_assign,
     streaming_ewma_deviation,
@@ -29,6 +30,7 @@ __all__ = [
     "streaming_kalman_level",
     "streaming_dedup",
     "streaming_enrich",
+    "streaming_adwin",
     "streaming_episode_assign",
     "interval_join",
     "replay_events_stream",

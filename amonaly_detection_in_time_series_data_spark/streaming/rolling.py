@@ -857,6 +857,81 @@ def streaming_episode_assign(
     )
 
 
+def streaming_adwin(
+    events: DataFrame,
+    delta: float = 0.002,
+    max_buckets: int = 5,
+    timeout_minutes: int | None = 60,
+) -> DataFrame:
+    """Online ADWIN drift detection per user — the streaming face of
+    :func:`operators.adwin.adwin_changes`. ADWIN is a streaming
+    algorithm by construction: the persisted state IS its exponential
+    histogram (O(max_buckets * log n) bucket (sum, count) pairs), and
+    both sides run the SAME ``AdwinState`` code path over losslessly
+    round-tripped float64/int64 arrays, so replay equals the batch
+    operator BIT-for-bit (asserted exactly in the parity test).
+    """
+    import pandas as pd  # noqa: F401
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    from ..operators.adwin import AdwinState
+
+    out_schema = (
+        "user_id bigint, event_id bigint, ts timestamp, value double, "
+        "adwin_n bigint, adwin_mean double, adwin_change boolean"
+    )
+    state_schema = "sums array<double>, sqs array<double>, counts array<long>"
+
+    def run(key, pdf_iter, state):
+        import pandas as pd
+
+        if state.hasTimedOut:
+            state.remove()
+            return
+
+        (user_id,) = key
+        if state.exists:
+            sums, sqs, counts = state.get
+            st = AdwinState(delta=delta, max_buckets=max_buckets,
+                            sums=sums, sqs=sqs, counts=counts)
+        else:
+            st = AdwinState(delta=delta, max_buckets=max_buckets)
+        rows = []
+        for pdf in pdf_iter:
+            pdf = pdf.sort_values(["ts", "event_id"])
+            for _, r in pdf.iterrows():
+                v = float(r["value"])
+                changed = st.add(v)
+                rows.append(
+                    (user_id, int(r["event_id"]), r["ts"], v,
+                     st.n, st.mean(), changed)
+                )
+        state.update((list(st.sums), list(st.sqs), list(st.counts)))
+        if timeout_minutes is not None:
+            state.setTimeoutDuration(timeout_minutes * 60 * 1000)
+        yield pd.DataFrame(
+            rows,
+            columns=["user_id", "event_id", "ts", "value",
+                     "adwin_n", "adwin_mean", "adwin_change"],
+        )
+
+    return (
+        events.withWatermark("ts", "2 hours")
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            run,
+            outputStructType=out_schema,
+            stateStructType=state_schema,
+            outputMode="append",
+            timeoutConf=(
+                GroupStateTimeout.ProcessingTimeTimeout
+                if timeout_minutes is not None
+                else GroupStateTimeout.NoTimeout
+            ),
+        )
+    )
+
+
 def streaming_throttle_alerts(
     flagged: DataFrame,
     cooldown_seconds: float = 3600.0,

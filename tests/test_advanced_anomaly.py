@@ -759,3 +759,75 @@ class TestShapeSearch:
         ).toPandas()
         assert len(out) == 1
         assert pd.isna(out["best_dist"].iloc[0])
+
+
+class TestAdwin:
+    def test_stationary_rarely_cuts(self):
+        from amonaly_detection_in_time_series_data_spark.operators.adwin import AdwinState
+
+        rng = np.random.default_rng(111)
+        st = AdwinState(delta=0.002)
+        cuts = sum(st.add(x) for x in rng.normal(0, 1, 3000))
+        assert cuts <= 3  # delta-level false positives only
+        assert st.n > 1000  # the window grows on stationary data
+
+    def test_detects_mean_shift_and_adapts(self):
+        from amonaly_detection_in_time_series_data_spark.operators.adwin import AdwinState
+
+        rng = np.random.default_rng(112)
+        y = np.concatenate([rng.normal(0, 0.5, 500), rng.normal(3, 0.5, 500)])
+        st = AdwinState(delta=0.002)
+        first_cut = None
+        for i, x in enumerate(y):
+            if st.add(x) and first_cut is None and i >= 500:
+                first_cut = i
+        # detected within a reasonable delay after the shift...
+        assert first_cut is not None and first_cut - 500 < 100
+        # ...and the window mean converged to the NEW regime
+        assert st.mean() == pytest.approx(3.0, abs=0.2)
+
+    def test_memory_stays_logarithmic(self):
+        from amonaly_detection_in_time_series_data_spark.operators.adwin import AdwinState
+
+        rng = np.random.default_rng(113)
+        st = AdwinState(delta=0.002, max_buckets=5)
+        for x in rng.normal(size=20000):
+            st.add(x)
+        # O(max_buckets * log2 n) buckets; 5 * log2(2e4) ~ 72
+        assert len(st.counts) <= 5 * (int(math.log2(st.n)) + 2)
+        # exponential histogram invariants: counts are powers of two,
+        # non-decreasing from newest to oldest
+        assert all(c & (c - 1) == 0 for c in st.counts)
+        assert all(a <= b for a, b in zip(st.counts, st.counts[1:]))
+
+    def test_window_totals_consistent(self):
+        from amonaly_detection_in_time_series_data_spark.operators.adwin import AdwinState
+
+        rng = np.random.default_rng(114)
+        y = rng.normal(size=500)
+        st = AdwinState(delta=0.002)
+        for x in y:
+            st.add(x)
+        if st.n == len(y):  # no cut happened: totals must be exact
+            assert st.total == pytest.approx(y.sum(), rel=1e-12)
+
+    def test_spark_batch_operator(self, spark):
+        from amonaly_detection_in_time_series_data_spark.operators.adwin import (
+            AdwinState,
+            adwin_changes,
+        )
+
+        rng = np.random.default_rng(115)
+        ya = np.concatenate([rng.normal(0, 0.4, 300), rng.normal(5, 0.4, 300)])
+        yb = rng.normal(size=400)
+        df = _series_df(spark, {"a": ya, "b": yb})
+        out = adwin_changes(df, "ts", "value", ["user_id"]).toPandas()
+        a = out[out.user_id == "a"].sort_values("ts").reset_index(drop=True)
+        # driver-side replay must match the operator exactly
+        st = AdwinState(delta=0.002)
+        flags = [st.add(x) for x in ya]
+        np.testing.assert_array_equal(a["adwin_change"].to_numpy(), flags)
+        assert a["adwin_change"].iloc[290:400].any()
+        b = out[out.user_id == "b"]
+        assert int(b["adwin_change"].sum()) <= 2
+        assert len(out) == 1000

@@ -1056,3 +1056,38 @@ class TestStreamingEpisodes:
                 assert sid is None, eid
         assert n_alerts == len(expected)
         assert max(expected.values()) > 1  # segmentation isn't vacuous
+
+
+class TestStreamingAdwin:
+    def test_adwin_matches_batch_exactly(self, spark, sf_dir):
+        """Streaming ADWIN == batch adwin_changes bit-for-bit on full
+        replay — the persisted exponential histogram IS the algorithm's
+        whole state, and both sides run the same AdwinState code."""
+        from amonaly_detection_in_time_series_data_spark.operators.adwin import (
+            adwin_changes,
+        )
+        from amonaly_detection_in_time_series_data_spark.streaming.rolling import (
+            replay_events_stream,
+            streaming_adwin,
+        )
+
+        stream = replay_events_stream(spark, sf_dir)
+        out = streaming_adwin(stream, delta=0.01, timeout_minutes=None)
+        _run_stream_to_memory(out, "adwin_s", "append")
+        streamed = {
+            (r["user_id"], r["ts"]): (r["adwin_n"], r["adwin_mean"], r["adwin_change"])
+            for r in spark.sql("SELECT * FROM adwin_s").collect()
+        }
+
+        ev = load_table(spark, sf_dir, "events")
+        batch = adwin_changes(ev, "ts", "value", ["user_id"], delta=0.01)
+        expected = {
+            (r["user_id"], r["ts"]): (r["adwin_n"], r["adwin_mean"], r["adwin_change"])
+            for r in batch.collect()
+        }
+        assert len(streamed) == len(expected) > 0
+        for k, exp in expected.items():
+            got = streamed[k]
+            assert got[0] == exp[0], k
+            assert got[1] == exp[1], k  # exact, not approx
+            assert got[2] == exp[2], k
