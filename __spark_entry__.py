@@ -363,12 +363,49 @@ def q_dropna_any(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_time_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F1 time features. Merged r8 (late): per-user SAX word digest
+    (operators.sax — 16-row windows, 4-letter words, alphabet 4,
+    integer-exact z) — count + mod-summed md5 over every (win, word)
+    row, the sequences_digest convention, so the exact symbolic words
+    are value-hashed against the DuckDB twin."""
+    from amonaly_detection_in_time_series_data_spark.operators.sax import sax_words
+
     ev = _events(spark, sf_dir)
     feats = time_feature_exprs("ts")
+    sax = sax_words(
+        ev, "ts", "value", ["user_id"],
+        window_rows=16, word_len=4, alphabet_size=4,
+        order_tiebreak=["event_id"],
+    )
+    term = (
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat_ws(
+                        "|",
+                        F.lit("sax"),
+                        F.col("user_id").cast("string"),
+                        F.col("win").cast("string"),
+                        F.col("word"),
+                    )
+                ),
+                1,
+                15,
+            ),
+            16,
+            10,
+        ).cast("bigint")
+        % 1000000007
+    )
+    dig = sax.groupBy("user_id").agg(
+        F.count("*").alias("sax_n"),
+        F.sum(term).alias("sax_digest"),
+    )
     return ev.select(
         "event_id",
+        "user_id",
         *[v.cast("bigint").alias(k) for k, v in feats.items()],
-    )
+    ).join(F.broadcast(dig), "user_id", "left")
 
 
 def q_window_features(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2875,8 +2912,62 @@ SELECT event_id, user_id, value_n, props_n, mah_score,
 FROM scored
 """
 
-    sql["time_features"] = """
-SELECT event_id,
+    # SAX merge (r8 late): the z expression and symbol CASE come from
+    # the operator's own text (operators.sax) so both engines evaluate
+    # the identical IEEE tree over identical exact integers
+    from amonaly_detection_in_time_series_data_spark.operators.sax import (
+        _symbol_case as _sax_case,
+    )
+
+    _sax_z = (
+        "CASE WHEN (__N * __S2 - __S * __S) = 0 THEN cast(0 as double) ELSE "
+        "(cast(__segS as double) / __segN - cast(__S as double) / __N) / "
+        "(sqrt(cast(__N * __S2 - __S * __S as double)) / __N) END"
+    )
+    sql["time_features"] = f"""
+WITH d AS (
+  SELECT user_id, ts, event_id,
+         CAST(round(value * 100) AS BIGINT) AS __xi,
+         CAST(row_number() OVER (PARTITION BY user_id
+                                 ORDER BY ts ASC, event_id ASC) - 1
+              AS BIGINT) AS __rn
+  FROM events
+  WHERE CAST(round(value * 100) AS BIGINT) IS NOT NULL
+),
+d2 AS (SELECT *, __rn // 16 AS __win, (__rn % 16) // 4 AS __seg FROM d),
+segs AS (
+  SELECT user_id, __win, __seg, CAST(sum(__xi) AS BIGINT) AS __segS,
+         count(*) AS __segN
+  FROM d2 GROUP BY user_id, __win, __seg
+),
+ws AS (
+  SELECT user_id, __win, CAST(sum(__segS) AS BIGINT) AS __S,
+         CAST(sum(__segN) AS BIGINT) AS __N
+  FROM segs GROUP BY user_id, __win HAVING sum(__segN) = 16
+),
+sq AS (
+  SELECT user_id, __win, CAST(sum(__xi * __xi) AS BIGINT) AS __S2
+  FROM d2 GROUP BY user_id, __win
+),
+sym AS (
+  SELECT s.user_id, s.__win, s.__seg, {_sax_case(f"({_sax_z})", 4)} AS __sym
+  FROM segs s
+  JOIN ws ON s.user_id = ws.user_id AND s.__win = ws.__win
+  JOIN sq ON s.user_id = sq.user_id AND s.__win = sq.__win
+),
+words AS (
+  SELECT user_id, __win, string_agg(__sym, '' ORDER BY __seg) AS word
+  FROM sym GROUP BY user_id, __win
+),
+dig AS (
+  SELECT user_id, CAST(count(*) AS BIGINT) AS sax_n,
+         CAST(sum(CAST('0x' || substr(md5(
+               'sax|' || CAST(user_id AS VARCHAR) || '|' ||
+               CAST(__win AS VARCHAR) || '|' || word
+             ), 1, 15) AS BIGINT) % 1000000007) AS BIGINT) AS sax_digest
+  FROM words GROUP BY user_id
+)
+SELECT event_id, e.user_id,
        CAST(hour(ts) AS BIGINT) AS hour,
        CAST(isodow(ts) - 1 AS BIGINT) AS dayofweek,
        CAST(day(ts) AS BIGINT) AS dayofmonth,
@@ -2885,8 +2976,9 @@ SELECT event_id,
        CAST(year(ts) AS BIGINT) AS year,
        CAST(quarter(ts) AS BIGINT) AS quarter,
        CAST(week(ts) AS BIGINT) AS weekofyear,
-       CAST(isodow(ts) - 1 >= 5 AS BIGINT) AS is_weekend
-FROM events
+       CAST(isodow(ts) - 1 >= 5 AS BIGINT) AS is_weekend,
+       dig.sax_n, dig.sax_digest
+FROM events e LEFT JOIN dig ON e.user_id = dig.user_id
 """
 
     roll_cols = ",\n       ".join(

@@ -831,3 +831,61 @@ class TestAdwin:
         b = out[out.user_id == "b"]
         assert int(b["adwin_change"].sum()) <= 2
         assert len(out) == 1000
+
+
+class TestSax:
+    def _df(self, spark, vals):
+        return _series_df(spark, {"u": vals})
+
+    def test_hand_fixture(self, spark):
+        from amonaly_detection_in_time_series_data_spark.operators.sax import sax_words
+
+        # window [0,0,10,10,20,20,30,30]: mu=15, sigma=sqrt(125)
+        # seg z = (-15,-5,5,15)/11.18 -> a,b,c,d; then a flat window;
+        # then a partial window (dropped)
+        vals = [0, 0, 10, 10, 20, 20, 30, 30] + [7.0] * 8 + [1, 2, 3]
+        out = (
+            sax_words(self._df(spark, vals), "ts", "value", ["user_id"],
+                      window_rows=8, word_len=4, alphabet_size=4)
+            .toPandas()
+            .sort_values("win")
+            .reset_index(drop=True)
+        )
+        assert out["word"].tolist() == ["abcd", "cccc"]
+        assert len(out) == 2  # partial window dropped
+        assert out.loc[0, "win_start"] == dt.datetime(2024, 1, 1)
+
+    def test_monotone_window_is_sorted_word(self, spark):
+        from amonaly_detection_in_time_series_data_spark.operators.sax import sax_words
+
+        rng = np.random.default_rng(121)
+        vals = np.sort(rng.normal(size=16))
+        out = sax_words(self._df(spark, vals), "ts", "value", ["user_id"],
+                        window_rows=16, word_len=8, alphabet_size=6).toPandas()
+        w = out["word"].iloc[0]
+        assert list(w) == sorted(w)  # rising series -> nondecreasing letters
+        assert len(w) == 8
+
+    def test_partition_invariance_and_alphabet(self, spark):
+        from amonaly_detection_in_time_series_data_spark.operators.sax import sax_words
+
+        rng = np.random.default_rng(122)
+        df = _series_df(spark, {f"u{i}": rng.normal(size=64) for i in range(4)})
+        a = sax_words(df, "ts", "value", ["user_id"], 16, 4, 5).toPandas()
+        b = sax_words(df.repartition(11), "ts", "value", ["user_id"], 16, 4, 5).toPandas()
+        k = ["user_id", "win"]
+        pd.testing.assert_frame_equal(
+            a.sort_values(k).reset_index(drop=True),
+            b.sort_values(k).reset_index(drop=True),
+        )
+        assert set("".join(a["word"])) <= set("abcde")
+        assert len(a) == 4 * 4
+
+    def test_guards(self, spark):
+        from amonaly_detection_in_time_series_data_spark.operators.sax import sax_words
+
+        df = self._df(spark, [1.0] * 8)
+        with pytest.raises(ValueError, match="divisible"):
+            sax_words(df, "ts", "value", ["user_id"], window_rows=10, word_len=4)
+        with pytest.raises(ValueError, match="alphabet_size"):
+            sax_words(df, "ts", "value", ["user_id"], alphabet_size=17)
