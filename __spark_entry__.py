@@ -1350,7 +1350,51 @@ def q_typed_aggs(spark: SparkSession, sf_dir: str) -> DataFrame:
             }
         ).alias("bad_type_format"),
     )
-    return agg.crossJoin(F.broadcast(piv))
+    # Merged r8 (late): distribution moments from exact BIGINT power
+    # sums (operators.profiling.moment_features — skew/kurtosis doubles
+    # derived from identical integers, unrounded) and the Benford
+    # first-digit audit (chi-square total + full digit-row digest),
+    # both per event_type on the same grain.
+    from amonaly_detection_in_time_series_data_spark.operators.profiling import (
+        benford_report,
+        moment_features,
+    )
+
+    mom = moment_features(ev, "value", ["event_type"], digits=1)
+    bf = benford_report(ev, "value", ["event_type"], digits=2)
+    bterm = (
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat_ws(
+                        "|",
+                        F.lit("bf"),
+                        F.col("event_type"),
+                        F.col("digit").cast("string"),
+                        F.col("bf_n").cast("string"),
+                    )
+                ),
+                1,
+                15,
+            ),
+            16,
+            10,
+        ).cast("bigint")
+        % 1000000007
+    )
+    # chi2 total is a 9-term FLOAT sum — order-sensitive at the ulp, so
+    # round(6) on both sides (the exact per-digit terms are separately
+    # pinned through the digit digest, which is pure integers)
+    bfa = bf.groupBy("event_type").agg(
+        F.round(F.sum("bf_chi2_term"), 6).alias("benford_chi2"),
+        F.count("*").alias("benford_digits"),
+        F.sum(bterm).alias("benford_digest"),
+    )
+    return (
+        agg.crossJoin(F.broadcast(piv))
+        .join(F.broadcast(mom), "event_type")
+        .join(F.broadcast(bfa), "event_type")
+    )
 
 
 def q_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3563,7 +3607,19 @@ JOIN (
 ) AS b ON c.cohort = b.cohort
 """
 
-    sql["typed_aggs"] = """
+    # moments + Benford fragments come from the operator's own SQL text
+    # (operators.profiling) so both engines build identical IEEE trees
+    from amonaly_detection_in_time_series_data_spark.operators.profiling import (
+        _benford_text as _bf_text,
+    )
+    from amonaly_detection_in_time_series_data_spark.operators.profiling import (
+        _moment_text as _mom_text,
+    )
+
+    _mom = _mom_text()
+    _bf_p_case, _bf_chi2 = _bf_text()
+    _bf_chi2_sub = _bf_chi2.replace("__p", f"({_bf_p_case})")
+    sql["typed_aggs"] = f"""
 WITH scored AS (
   SELECT CASE WHEN event_id % 50 = 0 THEN NULL
               ELSE CAST(value > 200 AS INT) END AS lbl,
@@ -3591,7 +3647,67 @@ mx AS (
          lo_tp / nullif(lo_tp + lo_fp, 0) AS lo_p,
          lo_tp / nullif(lo_tp + lo_fn, 0) AS lo_r
   FROM m
-)
+),
+-- moments + Benford (merged r8): exact BIGINT power sums / digit
+-- counts; the double derivations use the operator's own SQL text
+momsums AS (
+  SELECT event_type, count(*) AS __n,
+         CAST(sum(__xi) AS BIGINT) AS __s1,
+         CAST(sum(__xi * __xi) AS BIGINT) AS __s2,
+         CAST(sum(__xi * __xi * __xi) AS BIGINT) AS __s3,
+         CAST(sum(__xi * __xi * __xi * __xi) AS BIGINT) AS __s4
+  FROM (SELECT event_type, CAST(round(value * 10) AS BIGINT) AS __xi FROM events)
+  WHERE __xi IS NOT NULL
+  GROUP BY event_type
+),
+momf AS (
+  SELECT event_type, __n AS mom_n,
+         {_mom['mu']} / cast(10 as double) AS mom_mean,
+         sqrt({_mom['m2']}) / cast(10 as double) AS mom_std,
+         {_mom['skew']} AS mom_skew,
+         {_mom['exkurt']} AS mom_exkurt
+  FROM momsums
+),
+bfdig AS (
+  SELECT event_type,
+         CAST(substring(CAST(__xi AS VARCHAR), 1, 1) AS INT) AS __digit
+  FROM (SELECT event_type, CAST(round(value * 100) AS BIGINT) AS __xi FROM events)
+  WHERE __xi IS NOT NULL AND __xi > 0
+),
+bfgrid AS (
+  SELECT t.event_type, d.__digit
+  FROM (SELECT DISTINCT event_type FROM bfdig) t
+  CROSS JOIN (SELECT CAST(unnest(range(1, 10)) AS INT) AS __digit) d
+),
+bfc AS (
+  SELECT g.event_type, g.__digit,
+         CAST(coalesce(c.__nd, 0) AS BIGINT) AS __nd
+  FROM bfgrid g
+  LEFT JOIN (SELECT event_type, __digit, count(*) AS __nd
+             FROM bfdig GROUP BY event_type, __digit) c
+    ON g.event_type = c.event_type AND g.__digit = c.__digit
+),
+bft AS (
+  SELECT event_type, CAST(sum(__nd) AS BIGINT) AS __ntot
+  FROM bfc GROUP BY event_type
+),
+bfterm AS (
+  SELECT b.event_type, b.__digit, b.__nd,
+         CASE WHEN t.__ntot > 0 THEN {_bf_chi2_sub} END AS term
+  FROM bfc b JOIN bft t ON b.event_type = t.event_type
+),
+bfa AS (
+  SELECT event_type,
+         round(sum(term), 6) AS benford_chi2,
+         CAST(count(*) AS BIGINT) AS benford_digits,
+         CAST(sum(CAST('0x' || substr(md5(
+               'bf|' || event_type || '|' ||
+               CAST(__digit AS VARCHAR) || '|' ||
+               CAST(__nd AS VARCHAR)
+             ), 1, 15) AS BIGINT) % 1000000007) AS BIGINT) AS benford_digest
+  FROM bfterm GROUP BY event_type
+),
+base AS (
 SELECT event_type,
        round(quantile_cont(value, 0.5), 6) AS p50,
        round(quantile_cont(value, 0.9), 6) AS p90,
@@ -3613,6 +3729,13 @@ SELECT event_type,
 FROM events, mx
 GROUP BY event_type, hi_tp, hi_fp, hi_fn, hi_tn, hi_p, hi_r,
          lo_tp, lo_fp, lo_fn, lo_tn, lo_p, lo_r
+)
+SELECT base.*, momf.mom_n, momf.mom_mean, momf.mom_std, momf.mom_skew,
+       momf.mom_exkurt, bfa.benford_chi2, bfa.benford_digits,
+       bfa.benford_digest
+FROM base
+JOIN momf ON base.event_type = momf.event_type
+JOIN bfa ON base.event_type = bfa.event_type
 """
 
     sql["doc_dedup_exact"] = f"""

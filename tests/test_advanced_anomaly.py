@@ -889,3 +889,77 @@ class TestSax:
             sax_words(df, "ts", "value", ["user_id"], window_rows=10, word_len=4)
         with pytest.raises(ValueError, match="alphabet_size"):
             sax_words(df, "ts", "value", ["user_id"], alphabet_size=17)
+
+
+class TestProfiling:
+    def test_moments_match_numpy(self, spark):
+        from amonaly_detection_in_time_series_data_spark.operators.profiling import (
+            moment_features,
+        )
+
+        rng = np.random.default_rng(131)
+        x = np.round(rng.lognormal(1.0, 0.6, 4000), 1)  # on the deci-grid: snap exact
+        g = np.where(np.arange(4000) % 2 == 0, "a", "b")
+        df = spark.createDataFrame(pd.DataFrame({"g": g, "v": x}))
+        out = moment_features(df, "v", ["g"], digits=1).toPandas().set_index("g")
+        for grp in ("a", "b"):
+            xs = x[g == grp]
+            mu = xs.mean()
+            m2 = ((xs - mu) ** 2).mean()
+            m3 = ((xs - mu) ** 3).mean()
+            m4 = ((xs - mu) ** 4).mean()
+            r = out.loc[grp]
+            assert r["mom_n"] == len(xs)
+            assert r["mom_mean"] == pytest.approx(mu, rel=1e-9)
+            assert r["mom_std"] == pytest.approx(math.sqrt(m2), rel=1e-9)
+            assert r["mom_skew"] == pytest.approx(m3 / m2 ** 1.5, rel=1e-6)
+            assert r["mom_exkurt"] == pytest.approx(m4 / m2 ** 2 - 3, rel=1e-6)
+        # lognormal is right-skewed and heavy-tailed
+        assert (out["mom_skew"] > 0.5).all()
+
+    def test_moments_constant_group(self, spark):
+        from amonaly_detection_in_time_series_data_spark.operators.profiling import (
+            moment_features,
+        )
+
+        df = spark.createDataFrame(pd.DataFrame({"v": [4.2] * 10}))
+        r = moment_features(df, "v", digits=1).toPandas().iloc[0]
+        assert r["mom_mean"] == pytest.approx(4.2)
+        assert r["mom_std"] == 0.0
+        assert pd.isna(r["mom_skew"]) and pd.isna(r["mom_exkurt"])
+
+    def test_benford_conforms_and_rejects(self, spark):
+        from amonaly_detection_in_time_series_data_spark.operators.profiling import (
+            benford_report,
+        )
+
+        rng = np.random.default_rng(132)
+        # log-uniform over 4 decades IS Benford-distributed
+        conform = 10 ** rng.uniform(0, 4, 20000)
+        # uniform[1, 10) is max-non-Benford (every digit equally likely)
+        reject = rng.uniform(1, 10, 20000)
+        dfc = spark.createDataFrame(pd.DataFrame({"v": conform}))
+        dfr = spark.createDataFrame(pd.DataFrame({"v": reject}))
+        chi_c = benford_report(dfc, "v").toPandas()["bf_chi2_term"].sum()
+        chi_r = benford_report(dfr, "v").toPandas()["bf_chi2_term"].sum()
+        # chi2(8) 0.999 quantile ~ 26.12
+        assert chi_c < 26.12
+        assert chi_r > 1000
+
+    def test_benford_rows_and_probs(self, spark):
+        from amonaly_detection_in_time_series_data_spark.operators.profiling import (
+            BENFORD_P,
+            benford_report,
+        )
+
+        df = spark.createDataFrame(pd.DataFrame({"v": [1.0, 1.5, 200.0, 0.0, -3.0]}))
+        out = benford_report(df, "v").toPandas().sort_values("digit")
+        assert len(out) == 9  # all digits present even at n=0
+        assert out["bf_n"].sum() == 3  # 0 and negatives excluded
+        byd = out.set_index("digit")
+        assert byd.loc[1, "bf_n"] == 2 and byd.loc[2, "bf_n"] == 1
+        assert byd.loc[9, "bf_n"] == 0
+        assert sum(BENFORD_P.values()) == pytest.approx(1.0, abs=1e-9)
+        np.testing.assert_allclose(
+            out["bf_p"].to_numpy(), [BENFORD_P[d] for d in range(1, 10)]
+        )
