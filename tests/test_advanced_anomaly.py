@@ -963,3 +963,78 @@ class TestProfiling:
         np.testing.assert_allclose(
             out["bf_p"].to_numpy(), [BENFORD_P[d] for d in range(1, 10)]
         )
+
+
+class TestSTL:
+    def test_loess_exact_on_linear(self):
+        from amonaly_detection_in_time_series_data_spark.operators.stl import loess_numpy
+
+        y = 3.0 * np.arange(50) + 2
+        np.testing.assert_allclose(loess_numpy(y, 11), y, rtol=1e-10)
+        # robustness weights don't change an exact fit
+        np.testing.assert_allclose(
+            loess_numpy(y, 11, rho=np.linspace(0.2, 1, 50)), y, rtol=1e-8
+        )
+
+    def test_recovers_planted_structure(self):
+        from amonaly_detection_in_time_series_data_spark.operators.stl import stl_numpy
+
+        rng = np.random.default_rng(141)
+        n, m = 480, 24
+        t = np.arange(n)
+        trend = 0.02 * t
+        seas = 3 * np.sin(2 * np.pi * t / m)
+        y = trend + seas + rng.normal(0, 0.3, n)
+        s, tr, r = stl_numpy(y, m)
+        assert np.corrcoef(s, seas)[0, 1] > 0.99
+        assert np.corrcoef(tr, trend)[0, 1] > 0.99
+        assert r.std() < 0.45  # noise-level residuals
+        np.testing.assert_allclose(s + tr + r, y, atol=1e-12)  # exact identity
+
+    def test_robust_to_spike(self):
+        from amonaly_detection_in_time_series_data_spark.operators.stl import stl_numpy
+
+        rng = np.random.default_rng(142)
+        n, m = 480, 24
+        t = np.arange(n)
+        y = 0.02 * t + 3 * np.sin(2 * np.pi * t / m) + rng.normal(0, 0.3, n)
+        s1, t1, _ = stl_numpy(y, m, n_outer=2)
+        y2 = y.copy()
+        y2[200] += 50.0
+        s2, t2, r2 = stl_numpy(y2, m, n_outer=2)
+        # the spike lands in the RESIDUAL, not in trend/seasonal
+        assert r2[200] > 45.0
+        assert np.abs(t2 - t1).max() < 0.5
+        assert np.abs(s2 - s1).max() < 2.0
+
+    def test_too_short_series_contract(self):
+        from amonaly_detection_in_time_series_data_spark.operators.stl import stl_numpy
+
+        y = np.arange(10.0)
+        s, tr, r = stl_numpy(y, 24)
+        np.testing.assert_allclose(s, 0.0)
+        np.testing.assert_allclose(s + tr + r, y, atol=1e-12)
+
+    def test_spark_matches_kernel_and_flags(self, spark):
+        from amonaly_detection_in_time_series_data_spark.operators.stl import (
+            stl_decompose,
+            stl_numpy,
+        )
+
+        rng = np.random.default_rng(143)
+        t = np.arange(240)
+        ya = 2 * np.sin(2 * np.pi * t / 24) + 0.01 * t + rng.normal(0, 0.2, 240)
+        ya[150] += 6.0
+        df = _series_df(spark, {"a": ya, "b": rng.normal(0, 1, 100)})
+        out = stl_decompose(df, "ts", "value", ["user_id"], period=24).toPandas()
+        a = out[out.user_id == "a"].sort_values("ts").reset_index(drop=True)
+        s_ref, t_ref, r_ref = stl_numpy(ya, 24)
+        np.testing.assert_allclose(a["stl_seasonal"], s_ref, rtol=1e-12, atol=1e-12)
+        np.testing.assert_allclose(a["stl_trend"], t_ref, rtol=1e-12, atol=1e-12)
+        assert bool(a.loc[150, "stl_flag"])
+        assert a["stl_flag"].sum() <= 5
+        # the decomposition columns reconstruct the value exactly
+        np.testing.assert_allclose(
+            a["stl_seasonal"] + a["stl_trend"] + a["stl_resid"],
+            a["value"], atol=1e-9,
+        )
