@@ -932,6 +932,80 @@ def streaming_adwin(
     )
 
 
+def streaming_quantiles(
+    events: DataFrame,
+    quantiles: tuple[float, ...] = (0.5, 0.95, 0.99),
+    eps: float = 0.01,
+    timeout_minutes: int | None = 60,
+) -> DataFrame:
+    """Online per-user epsilon-approximate quantiles via a persisted
+    Greenwald-Khanna sketch (:mod:`operators.gk`) — the
+    p99-per-service monitoring shape the batch ``percentile`` /
+    ``approx_percentile`` cannot maintain incrementally. Each row
+    emits the CURRENT estimates after folding its value in; state is
+    the sketch's tuple arrays, O((1/eps) log(eps n)) per key with the
+    paper's rank-error guarantee (asserted against exact quantiles on
+    replay in the parity test)."""
+    import pandas as pd  # noqa: F401
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    from ..operators.gk import GKSketch
+
+    qs = [float(q) for q in quantiles]
+    qcols = [f"q{str(q).replace('.', '_')}" for q in qs]
+    out_schema = (
+        "user_id bigint, event_id bigint, ts timestamp, value double, "
+        + ", ".join(f"{c} double" for c in qcols)
+    )
+    state_schema = "vs array<double>, gs array<long>, ds array<long>, n long"
+
+    def run(key, pdf_iter, state):
+        import pandas as pd
+
+        if state.hasTimedOut:
+            state.remove()
+            return
+
+        (user_id,) = key
+        if state.exists:
+            vs, gs, ds, n = state.get
+            sk = GKSketch(eps=eps, vs=vs, gs=gs, ds=ds, n=n)
+        else:
+            sk = GKSketch(eps=eps)
+        rows = []
+        for pdf in pdf_iter:
+            pdf = pdf.sort_values(["ts", "event_id"])
+            for _, r in pdf.iterrows():
+                v = float(r["value"])
+                sk.insert(v)
+                rows.append(
+                    (user_id, int(r["event_id"]), r["ts"], v,
+                     *[sk.query(q) for q in qs])
+                )
+        state.update((list(sk.vs), list(sk.gs), list(sk.ds), sk.n))
+        if timeout_minutes is not None:
+            state.setTimeoutDuration(timeout_minutes * 60 * 1000)
+        yield pd.DataFrame(
+            rows, columns=["user_id", "event_id", "ts", "value", *qcols]
+        )
+
+    return (
+        events.withWatermark("ts", "2 hours")
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            run,
+            outputStructType=out_schema,
+            stateStructType=state_schema,
+            outputMode="append",
+            timeoutConf=(
+                GroupStateTimeout.ProcessingTimeTimeout
+                if timeout_minutes is not None
+                else GroupStateTimeout.NoTimeout
+            ),
+        )
+    )
+
+
 def streaming_throttle_alerts(
     flagged: DataFrame,
     cooldown_seconds: float = 3600.0,

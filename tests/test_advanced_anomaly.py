@@ -1038,3 +1038,54 @@ class TestSTL:
             a["stl_seasonal"] + a["stl_trend"] + a["stl_resid"],
             a["value"], atol=1e-9,
         )
+
+
+class TestGKSketch:
+    def test_rank_error_guarantee_and_size(self):
+        from amonaly_detection_in_time_series_data_spark.operators.gk import GKSketch
+
+        for seed in range(3):
+            rng = np.random.default_rng(seed)
+            data = rng.lognormal(0, 1, 20000)
+            sk = GKSketch(eps=0.01)
+            for x in data:
+                sk.insert(x)
+            srt = np.sort(data)
+            for q in (0.01, 0.1, 0.5, 0.9, 0.99):
+                est = sk.query(q)
+                rank = np.searchsorted(srt, est, side="right")
+                assert abs(rank - math.ceil(q * len(data))) <= 0.01 * len(data) + 1
+            # GK space bound: O((1/eps) log(eps n)) — generous constant
+            assert sk.size() < (1 / 0.01) * math.log2(0.01 * len(data) + 2) * 2
+            assert sum(sk.gs) == sk.n == len(data)
+
+    def test_gk_invariant_and_adversarial_order(self):
+        from amonaly_detection_in_time_series_data_spark.operators.gk import GKSketch
+
+        # sorted and reverse-sorted inserts are the classic adversaries
+        for order in (range(5000), reversed(range(5000))):
+            sk = GKSketch(eps=0.02)
+            for x in order:
+                sk.insert(float(x))
+            cap = math.floor(2 * 0.02 * sk.n)
+            assert all(g + d <= cap + 1 for g, d in zip(sk.gs, sk.ds))
+            assert abs(sk.query(0.5) - 2500) <= 0.02 * 5000 + 1
+            assert sk.query(0.0) == 0.0 or sk.query(0.0) <= 0.02 * 5000
+
+    def test_state_roundtrip(self):
+        from amonaly_detection_in_time_series_data_spark.operators.gk import GKSketch
+
+        rng = np.random.default_rng(7)
+        a = rng.normal(size=3000)
+        sk = GKSketch(eps=0.01)
+        for x in a[:1500]:
+            sk.insert(x)
+        # serialize/deserialize mid-stream (the streaming twin's path)
+        sk2 = GKSketch(eps=0.01, vs=sk.vs, gs=sk.gs, ds=sk.ds, n=sk.n)
+        for x in a[1500:]:
+            sk2.insert(x)
+        srt = np.sort(a)
+        for q in (0.1, 0.5, 0.9):
+            est = sk2.query(q)
+            rank = np.searchsorted(srt, est, side="right")
+            assert abs(rank - math.ceil(q * 3000)) <= 0.01 * 3000 + 1

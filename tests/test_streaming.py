@@ -1091,3 +1091,45 @@ class TestStreamingAdwin:
             assert got[0] == exp[0], k
             assert got[1] == exp[1], k  # exact, not approx
             assert got[2] == exp[2], k
+
+
+class TestStreamingQuantiles:
+    def test_gk_stream_meets_rank_guarantee(self, spark, sf_dir):
+        """Per-key streaming quantiles: the final emitted estimates per
+        user must sit within eps*n RANK error of the exact per-user
+        quantiles of the fully replayed data — the GK guarantee carried
+        across state round-trips."""
+        import numpy as np
+
+        from amonaly_detection_in_time_series_data_spark.streaming.rolling import (
+            replay_events_stream,
+            streaming_quantiles,
+        )
+
+        eps = 0.02
+        stream = replay_events_stream(spark, sf_dir)
+        out = streaming_quantiles(
+            stream, quantiles=(0.5, 0.9), eps=eps, timeout_minutes=None
+        )
+        _run_stream_to_memory(out, "gkq", "append")
+        rows = spark.sql(
+            "SELECT user_id, ts, q0_5, q0_9 FROM gkq"
+        ).collect()
+        # last emission per user = the full-replay sketch state
+        last = {}
+        for r in rows:
+            k = r["user_id"]
+            if k not in last or r["ts"] > last[k][0]:
+                last[k] = (r["ts"], r["q0_5"], r["q0_9"])
+
+        ev = load_table(spark, sf_dir, "events").select("user_id", "value").collect()
+        by_user = {}
+        for r in ev:
+            by_user.setdefault(r["user_id"], []).append(r["value"])
+        assert len(last) == len(by_user) > 0
+        for u, vals in by_user.items():
+            srt = np.sort(np.array(vals, dtype="float64"))
+            n = len(srt)
+            for q, est in ((0.5, last[u][1]), (0.9, last[u][2])):
+                rank = np.searchsorted(srt, est, side="right")
+                assert abs(rank - math.ceil(q * n)) <= eps * n + 1, (u, q)
