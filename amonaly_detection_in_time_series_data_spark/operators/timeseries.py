@@ -885,27 +885,140 @@ def forecast_selector(
             .agg(F.max_by("hw_mae", F.col(ts_col)).alias(out))
         )
 
+    th_final = (
+        theta_forecast(df, ts_col, value_col, keys)
+        .groupBy(*keys)
+        .agg(F.max_by("theta_mae", F.col(ts_col)).alias("theta_mae"))
+    )
     j = (
         nv_final.join(final_mae(1.0, "hw_mae"), keys, "left")
         .join(final_mae(phi, "hw_damped_mae"), keys, "left")
+        .join(th_final, keys, "left")
     )
-    naive, hw_m, dm = (
-        F.col("naive_mae"), F.col("hw_mae"), F.col("hw_damped_mae")
+    naive, hw_m, dm, th = (
+        F.col("naive_mae"), F.col("hw_mae"), F.col("hw_damped_mae"),
+        F.col("theta_mae"),
     )
     # best HW form: damped wins ties (least extrapolation)
     best_is_damped = dm.isNotNull() & (hw_m.isNull() | (dm <= hw_m))
     best_hw = F.when(best_is_damped, dm).otherwise(hw_m)
-    hw_wins = best_hw.isNotNull() & naive.isNotNull() & (best_hw < naive)
+    # r8 fourth candidate: theta (non-seasonal SES-with-drift); the
+    # challenger is the best non-naive model, ties to the simpler theta
+    chal_is_theta = th.isNotNull() & (best_hw.isNull() | (th <= best_hw))
+    chal = F.least(best_hw, th)
+    wins = chal.isNotNull() & naive.isNotNull() & (chal < naive)
     return j.select(
         *keys,
         "naive_mae",
         "hw_mae",
         "hw_damped_mae",
-        F.when(
-            hw_wins & best_is_damped, F.lit("holt_winters_damped")
-        )
-        .when(hw_wins, F.lit("holt_winters"))
+        "theta_mae",
+        F.when(wins & chal_is_theta, F.lit("theta"))
+        .when(wins & best_is_damped, F.lit("holt_winters_damped"))
+        .when(wins, F.lit("holt_winters"))
         .otherwise(F.lit("naive"))
         .alias("chosen"),
-        (best_hw / F.nullif(naive, F.lit(0.0))).alias("mae_ratio"),
+        (chal / F.nullif(naive, F.lit(0.0))).alias("mae_ratio"),
+    )
+
+
+def theta_forecast(
+    df: DataFrame,
+    ts_col: str,
+    value_col: str,
+    series_cols: Sequence[str],
+    alpha: float = 0.2,
+    min_points: int = 3,
+) -> DataFrame:
+    """Theta-method one-step forecasts (Assimakopoulos & Nikolopoulos,
+    IJF 2000; Hyndman & Billah, IJF 2003 show the classical two-line
+    theta is SES-with-drift): the M3-competition-winning non-seasonal
+    baseline between seasonal-naive and Holt-Winters in the family.
+
+    Classical two-line form, made strictly CAUSAL for the in-sample
+    backtest (the textbook version fits the theta-0 line on the whole
+    series — a look-ahead the expanding backtest must not have):
+    at each step the theta-0 line is the EXPANDING OLS fit of the past,
+    the theta-2 value ``z_t = 2*y_t - line_t`` uses the line available
+    at its own time, SES (parameter ``alpha``) runs over those z's, and
+    the one-step forecast is the average of the extrapolated line and
+    the SES state — ``(line + z_hat)/2``, consistent with
+    ``y = (L0 + Z)/2`` by construction.
+
+    Output per row: ``theta_forecast`` (null for the first
+    ``min_points`` rows — no line yet), ``abs_err``, ``theta_mae``
+    (expanding backtest mean — directly comparable to ``naive_mae`` /
+    ``hw_mae``). Sequential per series: one Arrow ``applyInPandas``
+    per group, O(1) state (five OLS sums + the SES scalar).
+    """
+    if not 0.0 < alpha < 1.0:
+        raise ValueError(f"theta_forecast: alpha must be in (0,1), got {alpha}")
+    if min_points < 3:
+        raise ValueError(f"theta_forecast: min_points must be >= 3, got {min_points}")
+    keys = list(series_cols)
+    out_schema = (
+        ", ".join(f"`{k}` {df.schema[k].dataType.simpleString()}" for k in keys)
+        + f", `{ts_col}` {df.schema[ts_col].dataType.simpleString()}"
+        + f", `{value_col}` {df.schema[value_col].dataType.simpleString()}"
+        + ", theta_forecast double, abs_err double, theta_mae double"
+    )
+    a = float(alpha)
+    mp = int(min_points)
+
+    def fit(pdf):
+        import numpy as np
+        import pandas as pd
+
+        pdf = pdf.sort_values(ts_col).reset_index(drop=True)
+        y = pdf[value_col].to_numpy(dtype="float64")
+        n = len(y)
+        if np.isnan(y).any():
+            raise ValueError("theta_forecast: null values in series (fill first)")
+        fc = np.full(n, np.nan)
+        err = np.full(n, np.nan)
+        mae = np.full(n, np.nan)
+        sx = sy = sxx = sxy = 0.0
+        cnt = 0
+        ses = y[0] if n else 0.0
+        err_sum = 0.0
+        err_n = 0
+        for t in range(n):
+            if cnt >= mp:
+                det = cnt * sxx - sx * sx
+                if det > 0:
+                    b = (cnt * sxy - sx * sy) / det
+                    a0 = (sy - b * sx) / cnt
+                    line_t = a0 + b * t
+                    fc[t] = 0.5 * (line_t + ses)
+                    err[t] = abs(y[t] - fc[t])
+                    err_sum += err[t]
+                    err_n += 1
+                    z_t = 2.0 * y[t] - line_t
+                else:
+                    z_t = y[t]
+            else:
+                z_t = y[t]
+            ses = a * z_t + (1.0 - a) * ses
+            sx += t
+            sy += y[t]
+            sxx += t * t
+            sxy += t * y[t]
+            cnt += 1
+            if err_n:
+                mae[t] = err_sum / err_n
+        return pd.DataFrame(
+            {
+                **{k: pdf[k].to_numpy() for k in keys},
+                ts_col: pdf[ts_col].to_numpy(),
+                value_col: pdf[value_col].to_numpy(),
+                "theta_forecast": fc,
+                "abs_err": err,
+                "theta_mae": mae,
+            }
+        )
+
+    return (
+        df.select(*keys, ts_col, value_col)
+        .groupBy(*keys)
+        .applyInPandas(fit, out_schema)
     )

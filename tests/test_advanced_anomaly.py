@@ -1089,3 +1089,79 @@ class TestGKSketch:
             est = sk2.query(q)
             rank = np.searchsorted(srt, est, side="right")
             assert abs(rank - math.ceil(q * 3000)) <= 0.01 * 3000 + 1
+
+
+class TestTheta:
+    def _ref(self, y, alpha=0.2, mp=3):
+        """Independent causal theta recursion."""
+        n = len(y)
+        fc = [None] * n
+        sx = sy = sxx = sxy = 0.0
+        cnt = 0
+        ses = y[0]
+        for t in range(n):
+            if cnt >= mp:
+                det = cnt * sxx - sx * sx
+                if det > 0:
+                    b = (cnt * sxy - sx * sy) / det
+                    a0 = (sy - b * sx) / cnt
+                    line = a0 + b * t
+                    fc[t] = 0.5 * (line + ses)
+                    z = 2 * y[t] - line
+                else:
+                    z = y[t]
+            else:
+                z = y[t]
+            ses = alpha * z + (1 - alpha) * ses
+            sx += t; sy += y[t]; sxx += t * t; sxy += t * y[t]
+            cnt += 1
+        return fc
+
+    def test_matches_independent_recursion(self, spark):
+        from amonaly_detection_in_time_series_data_spark.operators.timeseries import (
+            theta_forecast,
+        )
+
+        rng = np.random.default_rng(151)
+        y = np.cumsum(rng.normal(0.5, 1.0, 60))
+        df = _series_df(spark, {"s": y})
+        out = (
+            theta_forecast(df, "ts", "value", ["user_id"])
+            .toPandas().sort_values("ts").reset_index(drop=True)
+        )
+        ref = self._ref(list(y))
+        for t in range(60):
+            if ref[t] is None:
+                assert pd.isna(out.loc[t, "theta_forecast"])
+            else:
+                assert out.loc[t, "theta_forecast"] == pytest.approx(ref[t], rel=1e-12)
+
+    def test_beats_naive_on_drift(self, spark):
+        from amonaly_detection_in_time_series_data_spark.operators.timeseries import (
+            forecast_selector,
+            theta_forecast,
+        )
+
+        rng = np.random.default_rng(152)
+        y = 0.8 * np.arange(120) + rng.normal(0, 0.5, 120)  # pure drift
+        df = _series_df(spark, {"s": y})
+        th = (
+            theta_forecast(df, "ts", "value", ["user_id"])
+            .toPandas().sort_values("ts")["theta_mae"].iloc[-1]
+        )
+        sel = forecast_selector(df, "ts", "value", ["user_id"], season_rows=4).collect()[0]
+        assert th == pytest.approx(sel["theta_mae"], rel=1e-9)
+        assert sel["theta_mae"] < sel["naive_mae"]
+        # chosen is the argmin of the non-naive challengers vs naive
+        cands = {
+            "theta": sel["theta_mae"],
+            "holt_winters": sel["hw_mae"],
+            "holt_winters_damped": sel["hw_damped_mae"],
+        }
+        best = min((v, k) for k, v in cands.items() if v is not None)
+        expect = best[1] if best[0] < sel["naive_mae"] else "naive"
+        if expect == "holt_winters_damped" and cands["holt_winters_damped"] == cands["holt_winters"]:
+            pass  # tie convention handled inside
+        assert sel["chosen"] == expect or (
+            expect != "theta" and sel["chosen"] in ("holt_winters", "holt_winters_damped")
+        )
