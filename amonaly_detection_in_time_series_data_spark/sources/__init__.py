@@ -8,8 +8,10 @@ from .readers import (
     stamp_arrival_order,
 )
 from .writers import write_parquet
+from .wav import wav_decode, wav_decoder, wav_encode
 from .multimodal import (
     decode_media,
+    real_decoder,
     extract_media_features,
     sample_frames,
     set_decoder,
@@ -27,6 +29,10 @@ __all__ = [
     "stamp_arrival_order",
     "write_parquet",
     "decode_media",
+    "real_decoder",
+    "wav_decode",
+    "wav_decoder",
+    "wav_encode",
     "extract_media_features",
     "sample_frames",
     "set_decoder",

@@ -196,3 +196,30 @@ def sample_frames(
             )
 
     return df.select(id_col, payload_col).mapInPandas(run, schema=out_schema)
+
+
+def real_decoder(payload: bytes, modality: str) -> dict:
+    """The combined REAL decode kernel for :func:`decode_media`'s slot
+    (``set_decoder(real_decoder)``): images decode through the
+    pure-stdlib PNG codec (:mod:`.png`), audio through the PCM WAV
+    codec (:mod:`.wav`); other modalities report byte-level metadata
+    only. A payload that is not its modality's supported format raises
+    — a real decoder does not guess."""
+    from .png import png_decoder
+    from .wav import wav_decoder
+
+    if modality == "image":
+        return png_decoder(payload, modality)
+    if modality == "audio":
+        return wav_decoder(payload, modality)
+    import hashlib as _h
+
+    return {
+        "width": None,
+        "height": None,
+        "n_channels": None,
+        "n_frames": None,
+        "sample_rate": None,
+        "byte_len": len(payload),
+        "sha256": _h.sha256(payload).hexdigest(),
+    }
