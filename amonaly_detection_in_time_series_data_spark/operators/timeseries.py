@@ -1022,3 +1022,101 @@ def theta_forecast(
         .groupBy(*keys)
         .applyInPandas(fit, out_schema)
     )
+
+
+def croston_forecast(
+    df: DataFrame,
+    ts_col: str,
+    value_col: str,
+    series_cols: Sequence[str],
+    alpha: float = 0.1,
+    sba: bool = True,
+) -> DataFrame:
+    """Croston's method for INTERMITTENT series (Croston, Op. Res. Q.
+    1972) with the Syntetos-Boylan bias correction (``sba=True``; IJF
+    2005) — the standard forecaster when most periods are ZERO (error
+    counts, rare-event rates, spare-parts demand), where SES/HW decay
+    toward zero between events and seasonal-naive is noise.
+
+    Two SES recursions, both updated ONLY on demand periods: ``z`` over
+    the non-zero sizes and ``p`` over the inter-demand intervals; the
+    per-period demand-rate forecast is ``z/p`` (times ``1 - alpha/2``
+    for SBA). The forecast is flat between demands — that is the
+    method's point. Null until the second demand (no interval before
+    that).
+
+    Output per row: ``croston_forecast`` (the one-step-ahead rate held
+    from the previous period), ``abs_err``, ``croston_mae`` (expanding
+    backtest over ALL periods, zeros included — directly comparable to
+    ``naive_mae``). Sequential per series: one Arrow ``applyInPandas``
+    per group, O(1) state (two SES scalars + a gap counter).
+
+    Input contract: a regular grid with zeros filled in (compose after
+    ``resample_grid`` + ``fill_zero``); negative demand raises.
+    """
+    if not 0.0 < alpha < 1.0:
+        raise ValueError(f"croston_forecast: alpha must be in (0,1), got {alpha}")
+    keys = list(series_cols)
+    out_schema = (
+        ", ".join(f"`{k}` {df.schema[k].dataType.simpleString()}" for k in keys)
+        + f", `{ts_col}` {df.schema[ts_col].dataType.simpleString()}"
+        + f", `{value_col}` {df.schema[value_col].dataType.simpleString()}"
+        + ", croston_forecast double, abs_err double, croston_mae double"
+    )
+    a = float(alpha)
+    factor = (1.0 - a / 2.0) if sba else 1.0
+
+    def fit(pdf):
+        import numpy as np
+        import pandas as pd
+
+        pdf = pdf.sort_values(ts_col).reset_index(drop=True)
+        y = pdf[value_col].to_numpy(dtype="float64")
+        n = len(y)
+        if np.isnan(y).any():
+            raise ValueError("croston_forecast: null values in series (fill first)")
+        if (y < 0).any():
+            raise ValueError("croston_forecast: negative demand")
+        fc = np.full(n, np.nan)
+        err = np.full(n, np.nan)
+        mae = np.full(n, np.nan)
+        z = p = None  # SES states: demand size, inter-demand interval
+        gap = 0
+        err_sum = 0.0
+        err_n = 0
+        for t in range(n):
+            if z is not None and p is not None and p > 0:
+                fc[t] = factor * z / p
+                err[t] = abs(y[t] - fc[t])
+                err_sum += err[t]
+                err_n += 1
+            gap += 1
+            if y[t] > 0:
+                if z is None:
+                    z = y[t]  # first demand initializes the size
+                    # no interval yet — p initializes on the SECOND demand
+                elif p is None:
+                    p = float(gap)
+                    z = a * y[t] + (1.0 - a) * z
+                else:
+                    z = a * y[t] + (1.0 - a) * z
+                    p = a * gap + (1.0 - a) * p
+                gap = 0
+            if err_n:
+                mae[t] = err_sum / err_n
+        return pd.DataFrame(
+            {
+                **{k: pdf[k].to_numpy() for k in keys},
+                ts_col: pdf[ts_col].to_numpy(),
+                value_col: pdf[value_col].to_numpy(),
+                "croston_forecast": fc,
+                "abs_err": err,
+                "croston_mae": mae,
+            }
+        )
+
+    return (
+        df.select(*keys, ts_col, value_col)
+        .groupBy(*keys)
+        .applyInPandas(fit, out_schema)
+    )

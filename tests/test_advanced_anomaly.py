@@ -1165,3 +1165,66 @@ class TestTheta:
         assert sel["chosen"] == expect or (
             expect != "theta" and sel["chosen"] in ("holt_winters", "holt_winters_damped")
         )
+
+
+class TestCroston:
+    def _ref(self, y, a=0.1, sba=True):
+        factor = 1 - a / 2 if sba else 1.0
+        z = p = None
+        gap = 0
+        fc = [None] * len(y)
+        for t, v in enumerate(y):
+            if z is not None and p is not None and p > 0:
+                fc[t] = factor * z / p
+            gap += 1
+            if v > 0:
+                if z is None:
+                    z = v
+                elif p is None:
+                    p = float(gap)
+                    z = a * v + (1 - a) * z
+                else:
+                    z = a * v + (1 - a) * z
+                    p = a * gap + (1 - a) * p
+                gap = 0
+        return fc
+
+    def test_matches_independent_recursion(self, spark):
+        from amonaly_detection_in_time_series_data_spark.operators.timeseries import (
+            croston_forecast,
+        )
+
+        rng = np.random.default_rng(161)
+        y = np.where(rng.random(200) < 0.15, rng.integers(1, 9, 200), 0).astype(float)
+        df = _series_df(spark, {"s": y})
+        out = (
+            croston_forecast(df, "ts", "value", ["user_id"])
+            .toPandas().sort_values("ts").reset_index(drop=True)
+        )
+        ref = self._ref(list(y))
+        for t in range(200):
+            if ref[t] is None:
+                assert pd.isna(out.loc[t, "croston_forecast"]), t
+            else:
+                assert out.loc[t, "croston_forecast"] == pytest.approx(ref[t], rel=1e-12)
+
+    def test_converges_and_beats_ses_decay(self):
+        # demand of size 6 every 4th period: true rate 1.5
+        from amonaly_detection_in_time_series_data_spark.operators.timeseries import (  # noqa: F401
+            croston_forecast,
+        )
+        y = [0.0, 0.0, 0.0, 6.0] * 60
+        fc = TestCroston()._ref(y, a=0.1, sba=False)
+        assert fc[-1] == pytest.approx(6.0 / 4.0, rel=1e-6)
+        # SBA shrinks it by (1 - a/2)
+        fcs = TestCroston()._ref(y, a=0.1, sba=True)
+        assert fcs[-1] == pytest.approx(0.95 * 1.5, rel=1e-6)
+
+    def test_negative_raises(self, spark):
+        from amonaly_detection_in_time_series_data_spark.operators.timeseries import (
+            croston_forecast,
+        )
+
+        df = _series_df(spark, {"s": [1.0, -2.0, 0.0, 3.0]})
+        with pytest.raises(Exception, match="negative"):
+            croston_forecast(df, "ts", "value", ["user_id"]).collect()
