@@ -263,7 +263,7 @@ def quality_rules(
     # attribute is an O(1) lookup. Referenced >1 time and non-cheap, so
     # CollapseProject keeps the projection materialized.
     base_cols = df.columns
-    clash = {"__toks", "__bigrams"} & set(base_cols)
+    clash = {"__toks", "__tok_h", "__bigrams"} & set(base_cols)
     if clash:
         raise ValueError(
             f"quality_rules: input already has internal temp column(s) "
@@ -271,11 +271,23 @@ def quality_rules(
         )
     d = df.withColumn("__toks", tokenize(text_col))
     toks = F.col("__toks")
+    # 64-bit token hashes, materialized once: the repetition metrics
+    # below (top-token run, bigram distinctness) only need token
+    # EQUALITY, so they run over primitive longs — sorting / comparing /
+    # zipping 8-byte hashes instead of allocating and comparing strings.
+    # (The r8 longdoc ladder's superlinear GC traced to per-gram string
+    # materialization in this family of expressions.) Collisions merge
+    # two distinct tokens — odds ~n^2/2^65 per doc, vanishing, and both
+    # metrics only shift by a collision's worth when it happens.
+    d = d.withColumn("__tok_h", F.transform(toks, lambda t: F.xxhash64(t)))
     n_tok = F.size(toks)
+    # Sum of token lengths == count of non-whitespace characters
+    # (tokenize is a whitespace split with empties removed — no chars
+    # are dropped or added), so mean word length needs ONE regex pass
+    # over the document string, not an interpreted per-token fold
+    # (measured ~0.6 s/16 docs at the 200k-token rung for the fold).
     mean_wl = F.round(
-        F.aggregate(
-            toks, F.lit(0).cast("bigint"), lambda acc, t: acc + F.length(t)
-        )
+        F.length(F.regexp_replace(F.col(text_col), r"\s", ""))
         / F.nullif(n_tok, F.lit(0)),
         4,
     )
@@ -288,12 +300,13 @@ def quality_rules(
     # after array_sort: O(n log n) per row, map-only. The naive
     # array_distinct x filter-count form is O(distinct_tokens x tokens)
     # per row — with max_tokens=100k a boilerplate-heavy doc costs ~1e9
-    # comparisons inside one task (a straggler at scale).
-    sorted_toks = F.array_sort(toks)
+    # comparisons inside one task (a straggler at scale). Runs over the
+    # token-HASH array: primitive long sort, no string comparisons.
+    sorted_toks = F.array_sort(F.col("__tok_h"))
     run_acc = F.aggregate(
         sorted_toks,
         F.struct(
-            F.lit(None).cast("string").alias("prev"),
+            F.lit(None).cast("bigint").alias("prev"),
             F.lit(0).alias("run"),
             F.lit(0).alias("best"),
         ),
@@ -312,19 +325,22 @@ def quality_rules(
         / F.nullif(n_tok, F.lit(0)),
         4,
     )
-    # Bigrams via zip_with over two slices of the bound token column:
-    # zip_with INPUTS are evaluated once per row (unlike lambda-captured
-    # free expressions), and the lambda touches only its arguments —
-    # O(n_tok) per row. Materialized as a column so array_distinct/size
-    # below don't re-run the zip.
+    # Bigrams via zip_with over two slices of the bound token-hash
+    # column: zip_with INPUTS are evaluated once per row (unlike
+    # lambda-captured free expressions), and the lambda touches only its
+    # arguments — O(n_tok) per row. Materialized as a column so
+    # array_distinct/size below don't re-run the zip. Only bigram
+    # DISTINCTNESS is measured, so bigrams are 64-bit hash combinations
+    # (xxhash64 of the two token hashes), never concatenated strings.
+    th = F.col("__tok_h")
     bigrams = F.when(
         n_tok >= 2,
         F.zip_with(
-            F.slice(toks, 1, n_tok - 1),
-            F.slice(toks, 2, n_tok - 1),
-            lambda a, b: F.concat(a, F.lit(" "), b),
+            F.slice(th, 1, n_tok - 1),
+            F.slice(th, 2, n_tok - 1),
+            lambda a, b: F.xxhash64(a, b),
         ),
-    ).otherwise(F.array().cast("array<string>"))
+    ).otherwise(F.array().cast("array<bigint>"))
     d = d.withColumn("__bigrams", bigrams)
     bg = F.col("__bigrams")
     dup_bigram = F.round(
@@ -651,7 +667,16 @@ def make_longdoc_corpus(
     k = F.greatest(
         F.lit(1), F.ceil(F.lit(target_tokens) / n_tok)
     ).cast("int")
-    return base.withColumn(
+    # One doc per partition, BEFORE the text expansion (the shuffle moves
+    # the small source rows, not the repeated text). Without this, the
+    # 16-row filter output collapses into ONE scan partition and every
+    # downstream map-only operator processes all 16 multi-hundred-k-token
+    # docs serially in a single task — r8's longdoc ladder was measuring
+    # exactly that (one core of 32 busy, superlinear GC from one thread
+    # churning ~200 MB of ephemeral strings). Spreading heavy-tail
+    # documents across executors is also the correct 100 TB posture:
+    # wall-clock is the LONGEST document, not the sum.
+    return base.repartitionByRange(n_docs, F.col(id_col)).withColumn(
         text_col, F.repeat(F.concat(F.col(text_col), F.lit(" ")), k)
     )
 

@@ -92,6 +92,7 @@ def span_occurrences(
     text_col: str = "text",
     id_col: str = "doc_id",
     span_len: int = 8,
+    key: str = "text",
 ) -> DataFrame:
     """Explode each document into its complete non-overlapping
     ``span_len``-token spans, globally flagged for duplication.
@@ -108,19 +109,33 @@ def span_occurrences(
     dup, mirroring keep-first.
 
     Output: one row per span occurrence —
-    ``(id_col, span_idx, span, is_dup)``.
+    ``(id_col, span_idx, span, is_dup)`` with ``key="text"`` (default),
+    or ``(id_col, span_idx, span_h, is_dup)`` with ``key="hash64"``.
+
+    ``key="hash64"`` identifies spans by a 64-bit xxhash64 of the
+    token-HASH slice instead of the joined span string: no span-string
+    allocation at all (the r8 longdoc ladder's GC growth traced to
+    exactly this materialization), and the duplication-window shuffle
+    carries an 8-byte long per row instead of a ~(span_len * word_len)
+    string. Identical ``is_dup`` up to 64-bit collisions (two DISTINCT
+    spans colliding ~n_spans^2 / 2^65 — vanishing at any test scale; at
+    a true 10^12-span corpus, collisions slightly overcount dups, which
+    for a screening statistic biases conservative). Use ``key="text"``
+    when the span text itself is needed downstream (``drop_dup_spans``)
+    or for engine-portable replays.
 
     Scale: tokenization and span slicing are map-only bound-column
     expressions (tokens bound once, spans via ``transform`` over
     ``sequence`` + ``slice`` — O(doc_len), no HOF recapture); the only
-    exchange is the window partition on the span text. Span-hash keys
-    are near-unique so the shuffle is balanced; a degenerate
-    corpus-wide repeated span lands in one partition — cap via
-    pre-aggregation if that ever binds (same playbook as the MinHash
-    mega-bucket cap).
+    exchange is the window partition on the span key. Span keys are
+    near-unique so the shuffle is balanced; a degenerate corpus-wide
+    repeated span lands in one partition — cap via pre-aggregation if
+    that ever binds (same playbook as the MinHash mega-bucket cap).
     """
     if span_len < 1:
         raise ValueError(f"span_len must be >= 1, got {span_len}")
+    if key not in ("text", "hash64"):
+        raise ValueError(f"key must be 'text' or 'hash64', got {key!r}")
     from ..functions.text import tokenize
 
     d = df.select(
@@ -128,19 +143,35 @@ def span_occurrences(
     ).withColumn("__n_spans", F.floor(F.size("__toks") / span_len).cast("int"))
     # sequence(0, -1) counts DOWN in Spark — guard the zero-span case
     # (doc shorter than one span) to an empty array explicitly.
-    span_arr = F.when(
-        F.col("__n_spans") > 0,
-        F.transform(
-            F.sequence(F.lit(0), F.col("__n_spans") - 1),
-            lambda s: F.array_join(
-                F.slice(F.col("__toks"), s * span_len + 1, span_len), " "
+    if key == "hash64":
+        d = d.withColumn(
+            "__tok_h", F.transform("__toks", lambda t: F.xxhash64(t))
+        )
+        span_arr = F.when(
+            F.col("__n_spans") > 0,
+            F.transform(
+                F.sequence(F.lit(0), F.col("__n_spans") - 1),
+                lambda s: F.xxhash64(
+                    F.slice(F.col("__tok_h"), s * span_len + 1, span_len)
+                ),
             ),
-        ),
-    ).otherwise(F.array().cast("array<string>"))
+        ).otherwise(F.array().cast("array<bigint>"))
+        span_col = "span_h"
+    else:
+        span_arr = F.when(
+            F.col("__n_spans") > 0,
+            F.transform(
+                F.sequence(F.lit(0), F.col("__n_spans") - 1),
+                lambda s: F.array_join(
+                    F.slice(F.col("__toks"), s * span_len + 1, span_len), " "
+                ),
+            ),
+        ).otherwise(F.array().cast("array<string>"))
+        span_col = "span"
     spans = d.select(
-        id_col, F.posexplode(span_arr).alias("span_idx", "span")
+        id_col, F.posexplode(span_arr).alias("span_idx", span_col)
     )
-    w = Window.partitionBy("span").orderBy(
+    w = Window.partitionBy(span_col).orderBy(
         F.col(id_col).asc(), F.col("span_idx").asc()
     )
     return spans.withColumn(
@@ -153,6 +184,7 @@ def span_dedup_stats(
     text_col: str = "text",
     id_col: str = "doc_id",
     span_len: int = 8,
+    key: str = "hash64",
 ) -> DataFrame:
     """Per-document span-duplication profile:
     ``(id_col, n_spans, n_dup_spans, dup_span_frac)``.
@@ -163,9 +195,13 @@ def span_dedup_stats(
     boilerplate cut). Documents shorter than one span produce no rows
     (no complete span exists).
 
-    Two exchanges total: span-text window + per-doc aggregate.
+    Two exchanges total: span-key window + per-doc aggregate. Default
+    ``key="hash64"`` — the stats never need the span text, so spans are
+    identified by 64-bit hashes (no span-string allocation, 8-byte
+    shuffle keys; see :func:`span_occurrences` for the collision
+    analysis). ``key="text"`` replays the exact string-keyed semantics.
     """
-    occ = span_occurrences(df, text_col, id_col, span_len)
+    occ = span_occurrences(df, text_col, id_col, span_len, key=key)
     return occ.groupBy(id_col).agg(
         F.count("*").cast("bigint").alias("n_spans"),
         F.sum("is_dup").cast("bigint").alias("n_dup_spans"),

@@ -140,6 +140,7 @@ def matrix_profile(
     series_cols: Sequence[str],
     window: int,
     exclusion: int | None = None,
+    max_series_len: int = 100_000,
 ) -> DataFrame:
     """Per-series self-join matrix profile.
 
@@ -153,6 +154,15 @@ def matrix_profile(
     Input contract: a REGULAR, null-free grid per series (compose
     after ``resample_grid`` + a fill operator); ties in ``ts_col``
     raise — a matrix profile over an ambiguous ordering is undefined.
+
+    ``max_series_len`` (default 100k) REFUSES over-long series instead
+    of silently starting an O(n^2)-per-series task: STOMP on a single
+    1M-point series is ~10^12 distance updates in ONE executor task —
+    hours of wall-clock that parallelism cannot touch (same refusal
+    contract as ``dtw_match``'s ``max_refs``). For longer series,
+    downsample first (``m4_downsample`` / ``resample_grid`` at a coarser
+    grid) or split into overlapping chunks and take per-chunk profiles —
+    the anytime/chunked SCRIMP++ family is the published scale path.
     """
     keys = list(series_cols)
     m = int(window)
@@ -169,6 +179,14 @@ def matrix_profile(
         pdf = pdf.sort_values(ts_col).reset_index(drop=True)
         if pdf[ts_col].duplicated().any():
             raise ValueError("matrix_profile: duplicate timestamps in a series")
+        if len(pdf) > max_series_len:
+            raise ValueError(
+                f"matrix_profile: series of length {len(pdf)} exceeds "
+                f"max_series_len={max_series_len}; STOMP is O(n^2) per "
+                "series in a single task — downsample (m4_downsample / "
+                "coarser resample_grid) or chunk the series, or raise "
+                "max_series_len explicitly if you accept the cost"
+            )
         y = pdf[value_col].to_numpy(dtype="float64")
         l = max(len(y) - m + 1, 0)
         if l == 0:
@@ -207,6 +225,7 @@ def top_discords(
     window: int,
     k: int = 3,
     exclusion: int | None = None,
+    max_series_len: int = 100_000,
 ) -> DataFrame:
     """Top-``k`` discords per series: the ``k`` subsequences with the
     LARGEST matrix-profile value (most unlike everything else), ranked
@@ -216,7 +235,9 @@ def top_discords(
     """
     from pyspark.sql import Window as W
 
-    prof = matrix_profile(df, ts_col, value_col, series_cols, window, exclusion)
+    prof = matrix_profile(
+        df, ts_col, value_col, series_cols, window, exclusion, max_series_len
+    )
     w = W.partitionBy(*series_cols).orderBy(F.col("mp").desc(), F.col("pos").asc())
     return (
         prof.where(F.col("mp").isNotNull())
@@ -233,6 +254,7 @@ def top_motifs(
     window: int,
     k: int = 3,
     exclusion: int | None = None,
+    max_series_len: int = 100_000,
 ) -> DataFrame:
     """Top-``k`` motifs per series — the dual of :func:`top_discords`:
     the ``k`` subsequences with the SMALLEST matrix-profile value (a
@@ -242,7 +264,9 @@ def top_motifs(
     """
     from pyspark.sql import Window as W
 
-    prof = matrix_profile(df, ts_col, value_col, series_cols, window, exclusion)
+    prof = matrix_profile(
+        df, ts_col, value_col, series_cols, window, exclusion, max_series_len
+    )
     w = W.partitionBy(*series_cols).orderBy(F.col("mp").asc(), F.col("pos").asc())
     return (
         prof.where(F.col("mp").isNotNull())

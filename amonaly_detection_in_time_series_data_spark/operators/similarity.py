@@ -497,6 +497,39 @@ def shingles_from_tokens(toks: Column, n: int = 3) -> Column:
     )
 
 
+def shingle_hashes_from_tokens(toks: Column, n: int = 3) -> Column:
+    """Distinct 64-bit word n-gram hashes WITHOUT materializing gram
+    strings: hash each token once (``xxhash64``), then fold the ``n``
+    token hashes of each gram with iterated ``xxhash64(acc, next)``.
+
+    Allocation profile is the point — :func:`shingles_from_tokens`
+    concatenates a new ~(n * word_len)-char string per gram, which at
+    the 200k-token rung of the scale ladder is ~16 MB of ephemeral
+    strings per document per zip level (measured as superlinear GC
+    growth in BENCH_r08's longdoc ladder). This form's intermediates
+    are primitive long arrays; ``array_distinct`` compares 8-byte longs
+    instead of strings.
+
+    Semantics vs the string form: identical grouping up to 64-bit hash
+    collisions (two DISTINCT grams colliding ~n_grams^2 / 2^65 — at 10M
+    grams/doc odds ~3e-6). MinHash is itself a sampling approximation,
+    so the engine-native path accepts that; the md5 oracle path keeps
+    exact gram strings.
+    """
+    th = F.transform(toks, lambda t: F.xxhash64(t))
+    n_grams = F.size(toks) - (n - 1)
+    grams = F.slice(th, 1, n_grams)
+    for j in range(1, n):
+        grams = F.zip_with(
+            grams,
+            F.slice(th, j + 1, n_grams),
+            lambda a, b: F.xxhash64(a, b),
+        )
+    return F.when(F.size(toks) >= n, F.array_distinct(grams)).otherwise(
+        F.array().cast("array<bigint>")
+    )
+
+
 def shingles(text: Column | str, n: int = 3) -> Column:
     """Word n-gram shingles as array<string> (distinct).
 
@@ -551,13 +584,28 @@ def minhash_signatures(
     ``array_min(transform(...))`` per seed re-derives the shingle array
     n_hashes times inside one projection (measured 45x slower at sf0.1) —
     and the aggregate gets map-side partial combine for free.
+
+    The xxhash64 path never materializes gram STRINGS at all: grams are
+    exploded as 64-bit hashes (:func:`shingle_hashes_from_tokens`) and
+    the seeded family hashes those 8-byte longs — the r8 longdoc
+    ladder's superlinear GC growth traced to per-gram string allocation
+    here. The md5 path keeps exact gram strings (the oracle replays
+    ``md5('<seed>:' || gram)`` in SQL, which needs the text).
     """
-    exploded = df.withColumn("__toks", tokenize(F.col(text_col))).select(
-        F.col(id_col),
-        F.explode(
-            shingles_from_tokens(F.col("__toks"), shingle_n)
-        ).alias("gram"),
-    )
+    if hash_fn == "xxhash64":
+        exploded = df.withColumn("__toks", tokenize(F.col(text_col))).select(
+            F.col(id_col),
+            F.explode(
+                shingle_hashes_from_tokens(F.col("__toks"), shingle_n)
+            ).alias("gram"),
+        )
+    else:
+        exploded = df.withColumn("__toks", tokenize(F.col(text_col))).select(
+            F.col(id_col),
+            F.explode(
+                shingles_from_tokens(F.col("__toks"), shingle_n)
+            ).alias("gram"),
+        )
     hashed = exploded.select(
         id_col,
         *[

@@ -149,6 +149,24 @@ class TestMatrixProfile:
         b = b.sort_values(key).reset_index(drop=True)
         pd.testing.assert_frame_equal(a, b)
 
+    def test_max_series_len_guard(self, spark):
+        # STOMP is O(n^2) inside ONE task: an over-long series must be
+        # REFUSED loudly (dtw_match max_refs contract), not silently
+        # started. Raising the cap re-admits the same series.
+        df = _series_df(spark, {"s": list(range(120))})
+        with pytest.raises(Exception, match="max_series_len"):
+            matrix_profile(
+                df, "ts", "value", ["user_id"], window=8, max_series_len=100
+            ).collect()
+        with pytest.raises(Exception, match="max_series_len"):
+            top_discords(
+                df, "ts", "value", ["user_id"], window=8, k=1, max_series_len=100
+            ).collect()
+        ok = matrix_profile(
+            df, "ts", "value", ["user_id"], window=8, max_series_len=120
+        ).toPandas()
+        assert len(ok) == 120 - 8 + 1
+
 
 class TestSpectralResidual:
     def test_spike_salient(self):

@@ -630,6 +630,30 @@ class TestSpanDedup:
         }
         assert got == oracle
 
+    def test_hash64_key_stats_match_text_key(self, spark, sf_dir):
+        # span_dedup_stats defaults to 64-bit span-hash keys (r9: no
+        # span-string allocation). Differential: identical stats to the
+        # exact string-keyed replay on a real corpus with injected dups.
+        from amonaly_detection_in_time_series_data_spark.operators.dedup import (
+            span_dedup_stats,
+        )
+        from amonaly_detection_in_time_series_data_spark.sources.readers import load_table
+
+        docs = load_table(spark, sf_dir, "documents")
+        dup = docs.filter(F.col("doc_id") % 7 == 0).withColumn(
+            "doc_id", F.col("doc_id") + 10000
+        )
+        d = docs.unionByName(dup)
+        fast = {
+            tuple(r)
+            for r in span_dedup_stats(d, span_len=8, key="hash64").collect()
+        }
+        exact = {
+            tuple(r)
+            for r in span_dedup_stats(d, span_len=8, key="text").collect()
+        }
+        assert fast == exact and len(fast) > 0
+
 
 class TestMixtureResample:
     def _df(self, spark):
