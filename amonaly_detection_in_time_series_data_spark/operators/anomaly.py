@@ -1260,14 +1260,12 @@ def anomaly_battery(
     ]
     if trend:
         l1.append(f"cast(row_number() {word} - 1 as bigint) AS __x")
-    d = df.selectExpr(*l1)
-    l1_frame = d
 
     # L2: scalar over L1's materialized outputs
     z = f"({t} - `{p}_roll_mean`) / nullif(`{p}_roll_std`, 0.0D)"
     dv = f"({t} - ewma) / nullif(__rstd, 0.0D)"
     zt = repr(float(z_threshold))
-    d = d.selectExpr(
+    l2 = [
         "*",
         f"{z} AS `{p}_zscore`",
         f"coalesce(cast(abs({z}) > {zt}D as int), 0) AS is_anomaly",
@@ -1275,37 +1273,53 @@ def anomaly_battery(
         f"coalesce(cast(abs({dv}) > {zt}D as int), 0) AS ewma_alarm",
         "cast(floor((2 * __s_run + __n_run) / (2 * __n_run)) as bigint)"
         " AS __xbar_i",
-    )
+    ]
 
     # L3/L4: Page-Hinkley's inherently sequential window stages
     delta_i = int(round(ph_delta * scale))
-    d = d.selectExpr(
+    l3 = [
         "*",
         f"sum(__m - __xbar_i - {delta_i}) {wrun} AS __u",
         f"sum(__m - __xbar_i + {delta_i}) {wrun} AS __d",
-    )
-    d = d.selectExpr(
+    ]
+    l4 = [
         "*",
         f"__u - min(__u) {wrun} AS __inc_i",
         f"max(__d) {wrun} - __d AS __dec_i",
-    )
+    ]
 
     # per-key stats on their own short lineages, broadcast back
     pcts = f"percentile({mexp}, array(0.25, 0.5, 0.75))"
-    stats1 = src.groupBy(*keys).agg(
-        F.expr(f"cast(round(4 * {pcts}[0]) as bigint)").alias("__q1"),
-        F.expr(f"cast(round(4 * {pcts}[2]) as bigint)").alias("__q3"),
-        F.expr(f"cast(round(2 * {pcts}[1]) as bigint)").alias("__med_2"),
+    key_list = ", ".join(f"`{k}`" for k in keys)
+    stats1_sql = (
+        f"SELECT {key_list},"
+        f" cast(round(4 * {pcts}[0]) as bigint) AS __q1,"
+        f" cast(round(4 * {pcts}[2]) as bigint) AS __q3,"
+        f" cast(round(2 * {pcts}[1]) as bigint) AS __med_2"
+        " FROM {src}" f" GROUP BY {key_list}"
     )
-    s2_src = src.join(F.broadcast(stats1), keys).selectExpr(
-        "*", f"abs(2 * {mexp} - __med_2) AS __sdev_2"
+    stats2_sql = (
+        f"SELECT {key_list},"
+        " cast(round(4 * percentile(__sdev_2, 0.5)) as bigint) AS __mad_8"
+        " FROM (SELECT /*+ BROADCAST(__s1) */"
+        f" *, abs(2 * {mexp} - __med_2) AS __sdev_2"
+        " FROM {src}" f" JOIN __s1 USING ({key_list}))"
+        f" GROUP BY {key_list}"
     )
-    stats2 = s2_src.groupBy(*keys).agg(
-        F.expr("cast(round(4 * percentile(__sdev_2, 0.5)) as bigint)").alias(
-            "__mad_8"
-        )
+    ctes = [
+        "__l1 AS (SELECT " + ", ".join(l1) + " FROM {df})",
+        "__l2 AS (SELECT " + ", ".join(l2) + " FROM __l1)",
+        "__l3 AS (SELECT " + ", ".join(l3) + " FROM __l2)",
+        "__l4 AS (SELECT " + ", ".join(l4) + " FROM __l3)",
+        "__s1 AS (" + stats1_sql + ")",
+        "__s2 AS (" + stats2_sql + ")",
+    ]
+    join_tail = (
+        " FROM __l4"
+        f" JOIN __s1 USING ({key_list})"
+        f" JOIN __s2 USING ({key_list})"
     )
-    d = d.join(F.broadcast(stats1), keys).join(F.broadcast(stats2), keys)
+    hint_tables = ["__s1", "__s2"]
     if trend:
         # OLS sufficient statistics off the L1 frame (pre-join lineage:
         # scan→exchange→window only): __m IS y_i and __x is already
@@ -1313,11 +1327,40 @@ def anomaly_battery(
         # (Measured: AQE still plans this branch's exchange separately
         # rather than reusing the main one — cost parity with a
         # stats_source aggregate, one cleaner lineage.)
-        sums = _ols_sums(
-            l1_frame.where("__m IS NOT NULL"), keys, y_col="__m"
+        n, sx, sy = (
+            "cast(__n as double)",
+            "cast(__sx as double)",
+            "cast(__sy as double)",
         )
-        fitted = _ols_fit_from_sums(sums, keys)
-        d = d.join(F.broadcast(fitted), keys, "left")
+        sxx, sxy, syy = (
+            "cast(__sxx as double)",
+            "cast(__sxy as double)",
+            "cast(__syy as double)",
+        )
+        vx = f"{n} * {sxx} - {sx} * {sx}"
+        sse = (
+            f"greatest(0.0D, {syy} - {sy} * {sy} / {n}"
+            f" - __b * __b * ({sxx} - {sx} * {sx} / {n}))"
+        )
+        ctes.extend(
+            [
+                "__sums AS (SELECT "
+                f"{key_list}, count(*) AS __n, sum(__x) AS __sx,"
+                " sum(__m) AS __sy, sum(__x * __x) AS __sxx,"
+                " sum(__x * __m) AS __sxy, sum(__m * __m) AS __syy"
+                f" FROM __l1 WHERE __m IS NOT NULL GROUP BY {key_list})",
+                "__fit0 AS (SELECT *,"
+                f" CASE WHEN {n} >= 3 AND {vx} > 0"
+                f" THEN ({n} * {sxy} - {sx} * {sy}) / ({vx}) END AS __b"
+                " FROM __sums)",
+                f"__fit AS (SELECT {key_list}, __b,"
+                f" ({sy} - __b * {sx}) / {n} AS __a,"
+                f" CASE WHEN {n} > 2 THEN sqrt({sse} / ({n} - 2)) END AS __s"
+                " FROM __fit0)",
+            ]
+        )
+        join_tail += f" LEFT JOIN __fit USING ({key_list})"
+        hint_tables.append("__fit")
 
     # L5 + drop in one pass: the final select lists the input columns,
     # the public L1/L2 outputs, and the scalar battery columns — the
@@ -1361,7 +1404,26 @@ def anomaly_battery(
         f"`{p}_roll_mean`", f"`{p}_roll_std`", f"`{p}_zscore`",
         "is_anomaly", "ewma", "ewma_dev", "ewma_alarm",
     ]
-    return d.selectExpr(*keep, *l5)
+    # ONE spark.sql call for the whole battery (r9): the r8 layered
+    # selectExpr form still paid ~0.6 s of DRIVER time per invocation
+    # because every DataFrame op triggers an EAGER analysis pass over
+    # the whole accumulated tree (~13 passes, most over the big lineage;
+    # measured with QueryExecution phase timers: build 0.62 s, optimize
+    # 0.2 s, physical 0.05 s). Emitting the identical expression strings
+    # as CTE layers through a single parameterized spark.sql analyzes
+    # the tree ONCE. {df}/{src} bind the input frames by reference
+    # (PySpark SQL string formatting registers them — no view-name
+    # management, no global state).
+    sql = (
+        "WITH "
+        + ",\n".join(ctes)
+        + "\nSELECT /*+ BROADCAST("
+        + ", ".join(hint_tables)
+        + ") */ "
+        + ", ".join(keep + l5)
+        + join_tail
+    )
+    return df.sparkSession.sql(sql, df=df, src=src)
 
 
 def ensemble_flags(
