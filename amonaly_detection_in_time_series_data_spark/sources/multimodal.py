@@ -160,21 +160,63 @@ def extract_media_features(
     return df.mapInPandas(run, schema=out_schema)
 
 
+def fake_frame_sampler(payload: bytes, stride: int):
+    """Deterministic stand-in for a real frame sampler: frame count =
+    1 + byte_len % 32, frame fingerprint = sha256(payload || ':' || idx)
+    — a pure function of the bytes (oracle-reproducible)."""
+    n_frames = 1 + len(payload) % 32
+    for i in range(0, n_frames, stride):
+        yield i, hashlib.sha256(payload + b":" + str(i).encode()).hexdigest()
+
+
+def real_frame_sampler(payload: bytes, stride: int):
+    """REAL frame sampler for :func:`sample_frames`' slot: the payload
+    is decoded as an animated GIF (:mod:`.gif` — pure-stdlib LZW +
+    compositing) and every ``stride``-th COMPOSITED frame's raw RGB
+    bytes are fingerprinted. A payload that is not a GIF raises — a
+    real sampler does not guess. (Real video codecs are out of stdlib
+    scope; GIF is the animation format the standard library can carry
+    end-to-end, making the strict path real the way PNG/WAV did for
+    decode.)"""
+    from .gif import gif_decode
+
+    d = gif_decode(bytes(payload))
+    for i in range(0, d["n_frames"], stride):
+        yield i, hashlib.sha256(d["frames"][i]).hexdigest()
+
+
+_FRAME_SAMPLER: Callable = fake_frame_sampler
+
+
+def set_frame_sampler(fn: Callable) -> None:
+    global _FRAME_SAMPLER
+    _FRAME_SAMPLER = fn
+
+
 def sample_frames(
     df: DataFrame,
     stride: int = 4,
     id_col: str = "doc_id",
     payload_col: str = "payload",
+    strict: bool = False,
 ) -> DataFrame:
     """Frame sampling: one row per sampled frame of each video payload —
     the row-exploding ``mapInPandas`` shape (N payload rows in, ~N *
     frames/stride frame rows out; Arrow bounds the inflation per batch).
 
-    Frame count and bytes are the deterministic stub (frames = 1 +
-    byte_len % 32, frame fingerprint = sha256(payload || ':' || idx));
-    a real ffmpeg-style sampler replaces the inner loop and emits real
-    frame payloads with the same schema.
+    The per-payload kernel is a slot (mirroring ``set_decoder``): the
+    default :func:`fake_frame_sampler` derives deterministic frames from
+    the bytes; :func:`real_frame_sampler` (``set_frame_sampler``)
+    actually decodes animated GIFs and fingerprints composited RGB
+    frames. ``strict=True`` refuses to run on the stub.
     """
+    if strict and _FRAME_SAMPLER is fake_frame_sampler:
+        raise NotImplementedError(
+            "no real frame sampler installed; use set_frame_sampler("
+            "real_frame_sampler) for GIF payloads or strict=False for "
+            "the deterministic stub"
+        )
+    sampler = _FRAME_SAMPLER
     out_schema = f"{id_col} bigint, frame_idx bigint, frame_sha string"
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -182,15 +224,10 @@ def sample_frames(
             ids, idxs, shas = [], [], []
             for did, p in zip(pdf[id_col], pdf[payload_col]):
                 payload = bytes(p) if p is not None else b""
-                n_frames = 1 + len(payload) % 32
-                for i in range(0, n_frames, stride):
+                for i, sha in sampler(payload, stride):
                     ids.append(did)
                     idxs.append(i)
-                    shas.append(
-                        hashlib.sha256(
-                            payload + b":" + str(i).encode()
-                        ).hexdigest()
-                    )
+                    shas.append(sha)
             yield pd.DataFrame(
                 {id_col: ids, "frame_idx": idxs, "frame_sha": shas}
             )
@@ -202,9 +239,11 @@ def real_decoder(payload: bytes, modality: str) -> dict:
     """The combined REAL decode kernel for :func:`decode_media`'s slot
     (``set_decoder(real_decoder)``): images decode through the
     pure-stdlib PNG codec (:mod:`.png`), audio through the PCM WAV
-    codec (:mod:`.wav`); other modalities report byte-level metadata
-    only. A payload that is not its modality's supported format raises
-    — a real decoder does not guess."""
+    codec (:mod:`.wav`), video through the animated-GIF codec
+    (:mod:`.gif` — LZW + frame compositing); other modalities report
+    byte-level metadata only. A payload that is not its modality's
+    supported format raises — a real decoder does not guess."""
+    from .gif import gif_decoder
     from .png import png_decoder
     from .wav import wav_decoder
 
@@ -212,6 +251,8 @@ def real_decoder(payload: bytes, modality: str) -> dict:
         return png_decoder(payload, modality)
     if modality == "audio":
         return wav_decoder(payload, modality)
+    if modality == "video":
+        return gif_decoder(payload, modality)
     import hashlib as _h
 
     return {

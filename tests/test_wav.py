@@ -82,10 +82,12 @@ class TestWavCodec:
 
 
 class TestRealDecoderDispatch:
-    def test_strict_decode_both_modalities(self, spark):
-        """strict=True + real_decoder: PNG images AND PCM WAV audio are
-        actually decoded through the Arrow mapInPandas plumbing — the
-        multimodal slot's two stdlib-expressible formats both real."""
+    def test_strict_decode_all_modalities(self, spark):
+        """strict=True + real_decoder: PNG images, PCM WAV audio, AND
+        animated-GIF video (r9) are actually decoded through the Arrow
+        mapInPandas plumbing — every stdlib-expressible format real;
+        other modalities fall through to byte metadata."""
+        from amonaly_detection_in_time_series_data_spark.sources.gif import gif_encode
         from amonaly_detection_in_time_series_data_spark.sources.multimodal import (
             decode_media,
             fake_decoder,
@@ -95,10 +97,15 @@ class TestRealDecoderDispatch:
         from amonaly_detection_in_time_series_data_spark.sources.png import png_encode
 
         px = bytes((x * 7 + y * 3) % 256 for y in range(9) for x in range(12 * 3))
+        gif = gif_encode(
+            5, 4, [bytes(20), bytes([1] * 20), bytes([2] * 20)],
+            [(0, 0, 0), (255, 0, 0), (0, 255, 0)],
+        )
         rows = [
             (1, png_encode(12, 9, px, n_channels=3), "image"),
             (2, wav_encode(_sine(240), sample_rate=16000), "audio"),
-            (3, b"opaque video bytes", "video"),
+            (3, gif, "video"),
+            (4, b"opaque tabular bytes", "tabular"),
         ]
         df = spark.createDataFrame(
             rows, "doc_id bigint, payload binary, modality string"
@@ -116,7 +123,8 @@ class TestRealDecoderDispatch:
             set_decoder(fake_decoder)
         assert got[1] == (12, 9, 3, None, None)
         assert got[2] == (None, None, 1, 16000, 240)
-        assert got[3] == (None, None, None, None, None)
+        assert got[3] == (5, 4, 3, None, 3)
+        assert got[4] == (None, None, None, None, None)
 
     def test_wrong_format_raises_in_executor(self, spark):
         from amonaly_detection_in_time_series_data_spark.sources.multimodal import (
