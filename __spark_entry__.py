@@ -2000,9 +2000,21 @@ def q_minhash_pairs_md5(spark: SparkSession, sf_dir: str) -> DataFrame:
     kind='pair' rows carry (id_a, id_b, jaccard_est); kind='component'
     rows carry (doc_id, component, NULL). The oracle replays the
     components with a recursive-CTE transitive closure, so the
-    distributed fixpoint is exact-checked against SQL semantics."""
+    distributed fixpoint is exact-checked against SQL semantics.
+
+    Merged r9: a third kind='pagerank' slice — the link-graph quality
+    prior (operators.graph.pagerank) run for EXACTLY 3 power rounds
+    (damping 0.85, dangling correction, nodes=all docs) over the
+    UNDIRECTED near-dup pair graph. A fixed-round iteration is
+    replayable as three chained CTEs in the oracle, so the distributed
+    join+aggregate round (the very shape the convergence mode reuses)
+    gets an exact-value row; the convergence loop itself stays
+    pytest-pinned. Ranks rounded at 7 (values ~1/N; the FP-sum
+    combine-order divergence between engines is ~1e-15, eight orders
+    below the rounding grain)."""
     from amonaly_detection_in_time_series_data_spark.operators.graph import (
         connected_components,
+        pagerank,
     )
 
     docs = spread_small(_docs_with_dups(spark, sf_dir))
@@ -2022,7 +2034,21 @@ def q_minhash_pairs_md5(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("component").alias("id_b"),
         F.lit(None).cast("double").alias("jaccard_est"),
     )
-    return pair_rows.unionByName(comp_rows)
+    edges = pairs.select(
+        F.col("id_a").alias("src"), F.col("id_b").alias("dst")
+    ).unionByName(
+        pairs.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst"))
+    )
+    pr = pagerank(
+        edges, nodes=docs, node_col="doc_id", damping=0.85, fixed_rounds=3
+    )
+    pr_rows = pr.select(
+        F.lit("pagerank").alias("kind"),
+        F.col("node").alias("id_a"),
+        F.lit(None).cast("bigint").alias("id_b"),
+        F.round("rank", 7).alias("jaccard_est"),
+    )
+    return pair_rows.unionByName(comp_rows).unionByName(pr_rows)
 
 
 def q_simhash_md5(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -4114,6 +4140,28 @@ SELECT query_id, neighbor_id, cosine, CAST(rn AS BIGINT) AS rank FROM (
     )
 
     # --- md5-hash-family near-dup tier (md5h defined above) ------------
+    def _pr_round(prev: str, cur: str) -> str:
+        """One PageRank power round as a CTE: dangling-mass scalar +
+        per-node in-flow aggregate, expression shapes matching the
+        Spark operator term-for-term."""
+        return f"""{cur} AS (
+  SELECT v.node,
+         (1.0 - 0.85) / (SELECT n FROM pn)
+         + (0.85 * (SELECT coalesce(sum(r.rank), 0.0)
+                    FROM {prev} r LEFT JOIN deg d ON d.src = r.node
+                    WHERE d.src IS NULL)) / (SELECT n FROM pn)
+         + 0.85 * coalesce(c.contrib, 0.0) AS rank
+  FROM r0 v
+  LEFT JOIN (
+    SELECT e.b AS node, sum((1.0 / d.outd) * r.rank) AS contrib
+    FROM und e JOIN {prev} r ON r.node = e.a JOIN deg d ON d.src = e.a
+    GROUP BY e.b
+  ) c ON c.node = v.node
+)"""
+
+    pr_rounds = ",\n".join(
+        _pr_round(f"r{i}", f"r{i + 1}") for i in range(3)
+    )
     sql["minhash_pairs_md5"] = f"""
 WITH RECURSIVE docs2 AS (
   SELECT doc_id, text FROM documents
@@ -4164,12 +4212,26 @@ comp AS (
          least(d.doc_id, coalesce(min(reach.b), d.doc_id)) AS component
   FROM docs2 d LEFT JOIN reach ON reach.a = d.doc_id
   GROUP BY d.doc_id
-)
+),
+-- r9: fixed-3-round PageRank replay over the undirected pair graph.
+-- Expression shapes mirror the Spark operator exactly (share computed
+-- as (1.0/outdeg) then multiplied; the per-round constant built as
+-- base + (0.85*dangling)/n) so per-term IEEE doubles are identical and
+-- only the sum combine order differs (~1e-15, eight orders below the
+-- round-7 grain).
+deg AS (SELECT a AS src, count(*) AS outd FROM und GROUP BY a),
+pn AS (SELECT count(*) AS n FROM docs2),
+r0 AS (SELECT doc_id AS node, 1.0 / (SELECT n FROM pn) AS rank FROM docs2),
+{pr_rounds}
 SELECT 'pair' AS kind, id_a, id_b, jaccard_est FROM pairs
 UNION ALL
 SELECT 'component' AS kind, node AS id_a, component AS id_b,
        CAST(NULL AS DOUBLE) AS jaccard_est
 FROM comp
+UNION ALL
+SELECT 'pagerank' AS kind, node AS id_a, CAST(NULL AS BIGINT) AS id_b,
+       round(rank, 7) AS jaccard_est
+FROM r3
 """
 
     sql["simhash_md5"] = f"""

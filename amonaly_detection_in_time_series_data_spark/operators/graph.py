@@ -160,6 +160,7 @@ def pagerank(
     weight_col: str | None = None,
     nodes: DataFrame | None = None,
     node_col: str | None = None,
+    fixed_rounds: int | None = None,
 ) -> DataFrame:
     """PageRank by power iteration over a ``(src, dst)`` edge list —
     the link-graph quality prior of the CommonCrawl-style pipeline
@@ -174,6 +175,13 @@ def pagerank(
     vertices (rank floor ``(1-d)/N``). Stops when the L1 delta drops
     below ``tol``; raises after ``max_iter`` like
     :func:`connected_components`.
+
+    ``fixed_rounds`` runs EXACTLY that many power rounds with no
+    tolerance check and no convergence raise — the replayable mode: a
+    fixed-round iteration is expressible as chained SQL CTEs, so it can
+    carry an exact-value oracle row (the convergence-loop mode stays
+    pytest-pinned), and skipping the per-round L1 collect also drops
+    driver traffic to one scalar (dangling mass) per round.
 
     Scale (100 TB of edges): each round is ONE join of the static
     out-degree-annotated edge list against the rank frame on ``src``
@@ -230,7 +238,8 @@ def pagerank(
     )
 
     base = (1.0 - damping) / n
-    for _ in range(max_iter):
+    n_rounds = max_iter if fixed_rounds is None else int(fixed_rounds)
+    for _round in range(n_rounds):
         dangling = (
             ranks.where(F.col("__has_out") == 0).agg(F.sum("rank")).collect()[0][0]
             or 0.0
@@ -262,10 +271,15 @@ def pagerank(
             )
             .localCheckpoint(eager=True)
         )
+        if fixed_rounds is not None:
+            ranks = updated.drop("__delta")
+            continue
         delta = updated.agg(F.sum("__delta")).collect()[0][0] or 0.0
         ranks = updated.drop("__delta")
         if delta < tol:
             return ranks.drop("__has_out")
+    if fixed_rounds is not None:
+        return ranks.drop("__has_out")
     raise RuntimeError(
         f"pagerank: not converged after {max_iter} rounds (l1 delta {delta:.2e})"
     )

@@ -2033,6 +2033,42 @@ class TestPageRank:
         for i in range(3):
             assert g1[i] == pytest.approx(g2[i], abs=1e-7)
 
+    def test_fixed_rounds_matches_numpy_exact_round_count(self, spark):
+        # fixed_rounds=k runs EXACTLY k power rounds (no tol early-exit,
+        # no convergence raise) — the oracle-replayable mode merged into
+        # minhash_pairs_md5's kind='pagerank' slice.
+        import numpy as np
+
+        from amonaly_detection_in_time_series_data_spark.operators.graph import pagerank
+
+        edges = [(0, 3), (1, 3), (2, 3), (0, 1)]
+        df = spark.createDataFrame(edges, "src long, dst long")
+        ndf = spark.createDataFrame([(i,) for i in range(5)], "id long")
+        d = 0.85
+        out_w: dict = {}
+        for s, _ in edges:
+            out_w[s] = out_w.get(s, 0.0) + 1.0
+        M = np.zeros((5, 5))
+        for s, t in edges:
+            M[t, s] += 1.0 / out_w[s]
+        dangling = [i for i in range(5) if i not in out_w]
+        r = np.ones(5) / 5
+        for k in (1, 3):
+            want = r.copy()
+            for _ in range(k):
+                want_next = (1 - d) / 5 + d * (
+                    M @ want + want[dangling].sum() / 5
+                )
+                want = want_next
+            got = {
+                row["node"]: row["rank"]
+                for row in pagerank(
+                    df, nodes=ndf, node_col="id", damping=d, fixed_rounds=k
+                ).collect()
+            }
+            for i in range(5):
+                assert got[i] == pytest.approx(float(want[i]), abs=1e-12), (k, i)
+
     def test_bad_damping_raises(self, spark):
         import pytest as _pytest
 
