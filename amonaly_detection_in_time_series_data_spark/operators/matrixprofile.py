@@ -20,10 +20,13 @@ is exactly one shuffle (the groupBy on the series key). State is
 O(n) per series; the driver never sees data.
 
 Scale bound (stated, not hidden): STOMP is O(n^2) *per series* — at
-100 TB this operator is for many bounded series (sensors, SKUs,
-hosts), not one giant series. For a single very long series, window
-the series first (e.g. per-day segments via ``resample_grid``) or use
-the anomaly battery's O(n) detectors.
+100 TB the single-task form is for many bounded series (sensors, SKUs,
+hosts), guarded by ``max_series_len``. For a single very long series,
+:func:`matrix_profile_chunked` computes the SAME exact profile as C^2
+parallel chunk-pair AB-joins (the distributed decomposition of the
+self-join: total work is still O(n^2), but wall-clock divides by the
+cluster instead of sitting in one task), or downsample / use the
+anomaly battery's O(n) detectors when approximate is enough.
 
 Numerics: the STOMP dot-product recurrence drifts in float64 over
 long series, so the sliding dot product is re-anchored with an exact
@@ -42,10 +45,12 @@ from pyspark.sql import functions as F
 
 __all__ = [
     "matrix_profile",
+    "matrix_profile_chunked",
     "top_discords",
     "top_motifs",
     "stomp_numpy",
     "stomp_ab_numpy",
+    "stomp_ab_excl_numpy",
     "mp_shape_search",
 ]
 
@@ -159,10 +164,10 @@ def matrix_profile(
     of silently starting an O(n^2)-per-series task: STOMP on a single
     1M-point series is ~10^12 distance updates in ONE executor task —
     hours of wall-clock that parallelism cannot touch (same refusal
-    contract as ``dtw_match``'s ``max_refs``). For longer series,
-    downsample first (``m4_downsample`` / ``resample_grid`` at a coarser
-    grid) or split into overlapping chunks and take per-chunk profiles —
-    the anytime/chunked SCRIMP++ family is the published scale path.
+    contract as ``dtw_match``'s ``max_refs``). For longer series use
+    :func:`matrix_profile_chunked` (the EXACT profile as distributed
+    chunk-pair tiles) or downsample first (``m4_downsample`` /
+    ``resample_grid`` at a coarser grid).
     """
     keys = list(series_cols)
     m = int(window)
@@ -183,9 +188,10 @@ def matrix_profile(
             raise ValueError(
                 f"matrix_profile: series of length {len(pdf)} exceeds "
                 f"max_series_len={max_series_len}; STOMP is O(n^2) per "
-                "series in a single task — downsample (m4_downsample / "
-                "coarser resample_grid) or chunk the series, or raise "
-                "max_series_len explicitly if you accept the cost"
+                "series in a single task — use matrix_profile_chunked "
+                "(exact, distributed) or downsample (m4_downsample / "
+                "coarser resample_grid), or raise max_series_len "
+                "explicitly if you accept the cost"
             )
         y = pdf[value_col].to_numpy(dtype="float64")
         l = max(len(y) - m + 1, 0)
@@ -432,3 +438,228 @@ def mp_shape_search(
         F.col("best_dist").asc_nulls_last(), F.col("ref").asc()
     )
     return out.withColumn("is_best", F.row_number().over(w) == 1)
+
+
+def stomp_ab_excl_numpy(query, ref, m, q_offset, r_offset, excl):
+    """AB-join profile WITH the self-join trivial-match exclusion: for
+    every length-``m`` subsequence of ``query`` (global start positions
+    ``q_offset + i``), the distance to its nearest subsequence of
+    ``ref`` (global starts ``r_offset + j``) SKIPPING pairs with
+    ``|global_i - global_j| < excl``. This is the per-block kernel of
+    :func:`matrix_profile_chunked`: the self-join distance matrix cut
+    into (query-chunk, ref-chunk) tiles, each tile masking only the
+    part of the exclusion diagonal that crosses it.
+
+    Returns ``(dist, pos)`` with ``pos`` in GLOBAL coordinates (-1 and
+    ``inf`` distance when a row is fully excluded). Conventions match
+    :func:`stomp_numpy` exactly (flat-window limits, exclusion
+    half-open bounds ``[i-excl+1, i+excl-1]``).
+    """
+    import numpy as np
+
+    q = np.asarray(query, dtype="float64")
+    r = np.asarray(ref, dtype="float64")
+    nq, nr = len(q), len(r)
+    if m < 3:
+        raise ValueError(f"stomp_ab_excl: window must be >= 3, got {m}")
+    lq, lr = nq - m + 1, nr - m + 1
+    if lq < 1 or lr < 1:
+        return (
+            np.full(max(lq, 0), np.inf),
+            np.full(max(lq, 0), -1, dtype="int64"),
+        )
+    if np.isnan(q).any() or np.isnan(r).any():
+        raise ValueError("stomp_ab_excl: null values in series (fill first)")
+    mu_q, sig_q, flat_q = _window_stats(q, m)
+    mu_r, sig_r, flat_r = _window_stats(r, m)
+
+    qt_first = _sliding_dot(q[:m], r)
+    qt = qt_first.copy()
+    dist = np.empty(lq)
+    pos = np.empty(lq, dtype="int64")
+    sqrt_m = math.sqrt(m)
+    for i in range(lq):
+        if i > 0:
+            if i % 512 == 0:
+                qt = _sliding_dot(q[i : i + m], r)
+            else:
+                qt[1:] = (
+                    qt[:-1]
+                    - r[: lr - 1] * q[i - 1]
+                    + r[m : m + lr - 1] * q[i + m - 1]
+                )
+                qt[0] = _first_col_ab(q, r, i, m, qt_first)
+        if flat_q[i]:
+            d = np.where(flat_r, 0.0, sqrt_m)
+        else:
+            with np.errstate(divide="ignore", invalid="ignore"):
+                corr = (qt - m * mu_q[i] * mu_r) / (m * sig_q[i] * sig_r)
+            d2 = 2.0 * m * (1.0 - corr)
+            d = np.sqrt(np.maximum(d2, 0.0))
+            d = np.where(flat_r, sqrt_m, d)
+        # trivial-match mask in this tile's local coordinates: ref
+        # positions j with |(q_offset+i) - (r_offset+j)| < excl, i.e.
+        # j in (i + q_offset - r_offset - excl, i + q_offset - r_offset + excl)
+        ctr = i + q_offset - r_offset
+        lo, hi = max(0, ctr - excl + 1), min(lr, ctr + excl)
+        if lo < hi:
+            d = d.copy()
+            d[lo:hi] = np.inf
+        j = int(np.argmin(d))
+        if np.isfinite(d[j]):
+            dist[i] = d[j]
+            pos[i] = j + r_offset
+        else:
+            dist[i] = np.inf
+            pos[i] = -1
+    return dist, pos
+
+
+def matrix_profile_chunked(
+    df: DataFrame,
+    ts_col: str,
+    value_col: str,
+    series_cols: Sequence[str],
+    window: int,
+    chunk_size: int = 10_000,
+    exclusion: int | None = None,
+) -> DataFrame:
+    """The EXACT self-join matrix profile of arbitrarily long series,
+    computed as a distributed block decomposition instead of one
+    O(n^2) task — the scale path :func:`matrix_profile`'s
+    ``max_series_len`` guard points at.
+
+    Decomposition: positions are cut into chunks of ``chunk_size``
+    starts (each chunk's value array carries ``window - 1`` overlap
+    rows so every window is complete); the self-join distance matrix
+    becomes C x C (query-chunk, ref-chunk) tiles, each an independent
+    :func:`stomp_ab_excl_numpy` task masking only its crossing of the
+    trivial-match diagonal; per-position tile minima combine with one
+    ``min(struct(dist, pos))`` aggregate (ties to the LOWEST global
+    neighbor position, matching the monolithic argmin). Total work is
+    still O(n^2) per series — that is what a matrix profile IS — but
+    wall-clock divides by the cluster: a 1M-point series becomes
+    10^4 hundred-ms tiles instead of one multi-hour task, and each
+    tile's memory is O(chunk_size), not O(n).
+
+    Same output contract as :func:`matrix_profile` (keys, ts, pos, mp,
+    mp_pos); values match the monolithic kernel to float tolerance
+    (the STOMP dot-product recurrence re-anchors differently per tile
+    — differential-tested at 1e-9 relative). Requires
+    ``chunk_size >= window`` so a row spans at most two chunks.
+    """
+    keys = list(series_cols)
+    m = int(window)
+    s_len = int(chunk_size)
+    if m < 3:
+        raise ValueError(f"matrix_profile_chunked: window must be >= 3, got {m}")
+    if s_len < m:
+        raise ValueError(
+            f"matrix_profile_chunked: chunk_size ({s_len}) must be >= window ({m})"
+        )
+    excl = int(exclusion) if exclusion is not None else int(math.ceil(m / 2))
+
+    from pyspark.sql import Window as W
+
+    w = W.partitionBy(*keys).orderBy(F.col(ts_col).asc())
+    base = df.select(*keys, ts_col, value_col).withColumn(
+        "__pos", F.row_number().over(w) - F.lit(1)
+    )
+    spine = base.select(*keys, ts_col, "__pos")
+
+    # membership: every row joins its own chunk; rows in the first
+    # window-1 positions of a chunk ALSO feed the previous chunk's
+    # overlap tail. chunk arrays are collected sorted-by-position —
+    # bounded at chunk_size + window - 1 values each.
+    own = F.floor(F.col("__pos") / s_len).cast("int")
+    memb = F.when(
+        (F.col("__pos") % s_len <= m - 2) & (own > 0),
+        F.array(own, own - 1),
+    ).otherwise(F.array(own))
+    rows = base.select(
+        *keys, "__pos", F.col(value_col).alias("__v"),
+        F.explode(memb).alias("__chunk"),
+    )
+    chunks = rows.groupBy(*keys, "__chunk").agg(
+        F.min("__pos").alias("__first_pos"),
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("__pos", "__v"))),
+            lambda st: st["__v"],
+        ).alias("__vals"),
+    )
+
+    q_side = chunks.select(
+        *keys,
+        F.col("__chunk").alias("__qc"),
+        F.col("__first_pos").alias("__q_off"),
+        F.col("__vals").alias("__q_vals"),
+    )
+    r_side = chunks.select(
+        *keys,
+        F.col("__chunk").alias("__rc"),
+        F.col("__first_pos").alias("__r_off"),
+        F.col("__vals").alias("__r_vals"),
+    )
+    tiles = q_side.join(r_side, keys)
+    # prune tiles that cannot produce a finite row: a tile is useful iff
+    # some (query window, ref window) pair escapes the exclusion band —
+    # always true except when BOTH chunks are the same short tail; keep
+    # the filter to the cheap structural one (ref chunk has >= 1 window)
+    tiles = tiles.where(F.size("__r_vals") >= m)
+
+    key_schema = ", ".join(
+        f"`{k}` {df.schema[k].dataType.simpleString()}" for k in keys
+    )
+    out_schema = key_schema + ", __pos int, __d double, __np bigint"
+
+    def tile(pdf):
+        import numpy as np
+        import pandas as pd
+
+        out_keys = {k: [] for k in keys}
+        o_pos, o_d, o_np = [], [], []
+        # one row per group by construction (groupBy keys include the
+        # tile coordinates); iloc-indexing keeps the __-prefixed column
+        # names intact (itertuples would mangle them)
+        for i_row in range(len(pdf)):
+            rd = pdf.iloc[i_row]
+            qv = np.asarray(rd["__q_vals"], dtype="float64")
+            if len(qv) - m + 1 < 1:
+                continue
+            d, p = stomp_ab_excl_numpy(
+                qv, np.asarray(rd["__r_vals"], dtype="float64"), m,
+                int(rd["__q_off"]), int(rd["__r_off"]), excl,
+            )
+            # only this chunk's OWN window starts (the overlap tail's
+            # starts belong to the next chunk's query side)
+            lq = len(d)
+            own_n = min(lq, s_len)
+            for k in keys:
+                out_keys[k].extend([rd[k]] * own_n)
+            o_pos.extend(int(rd["__q_off"]) + np.arange(own_n))
+            o_d.extend(d[:own_n])
+            o_np.extend(p[:own_n])
+        return pd.DataFrame(
+            {**out_keys, "__pos": np.array(o_pos, dtype="int32"),
+             "__d": np.array(o_d, dtype="float64"),
+             "__np": np.array(o_np, dtype="int64")}
+        )
+
+    partials = tiles.groupBy(*keys, "__qc", "__rc").applyInPandas(tile, out_schema)
+    best = (
+        partials.where(F.col("__d") != float("inf"))
+        .groupBy(*keys, "__pos")
+        .agg(F.min(F.struct("__d", "__np")).alias("__best"))
+    )
+    # restore the monolithic contract: one row per subsequence start,
+    # null mp when no valid neighbor exists anywhere
+    starts = spine.withColumn(
+        "__max_pos", F.max("__pos").over(W.partitionBy(*keys))
+    ).where(F.col("__pos") <= F.col("__max_pos") - (m - 1)).drop("__max_pos")
+    return starts.join(best, keys + ["__pos"], "left").select(
+        *keys,
+        ts_col,
+        F.col("__pos").cast("int").alias("pos"),
+        F.col("__best.__d").alias("mp"),
+        F.coalesce(F.col("__best.__np"), F.lit(-1)).cast("int").alias("mp_pos"),
+    )

@@ -149,6 +149,108 @@ class TestMatrixProfile:
         b = b.sort_values(key).reset_index(drop=True)
         pd.testing.assert_frame_equal(a, b)
 
+    def test_ab_excl_kernel_covers_self_join(self):
+        # one tile spanning the whole series with matching offsets IS
+        # the self-join: must reproduce stomp_numpy (incl. flat limits)
+        from amonaly_detection_in_time_series_data_spark.operators.matrixprofile import (
+            stomp_ab_excl_numpy,
+        )
+
+        rng = np.random.default_rng(11)
+        y = np.concatenate(
+            [rng.normal(size=150), np.full(20, 3.25), rng.normal(size=80)]
+        )
+        m = 12
+        mp_ref, idx_ref = stomp_numpy(y, m)
+        d, p = stomp_ab_excl_numpy(y, y, m, 0, 0, math.ceil(m / 2))
+        finite = np.isfinite(d)
+        assert (finite == ~np.isnan(mp_ref)).all()
+        np.testing.assert_allclose(d[finite], mp_ref[finite], rtol=1e-9)
+        np.testing.assert_array_equal(p[finite], idx_ref[finite])
+
+    @pytest.mark.parametrize("chunk_size", [40, 64, 300])
+    def test_chunked_matches_monolithic(self, spark, chunk_size):
+        # the block decomposition is EXACT: same profile as the
+        # single-task kernel at float tolerance, any chunking
+        from amonaly_detection_in_time_series_data_spark.operators.matrixprofile import (
+            matrix_profile_chunked,
+        )
+
+        rng = np.random.default_rng(5)
+        series = {
+            "a": np.sin(np.arange(260) * 0.2) + rng.normal(0, 0.1, 260),
+            "b": rng.normal(size=190),
+            "short": rng.normal(size=10),
+        }
+        series["a"][130:142] += np.linspace(0, 4, 12)  # a discord
+        df = _series_df(spark, series)
+        mono = (
+            matrix_profile(df, "ts", "value", ["user_id"], window=16)
+            .toPandas()
+            .sort_values(["user_id", "pos"])
+            .reset_index(drop=True)
+        )
+        chunked = (
+            matrix_profile_chunked(
+                df, "ts", "value", ["user_id"], window=16,
+                chunk_size=chunk_size,
+            )
+            .toPandas()
+            .sort_values(["user_id", "pos"])
+            .reset_index(drop=True)
+        )
+        assert list(chunked.columns) == list(mono.columns)
+        pd.testing.assert_frame_equal(
+            chunked[["user_id", "pos"]], mono[["user_id", "pos"]]
+        )
+        np.testing.assert_allclose(
+            chunked["mp"].to_numpy(), mono["mp"].to_numpy(),
+            rtol=1e-9, atol=1e-12,
+        )
+        # neighbor positions may differ only at FP near-ties: verify
+        # every reported neighbor achieves the profile distance
+        for _, r in chunked.dropna(subset=["mp"]).iterrows():
+            y = series[r["user_id"]]
+            i, j = int(r["pos"]), int(r["mp_pos"])
+            a = (y[i : i + 16] - y[i : i + 16].mean())
+            b = (y[j : j + 16] - y[j : j + 16].mean())
+            sa = np.sqrt((a * a).sum() / 16)
+            sb = np.sqrt((b * b).sum() / 16)
+            if sa > 0 and sb > 0:
+                corr = (a * b).sum() / (16 * sa * sb)
+                dd = math.sqrt(max(0.0, 2 * 16 * (1 - corr)))
+                assert dd == pytest.approx(float(r["mp"]), rel=1e-6, abs=1e-9)
+
+    def test_chunked_partition_invariance(self, spark):
+        from amonaly_detection_in_time_series_data_spark.operators.matrixprofile import (
+            matrix_profile_chunked,
+        )
+
+        rng = np.random.default_rng(8)
+        df = _series_df(spark, {f"u{i}": rng.normal(size=120) for i in range(4)})
+        a = matrix_profile_chunked(
+            df, "ts", "value", ["user_id"], 8, chunk_size=50
+        ).toPandas()
+        b = matrix_profile_chunked(
+            df.repartition(17), "ts", "value", ["user_id"], 8, chunk_size=50
+        ).toPandas()
+        key = ["user_id", "pos"]
+        pd.testing.assert_frame_equal(
+            a.sort_values(key).reset_index(drop=True),
+            b.sort_values(key).reset_index(drop=True),
+        )
+
+    def test_chunked_validates_args(self, spark):
+        from amonaly_detection_in_time_series_data_spark.operators.matrixprofile import (
+            matrix_profile_chunked,
+        )
+
+        df = _series_df(spark, {"s": list(range(30))})
+        with pytest.raises(ValueError, match="chunk_size"):
+            matrix_profile_chunked(
+                df, "ts", "value", ["user_id"], window=8, chunk_size=4
+            )
+
     def test_max_series_len_guard(self, spark):
         # STOMP is O(n^2) inside ONE task: an over-long series must be
         # REFUSED loudly (dtw_match max_refs contract), not silently
