@@ -1131,3 +1131,242 @@ def streaming_enrich(events: DataFrame, dim: DataFrame, on: str = "user_id") -> 
     """Stream-static broadcast join — each microbatch joins against the
     (broadcast) static dimension; no stream-side state at all."""
     return events.join(F.broadcast(dim), on)
+
+
+def streaming_theta(
+    events: DataFrame,
+    alpha: float = 0.2,
+    min_points: int = 3,
+    timeout_minutes: int | None = 60,
+    ts_col: str = "ts",
+    value_col: str = "value",
+) -> DataFrame:
+    """Online Theta-method one-step forecasts per user — the streaming
+    face of :func:`operators.timeseries.theta_forecast`. The strictly
+    causal formulation was chosen in the batch operator precisely so a
+    stream could run it: state is SEVEN scalars per key (row counter,
+    the four expanding-OLS sums, the SES level, and the backtest error
+    accumulators) — O(1) regardless of stream length.
+
+    Both sides execute the identical IEEE float sequence (the batch
+    loop's update order is replicated statement-for-statement,
+    including the ``ses = y0`` init followed by the same-row SES
+    update), so the stream equals the batch operator BIT-FOR-BIT on
+    in-order replay. Input contract matches the batch operator: one
+    value per (user, ts) — compose after a grid resample.
+    """
+    import pandas as pd  # noqa: F401
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    if not 0.0 < alpha < 1.0:
+        raise ValueError(f"streaming_theta: alpha must be in (0,1), got {alpha}")
+    if min_points < 3:
+        raise ValueError(
+            f"streaming_theta: min_points must be >= 3, got {min_points}"
+        )
+    a = float(alpha)
+    mp = int(min_points)
+    out_schema = (
+        f"user_id bigint, {ts_col} timestamp, {value_col} double, "
+        "theta_forecast double, abs_err double, theta_mae double"
+    )
+    state_schema = (
+        "cnt bigint, sx double, sy double, sxx double, sxy double, "
+        "ses double, err_sum double, err_n bigint"
+    )
+
+    def run(key, pdf_iter, state):
+        import pandas as pd
+
+        if state.hasTimedOut:
+            state.remove()
+            return
+
+        (user_id,) = key
+        if state.exists:
+            cnt, sx, sy, sxx, sxy, ses, err_sum, err_n = state.get
+        else:
+            cnt, sx, sy, sxx, sxy, ses, err_sum, err_n = (
+                0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0,
+            )
+        rows = []
+        for pdf in pdf_iter:
+            pdf = pdf.sort_values(ts_col)
+            for _, r in pdf.iterrows():
+                yv = r[value_col]
+                if pd.isna(yv):
+                    raise ValueError(
+                        "streaming_theta: null values in series (fill first)"
+                    )
+                y_t = float(yv)
+                t = cnt
+                if cnt == 0:
+                    ses = y_t  # batch init: ses = y[0] BEFORE the loop
+                fc = None
+                err = None
+                if cnt >= mp:
+                    det = cnt * sxx - sx * sx
+                    if det > 0:
+                        b = (cnt * sxy - sx * sy) / det
+                        a0 = (sy - b * sx) / cnt
+                        line_t = a0 + b * t
+                        fc = 0.5 * (line_t + ses)
+                        err = abs(y_t - fc)
+                        err_sum += err
+                        err_n += 1
+                        z_t = 2.0 * y_t - line_t
+                    else:
+                        z_t = y_t
+                else:
+                    z_t = y_t
+                ses = a * z_t + (1.0 - a) * ses
+                sx += t
+                sy += y_t
+                sxx += t * t
+                sxy += t * y_t
+                cnt += 1
+                rows.append(
+                    (user_id, r[ts_col], y_t, fc, err,
+                     (err_sum / err_n) if err_n else None)
+                )
+        state.update((cnt, sx, sy, sxx, sxy, ses, err_sum, err_n))
+        if timeout_minutes is not None:
+            state.setTimeoutDuration(timeout_minutes * 60 * 1000)
+        yield pd.DataFrame(
+            rows,
+            columns=[
+                "user_id", ts_col, value_col,
+                "theta_forecast", "abs_err", "theta_mae",
+            ],
+        )
+
+    return (
+        events.withWatermark(ts_col, "2 hours")
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            run,
+            outputStructType=out_schema,
+            stateStructType=state_schema,
+            outputMode="append",
+            timeoutConf=(
+                GroupStateTimeout.ProcessingTimeTimeout
+                if timeout_minutes is not None
+                else GroupStateTimeout.NoTimeout
+            ),
+        )
+    )
+
+
+def streaming_croston(
+    events: DataFrame,
+    alpha: float = 0.1,
+    sba: bool = True,
+    timeout_minutes: int | None = 60,
+    ts_col: str = "ts",
+    value_col: str = "value",
+) -> DataFrame:
+    """Online Croston/SBA intermittent-demand forecasts per user — the
+    streaming face of :func:`operators.timeseries.croston_forecast`.
+    Croston is two SES recursions updated only on demand periods: state
+    is SEVEN scalars per key (the two SES levels + their init flags,
+    the inter-demand gap counter, and the backtest accumulators) —
+    O(1) regardless of stream length; spare-parts/error-rate streams
+    are the method's home turf.
+
+    Identical IEEE update order to the batch loop → BIT-FOR-BIT replay
+    parity. Input contract matches the batch operator: a regular
+    zero-filled grid per key (compose after ``resample_grid`` +
+    zero-fill); negative demand raises.
+    """
+    import pandas as pd  # noqa: F401
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    if not 0.0 < alpha < 1.0:
+        raise ValueError(f"streaming_croston: alpha must be in (0,1), got {alpha}")
+    a = float(alpha)
+    factor = (1.0 - a / 2.0) if sba else 1.0
+    out_schema = (
+        f"user_id bigint, {ts_col} timestamp, {value_col} double, "
+        "croston_forecast double, abs_err double, croston_mae double"
+    )
+    state_schema = (
+        "z double, p double, has_z boolean, has_p boolean, "
+        "gap bigint, err_sum double, err_n bigint"
+    )
+
+    def run(key, pdf_iter, state):
+        import pandas as pd
+
+        if state.hasTimedOut:
+            state.remove()
+            return
+
+        (user_id,) = key
+        if state.exists:
+            z, p, has_z, has_p, gap, err_sum, err_n = state.get
+        else:
+            z, p, has_z, has_p, gap, err_sum, err_n = (
+                0.0, 0.0, False, False, 0, 0.0, 0,
+            )
+        rows = []
+        for pdf in pdf_iter:
+            pdf = pdf.sort_values(ts_col)
+            for _, r in pdf.iterrows():
+                yv = r[value_col]
+                if pd.isna(yv):
+                    raise ValueError(
+                        "streaming_croston: null values in series (fill first)"
+                    )
+                y_t = float(yv)
+                if y_t < 0:
+                    raise ValueError("streaming_croston: negative demand")
+                fc = None
+                err = None
+                if has_z and has_p and p > 0:
+                    fc = factor * z / p
+                    err = abs(y_t - fc)
+                    err_sum += err
+                    err_n += 1
+                gap += 1
+                if y_t > 0:
+                    if not has_z:
+                        z = y_t  # first demand initializes the size
+                        has_z = True
+                    elif not has_p:
+                        p = float(gap)
+                        has_p = True
+                        z = a * y_t + (1.0 - a) * z
+                    else:
+                        z = a * y_t + (1.0 - a) * z
+                        p = a * gap + (1.0 - a) * p
+                    gap = 0
+                rows.append(
+                    (user_id, r[ts_col], y_t, fc, err,
+                     (err_sum / err_n) if err_n else None)
+                )
+        state.update((z, p, has_z, has_p, gap, err_sum, err_n))
+        if timeout_minutes is not None:
+            state.setTimeoutDuration(timeout_minutes * 60 * 1000)
+        yield pd.DataFrame(
+            rows,
+            columns=[
+                "user_id", ts_col, value_col,
+                "croston_forecast", "abs_err", "croston_mae",
+            ],
+        )
+
+    return (
+        events.withWatermark(ts_col, "2 hours")
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            run,
+            outputStructType=out_schema,
+            stateStructType=state_schema,
+            outputMode="append",
+            timeoutConf=(
+                GroupStateTimeout.ProcessingTimeTimeout
+                if timeout_minutes is not None
+                else GroupStateTimeout.NoTimeout
+            ),
+        )
+    )

@@ -1133,3 +1133,148 @@ class TestStreamingQuantiles:
             for q, est in ((0.5, last[u][1]), (0.9, last[u][2])):
                 rank = np.searchsorted(srt, est, side="right")
                 assert abs(rank - math.ceil(q * n)) <= eps * n + 1, (u, q)
+
+
+class TestStreamingForecast:
+    """streaming_theta / streaming_croston == their batch recursions
+    BIT-FOR-BIT on in-order replay across MULTIPLE micro-batches (the
+    grid is split into three ts-range files, so per-key state genuinely
+    persists between batches)."""
+
+    @staticmethod
+    def _replay_grid(spark, grid, tmp_path, name):
+        import pyspark.sql.functions as SF
+
+        pdf = grid.orderBy("ts").toPandas()
+        cut1, cut2 = len(pdf) // 3, 2 * len(pdf) // 3
+        ts_sorted = pdf["ts"].sort_values().reset_index(drop=True)
+        t1, t2 = ts_sorted.iloc[cut1], ts_sorted.iloc[cut2]
+        parts = [
+            grid.where(SF.col("ts") < SF.lit(t1)),
+            grid.where((SF.col("ts") >= SF.lit(t1)) & (SF.col("ts") < SF.lit(t2))),
+            grid.where(SF.col("ts") >= SF.lit(t2)),
+        ]
+        for i, p in enumerate(parts):
+            p.coalesce(1).write.mode("overwrite").parquet(
+                str(tmp_path / name / f"b{i}")
+            )
+        return (
+            spark.readStream.schema(grid.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(str(tmp_path / name / "b*"))
+        )
+
+    @staticmethod
+    def _by_key(rows, cols):
+        import math
+
+        out = {}
+        for r in rows:
+            vals = []
+            for c in cols:
+                v = r[c]
+                if v is None or (isinstance(v, float) and math.isnan(v)):
+                    vals.append(None)
+                else:
+                    vals.append(v)
+            out[(r["user_id"], r["ts"])] = tuple(vals)
+        return out
+
+    def test_theta_matches_batch_exactly(self, spark, sf_dir, tmp_path):
+        from amonaly_detection_in_time_series_data_spark.operators.timeseries import (
+            resample_grid,
+            theta_forecast,
+        )
+        from amonaly_detection_in_time_series_data_spark.streaming.rolling import (
+            streaming_theta,
+        )
+
+        ev = load_table(spark, sf_dir, "events")
+        grid = (
+            resample_grid(ev, ["user_id"], "ts", ["value"], step="1 hour")
+            .na.drop(subset=["value"])
+            .select(
+                "user_id",
+                F.col("bucket_ts").alias("ts"),
+                F.col("value").cast("double").alias("value"),
+            )
+        )
+        batch = theta_forecast(grid, "ts", "value", ["user_id"])
+        cols = ["theta_forecast", "abs_err", "theta_mae"]
+        expected = self._by_key(batch.collect(), cols)
+
+        stream = self._replay_grid(spark, grid, tmp_path, "theta_g")
+        out = streaming_theta(stream, timeout_minutes=None)
+        _run_stream_to_memory(out, "theta_s", "append")
+        streamed = self._by_key(
+            spark.sql("SELECT * FROM theta_s").collect(), cols
+        )
+        assert len(streamed) == len(expected) > 0
+        n_fc = 0
+        for k, exp in expected.items():
+            assert streamed[k] == exp, k  # exact, not approx
+            if exp[0] is not None:
+                n_fc += 1
+        assert n_fc > 0
+
+    def test_croston_matches_batch_exactly(self, spark, sf_dir, tmp_path):
+        from amonaly_detection_in_time_series_data_spark.operators.timeseries import (
+            croston_forecast,
+            resample_grid,
+        )
+        from amonaly_detection_in_time_series_data_spark.streaming.rolling import (
+            streaming_croston,
+        )
+
+        ev = load_table(spark, sf_dir, "events")
+        counts = (
+            resample_grid(
+                ev, ["user_id"], "ts", ["value"], step="1 hour",
+                agg="count", fill=None,
+            )
+            .fillna(0, subset=["value"])
+            .select(
+                "user_id",
+                F.col("bucket_ts").alias("ts"),
+                F.col("value").cast("double").alias("value"),
+            )
+        )
+        # make the series properly intermittent: keep only bursts
+        counts = counts.withColumn(
+            "value",
+            F.when(F.col("value") >= 2, F.col("value")).otherwise(F.lit(0.0)),
+        )
+        batch = croston_forecast(counts, "ts", "value", ["user_id"])
+        cols = ["croston_forecast", "abs_err", "croston_mae"]
+        expected = self._by_key(batch.collect(), cols)
+
+        stream = self._replay_grid(spark, counts, tmp_path, "croston_g")
+        out = streaming_croston(stream, timeout_minutes=None)
+        _run_stream_to_memory(out, "croston_s", "append")
+        streamed = self._by_key(
+            spark.sql("SELECT * FROM croston_s").collect(), cols
+        )
+        assert len(streamed) == len(expected) > 0
+        n_fc = 0
+        for k, exp in expected.items():
+            assert streamed[k] == exp, k  # exact, not approx
+            if exp[0] is not None:
+                n_fc += 1
+        assert n_fc > 0
+
+    def test_validation(self, spark):
+        from amonaly_detection_in_time_series_data_spark.streaming.rolling import (
+            streaming_croston,
+            streaming_theta,
+        )
+
+        df = spark.readStream.format("rate").load().selectExpr(
+            "value AS user_id", "timestamp AS ts",
+            "cast(value as double) AS value",
+        )
+        with pytest.raises(ValueError, match="alpha"):
+            streaming_theta(df, alpha=1.5)
+        with pytest.raises(ValueError, match="min_points"):
+            streaming_theta(df, min_points=1)
+        with pytest.raises(ValueError, match="alpha"):
+            streaming_croston(df, alpha=0.0)
