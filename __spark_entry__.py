@@ -889,10 +889,24 @@ def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Merged r9: the exact top-20 token counts now carry their
+    Count-Min estimates (operators.cms — depth 4, width 256, the
+    engine-portable md5 hash family) from a sketch built over the SAME
+    token stream. Proves the sketch tier's one oracle-checkable member
+    cell-for-cell: build is one bounded groupBy (<= 1024 cells
+    regardless of corpus size), estimates are min-over-4-broadcast-cell
+    lookups, and cm_est >= cnt always (collisions only over-count)."""
+    from amonaly_detection_in_time_series_data_spark.operators.cms import (
+        cm_estimate,
+        cm_sketch,
+    )
+
     docs = spread_small(load_table(spark, sf_dir, "documents"))
     toks = docs.select(F.explode(tokenize("text")).alias("token"))
     counted = toks.groupBy("token").agg(F.count("*").alias("cnt"))
-    return top_k_global(counted, [F.col("cnt").desc(), F.col("token").asc()], 20)
+    top = top_k_global(counted, [F.col("cnt").desc(), F.col("token").asc()], 20)
+    sketch = cm_sketch(toks, "token", depth=4, width=256, hash_fn="md5")
+    return cm_estimate(top, sketch, "token", depth=4, width=256, hash_fn="md5")
 
 
 def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3972,12 +3986,33 @@ SELECT d.doc_id,
 FROM documents d JOIN wsel ON d.doc_id = wsel.doc_id
 """
 
+    # r9: + Count-Min estimates — the sketch cells AND the min-over-
+    # seeds probes replay bit-exactly via the portable md5 hash family
+    # (60-bit positive, so plain % matches Spark's pmod)
+    cm_h = (
+        "CAST(('0x' || substr(md5(CAST(seed AS VARCHAR) || ':' || token),"
+        " 1, 15)) AS BIGINT) % 256"
+    )
     sql["token_counts"] = f"""
-SELECT token, count(*) AS cnt
-FROM (SELECT unnest({toks}) AS token FROM documents)
-GROUP BY token
+WITH toks AS (SELECT unnest({toks}) AS token FROM documents),
+top AS (
+  SELECT token, count(*) AS cnt FROM toks
+  GROUP BY token ORDER BY cnt DESC, token LIMIT 20
+),
+cells AS (
+  SELECT seed, {cm_h} AS bucket, count(*) AS cnt
+  FROM toks, range(4) r(seed)
+  GROUP BY 1, 2
+),
+probes AS (
+  SELECT token, cnt AS true_cnt, seed, {cm_h} AS bucket
+  FROM top, range(4) r(seed)
+)
+SELECT p.token, p.true_cnt AS cnt,
+       CAST(min(coalesce(c.cnt, 0)) AS BIGINT) AS cm_est
+FROM probes p LEFT JOIN cells c USING (seed, bucket)
+GROUP BY p.token, p.true_cnt
 ORDER BY cnt DESC, token
-LIMIT 20
 """
 
     stop_list = ", ".join(f"'{s}'" for s in LANG_STOPWORDS["en"])
