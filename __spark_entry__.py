@@ -685,11 +685,30 @@ def q_project_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     column-list projection composed with the §2.2 predicate filter in
     one lineitem scan — the merge frees a window slot for fuzzy_match;
     both constituent operators keep exact-value evidence (the plan
-    shows the filter in PushedFilters and the 3-column ReadSchema)."""
+    shows the filter in PushedFilters and the 3-column ReadSchema).
+
+    Merged r9: + the Z-order (Morton) clustering key
+    (operators.zorder) over (l_linenumber, grid-bucketed l_quantity) —
+    pure integer bit interleaving, mirrored shift-for-shift in the
+    oracle SQL, so the multi-dimensional layout key every lake engine
+    sorts by for file pruning is exact-value checked."""
+    from amonaly_detection_in_time_series_data_spark.operators.zorder import (
+        grid_bucket,
+        zorder_key,
+    )
+
     li = load_table(spark, sf_dir, "lineitem")
+    zk = zorder_key(
+        [
+            F.col("l_linenumber").cast("bigint"),
+            grid_bucket("l_quantity", 0.0, 64.0, 8),
+        ],
+        bits=8,
+    )
     return li.filter(F.col("l_quantity") > 40).select(
         "l_orderkey", F.col("l_linenumber").cast("bigint").alias("l_linenumber"),
         "l_quantity",
+        zk.alias("zkey"),
     )
 
 
@@ -3365,9 +3384,19 @@ SELECT 'sql' AS op, * FROM hits
 """
 
     sql["project_filter"] = """
-SELECT l_orderkey, CAST(l_linenumber AS BIGINT) AS l_linenumber, l_quantity
-FROM lineitem
-WHERE l_quantity > 40
+WITH base AS (
+  SELECT l_orderkey, CAST(l_linenumber AS BIGINT) AS l_linenumber, l_quantity,
+         greatest(CAST(0 AS BIGINT), least(CAST(255 AS BIGINT),
+             CAST(l_linenumber AS BIGINT))) AS b0,
+         greatest(CAST(0 AS BIGINT), least(CAST(255 AS BIGINT),
+             CAST(floor((CAST(l_quantity AS DOUBLE) - 0.0) / 64.0 * 256.0)
+                  AS BIGINT))) AS b1
+  FROM lineitem
+  WHERE l_quantity > 40
+)
+SELECT l_orderkey, l_linenumber, l_quantity,
+       (((b0 >> 0) & 1) << 0) | (((b0 >> 1) & 1) << 2) | (((b0 >> 2) & 1) << 4) | (((b0 >> 3) & 1) << 6) | (((b0 >> 4) & 1) << 8) | (((b0 >> 5) & 1) << 10) | (((b0 >> 6) & 1) << 12) | (((b0 >> 7) & 1) << 14) | (((b1 >> 0) & 1) << 1) | (((b1 >> 1) & 1) << 3) | (((b1 >> 2) & 1) << 5) | (((b1 >> 3) & 1) << 7) | (((b1 >> 4) & 1) << 9) | (((b1 >> 5) & 1) << 11) | (((b1 >> 6) & 1) << 13) | (((b1 >> 7) & 1) << 15) AS zkey
+FROM base
 """
 
     sql["fuzzy_match"] = """
