@@ -1088,10 +1088,52 @@ def q_sessionize_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("episode_n").cast("bigint").alias("ep_n"),
         F.col("episode_peak").alias("ep_peak"),
     )
+    # Merged r9: user-journey path analysis (operators.product_analytics.
+    # transition_matrix) — each event carries its within-session
+    # predecessor type plus the corpus-wide Markov step count and the
+    # row-normalized transition probability in EXACT ppm integer
+    # arithmetic (round-half-up via (2M*cnt + tot) div (2*tot) — the
+    # dup_frac_bp convention, bit-identical in any engine). The k x k
+    # matrix broadcasts back onto the per-event grain.
+    from amonaly_detection_in_time_series_data_spark.operators.product_analytics import (
+        transition_matrix,
+    )
+    from amonaly_detection_in_time_series_data_spark.operators.timeseries import (
+        sessionize,
+    )
+
+    raw = sessionize(
+        _events(spark, sf_dir), ["user_id"], "ts",
+        gap="30 minutes", order_tiebreak=["event_id"],
+    )
+    w_sess = Window.partitionBy("user_id", "session_id").orderBy(
+        "ts", "event_id"
+    )
+    prevs = raw.select(
+        "event_id",
+        "event_type",
+        F.lag("event_type").over(w_sess).alias("prev_event_type"),
+    )
+    tm = transition_matrix(
+        raw, ["user_id", "session_id"], ["ts", "event_id"], "event_type"
+    ).withColumn(
+        "trans_ppm",
+        F.expr(
+            "(2000000 * cnt + sum(cnt) OVER (PARTITION BY from_type))"
+            " div (2 * sum(cnt) OVER (PARTITION BY from_type))"
+        ).cast("bigint"),
+    ).select("from_type", "to_type", F.col("cnt").alias("trans_cnt"), "trans_ppm")
+    steps = prevs.join(
+        F.broadcast(tm),
+        (prevs["prev_event_type"] == tm["from_type"])
+        & (prevs["event_type"] == tm["to_type"]),
+        "left",
+    ).select("event_id", "prev_event_type", "trans_cnt", "trans_ppm")
     return (
         sessions.join(hourly, "event_id")
         .join(thr, "event_id")
         .join(epi, "event_id", "left")
+        .join(steps, "event_id")
     )
 
 
@@ -3527,7 +3569,7 @@ WITH hourly AS (
   FROM events GROUP BY 1
 ),
 sess AS (
-  SELECT event_id, user_id, ts, value,
+  SELECT event_id, user_id, ts, value, event_type,
          CAST(sum(CASE WHEN prev_ts IS NULL OR ts - prev_ts > INTERVAL 30 MINUTE
                        THEN 1 ELSE 0 END)
               OVER (PARTITION BY user_id ORDER BY ts, event_id
@@ -3536,6 +3578,27 @@ sess AS (
     SELECT *, lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
     FROM events
   )
+),
+-- r9: within-session journey steps + the corpus Markov transition
+-- matrix; ppm probability in exact integer arithmetic
+prevs AS (
+  SELECT event_id, event_type,
+         lag(event_type) OVER (PARTITION BY user_id, session_id
+                               ORDER BY ts, event_id) AS prev_event_type
+  FROM sess
+),
+tm AS (
+  SELECT prev_event_type AS from_type, event_type AS to_type,
+         CAST(count(*) AS BIGINT) AS trans_cnt
+  FROM prevs WHERE prev_event_type IS NOT NULL
+  GROUP BY 1, 2
+),
+tmi AS (
+  SELECT from_type, to_type, trans_cnt,
+         CAST((2000000 * trans_cnt + sum(trans_cnt) OVER (PARTITION BY from_type))
+              // (2 * sum(trans_cnt) OVER (PARTITION BY from_type)) AS BIGINT)
+           AS trans_ppm
+  FROM tm
 ),
 -- quiet-period throttle over the rule-flag alerts: sessionize the
 -- ALERT rows at the cooldown gap, deliver first-of-session; delivery
@@ -3587,12 +3650,18 @@ SELECT sess.event_id, sess.user_id, strftime(sess.ts, '{fmt}') AS ts, session_id
        ep.episode_id,
        strftime(epa.est, '{fmt}') AS ep_start,
        epa.en AS ep_n,
-       epa.epeak AS ep_peak
+       epa.epeak AS ep_peak,
+       prevs.prev_event_type,
+       tmi.trans_cnt,
+       tmi.trans_ppm
 FROM sess
 JOIN hourly ON date_trunc('hour', sess.ts) = hourly.h
 LEFT JOIN del ON sess.user_id = del.user_id AND sess.ts = del.dts
 LEFT JOIN ep ON sess.event_id = ep.event_id
 LEFT JOIN epa ON ep.user_id = epa.user_id AND ep.episode_id = epa.episode_id
+JOIN prevs ON sess.event_id = prevs.event_id
+LEFT JOIN tmi ON prevs.prev_event_type = tmi.from_type
+             AND prevs.event_type = tmi.to_type
 """
 
     sql["json_extract"] = """

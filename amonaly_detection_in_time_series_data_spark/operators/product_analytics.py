@@ -29,7 +29,7 @@ from collections.abc import Sequence
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["funnel_steps", "funnel_user_depth", "cohort_retention"]
+__all__ = ["funnel_steps", "funnel_user_depth", "cohort_retention", "transition_matrix"]
 
 
 def funnel_user_depth(
@@ -173,4 +173,41 @@ def cohort_retention(
             "cohort_size",
             (F.col("users") / F.col("cohort_size")).alias("retention"),
         )
+    )
+
+
+def transition_matrix(
+    df: DataFrame,
+    session_cols: Sequence[str],
+    order_cols: Sequence[str],
+    type_col: str = "event_type",
+) -> DataFrame:
+    """User-journey path analysis: first-order Markov step counts over
+    within-session event sequences — ``(from_type, to_type, cnt,
+    prob)`` where ``prob`` is the row-normalized transition probability
+    (the classic product-analytics "what do users do next" table; the
+    sankey/flow diagram's data contract).
+
+    Scale shape: ONE ``lag`` window on the session key (shares the
+    exchange any sessionizer already created), then a k x k aggregate —
+    output is bounded by the event-type vocabulary squared, never by
+    corpus size, so the matrix broadcasts back onto events for per-step
+    enrichment. Transitions never cross session boundaries (the window
+    partitions BY session), which is the analytics-correct convention:
+    a journey ends when the session does.
+    """
+    from pyspark.sql import Window as W
+
+    w = W.partitionBy(*session_cols).orderBy(*order_cols)
+    pairs = df.withColumn("__from", F.lag(type_col).over(w)).where(
+        F.col("__from").isNotNull()
+    )
+    counts = pairs.groupBy(
+        F.col("__from").alias("from_type"),
+        F.col(type_col).alias("to_type"),
+    ).agg(F.count("*").cast("bigint").alias("cnt"))
+    tot = W.partitionBy("from_type")
+    return counts.withColumn(
+        "prob",
+        F.col("cnt").cast("double") / F.sum("cnt").over(tot).cast("double"),
     )

@@ -172,3 +172,66 @@ class TestCohortRetention:
         df = _ev(spark, [("u1", 0, "x")])
         with pytest.raises(ValueError, match="period"):
             cohort_retention(df, "ts", "user_id", period="month")
+
+
+class TestTransitionMatrix:
+    def _df(self, spark):
+        # two sessions for user 1, one for user 2; transitions must not
+        # cross session boundaries
+        rows = [
+            # (user, session, t, type)
+            (1, 1, 1, "view"), (1, 1, 2, "click"), (1, 1, 3, "buy"),
+            (1, 2, 4, "view"), (1, 2, 5, "view"),
+            (2, 1, 1, "view"), (2, 1, 2, "click"), (2, 1, 3, "view"),
+        ]
+        return spark.createDataFrame(
+            rows, "user_id long, session_id long, t long, event_type string"
+        )
+
+    def test_counts_and_probs_hand_computed(self, spark):
+        from amonaly_detection_in_time_series_data_spark.operators.product_analytics import (
+            transition_matrix,
+        )
+
+        tm = {
+            (r["from_type"], r["to_type"]): (r["cnt"], r["prob"])
+            for r in transition_matrix(
+                self._df(spark), ["user_id", "session_id"], ["t"]
+            ).collect()
+        }
+        # transitions: v->c (u1s1), c->b (u1s1), v->v (u1s2),
+        #              v->c (u2s1), c->v (u2s1)
+        assert tm[("view", "click")][0] == 2
+        assert tm[("click", "buy")][0] == 1
+        assert tm[("view", "view")][0] == 1
+        assert tm[("click", "view")][0] == 1
+        # no cross-session transition buy->view (s1 ends at buy)
+        assert ("buy", "view") not in tm
+        # row-normalization: from 'view' -> 2/3 click, 1/3 view
+        assert tm[("view", "click")][1] == pytest.approx(2 / 3)
+        assert tm[("view", "view")][1] == pytest.approx(1 / 3)
+        assert tm[("click", "buy")][1] == pytest.approx(1 / 2)
+
+    def test_output_bounded_by_vocab_squared(self, spark):
+        import random
+
+        from amonaly_detection_in_time_series_data_spark.operators.product_analytics import (
+            transition_matrix,
+        )
+
+        rng = random.Random(3)
+        rows = [
+            (i % 7, i % 31, i, rng.choice(["a", "b", "c"]))
+            for i in range(3_000)
+        ]
+        df = spark.createDataFrame(
+            rows, "user_id long, session_id long, t long, event_type string"
+        )
+        tm = transition_matrix(df, ["user_id", "session_id"], ["t"])
+        assert tm.count() <= 9
+        # probs row-normalize to 1 per from_type
+        from pyspark.sql import functions as SF
+
+        sums = tm.groupBy("from_type").agg(SF.sum("prob").alias("s")).collect()
+        for r in sums:
+            assert r["s"] == pytest.approx(1.0)
