@@ -1171,6 +1171,25 @@ def q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         "o_orderdate",
         ["o_orderkey", "o_totalprice"],
     )
+    # Merged r9: the FORWARD and NEAREST directions (the rest of the
+    # pandas merge_asof surface) on the same join — forward replayed in
+    # the oracle as a backward ASOF over NEGATED epoch-microseconds,
+    # nearest as the exact integer-microsecond argmin with ties to
+    # backward.
+    fwd = asof_join(
+        ev.select("event_id", "user_id", "ts"), right, ["user_id"],
+        "ts", "o_orderdate", ["o_orderkey", "o_totalprice"],
+        direction="forward",
+    ).select(
+        "event_id",
+        F.col("o_orderkey").alias("fwd_orderkey"),
+        F.col("o_totalprice").alias("fwd_totalprice"),
+    )
+    near = asof_join(
+        ev.select("event_id", "user_id", "ts"), right, ["user_id"],
+        "ts", "o_orderdate", ["o_orderkey", "o_totalprice"],
+        direction="nearest",
+    ).select("event_id", F.col("o_orderkey").alias("near_orderkey"))
     intervals = orders.select(
         "user_id",
         "o_orderdate",
@@ -1193,9 +1212,10 @@ def q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_covering_orders",
         F.coalesce("n_covering_orders", F.lit(0)).cast("bigint"),
     )
-    return out.select(
+    return out.join(fwd, "event_id").join(near, "event_id").select(
         "event_id", "user_id", _ts_str("ts").alias("ts"),
         "o_orderkey", "o_totalprice",
+        "fwd_orderkey", "fwd_totalprice", "near_orderkey",
         "n_covering_orders", "covering_orderkey",
     )
 
@@ -3685,14 +3705,37 @@ cov AS (
     ON e.user_id = o.user_id
    AND e.ts >= o.o_orderdate AND e.ts < o.o_end
   GROUP BY e.event_id
+),
+-- r9: forward = backward ASOF over NEGATED epoch-micros (exact
+-- integers); nearest = integer-microsecond argmin, ties -> backward
+bwd AS (
+  SELECT e.event_id, e.user_id, e.ts,
+         r.o_orderkey AS bk, r.o_totalprice AS bp, r.o_orderdate AS bd
+  FROM events e ASOF LEFT JOIN r
+    ON e.user_id = r.user_id AND e.ts >= r.o_orderdate
+),
+e2 AS (SELECT event_id, user_id, ts, -epoch_us(ts) AS nts FROM events),
+r2 AS (SELECT user_id, o_orderdate, o_orderkey, o_totalprice,
+              -epoch_us(o_orderdate) AS nts FROM r),
+fwd AS (
+  SELECT e2.event_id,
+         r2.o_orderkey AS fk, r2.o_totalprice AS fp, r2.o_orderdate AS fd
+  FROM e2 ASOF LEFT JOIN r2
+    ON e2.user_id = r2.user_id AND e2.nts >= r2.nts
 )
-SELECT e.event_id, e.user_id, strftime(e.ts, '{fmt}') AS ts,
-       r.o_orderkey, r.o_totalprice,
+SELECT b.event_id, b.user_id, strftime(b.ts, '{fmt}') AS ts,
+       b.bk AS o_orderkey, b.bp AS o_totalprice,
+       f.fk AS fwd_orderkey, f.fp AS fwd_totalprice,
+       CASE WHEN b.bk IS NULL THEN f.fk
+            WHEN f.fk IS NULL THEN b.bk
+            WHEN epoch_us(f.fd) - epoch_us(b.ts)
+                 < epoch_us(b.ts) - epoch_us(b.bd) THEN f.fk
+            ELSE b.bk END AS near_orderkey,
        CAST(coalesce(c.n_cov, 0) AS BIGINT) AS n_covering_orders,
        c.cov_key AS covering_orderkey
-FROM events e ASOF LEFT JOIN r
-  ON e.user_id = r.user_id AND e.ts >= r.o_orderdate
-LEFT JOIN cov c ON c.event_id = e.event_id
+FROM bwd b
+JOIN fwd f ON f.event_id = b.event_id
+LEFT JOIN cov c ON c.event_id = b.event_id
 """
 
     sql["resample_hourly"] = f"""

@@ -51,9 +51,15 @@ def asof_join(
     right_ts: str,
     value_cols: Sequence[str],
     tolerance: str | None = None,
+    direction: str = "backward",
 ) -> DataFrame:
-    """As-of join: for each left row, attach the latest right row of the
-    same key with ``right_ts <= left_ts`` (merge-asof 'backward').
+    """As-of join, all three pandas ``merge_asof`` directions:
+    ``backward`` (default) attaches the latest right row with
+    ``right_ts <= left_ts``; ``forward`` the earliest with
+    ``right_ts >= left_ts``; ``nearest`` whichever of the two is closer
+    in time, EXACT integer-microsecond distances, ties to the BACKWARD
+    row (documented, engine-replayable). Equal timestamps match in
+    every direction (the ``>=``/``<=`` are inclusive).
 
     Implementation (scale-first): union both sides on (key, ts), one
     window sort per key, forward-fill the right-side values, keep left
@@ -70,7 +76,19 @@ def asof_join(
     same right row even when right value columns contain legitimate
     NULLs — per-column last(ignorenulls) could otherwise stitch values
     from different right rows (and tolerance would check the wrong one).
+
+    ``forward`` is the same single-shuffle plan with the scan reversed
+    (first-following over the ordering that puts left BEFORE right at
+    equal ts); ``nearest`` evaluates both fills over the one exchange
+    (two WindowExec, one shuffle) and picks per row. Tolerance applies
+    per direction (staleness for backward, lead for forward; nearest
+    nulls each side beyond tolerance BEFORE choosing).
     """
+    if direction not in ("backward", "forward", "nearest"):
+        raise ValueError(
+            f"asof_join: direction must be backward/forward/nearest, "
+            f"got {direction!r}"
+        )
     keys = list(key_cols)
     lcols = [c for c in left.columns]
     vals = list(value_cols)
@@ -97,19 +115,56 @@ def asof_join(
         F.lit(None).cast(r.schema["__rrow"].dataType).alias("__rrow"),
     )
     unioned = l.unionByName(r)
-    w = (
+    w_back = (
         Window.partitionBy(*keys)
         .orderBy(F.col("__ts").asc(), F.col("__side").asc())
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    filled = unioned.withColumn(
-        "__rrow_f", F.last(F.col("__rrow"), ignorenulls=True).over(w)
+    # forward scan: left (__side=1) sorts BEFORE right at equal ts so
+    # an equal-ts right row stays inside the [current, following] frame
+    w_fwd = (
+        Window.partitionBy(*keys)
+        .orderBy(F.col("__ts").asc(), F.col("__side").desc())
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
     )
+    filled = unioned
+    if direction in ("backward", "nearest"):
+        filled = filled.withColumn(
+            "__rrow_b", F.last(F.col("__rrow"), ignorenulls=True).over(w_back)
+        )
+    if direction in ("forward", "nearest"):
+        filled = filled.withColumn(
+            "__rrow_w", F.first(F.col("__rrow"), ignorenulls=True).over(w_fwd)
+        )
     out = filled.filter(F.col("__side") == 1)
-    attached = F.col("__rrow_f")
-    if tolerance is not None:
-        stale = F.col("__ts") - attached["__rts"] > F.expr(f"INTERVAL {tolerance}")
-        attached = F.when(stale, F.lit(None)).otherwise(attached)
+
+    def with_tolerance(col: F.Column, fwd: bool) -> F.Column:
+        if tolerance is None:
+            return col
+        gap = (
+            (col["__rts"] - F.col("__ts")) if fwd
+            else (F.col("__ts") - col["__rts"])
+        )
+        return F.when(
+            gap > F.expr(f"INTERVAL {tolerance}"), F.lit(None)
+        ).otherwise(col)
+
+    if direction == "backward":
+        attached = with_tolerance(F.col("__rrow_b"), fwd=False)
+    elif direction == "forward":
+        attached = with_tolerance(F.col("__rrow_w"), fwd=True)
+    else:
+        back = with_tolerance(F.col("__rrow_b"), fwd=False)
+        fwd = with_tolerance(F.col("__rrow_w"), fwd=True)
+        # exact integer-microsecond distances; tie -> backward
+        dt_b = F.unix_micros(F.col("__ts")) - F.unix_micros(back["__rts"])
+        dt_f = F.unix_micros(fwd["__rts"]) - F.unix_micros(F.col("__ts"))
+        attached = (
+            F.when(back.isNull(), fwd)
+            .when(fwd.isNull(), back)
+            .when(dt_f < dt_b, fwd)
+            .otherwise(back)
+        )
     return out.select(
         *[F.col("__lrow")[c].alias(c) for c in lcols],
         *[attached[c].alias(c) for c in vals],

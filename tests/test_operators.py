@@ -1139,6 +1139,99 @@ class TestTimeseriesOps:
                           tolerance="30 minutes").collect()
         assert stale[0]["a"] is None
 
+    def test_asof_directions_match_pandas(self, spark):
+        """forward/nearest (r9) against pandas merge_asof on a fixture
+        covering: no-match edges on both sides, equal-ts inclusivity,
+        and a genuine nearest tie (pinned to BACKWARD, our documented
+        rule — pandas' tie behavior is version-dependent, so the tie
+        row is asserted directly, not via pandas)."""
+        import datetime as dt
+
+        import pandas as pd
+
+        from amonaly_detection_in_time_series_data_spark.operators.timeseries import (
+            asof_join,
+        )
+
+        t = lambda s: dt.datetime.fromisoformat(s)
+        lts = ["00:00:30", "00:02:00", "00:05:00", "00:06:30", "00:09:30"]
+        rts = ["00:01:00", "00:05:00", "00:08:00"]
+        left = spark.createDataFrame(
+            [(1, t(f"2024-01-01 {s}")) for s in lts], "k int, lts timestamp"
+        )
+        right = spark.createDataFrame(
+            [
+                (1, t(f"2024-01-01 {s}"), float(i))
+                for i, s in enumerate(rts)
+            ],
+            "k int, rts timestamp, a double",
+        )
+        lp = pd.DataFrame({"k": 1, "lts": [t(f"2024-01-01 {s}") for s in lts]})
+        rp = pd.DataFrame(
+            {"k": 1, "rts": [t(f"2024-01-01 {s}") for s in rts],
+             "a": [0.0, 1.0, 2.0]}
+        )
+        for direction in ("backward", "forward"):
+            got = {
+                r["lts"]: r["a"]
+                for r in asof_join(
+                    left, right, ["k"], "lts", "rts", ["a"],
+                    direction=direction,
+                ).collect()
+            }
+            want = pd.merge_asof(
+                lp, rp, left_on="lts", right_on="rts", by="k",
+                direction=direction,
+            )
+            for _, row in want.iterrows():
+                g = got[row["lts"].to_pydatetime()]
+                assert (g is None) == pd.isna(row["a"]) and (
+                    g is None or g == row["a"]
+                ), (direction, row["lts"])
+        near = {
+            r["lts"]: r["a"]
+            for r in asof_join(
+                left, right, ["k"], "lts", "rts", ["a"],
+                direction="nearest",
+            ).collect()
+        }
+        assert near[t("2024-01-01 00:00:30")] == 0.0  # only fwd... nearest=r0
+        assert near[t("2024-01-01 00:02:00")] == 0.0  # 60s back vs 180s fwd
+        assert near[t("2024-01-01 00:05:00")] == 1.0  # equal ts
+        # genuine tie: 06:30 is 90s from both 05:00 and 08:00 -> BACKWARD
+        assert near[t("2024-01-01 00:06:30")] == 1.0
+        assert near[t("2024-01-01 00:09:30")] == 2.0  # after last right
+
+    def test_asof_direction_tolerance_and_validation(self, spark):
+        import datetime as dt
+
+        from amonaly_detection_in_time_series_data_spark.operators.timeseries import (
+            asof_join,
+        )
+
+        t = lambda s: dt.datetime.fromisoformat(s)
+        left = spark.createDataFrame(
+            [(1, t("2024-01-01 01:00:00"))], "k int, lts timestamp"
+        )
+        right = spark.createDataFrame(
+            [(1, t("2024-01-01 02:30:00"), 1.0)], "k int, rts timestamp, a double"
+        )
+        ok = asof_join(left, right, ["k"], "lts", "rts", ["a"],
+                       tolerance="2 hours", direction="forward").collect()
+        assert ok[0]["a"] == 1.0
+        far = asof_join(left, right, ["k"], "lts", "rts", ["a"],
+                        tolerance="30 minutes", direction="forward").collect()
+        assert far[0]["a"] is None
+        # nearest with tolerance: the (only) forward row is beyond it
+        none = asof_join(left, right, ["k"], "lts", "rts", ["a"],
+                         tolerance="30 minutes", direction="nearest").collect()
+        assert none[0]["a"] is None
+        import pytest as _pytest
+
+        with _pytest.raises(ValueError, match="direction"):
+            asof_join(left, right, ["k"], "lts", "rts", ["a"],
+                      direction="sideways")
+
     def test_resample_multi_unit_step(self, spark):
         """'15 minutes' buckets must land on the sequence() grid (the
         date_trunc formulation silently dropped every aggregate)."""
