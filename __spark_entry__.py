@@ -924,7 +924,13 @@ def q_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     toks = docs.select(F.explode(tokenize("text")).alias("token"))
     counted = toks.groupBy("token").agg(F.count("*").alias("cnt"))
     top = top_k_global(counted, [F.col("cnt").desc(), F.col("token").asc()], 20)
-    sketch = cm_sketch(toks, "token", depth=4, width=256, hash_fn="md5")
+    # weighted build over the DISTINCT-token count table already on the
+    # lineage: identical cells to the raw-stream sketch, 4x-per-token
+    # md5 work shrunk from every occurrence to the vocabulary
+    sketch = cm_sketch(
+        counted, "token", depth=4, width=256, hash_fn="md5",
+        weight_col="cnt",
+    )
     return cm_estimate(top, sketch, "token", depth=4, width=256, hash_fn="md5")
 
 

@@ -97,3 +97,20 @@ class TestCountMin:
         df = spark.createDataFrame([("a",)], "token string")
         with pytest.raises(ValueError, match="dims"):
             cm_sketch(df, "token", depth=0, width=16)
+
+    def test_weighted_build_equals_raw_build(self, spark):
+        # weighted mode over the (value, count) aggregate must produce
+        # IDENTICAL cells to the raw-occurrence stream
+        df = _stream_df(spark, seed=5, n=8_000)
+        raw = {
+            (r["seed"], r["bucket"]): r["cnt"]
+            for r in cm_sketch(df, "token", 4, 128).collect()
+        }
+        counted = df.groupBy("token").agg(F.count("*").alias("w"))
+        weighted = {
+            (r["seed"], r["bucket"]): r["cnt"]
+            for r in cm_sketch(
+                counted, "token", 4, 128, weight_col="w"
+            ).collect()
+        }
+        assert weighted == raw
