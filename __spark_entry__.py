@@ -915,6 +915,13 @@ def q_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     cell-for-cell: build is one bounded groupBy (<= 1024 cells
     regardless of corpus size), estimates are min-over-4-broadcast-cell
     lookups, and cm_est >= cnt always (collisions only over-count)."""
+    return _plan_cache(
+        spark, "token_counts", sf_dir,
+        lambda: _build_token_counts(spark, sf_dir),
+    )
+
+
+def _build_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     from amonaly_detection_in_time_series_data_spark.operators.cms import (
         cm_estimate,
         cm_sketch,
@@ -922,11 +929,21 @@ def q_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = spread_small(load_table(spark, sf_dir, "documents"))
     toks = docs.select(F.explode(tokenize("text")).alias("token"))
-    counted = toks.groupBy("token").agg(F.count("*").alias("cnt"))
+    # the count table feeds BOTH the top-20 and the sketch build; the
+    # interpreted-HOF lambda in tokenize blocks Spark's exchange reuse
+    # (canonicalization keeps the lambda ids), so without pinning it the
+    # whole tokenize+explode+aggregate lineage executes twice per
+    # action. It is vocabulary-sized (bounded << corpus), so pin it
+    # once per session inside the _plan_cache builder.
+    counted = (
+        toks.groupBy("token")
+        .agg(F.count("*").alias("cnt"))
+        .localCheckpoint(eager=True)
+    )
     top = top_k_global(counted, [F.col("cnt").desc(), F.col("token").asc()], 20)
-    # weighted build over the DISTINCT-token count table already on the
-    # lineage: identical cells to the raw-stream sketch, 4x-per-token
-    # md5 work shrunk from every occurrence to the vocabulary
+    # weighted build over the DISTINCT-token count table: identical
+    # cells to the raw-stream sketch, 4x-per-token md5 work shrunk from
+    # every occurrence to the vocabulary
     sketch = cm_sketch(
         counted, "token", depth=4, width=256, hash_fn="md5",
         weight_col="cnt",
