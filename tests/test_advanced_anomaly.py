@@ -221,6 +221,74 @@ class TestMatrixProfile:
                 dd = math.sqrt(max(0.0, 2 * 16 * (1 - corr)))
                 assert dd == pytest.approx(float(r["mp"]), rel=1e-6, abs=1e-9)
 
+    def test_chunked_boundary_edges(self, spark):
+        # the subtle tiles: a FLAT region spanning a chunk boundary
+        # (flat-window conventions must agree across tiles), an
+        # exclusion zone wider than the chunk overlap, and the minimum
+        # legal chunk_size (== window)
+        rng = np.random.default_rng(13)
+        y = np.concatenate(
+            [rng.normal(size=45), np.full(30, 1.5), rng.normal(size=45)]
+        )
+        df = _series_df(spark, {"s": y})
+        from amonaly_detection_in_time_series_data_spark.operators.matrixprofile import (
+            matrix_profile_chunked,
+        )
+
+        mono = (
+            matrix_profile(df, "ts", "value", ["user_id"], window=8)
+            .toPandas().sort_values("pos").reset_index(drop=True)
+        )
+        for cs, excl in ((8, None), (40, None), (32, 20), (15, 12)):
+            mono_x = mono
+            if excl is not None:
+                mono_x = (
+                    matrix_profile(
+                        df, "ts", "value", ["user_id"], window=8,
+                        exclusion=excl,
+                    ).toPandas().sort_values("pos").reset_index(drop=True)
+                )
+            ch = (
+                matrix_profile_chunked(
+                    df, "ts", "value", ["user_id"], window=8,
+                    chunk_size=cs, exclusion=excl,
+                ).toPandas().sort_values("pos").reset_index(drop=True)
+            )
+            np.testing.assert_allclose(
+                ch["mp"].to_numpy(), mono_x["mp"].to_numpy(),
+                rtol=1e-9, atol=1e-12, err_msg=f"cs={cs} excl={excl}",
+            )
+
+    def test_chunked_random_chunkings_property(self, spark):
+        # property sweep: random series and random legal chunk sizes
+        # must all reproduce the monolithic profile
+        import random as pyrandom
+
+        from amonaly_detection_in_time_series_data_spark.operators.matrixprofile import (
+            matrix_profile_chunked,
+        )
+
+        rng = np.random.default_rng(21)
+        prand = pyrandom.Random(21)
+        y = np.cumsum(rng.normal(size=230))
+        df = _series_df(spark, {"s": y})
+        m = 10
+        mono = (
+            matrix_profile(df, "ts", "value", ["user_id"], window=m)
+            .toPandas().sort_values("pos").reset_index(drop=True)
+        )
+        for _ in range(4):
+            cs = prand.randrange(m, 231)
+            ch = (
+                matrix_profile_chunked(
+                    df, "ts", "value", ["user_id"], window=m, chunk_size=cs
+                ).toPandas().sort_values("pos").reset_index(drop=True)
+            )
+            np.testing.assert_allclose(
+                ch["mp"].to_numpy(), mono["mp"].to_numpy(),
+                rtol=1e-9, atol=1e-12, err_msg=f"chunk_size={cs}",
+            )
+
     def test_chunked_partition_invariance(self, spark):
         from amonaly_detection_in_time_series_data_spark.operators.matrixprofile import (
             matrix_profile_chunked,
