@@ -1016,7 +1016,16 @@ def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         "id_a", "id_b"
     )
     out = ngram_jaccard_pairs(docs, cands, "text", "doc_id", n=3)
-    return out.select("id_a", "id_b", F.round("jaccard", 4).alias("jaccard"))
+    # Merged r9: the ASYMMETRIC containments (Broder 1997 resemblance
+    # vs containment) beside Jaccard — the doc-inside-doc signal a
+    # symmetric score misses (a page quoting a short doc wholesale:
+    # jaccard ~ 0, containment of the short side ~ 1).
+    return out.select(
+        "id_a", "id_b",
+        F.round("jaccard", 4).alias("jaccard"),
+        F.round("containment_a", 4).alias("containment_a"),
+        F.round("containment_b", 4).alias("containment_b"),
+    )
 
 
 def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -4291,7 +4300,11 @@ sh AS (SELECT doc_id, {grams} AS grams FROM docs2)
 SELECT c.id_a, c.id_b,
        round(len(list_intersect(x.grams, y.grams)) /
              nullif(CAST(len(x.grams) + len(y.grams) - len(list_intersect(x.grams, y.grams)) AS DOUBLE), 0),
-             4) AS jaccard
+             4) AS jaccard,
+       round(len(list_intersect(x.grams, y.grams)) /
+             nullif(CAST(len(x.grams) AS DOUBLE), 0), 4) AS containment_a,
+       round(len(list_intersect(x.grams, y.grams)) /
+             nullif(CAST(len(y.grams) AS DOUBLE), 0), 4) AS containment_b
 FROM cand c
 JOIN sh x ON c.id_a = x.doc_id
 JOIN sh y ON c.id_b = y.doc_id

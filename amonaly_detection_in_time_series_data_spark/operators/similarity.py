@@ -837,7 +837,14 @@ def ngram_jaccard_pairs(
     id_col: str = "doc_id",
     n: int = 3,
 ) -> DataFrame:
-    """Exact n-gram Jaccard for candidate pairs (id_a, id_b)."""
+    """Exact n-gram overlap scores for candidate pairs (id_a, id_b):
+    symmetric ``jaccard`` (|∩|/|∪|) plus the ASYMMETRIC containments
+    ``containment_a`` = |∩|/|A| and ``containment_b`` = |∩|/|B|
+    (Broder 1997's resemblance vs containment). Containment is the
+    doc-inside-doc signal Jaccard misses: a page quoting a short
+    document wholesale scores near-zero Jaccard (the union is huge) but
+    containment_b ≈ 1 — the standard screen for quote-inclusion /
+    boilerplate-wrapping in dedup pipelines."""
     sh = docs.withColumn("__toks", tokenize(F.col(text_col))).select(
         F.col(id_col), shingles_from_tokens(F.col("__toks"), n).alias("grams")
     )
@@ -847,7 +854,14 @@ def ngram_jaccard_pairs(
     inter = F.size(F.array_intersect("g_a", "g_b")).cast("double")
     union = F.size(F.array_union("g_a", "g_b")).cast("double")
     return joined.select(
-        "id_a", "id_b", (inter / F.nullif(union, F.lit(0.0))).alias("jaccard")
+        "id_a", "id_b",
+        (inter / F.nullif(union, F.lit(0.0))).alias("jaccard"),
+        (inter / F.nullif(F.size("g_a").cast("double"), F.lit(0.0))).alias(
+            "containment_a"
+        ),
+        (inter / F.nullif(F.size("g_b").cast("double"), F.lit(0.0))).alias(
+            "containment_b"
+        ),
     )
 
 

@@ -345,6 +345,24 @@ class TestSimilarity:
         assert out[(1, 2)] == 1.0
         assert out[(1, 3)] == 0.0
 
+    def test_ngram_containment_doc_inside_doc(self, spark):
+        # doc 2 quotes doc 1 wholesale inside a longer page: jaccard is
+        # small (the union is big) but the SHORT side's containment is
+        # 1.0 — the quote-inclusion signal (Broder containment)
+        docs = spark.createDataFrame(
+            [
+                (1, "a b c d e"),
+                (2, "p q r a b c d e s t u v w x y z m n o"),
+            ],
+            "doc_id long, text string",
+        )
+        cand = spark.createDataFrame([(1, 2)], "id_a long, id_b long")
+        (r,) = ngram_jaccard_pairs(docs, cand).collect()
+        # doc1: 3 grams, all present in doc2 (17 grams)
+        assert r["containment_a"] == 1.0
+        assert abs(r["containment_b"] - 3 / 17) < 1e-12
+        assert abs(r["jaccard"] - 3 / 17) < 1e-12  # union == doc2's grams
+
     def test_shingles_big_doc_linear(self, spark):
         # 20k tokens in ONE row/task: the zip_with-over-slices form is
         # O(n); the old transform(sequence, i -> slice(toks,...)) form
