@@ -39,7 +39,7 @@ from pyspark.sql import functions as F
 
 from ..functions.text import tokenize
 
-__all__ = ["bm25_topk", "rrf_fuse"]
+__all__ = ["bm25_topk", "rrf_fuse", "retrieval_metrics"]
 
 
 def bm25_topk(
@@ -166,4 +166,57 @@ def rrf_fuse(
         fused.withColumn("rank", F.row_number().over(w).cast("bigint"))
         .filter(F.col("rank") <= k)
         .select(query_id_col, id_col, "n_lists", "score", "rank")
+    )
+
+
+def retrieval_metrics(
+    results: DataFrame,
+    truth: DataFrame,
+    query_col: str = "query_id",
+    item_col: str = "neighbor_id",
+    rank_col: str = "rank",
+    k: int | None = None,
+) -> DataFrame:
+    """Per-query retrieval quality of a ranked result list against a
+    relevant-item set: ``recall_at_k`` (hits / relevant), ``mrr``
+    (1/rank of the first hit; 0 when none), and binary ``ndcg_at_k``
+    (DCG of hit positions / ideal DCG) — the standard evaluation layer
+    for the ANN/BM25 tiers (e.g. LSH results vs brute-force truth).
+
+    ``truth`` is ``(query_col, item_col)`` relevant pairs; ``results``
+    carries 1-based ``rank_col``. ``k`` truncates results first
+    (default: use all). One join on (query, item) + one aggregate per
+    query + a relevant-count aggregate broadcast back — never touches
+    the corpus, only the (n_queries x k) lists, so it runs after any
+    retrieval tier at any corpus scale.
+    """
+    r = results.select(query_col, item_col, rank_col)
+    if k is not None:
+        r = r.where(F.col(rank_col) <= int(k))
+    n_rel = truth.groupBy(query_col).agg(
+        F.count("*").cast("bigint").alias("__n_rel")
+    )
+    hits = r.join(truth.select(query_col, item_col), [query_col, item_col])
+    per_q = hits.groupBy(query_col).agg(
+        F.count("*").cast("bigint").alias("__hits"),
+        (1.0 / F.min(rank_col)).alias("mrr"),
+        F.sum(1.0 / F.log2(F.col(rank_col) + 1.0)).alias("__dcg"),
+    )
+    # ideal DCG for h hits: hits at ranks 1..h
+    idcg = F.expr(
+        "aggregate(sequence(1, cast(least(__hits, __n_rel) as int)), "
+        "cast(0.0 as double), (acc, i) -> acc + 1.0 / log2(i + 1.0))"
+    )
+    out = n_rel.join(per_q, query_col, "left")
+    return out.select(
+        query_col,
+        F.col("__n_rel").alias("n_relevant"),
+        F.coalesce("__hits", F.lit(0)).cast("bigint").alias("hits"),
+        (F.coalesce("__hits", F.lit(0)) / F.col("__n_rel").cast("double")).alias(
+            "recall_at_k"
+        ),
+        F.coalesce("mrr", F.lit(0.0)).alias("mrr"),
+        F.coalesce(
+            F.col("__dcg") / F.nullif(idcg, F.lit(0.0)), F.lit(0.0)
+        ).alias("ndcg_at_k"),
     )
