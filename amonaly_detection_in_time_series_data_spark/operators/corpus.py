@@ -263,7 +263,7 @@ def quality_rules(
     # attribute is an O(1) lookup. Referenced >1 time and non-cheap, so
     # CollapseProject keeps the projection materialized.
     base_cols = df.columns
-    clash = {"__toks", "__tok_h", "__bigrams"} & set(base_cols)
+    clash = {"__toks", "__tok_h", "__sorted", "__bigrams"} & set(base_cols)
     if clash:
         raise ValueError(
             f"quality_rules: input already has internal temp column(s) "
@@ -302,43 +302,64 @@ def quality_rules(
     # per row — with max_tokens=100k a boilerplate-heavy doc costs ~1e9
     # comparisons inside one task (a straggler at scale). Runs over the
     # token-HASH array: primitive long sort, no string comparisons.
-    sorted_toks = F.array_sort(F.col("__tok_h"))
-    run_acc = F.aggregate(
-        sorted_toks,
-        F.struct(
-            F.lit(None).cast("bigint").alias("prev"),
-            F.lit(0).alias("run"),
-            F.lit(0).alias("best"),
+    #
+    # The run-length fold packs its (best_run, current_run) state into
+    # ONE bigint (best in the high 32 bits) over an adjacent-equality
+    # boolean array. The earlier struct-state fold allocated a row +
+    # object array + 3 boxes PER TOKEN in the interpreted HOF path —
+    # the largest allocation site in the r9 longdoc ladder (quality_rules
+    # owned 1.1 s of the 200k rung's 2.47 s GC). Booleans box to cached
+    # singletons, so the per-element garbage is just the one state box.
+    # __sorted is materialized (bound attribute) because the equality
+    # lambda reads it via element_at — a captured free EXPRESSION would
+    # re-sort per element (O(n^2 log n)).
+    d = d.withColumn("__sorted", F.array_sort(F.col("__tok_h")))
+    srt = F.col("__sorted")
+    eqs = F.when(
+        n_tok >= 2,
+        F.transform(
+            F.slice(srt, 2, n_tok - 1),
+            lambda x, i: x == F.element_at(srt, i + 1),
         ),
-        lambda acc, t: F.struct(
-            t.alias("prev"),
-            F.when(t == acc["prev"], acc["run"] + 1).otherwise(F.lit(1)).alias("run"),
+    ).otherwise(F.array().cast("array<boolean>"))
+    best_run = F.aggregate(
+        eqs,
+        F.lit((1 << 32) + 1).cast("bigint"),  # best=1, cur=1
+        lambda acc, e: F.shiftleft(
             F.greatest(
-                acc["best"],
-                F.when(t == acc["prev"], acc["run"] + 1).otherwise(F.lit(1)),
-            ).alias("best"),
+                F.shiftright(acc, 32),
+                F.when(
+                    e, acc.bitwiseAND(F.lit(0xFFFFFFFF)) + 1
+                ).otherwise(F.lit(1).cast("bigint")),
+            ),
+            32,
+        )
+        + F.when(e, acc.bitwiseAND(F.lit(0xFFFFFFFF)) + 1).otherwise(
+            F.lit(1).cast("bigint")
         ),
-        lambda acc: acc["best"],
+        lambda acc: F.shiftright(acc, 32).cast("int"),
     )
     top_frac = F.round(
-        F.when(n_tok > 0, run_acc).otherwise(F.lit(None).cast("int"))
+        F.when(n_tok > 0, best_run).otherwise(F.lit(None).cast("int"))
         / F.nullif(n_tok, F.lit(0)),
         4,
     )
-    # Bigrams via zip_with over two slices of the bound token-hash
-    # column: zip_with INPUTS are evaluated once per row (unlike
-    # lambda-captured free expressions), and the lambda touches only its
-    # arguments — O(n_tok) per row. Materialized as a column so
-    # array_distinct/size below don't re-run the zip. Only bigram
+    # Bigrams via ONE indexed transform over one slice of the bound
+    # token-hash column: bigram[i] = xxhash64(th[i+1], th[i+2]), the
+    # second token read by element_at on the bound attribute (O(1) —
+    # only captured free EXPRESSIONS re-evaluate per element in the
+    # interpreted HOF path). The earlier two-slice zip_with form
+    # allocated three full-length long arrays per document; this
+    # allocates two (slice + output). Materialized as a column so
+    # array_distinct/size below don't re-run the transform. Only bigram
     # DISTINCTNESS is measured, so bigrams are 64-bit hash combinations
     # (xxhash64 of the two token hashes), never concatenated strings.
     th = F.col("__tok_h")
     bigrams = F.when(
         n_tok >= 2,
-        F.zip_with(
+        F.transform(
             F.slice(th, 1, n_tok - 1),
-            F.slice(th, 2, n_tok - 1),
-            lambda a, b: F.xxhash64(a, b),
+            lambda a, i: F.xxhash64(a, F.element_at(th, i + 2)),
         ),
     ).otherwise(F.array().cast("array<bigint>"))
     d = d.withColumn("__bigrams", bigrams)
@@ -350,8 +371,17 @@ def quality_rules(
         ).otherwise(F.lit(0.0)),
         4,
     )
+    # Alpha-word count as ONE regex pass over the lowercased document:
+    # tokenize() yields exactly the maximal \S+ runs of lower(text), and
+    # the greedy `\S*[a-z]\S*` matches each such run containing a
+    # lowercase letter exactly once (the match swallows the whole run,
+    # so counts can't double). Equal by construction to
+    # size(filter(toks, rlike('[a-z]'))) — pinned differentially in
+    # tests/test_corpus_ops.py — but with one Matcher per document
+    # instead of one per token (200k Matcher allocations/doc at the
+    # ladder's top rung).
     alpha_frac = F.round(
-        F.size(F.filter(toks, lambda t: t.rlike("[a-z]")))
+        F.regexp_count(F.lower(F.col(text_col)), F.lit(r"\S*[a-z]\S*"))
         / F.nullif(n_tok, F.lit(0)),
         4,
     )

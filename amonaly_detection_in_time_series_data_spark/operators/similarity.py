@@ -497,18 +497,29 @@ def shingles_from_tokens(toks: Column, n: int = 3) -> Column:
     )
 
 
-def shingle_hashes_from_tokens(toks: Column, n: int = 3) -> Column:
-    """Distinct 64-bit word n-gram hashes WITHOUT materializing gram
-    strings: hash each token once (``xxhash64``), then fold the ``n``
-    token hashes of each gram with iterated ``xxhash64(acc, next)``.
+def shingle_hashes_from_token_hashes(tok_h: Column, n: int = 3) -> Column:
+    """Distinct 64-bit word n-gram hashes from a MATERIALIZED token-hash
+    column (``transform(toks, xxhash64)`` bound as an attribute): each
+    gram's ``n`` token hashes fold with iterated ``xxhash64(acc, next)``
+    in ONE indexed ``transform`` pass —
+    ``gram[i] = xxhash64(xxhash64(th[i+1], th[i+2]), th[i+3])`` at n=3,
+    the trailing tokens read by ``element_at`` on the bound column.
 
-    Allocation profile is the point — :func:`shingles_from_tokens`
-    concatenates a new ~(n * word_len)-char string per gram, which at
-    the 200k-token rung of the scale ladder is ~16 MB of ephemeral
-    strings per document per zip level (measured as superlinear GC
-    growth in BENCH_r08's longdoc ladder). This form's intermediates
-    are primitive long arrays; ``array_distinct`` compares 8-byte longs
-    instead of strings.
+    Allocation profile is the point — the string form
+    (:func:`shingles_from_tokens`) concatenates a new ~(n * word_len)-
+    char string per gram (~16 MB of ephemeral strings per document per
+    zip level at the ladder's 200k-token rung, the r8 superlinear GC);
+    the r9 hash form removed the strings but still built one
+    intermediate long array per zip LEVEL (n+2 full-length arrays per
+    document counting the slices). This form allocates exactly two:
+    the head slice and the output. Identical values to the r9 fold —
+    the xxhash64 composition order is unchanged.
+
+    ``tok_h`` MUST be a bound attribute (a column materialized with
+    ``withColumn``), not a free expression: Spark's interpreted
+    higher-order-function path re-evaluates captured free expressions
+    PER ELEMENT, which would re-hash the whole document per gram
+    (O(doc_len^2)). Callers: see :func:`minhash_signatures`.
 
     Semantics vs the string form: identical grouping up to 64-bit hash
     collisions (two DISTINCT grams colliding ~n_grams^2 / 2^65 — at 10M
@@ -516,16 +527,20 @@ def shingle_hashes_from_tokens(toks: Column, n: int = 3) -> Column:
     so the engine-native path accepts that; the md5 oracle path keeps
     exact gram strings.
     """
-    th = F.transform(toks, lambda t: F.xxhash64(t))
-    n_grams = F.size(toks) - (n - 1)
-    grams = F.slice(th, 1, n_grams)
-    for j in range(1, n):
-        grams = F.zip_with(
-            grams,
-            F.slice(th, j + 1, n_grams),
-            lambda a, b: F.xxhash64(a, b),
-        )
-    return F.when(F.size(toks) >= n, F.array_distinct(grams)).otherwise(
+    n_grams = F.size(tok_h) - (n - 1)
+    head = F.slice(tok_h, 1, n_grams)
+    if n == 1:
+        grams = head
+    else:
+
+        def _fold(h: Column, i: Column) -> Column:
+            acc = h
+            for j in range(1, n):
+                acc = F.xxhash64(acc, F.element_at(tok_h, i + (j + 1)))
+            return acc
+
+        grams = F.transform(head, _fold)
+    return F.when(F.size(tok_h) >= n, F.array_distinct(grams)).otherwise(
         F.array().cast("array<bigint>")
     )
 
@@ -586,18 +601,28 @@ def minhash_signatures(
     and the aggregate gets map-side partial combine for free.
 
     The xxhash64 path never materializes gram STRINGS at all: grams are
-    exploded as 64-bit hashes (:func:`shingle_hashes_from_tokens`) and
-    the seeded family hashes those 8-byte longs — the r8 longdoc
-    ladder's superlinear GC growth traced to per-gram string allocation
-    here. The md5 path keeps exact gram strings (the oracle replays
+    exploded as 64-bit hashes (:func:`shingle_hashes_from_token_hashes`,
+    folding over a token-hash column materialized once here) and the
+    seeded family hashes those 8-byte longs — the r8 longdoc ladder's
+    superlinear GC growth traced to per-gram string allocation here,
+    and the r9 zip-level intermediates to the per-level long arrays.
+    The md5 path keeps exact gram strings (the oracle replays
     ``md5('<seed>:' || gram)`` in SQL, which needs the text).
     """
     if hash_fn == "xxhash64":
-        exploded = df.withColumn("__toks", tokenize(F.col(text_col))).select(
-            F.col(id_col),
-            F.explode(
-                shingle_hashes_from_tokens(F.col("__toks"), shingle_n)
-            ).alias("gram"),
+        exploded = (
+            df.withColumn("__toks", tokenize(F.col(text_col)))
+            .withColumn(
+                "__tok_h", F.transform("__toks", lambda t: F.xxhash64(t))
+            )
+            .select(
+                F.col(id_col),
+                F.explode(
+                    shingle_hashes_from_token_hashes(
+                        F.col("__tok_h"), shingle_n
+                    )
+                ).alias("gram"),
+            )
         )
     else:
         exploded = df.withColumn("__toks", tokenize(F.col(text_col))).select(

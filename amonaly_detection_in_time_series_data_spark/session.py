@@ -57,6 +57,20 @@ def get_spark(
     builder = SparkSession.builder.appName(app_name).master(master)
     conf = dict(_DEFAULTS)
     conf["spark.sql.shuffle.partitions"] = str(shuffle_partitions)
+    # Local mode runs driver == executor, and Spark's default driver heap
+    # is 1 GiB — for 32 concurrent tasks that is ~32 MB of heap per task,
+    # so any array-heavy operator (tokenized long documents, sort
+    # buffers) spends more time collecting than computing: the r9 bench
+    # ladder measured GC at 45% of wall on the 200k-token rung, growing
+    # superlinearly — the signature of a fixed heap being outgrown, not
+    # of an operator quadratic (re-measured at 8g: the same rung's GC
+    # share drops to ~10%). Size the heap like a real executor (8-32 GiB
+    # is the normal cluster range). Only effective for the process's
+    # FIRST session (the JVM reads it at launch); later getOrCreate
+    # calls reuse the running JVM.
+    conf["spark.driver.memory"] = os.environ.get(
+        "SPARK_GRAFT_DRIVER_MEM", "8g"
+    )
     if extra_conf:
         conf.update(extra_conf)
     for k, v in conf.items():

@@ -137,6 +137,45 @@ class TestQualityRules:
         assert row.keep == 0  # repetition rule trips
         assert elapsed < 30, f"quality_rules took {elapsed:.1f}s on 50k tokens"
 
+    def test_alpha_frac_regex_matches_per_token_form(self, spark, sf_dir):
+        # r10 replaced size(filter(toks, rlike('[a-z]'))) with one
+        # regexp_count('\S*[a-z]\S*') pass over the lowercased document
+        # (one Matcher per doc instead of per token). The two must agree
+        # on every real document and on the whitespace/casing edges.
+        from amonaly_detection_in_time_series_data_spark.functions.text import (
+            tokenize,
+        )
+        from amonaly_detection_in_time_series_data_spark.sources.readers import (
+            load_table,
+        )
+
+        edge = spark.createDataFrame(
+            [
+                (9001, "MIXED Case AND 123 42a a42 --- ..."),
+                (9002, "  \t tabs\tand\nnewlines  x1  11  "),
+                (9003, "éé çç 日本語 naïve"),  # non-ascii letters
+                (9004, ""),
+                (9005, "!!! ??? ### 12.5 1e9"),
+            ],
+            ["doc_id", "text"],
+        )
+        docs = (
+            load_table(spark, sf_dir, "documents")
+            .select("doc_id", "text")
+            .unionByName(edge)
+        )
+        both = docs.select(
+            "doc_id",
+            F.size(
+                F.filter(tokenize("text"), lambda t: t.rlike("[a-z]"))
+            ).alias("per_token"),
+            F.regexp_count(
+                F.lower(F.col("text")), F.lit(r"\S*[a-z]\S*")
+            ).alias("one_pass"),
+        )
+        bad = both.filter(F.col("per_token") != F.col("one_pass")).collect()
+        assert bad == [], f"alpha-word count diverged: {bad[:5]}"
+
     def test_top_token_frac_matches_naive(self, spark):
         # longest-equal-run-after-sort == max multiplicity, incl. ties
         # and the single/empty-token edges
