@@ -2543,11 +2543,20 @@ def q_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
       BM25 top-10 over documents with the exact-cosine top-10 over
       embeddings (vec_id ≡ doc_id in the synthetic corpus; query qN ≡
       vec_id N), n_hit = number of contributing lists.
+    - tier='eval' (merged r10) — operators.retrieval.retrieval_metrics
+      scoring the hybrid top-5 list against the BM25 top-5 list as the
+      deterministic relevant set: per query one row per metric
+      (term='recall_at_k'|'mrr'|'ndcg_at_k', score=value rounded 6 dp,
+      tf=n_relevant, n_hit=hits). Exercises the evaluation layer every
+      retrieval pipeline ends with — recall, MRR and binary nDCG are
+      one (query,item) join + per-query aggregates, replayed exactly
+      by the oracle.
 
     All tiers rank on ROUNDED scores (tfidf 6 dp, bm25 4 dp, rrf 6 dp)
     with id/term tiebreaks so the ordering is engine-portable."""
     from amonaly_detection_in_time_series_data_spark.operators.retrieval import (
         bm25_topk,
+        retrieval_metrics,
         rrf_fuse,
     )
 
@@ -2602,12 +2611,13 @@ def q_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("rank", F.row_number().over(cos_w).cast("bigint"))
         .filter(F.col("rank") <= 10)
     )
-    hybrid = rrf_fuse(
+    fused = rrf_fuse(
         [bm_full.select("query_id", "doc_id", "rank"),
          cos_ranked.select("query_id", "doc_id", "rank")],
         k_rrf=60,
         k=5,
-    ).select(
+    )
+    hybrid = fused.select(
         F.lit("hybrid_rrf").alias("tier"),
         "query_id",
         "doc_id",
@@ -2618,7 +2628,50 @@ def q_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
         "score",
         "rank",
     )
-    return tfidf.unionByName(bm25).unionByName(hybrid)
+    met = retrieval_metrics(
+        fused.select("query_id", "doc_id", "rank"),
+        bm_full.filter(F.col("rank") <= 5).select("query_id", "doc_id"),
+        query_col="query_id",
+        item_col="doc_id",
+        rank_col="rank",
+        k=5,
+    )
+    eval_tier = met.select(
+        F.lit("eval").alias("tier"),
+        "query_id",
+        F.lit(None).cast("bigint").alias("doc_id"),
+        F.explode(
+            F.array(
+                F.struct(
+                    F.lit("recall_at_k").alias("m"),
+                    F.round("recall_at_k", 6).alias("v"),
+                ),
+                F.struct(
+                    F.lit("mrr").alias("m"), F.round("mrr", 6).alias("v")
+                ),
+                F.struct(
+                    F.lit("ndcg_at_k").alias("m"),
+                    F.round("ndcg_at_k", 6).alias("v"),
+                ),
+            )
+        ).alias("__mv"),
+        F.col("n_relevant").alias("tf"),
+        F.lit(None).cast("bigint").alias("df"),
+        F.col("hits").alias("n_hit"),
+    ).select(
+        "tier",
+        "query_id",
+        "doc_id",
+        F.col("__mv.m").alias("term"),
+        "tf",
+        "df",
+        "n_hit",
+        F.col("__mv.v").alias("score"),
+        F.lit(None).cast("bigint").alias("rank"),
+    )
+    return (
+        tfidf.unionByName(bm25).unionByName(hybrid).unionByName(eval_tier)
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -4925,6 +4978,35 @@ fused AS (
 fused_ranked AS (
   SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY score DESC, doc_id) AS rn
   FROM fused
+),
+-- eval tier: hybrid top-5 scored against BM25 top-5 as the relevant
+-- set (recall@5 / MRR / binary nDCG@5), same join+aggregate shape as
+-- operators.retrieval.retrieval_metrics
+ev_truth AS (SELECT query_id, doc_id FROM bm_ranked WHERE rn <= 5),
+ev_res AS (SELECT query_id, doc_id, rn AS rank FROM fused_ranked WHERE rn <= 5),
+ev_nrel AS (
+  SELECT query_id, CAST(count(*) AS BIGINT) AS n_rel
+  FROM ev_truth GROUP BY query_id
+),
+ev_hits AS (
+  SELECT r.query_id, CAST(count(*) AS BIGINT) AS hits,
+         1.0 / min(r.rank) AS mrr,
+         sum(1.0 / log2(r.rank + 1.0)) AS dcg
+  FROM ev_res r JOIN ev_truth t
+    ON t.query_id = r.query_id AND t.doc_id = r.doc_id
+  GROUP BY r.query_id
+),
+ev AS (
+  SELECT n.query_id, n.n_rel,
+         CAST(coalesce(h.hits, 0) AS BIGINT) AS hits,
+         round(coalesce(h.hits, 0) * 1.0 / n.n_rel, 6) AS recall_at_k,
+         round(coalesce(h.mrr, 0.0), 6) AS mrr,
+         round(coalesce(
+           h.dcg / nullif(list_sum(list_transform(
+             range(1, CAST(least(h.hits, n.n_rel) AS INT) + 1),
+             i -> 1.0 / log2(i + 1.0))), 0.0),
+           0.0), 6) AS ndcg_at_k
+  FROM ev_nrel n LEFT JOIN ev_hits h USING (query_id)
 )
 SELECT 'tfidf' AS tier, CAST(NULL AS VARCHAR) AS query_id, doc_id, term,
        tf, df, CAST(NULL AS BIGINT) AS n_hit, score, rank
@@ -4939,6 +5021,21 @@ SELECT 'hybrid_rrf' AS tier, query_id, doc_id, CAST(NULL AS VARCHAR) AS term,
        CAST(NULL AS BIGINT) AS tf, CAST(NULL AS BIGINT) AS df, n_hit,
        score, CAST(rn AS BIGINT) AS rank
 FROM fused_ranked WHERE rn <= 5
+UNION ALL
+SELECT 'eval' AS tier, query_id, CAST(NULL AS BIGINT) AS doc_id,
+       'recall_at_k' AS term, n_rel AS tf, CAST(NULL AS BIGINT) AS df,
+       hits AS n_hit, recall_at_k AS score, CAST(NULL AS BIGINT) AS rank
+FROM ev
+UNION ALL
+SELECT 'eval' AS tier, query_id, CAST(NULL AS BIGINT) AS doc_id,
+       'mrr' AS term, n_rel AS tf, CAST(NULL AS BIGINT) AS df,
+       hits AS n_hit, mrr AS score, CAST(NULL AS BIGINT) AS rank
+FROM ev
+UNION ALL
+SELECT 'eval' AS tier, query_id, CAST(NULL AS BIGINT) AS doc_id,
+       'ndcg_at_k' AS term, n_rel AS tf, CAST(NULL AS BIGINT) AS df,
+       hits AS n_hit, ndcg_at_k AS score, CAST(NULL AS BIGINT) AS rank
+FROM ev
 """
 
     sql["rolling_time_window"] = f"""

@@ -189,14 +189,26 @@ def retrieval_metrics(
     query + a relevant-count aggregate broadcast back — never touches
     the corpus, only the (n_queries x k) lists, so it runs after any
     retrieval tier at any corpus scale.
+
+    Duplicate (query, item) pairs — in either input — are collapsed
+    before the join (results keep the MINIMUM rank, truth is distinct):
+    otherwise a repeated result row double-counts a hit, recall_at_k can
+    exceed 1.0, and DCG overstates (only idcg was guarded). A ranked
+    list *should* be distinct per (query, item); this makes the metric
+    total-correct rather than trusting that.
     """
-    r = results.select(query_col, item_col, rank_col)
+    r = (
+        results.select(query_col, item_col, rank_col)
+        .groupBy(query_col, item_col)
+        .agg(F.min(rank_col).alias(rank_col))
+    )
     if k is not None:
         r = r.where(F.col(rank_col) <= int(k))
-    n_rel = truth.groupBy(query_col).agg(
+    truth_d = truth.select(query_col, item_col).distinct()
+    n_rel = truth_d.groupBy(query_col).agg(
         F.count("*").cast("bigint").alias("__n_rel")
     )
-    hits = r.join(truth.select(query_col, item_col), [query_col, item_col])
+    hits = r.join(truth_d, [query_col, item_col])
     per_q = hits.groupBy(query_col).agg(
         F.count("*").cast("bigint").alias("__hits"),
         (1.0 / F.min(rank_col)).alias("mrr"),

@@ -191,6 +191,29 @@ class TestRetrievalMetrics:
         assert m[3]["mrr"] == 1.0
         assert m[3]["ndcg_at_k"] == pytest.approx(1.0)
 
+    def test_duplicate_pairs_collapsed_not_double_counted(self, spark):
+        # r10 (ADVICE): dup (query, item) rows in results or truth must
+        # not inflate hits — recall could exceed 1.0 and DCG overstate.
+        # Results keep the MIN rank per pair; truth is distinct.
+        from amonaly_detection_in_time_series_data_spark.operators.retrieval import (
+            retrieval_metrics,
+        )
+
+        results = spark.createDataFrame(
+            [(1, "a", 1), (1, "a", 3), (1, "b", 2), (1, "b", 2)],
+            "query_id long, neighbor_id string, rank long",
+        )
+        truth = spark.createDataFrame(
+            [(1, "a"), (1, "a"), (1, "b")],
+            "query_id long, neighbor_id string",
+        )
+        m = retrieval_metrics(results, truth, k=3).collect()[0]
+        assert m["n_relevant"] == 2  # not 3
+        assert m["hits"] == 2  # not 4
+        assert m["recall_at_k"] == pytest.approx(1.0)  # would be 2.0
+        assert m["mrr"] == pytest.approx(1.0)
+        assert m["ndcg_at_k"] == pytest.approx(1.0)
+
     def test_k_truncation(self, spark):
         from amonaly_detection_in_time_series_data_spark.operators.retrieval import (
             retrieval_metrics,
