@@ -71,6 +71,15 @@ def get_spark(
     conf["spark.driver.memory"] = os.environ.get(
         "SPARK_GRAFT_DRIVER_MEM", "8g"
     )
+    # Throughput collector for batch work: an interleaved A/B on the
+    # headline queries (tools/ab_gc.py) measured ParallelGC == G1 on
+    # wall, while the allocation-heavy longdoc ladder's GC share at the
+    # 200k rung dropped 12.8% -> 3.7% of wall. Pauses don't matter in a
+    # batch engine; on a real cluster mirror this in
+    # spark.executor.extraJavaOptions.
+    conf.setdefault(
+        "spark.driver.extraJavaOptions", "-XX:+UseParallelGC"
+    )
     if extra_conf:
         conf.update(extra_conf)
     for k, v in conf.items():

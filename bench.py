@@ -193,27 +193,33 @@ def main() -> None:
 
     total = round(sum(timings.values()), 3)
     sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "")
-    print(
-        json.dumps(
-            {
-                "metric": "headline_query_wall_seconds",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "queries_detail": detail,
-                "queries_cold": cold,
-                "plans": plans,
-                "longdoc_ladder_16docs": longdoc,
-                "sf": float(sf) if sf else sf_dir,
-            }
-        )
-    )
+    full = {
+        "metric": "headline_query_wall_seconds",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "queries_detail": detail,
+        "queries_cold": cold,
+        "plans": plans,
+        "longdoc_ladder_16docs": longdoc,
+        "sf": float(sf) if sf else sf_dir,
+    }
+    # The driver archives only a bounded stdout tail window; r9 lost the
+    # first ~6 queries' detail fields to front-truncation of the big
+    # line. Persist the FULL artifact to a file next to the script (the
+    # driver archives files), so per-query median/best/gc/plan for all
+    # queries survives any stdout window.
+    with open(os.path.join(REPO, "BENCH_detail.json"), "w") as f:
+        json.dump(full, f, indent=1)
+    print(json.dumps(full))
     # Short trailer so the headline survives even if a log-capture window
     # truncates the (long) full line above from the front: the r8 driver
     # artifact lost its own "value" field that way. Keep this line LAST
     # and SHORT (~700 bytes — fits any sane tail window); it repeats the
     # driver-contract fields (metric/value/unit/queries/sf) so it parses
     # as a complete result on its own, minus the bulky detail maps.
+    # "trailer": true distinguishes it from the full line above for any
+    # consumer that scans all lines rather than taking the last.
     print(
         json.dumps(
             {
@@ -223,6 +229,7 @@ def main() -> None:
                 "queries": timings,
                 "n_queries": len(timings),
                 "sf": float(sf) if sf else sf_dir,
+                "trailer": True,
             }
         )
     )
