@@ -2753,17 +2753,47 @@ def q_sketch_aggs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_mp_discords(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Matrix-profile discords (operators.matrixprofile, r8): top-3
-    shape anomalies per user series at window 12. Rows-only tier: the
-    STOMP recurrence is an iterative per-series DP no SQL engine
-    reproduces; the kernel is pinned vs a naive O(n^2 m) reference and
-    the Spark operator vs the kernel in tests/test_advanced_anomaly.py."""
+    shape anomalies per user series at window 12, tagged union:
+
+    - tier='monolithic' — top_discords over every user series (one
+      STOMP task per series);
+    - tier='chunked' (declared r10) — user 0's series routed through
+      matrix_profile_chunked with chunk_size=64, which at every sf
+      splits the series into >=3 chunks, so the driver smoke-runs the
+      distributed C x C tile decomposition each round (the scale path
+      for series too long for one task); same top-3 ranking applied.
+
+    Rows-only tier: the STOMP recurrence is an iterative per-series DP
+    no SQL engine reproduces; the kernel is pinned vs a naive O(n^2 m)
+    reference, the Spark operator vs the kernel, and chunked ==
+    monolithic at 1e-9 across three chunkings in
+    tests/test_advanced_anomaly.py."""
     from amonaly_detection_in_time_series_data_spark.operators.matrixprofile import (
+        matrix_profile_chunked,
         top_discords,
     )
+    from pyspark.sql import Window as W
 
     ev = _events(spark, sf_dir)
-    out = top_discords(ev, "ts", "value", ["user_id"], window=12, k=3)
-    return out.select(
+    mono = top_discords(ev, "ts", "value", ["user_id"], window=12, k=3)
+    chunk_prof = matrix_profile_chunked(
+        ev.filter(F.col("user_id") == 0),
+        "ts",
+        "value",
+        ["user_id"],
+        window=12,
+        chunk_size=64,
+    )
+    cw = W.partitionBy("user_id").orderBy(
+        F.col("mp").desc(), F.col("pos").asc()
+    )
+    chunked = (
+        chunk_prof.where(F.col("mp").isNotNull())
+        .withColumn("discord_rank", F.row_number().over(cw))
+        .where(F.col("discord_rank") <= 3)
+    )
+    sel = lambda d, tier: d.select(  # noqa: E731
+        F.lit(tier).alias("tier"),
         "user_id",
         _ts_str("ts").alias("ts"),
         "pos",
@@ -2771,6 +2801,7 @@ def q_mp_discords(spark: SparkSession, sf_dir: str) -> DataFrame:
         "mp_pos",
         "discord_rank",
     )
+    return sel(mono, "monolithic").unionByName(sel(chunked, "chunked"))
 
 
 def q_kalman_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
