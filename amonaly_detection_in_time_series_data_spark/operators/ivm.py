@@ -55,6 +55,7 @@ __all__ = [
     "refresh_groups",
     "maintain_agg_snapshot",
     "maintain_agg_sink",
+    "maintain_hll_snapshot",
 ]
 
 COUNT_COL = "__n_rows"
@@ -145,14 +146,32 @@ def refresh_groups(
     deltas cannot maintain (min/max/distinct under deletes). Rescans
     ONLY the groups in ``affected`` (broadcast semi-join prunes the
     base map-side) and splices the recomputed rows over the stale ones.
-    ``agg_exprs`` must alias every output column."""
-    aff = F.broadcast(affected.select(*group_cols).distinct())
+    ``agg_exprs`` must alias every output column.
+
+    Both splice joins are NULL-SAFE on the group columns: a NULL group
+    value is one group (exactly as groupBy treats it), so it must
+    refresh and anti-match like any other — plain equi-join semantics
+    would never recompute the NULL group and never retire its stale
+    row. ``eqNullSafe`` keys still hash-join, so the broadcast prune
+    is unchanged."""
+
+    def _null_safe(left_alias: str, left: DataFrame, how: str):
+        la = left.alias(left_alias)
+        cond = None
+        for c in group_cols:
+            eq = F.col(f"{left_alias}.`{c}`").eqNullSafe(
+                F.col(f"__ivm_aff.`{c}`")
+            )
+            cond = eq if cond is None else (cond & eq)
+        return la.join(F.broadcast(aff), on=cond, how=how)
+
+    aff = affected.select(*group_cols).distinct().alias("__ivm_aff")
     recomputed = (
-        base_after.join(aff, on=group_cols, how="left_semi")
+        _null_safe("__ivm_base", base_after, "left_semi")
         .groupBy(*group_cols)
         .agg(*agg_exprs)
     )
-    kept = agg.join(aff, on=group_cols, how="left_anti")
+    kept = _null_safe("__ivm_agg", agg, "left_anti")
     return kept.unionByName(recomputed)
 
 
@@ -266,6 +285,136 @@ def maintain_agg_snapshot(
         "base_version": merge_stats["version"],
         "agg_version": agg_version,
         "agg_op": op,
+    }
+
+
+def maintain_hll_snapshot(
+    spark: SparkSession,
+    base_path: str,
+    sketch_path: str,
+    changes: DataFrame,
+    keys: list[str],
+    group_cols: list[str],
+    value_col: str,
+    seq_col: str,
+    delete_col: str | None = None,
+    lg_k: int = 12,
+    sketch_col: str = "hll_sketch",
+    **merge_kw,
+) -> dict:
+    """Maintain a per-group HLL sketch summary table
+    (:mod:`~.hll`: one ``hll_sketch_agg`` binary per ``group_cols``
+    group over ``value_col``) under the same CDC feed that maintains
+    the base — the composition that turns the sketch operator into a
+    LAKE feature: every later distinct-count rollup merges the summary
+    table's sketches instead of rescanning the raw events.
+
+    Distinct counts are the canonical NON-additive aggregate — a delete
+    or update can remove a value only a rescan can find, so no delta
+    folds (the reason :func:`maintain_agg_snapshot` handles sums and
+    this function exists). The bounded strategy is affected-group
+    recompute (:func:`refresh_groups`): rescan ONLY the groups the
+    batch touched — the groups of the changed keys' OLD images (looked
+    up at the sketch table's recorded base cut, same pruning as the
+    additive path) plus the groups of the surviving upserts (a key that
+    MIGRATES groups touches both) — over the post-merge base, and
+    splice the recomputed sketches over the stale rows. Cost:
+    O(batch) + a rescan of just the touched groups; never the world.
+
+    **Exactly-once effect under redelivery**, same recorded-cut
+    protocol as :func:`maintain_agg_snapshot` but strictly simpler to
+    argue: the recomputed sketches are a pure function of the
+    POST-merge base (no retraction arithmetic), so re-delivering an
+    applied batch re-merges as a content-no-op and recomputes the same
+    touched groups to identical bytes; a crash between the base merge
+    and the sketch commit leaves the sketch cut pointing pre-merge, and
+    the redelivered batch's old-image lookup at that cut still names
+    every touched group, so the splice heals the torn window.
+
+    Bootstraps on first call (full :func:`~.hll.hll_build` over the
+    merged base — the one full scan per table lifetime). ``lg_k`` is
+    recorded in the manifest meta and must not change across calls
+    (sketches at mixed lg_k degrade the merge to the coarser accuracy);
+    a mismatch raises. Returns
+    ``{base_version, sketch_version, sketch_op}``.
+    """
+    from amonaly_detection_in_time_series_data_spark.operators.hll import (
+        hll_build,
+    )
+
+    try:
+        man = snapshot_manifest(spark, sketch_path)
+    except FileNotFoundError:
+        man = None
+
+    affected = None
+    if man is not None:
+        meta = man.get("meta") or {}
+        base_cut = meta.get("base_version")
+        if base_cut is None:
+            raise ValueError(
+                f"maintain_hll_snapshot: sketch table at {sketch_path} has "
+                "no recorded base_version (created outside the "
+                "maintainer?); delete it and let this function bootstrap it"
+            )
+        if meta.get("lg_k") is not None and int(meta["lg_k"]) != int(lg_k):
+            raise ValueError(
+                f"maintain_hll_snapshot: sketch table was built at "
+                f"lg_k={meta['lg_k']}, called with lg_k={lg_k}; rebuild "
+                "rather than mixing precisions"
+            )
+        latest = latest_changes(changes, keys, seq_col, delete_col)
+        base_at_cut = read_snapshot(spark, base_path, version=base_cut)
+        old_groups = base_at_cut.join(
+            F.broadcast(latest.select(*keys).distinct()),
+            on=keys,
+            how="left_semi",
+        ).select(*group_cols)
+        upserts = latest
+        if delete_col is not None:
+            upserts = upserts.filter(
+                ~F.coalesce(F.col(delete_col), F.lit(False))
+            )
+        # stays correct evaluated lazily AFTER the merge below: the
+        # old-image leg binds to the recorded cut's immutable file list
+        # (snapshot isolation — the merge only adds files)
+        affected = (
+            old_groups.unionByName(upserts.select(*group_cols)).distinct()
+        )
+
+    merge_stats = snapshot_merge(
+        spark, base_path, changes, keys, seq_col,
+        delete_col=delete_col, **merge_kw,
+    )
+    base_after = read_snapshot(spark, base_path)
+
+    if man is not None:
+        sk_before = read_snapshot(spark, sketch_path)
+        sk_after = refresh_groups(
+            sk_before,
+            base_after,
+            group_cols,
+            [
+                F.hll_sketch_agg(F.col(value_col), F.lit(int(lg_k))).alias(
+                    sketch_col
+                )
+            ],
+            affected,
+        )
+        op = "refresh"
+    else:
+        sk_after = hll_build(
+            base_after, group_cols, value_col, lg_k, sketch_col
+        )
+        op = "bootstrap"
+    sketch_version = snapshot_commit(
+        spark, sketch_path, sk_after,
+        meta={"base_version": merge_stats["version"], "lg_k": int(lg_k)},
+    )
+    return {
+        "base_version": merge_stats["version"],
+        "sketch_version": sketch_version,
+        "sketch_op": op,
     }
 
 

@@ -270,6 +270,148 @@ class TestIvm:
         )
         assert got == want == {"a": (50, 1), None: (9, 1)}
 
+    def test_hll_sketch_table_random_batches_match_rebuild(
+        self, spark, tmp_path
+    ):
+        # r10: the HLL summary table maintained under the CDC feed must,
+        # after ANY contiguous batch split (with deletes, updates and
+        # group migration), equal a from-scratch hll_build of the merged
+        # base — per-group estimates AND group set — and its rollup
+        # (merging the per-group sketches to one) must equal the direct
+        # whole-base estimate (loss-free at matched lg_k).
+        from hypothesis import HealthCheck, given, settings
+        from hypothesis import strategies as st
+
+        from amonaly_detection_in_time_series_data_spark.operators.hll import (
+            hll_build,
+            hll_estimate,
+            hll_rollup,
+        )
+        from amonaly_detection_in_time_series_data_spark.operators.ivm import (
+            maintain_hll_snapshot,
+        )
+
+        OPS = st.lists(
+            st.tuples(
+                st.integers(min_value=0, max_value=5),    # key
+                st.booleans(),                            # is_delete
+                st.integers(min_value=-9, max_value=9),   # x (the value)
+                st.sampled_from(["a", "b", None]),        # group (can move!)
+            ),
+            min_size=1,
+            max_size=12,
+        )
+
+        counter = [0]
+
+        def est_dict(sk):
+            return {
+                r["g"]: r["est"]
+                for r in sk.select(
+                    "g", hll_estimate("hll_sketch").alias("est")
+                ).collect()
+            }
+
+        @settings(
+            max_examples=6, deadline=None,
+            suppress_health_check=[HealthCheck.function_scoped_fixture],
+        )
+        @given(ops=OPS, n_batches=st.integers(min_value=1, max_value=3))
+        def check(ops, n_batches):
+            counter[0] += 1
+            base = str(tmp_path / f"hbase_{counter[0]}")
+            sk = str(tmp_path / f"hsk_{counter[0]}")
+            base_rows = [(k, k % 2, "a" if k % 3 else "b", k * 10)
+                         for k in range(4)]
+            snapshot_commit(
+                spark, base,
+                spark.createDataFrame(base_rows, SCHEMA),
+                partition_col="p",
+            )
+            changes = [
+                (k, k % 2, g, x, seq, is_del)
+                for seq, (k, is_del, x, g) in enumerate(ops)
+            ]
+            step = max(1, len(changes) // n_batches)
+            calls = 0
+            for lo in range(0, len(changes), step):
+                batch = spark.createDataFrame(
+                    changes[lo:lo + step], CHANGES_SCHEMA
+                )
+                res = maintain_hll_snapshot(
+                    spark, base, sk, batch,
+                    keys=["k"], group_cols=["g"], value_col="x",
+                    seq_col="seq", delete_col="deleted", lg_k=12,
+                )
+                calls += 1
+                assert res["sketch_op"] == (
+                    "bootstrap" if calls == 1 else "refresh"
+                )
+            merged = read_snapshot(spark, base)
+            got = est_dict(read_snapshot(spark, sk))
+            want = est_dict(hll_build(merged, ["g"], "x", lg_k=12))
+            assert got == want
+            # loss-free rollup: merge the maintained per-group sketches
+            # to ONE and compare against the direct whole-base estimate
+            overall = (
+                hll_rollup(
+                    read_snapshot(spark, sk).withColumn("one", F.lit(1)),
+                    ["one"],
+                )
+                .select(hll_estimate("hll_sketch").alias("est"))
+                .collect()[0]["est"]
+            )
+            direct = (
+                merged.agg(
+                    F.hll_sketch_estimate(
+                        F.hll_sketch_agg(F.col("x"), F.lit(12))
+                    ).alias("est")
+                ).collect()[0]["est"]
+            )
+            assert overall == direct
+
+        check()
+
+    def test_hll_maintainer_redelivery_and_lg_k_guard(self, spark, tmp_path):
+        from amonaly_detection_in_time_series_data_spark.operators.hll import (
+            hll_estimate,
+        )
+        from amonaly_detection_in_time_series_data_spark.operators.ivm import (
+            maintain_hll_snapshot,
+        )
+
+        base = str(tmp_path / "rbase")
+        sk = str(tmp_path / "rsk")
+        snapshot_commit(
+            spark, base,
+            spark.createDataFrame([(1, 0, "a", 10), (2, 0, "b", 20)], SCHEMA),
+        )
+        b1 = spark.createDataFrame(
+            [(3, 0, "a", 30, 1, False), (2, 0, "b", 20, 2, True)],
+            CHANGES_SCHEMA,
+        )
+        kw = dict(keys=["k"], group_cols=["g"], value_col="x",
+                  seq_col="seq", delete_col="deleted", lg_k=12)
+        maintain_hll_snapshot(spark, base, sk, b1, **kw)   # bootstrap
+        r2 = maintain_hll_snapshot(spark, base, sk, b1, **kw)  # redelivery
+        assert r2["sketch_op"] == "refresh"
+
+        def snap(path):
+            return {
+                r["g"]: r["est"]
+                for r in read_snapshot(spark, path).select(
+                    "g", hll_estimate("hll_sketch").alias("est")
+                ).collect()
+            }
+
+        # group b was emptied by the delete -> dropped; redelivery is a
+        # value no-op
+        assert snap(sk) == {"a": 2}
+        with pytest.raises(ValueError, match="lg_k"):
+            maintain_hll_snapshot(
+                spark, base, sk, b1, **{**kw, "lg_k": 13}
+            )
+
     def test_refresh_groups_min_max_under_delete(self, spark, tmp_path):
         base_after = spark.createDataFrame(
             [(1, 0, "a", 5), (3, 0, "a", 2), (4, 0, "b", 8)], SCHEMA
