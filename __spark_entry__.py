@@ -1717,17 +1717,19 @@ def q_text_quality_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_embedding_knn_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ANN scale path: multi-table random-hyperplane LSH with
-    MULTIPROBE (Lv et al. 2007) — 6 tables of 6-bit signatures, each
-    query also probing the 6 one-bit-flip neighbor buckets per table.
-    Probes multiply only the broadcast QUERY table; the corpus explode
-    (what a 100 TB index pays storage and shuffle for) DROPS 8x -> 6x
-    while finer buckets shrink each candidate list. Measured frontier
-    (recall@5 at sf0.01 / warm seconds at sf0.1): old 4-bit x 8 tables
-    single-probe 0.710/1.15s; this config 0.820/0.99s — better on all
-    three axes. Oracle-checked — the 6 plane matrices AND the xor
-    probe set are mirrored in the DuckDB SQL (see oracle_sql).
+    RADIUS-2 MULTIPROBE (Lv et al. 2007) — 3 tables of 6-bit
+    signatures, each query probing every bucket within 2 plane-bit
+    flips per table (22 probes/table). Probes multiply only the
+    broadcast QUERY table; the corpus explode (what a 100 TB index
+    pays storage and shuffle for) DROPS 6x -> 3x and the per-vector
+    projection count 36 -> 18. Measured frontier (recall@5 at
+    sf0.01+sf0.1 / warm seconds, tools/lsh_frontier.py): r9 6x6-bit
+    radius-1 0.84+0.90 / 1.73s+1.74s; this config 0.94+1.00 /
+    1.10s+1.18s — better recall at HALF the corpus-side work.
+    Oracle-checked — the 3 plane matrices AND the 22-mask xor probe
+    set are mirrored in the DuckDB SQL (see oracle_sql).
 
-    _plan_cache (r9): the 6-table plan is deep (planes as parsed
+    _plan_cache (r9): the multi-table plan is deep (planes as parsed
     literals x multiprobe union) — repeat callers reuse the analyzed
     plan."""
     return _plan_cache(
@@ -1741,7 +1743,7 @@ def _build_embedding_knn_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     q = emb.filter(F.col("vec_id") < 10)
     out = lsh_cosine_topk(
         emb, q, k=5, dim=64, n_planes=6, seed=42, round_digits=4,
-        n_tables=6, multiprobe=True,
+        n_tables=3, multiprobe=True, probe_radius=2,
     )
     return out.withColumn("rank", F.col("rank").cast("bigint"))
 
@@ -4436,11 +4438,12 @@ FROM documents,
         _random_hyperplanes,
     )
 
-    # 8 tables of 4-bit signatures (mirrors q_embedding_knn_lsh's
-    # n_planes=4, n_tables=8, seed offsets seed + 7919*t); bucket ids
-    # are table-tagged (t << 4) and unnested so a candidate pair joins
-    # if it shares a bucket in ANY table, then de-duplicated.
-    lsh_n_planes, lsh_n_tables = 6, 6
+    # 3 tables of 6-bit signatures with RADIUS-2 multiprobe (mirrors
+    # q_embedding_knn_lsh's n_planes=6, n_tables=3, probe_radius=2,
+    # seed offsets seed + 7919*t); bucket ids are table-tagged (t << 6)
+    # and unnested so a candidate pair joins if it shares a probed
+    # bucket in ANY table, then de-duplicated.
+    lsh_n_planes, lsh_n_tables, lsh_radius = 6, 3, 2
     bucket_exprs = []
     for t in range(lsh_n_tables):
         planes = _random_hyperplanes(64, lsh_n_planes, 42 + 7919 * t)
@@ -4451,9 +4454,13 @@ FROM documents,
             for p, row in enumerate(planes)
         )
         bucket_exprs.append(f"(({bit_terms}) + {t << lsh_n_planes})")
-    probe_xors = "".join(
-        f", xor(bucket, {1 << i})" for i in range(lsh_n_planes)
-    )
+    import itertools as _it
+
+    _masks = []
+    for _r in range(1, lsh_radius + 1):
+        for _bits in _it.combinations(range(lsh_n_planes), _r):
+            _masks.append(sum(1 << b for b in _bits))
+    probe_xors = "".join(f", xor(bucket, {m})" for m in _masks)
     knn_lsh = f"""
 WITH sigs AS (
   SELECT vec_id, embedding::DOUBLE[] AS v,
@@ -4461,8 +4468,9 @@ WITH sigs AS (
   FROM embeddings
 ),
 c AS (SELECT vec_id AS cid, v AS cv, bucket FROM sigs),
--- multiprobe mirror: each query additionally probes every bucket one
--- plane-bit away (xor with each plane mask); corpus stays 1 row/table
+-- multiprobe mirror: each query additionally probes every bucket
+-- within radius-2 plane-bits (xor with every <=2-bit mask); corpus
+-- stays 1 row/table
 q AS (
   SELECT vec_id AS qid, v AS qv,
          unnest([bucket{probe_xors}]) AS bucket

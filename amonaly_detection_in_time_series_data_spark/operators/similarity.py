@@ -241,6 +241,7 @@ def lsh_cosine_topk(
     round_digits: int | None = None,
     n_tables: int = 1,
     multiprobe: bool = False,
+    probe_radius: int = 1,
 ) -> DataFrame:
     """Approximate cosine kNN: sign-of-projection bucketing (n_planes-bit
     signature) on both sides, join on bucket, exact cosine re-rank within
@@ -256,34 +257,44 @@ def lsh_cosine_topk(
     via max_by in one aggregation keyed like the ranking window.
 
     ``multiprobe`` (Lv et al. 2007): the QUERY side additionally probes
-    every bucket one plane-bit away from its own — a near neighbor that
-    landed across exactly one hyperplane is still found. Recall per
-    table rises from ``p^b`` to ``P(<=1 plane disagrees)`` at ZERO extra
-    corpus rows: the perturbation explodes the (broadcast, tiny) query
-    table by ``n_planes+1``, never the corpus. The corpus explode
-    factor is what a 100 TB deployment pays storage/shuffle for, so the
-    efficient frontier pairs multiprobe with FINER buckets (measured:
-    6-bit x 6 tables multiprobe beats 4-bit x 8 single-probe on recall,
-    wall time, and corpus rows at once; over coarse buckets multiprobe
-    degenerates toward a full scan — ladder in SCALING.md §4).
+    every bucket within ``probe_radius`` plane-bits of its own — a near
+    neighbor that landed across a few hyperplanes is still found.
+    Recall per table rises from ``p^b`` to ``P(<= radius planes
+    disagree)`` at ZERO extra corpus rows: the perturbation explodes
+    the (broadcast, tiny) query table by ``sum_i C(n_planes, i)``,
+    never the corpus. The corpus explode factor is what a 100 TB
+    deployment pays storage/shuffle for, so the efficient frontier
+    pairs DEEPER probes with FEWER tables (measured ladder,
+    SCALING.md §4: radius-2 over 3 tables of 6 bits beats radius-1
+    over 6 tables on recall, wall, corpus rows and projection count
+    at once — recall@5 0.94 vs 0.84 at sf0.01 with HALF the corpus-
+    side work; over coarse buckets deep probing degenerates toward a
+    full scan, so radius and n_planes move together).
 
     ``round_digits`` rounds the cosine BEFORE ranking so the result is
     reproducible across engines (oracle determinism convention).
     """
+    import itertools as _it
+
     tables = [
         _random_hyperplanes(dim, n_planes, seed + 7919 * t)
         for t in range(n_tables)
     ]
+    # all XOR masks with <= probe_radius bits set (own bucket = mask 0);
+    # static Python ints -> constant literals in one expression tree
+    masks = [0]
+    for r in range(1, int(probe_radius) + 1):
+        for bits in _it.combinations(range(n_planes), r):
+            masks.append(sum(1 << b for b in bits))
 
     def probe_set(buckets: Column) -> Column:
-        # own bucket + each 1-bit flip (flips stay below the table-tag
-        # bits, so perturbation never crosses tables); the flip masks
-        # are static Python ints -> constant literals in one tree
+        # flips stay below the table-tag bits, so perturbation never
+        # crosses tables
         return F.flatten(
             F.transform(
                 buckets,
                 lambda b: F.array(
-                    b, *[b.bitwiseXOR(F.lit(1 << i)) for i in range(n_planes)]
+                    *[b.bitwiseXOR(F.lit(m)) for m in masks]
                 ),
             )
         )
