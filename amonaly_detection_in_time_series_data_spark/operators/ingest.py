@@ -53,7 +53,32 @@ from amonaly_detection_in_time_series_data_spark.operators.similarity import (
     minhash_signatures,
 )
 
-__all__ = ["incremental_neardup_batch", "incremental_ingest_sink", "read_store"]
+__all__ = [
+    "incremental_neardup_batch",
+    "incremental_ingest_sink",
+    "read_store",
+    "sig_scheme",
+]
+
+# Version tag of each hash family's SIGNATURE VALUES, bumped whenever an
+# implementation change alters the numbers a given (text, seed) maps to.
+# r9 moved the xxhash64 family from hashing gram STRINGS to folding
+# composed 64-bit gram hashes — every signature changed, so a store
+# written by pre-r9 code would silently never match (jaccard_est ~0 for
+# identical docs), losing all historical near-dup detection with no
+# error. The scheme column makes that a loud ValueError instead.
+_FAMILY_VERSION = {"xxhash64": "grams64-v2", "md5": "strings-v1"}
+
+
+def sig_scheme(hash_fn: str, n_hashes: int, shingle_n: int) -> str:
+    """The signature-compatibility tag persisted with every store row:
+    hash family + its value-version + the two parameters that also
+    change signature values. Two stores (or a store and a caller) can
+    only be compared when their schemes are IDENTICAL."""
+    fam = _FAMILY_VERSION.get(hash_fn)
+    if fam is None:
+        raise ValueError(f"unknown hash_fn {hash_fn!r}")
+    return f"{fam}:n{int(n_hashes)}:s{int(shingle_n)}"
 
 
 def read_store(spark: SparkSession, store_path: str) -> DataFrame | None:
@@ -63,6 +88,33 @@ def read_store(spark: SparkSession, store_path: str) -> DataFrame | None:
     except Exception:
         return None
     return df if "sig" in df.columns else None
+
+
+def _check_store_scheme(store: DataFrame, scheme: str, store_path: str):
+    """Refuse to compare signatures across scheme versions. A mismatch
+    is unrecoverable by waiting — the store must be REBUILT (re-ingest
+    the corpus, or re-sign it from the original texts) under the
+    current scheme."""
+    if "sig_scheme" not in store.columns:
+        raise ValueError(
+            f"signature store at {store_path} predates scheme versioning "
+            "(written by pre-r10 code); its xxhash64 signatures are NOT "
+            f"comparable with the current family "
+            f"({_FAMILY_VERSION['xxhash64']}) — rebuild the store from "
+            "the original texts"
+        )
+    # constant, dictionary-encoded column: the distinct() is a pruned
+    # single-column scan, bounded output
+    found = sorted(
+        r[0] for r in store.select("sig_scheme").distinct().collect()
+    )
+    if found != [scheme]:
+        raise ValueError(
+            f"signature store at {store_path} holds scheme(s) {found}, "
+            f"caller uses {scheme!r}; signatures across schemes never "
+            "match (silent total recall loss) — rebuild the store under "
+            "one scheme"
+        )
 
 
 def incremental_neardup_batch(
@@ -92,6 +144,7 @@ def incremental_neardup_batch(
     if store_policy not in ("all-seen", "kept-only"):
         raise ValueError(f"unknown store_policy {store_policy!r}")
     spark = batch.sparkSession
+    scheme = sig_scheme(hash_fn, n_hashes, shingle_n)
     sigs = minhash_signatures(
         batch, text_col, id_col, n_hashes, shingle_n, hash_fn
     )
@@ -100,6 +153,7 @@ def incremental_neardup_batch(
     store = read_store(spark, store_path)
     hit_parts = []
     if store is not None:
+        _check_store_scheme(store, scheme, store_path)
         # Only EARLIER batches count as history. This both implements
         # the arrival-order semantics and makes retries safe: a
         # redelivered batch_id finds its own failed-attempt partition in
@@ -168,7 +222,8 @@ def incremental_neardup_batch(
                 novel.select(id_col), id_col, "left_semi"
             )
         (
-            to_store.withColumn("batch_id", F.lit(int(batch_id)))
+            to_store.withColumn("sig_scheme", F.lit(scheme))
+            .withColumn("batch_id", F.lit(int(batch_id)))
             .write.mode("overwrite")
             .partitionBy("batch_id")
             .option("partitionOverwriteMode", "dynamic")

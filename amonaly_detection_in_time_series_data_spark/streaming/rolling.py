@@ -17,6 +17,7 @@ exposes streaming variants).
 from __future__ import annotations
 
 import os
+from collections.abc import Sequence
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -1140,20 +1141,25 @@ def streaming_theta(
     timeout_minutes: int | None = 60,
     ts_col: str = "ts",
     value_col: str = "value",
+    key_cols: Sequence[str] = ("user_id",),
 ) -> DataFrame:
-    """Online Theta-method one-step forecasts per user — the streaming
-    face of :func:`operators.timeseries.theta_forecast`. The strictly
-    causal formulation was chosen in the batch operator precisely so a
-    stream could run it: state is SEVEN scalars per key (row counter,
-    the four expanding-OLS sums, the SES level, and the backtest error
-    accumulators) — O(1) regardless of stream length.
+    """Online Theta-method one-step forecasts per series key — the
+    streaming face of :func:`operators.timeseries.theta_forecast`. The
+    strictly causal formulation was chosen in the batch operator
+    precisely so a stream could run it: state is SEVEN scalars per key
+    (row counter, the four expanding-OLS sums, the SES level, and the
+    backtest error accumulators) — O(1) regardless of stream length.
 
     Both sides execute the identical IEEE float sequence (the batch
     loop's update order is replicated statement-for-statement,
     including the ``ses = y0`` init followed by the same-row SES
     update), so the stream equals the batch operator BIT-FOR-BIT on
     in-order replay. Input contract matches the batch operator: one
-    value per (user, ts) — compose after a grid resample.
+    value per (key, ts) — compose after a grid resample.
+
+    ``key_cols`` mirrors the batch operator's ``series_cols`` (r10,
+    ADVICE): the key portion of the output and state schemas is derived
+    from the INPUT schema, so any key arity/type works.
     """
     import pandas as pd  # noqa: F401
     from pyspark.sql.streaming.state import GroupStateTimeout
@@ -1166,8 +1172,13 @@ def streaming_theta(
         )
     a = float(alpha)
     mp = int(min_points)
+    keys = list(key_cols)
+    key_schema = ", ".join(
+        f"{f.name} {f.dataType.simpleString()}"
+        for f in events.select(*keys).schema.fields
+    )
     out_schema = (
-        f"user_id bigint, {ts_col} timestamp, {value_col} double, "
+        f"{key_schema}, {ts_col} timestamp, {value_col} double, "
         "theta_forecast double, abs_err double, theta_mae double"
     )
     state_schema = (
@@ -1182,7 +1193,6 @@ def streaming_theta(
             state.remove()
             return
 
-        (user_id,) = key
         if state.exists:
             cnt, sx, sy, sxx, sxy, ses, err_sum, err_n = state.get
         else:
@@ -1226,7 +1236,7 @@ def streaming_theta(
                 sxy += t * y_t
                 cnt += 1
                 rows.append(
-                    (user_id, r[ts_col], y_t, fc, err,
+                    (*key, r[ts_col], y_t, fc, err,
                      (err_sum / err_n) if err_n else None)
                 )
         state.update((cnt, sx, sy, sxx, sxy, ses, err_sum, err_n))
@@ -1235,14 +1245,14 @@ def streaming_theta(
         yield pd.DataFrame(
             rows,
             columns=[
-                "user_id", ts_col, value_col,
+                *keys, ts_col, value_col,
                 "theta_forecast", "abs_err", "theta_mae",
             ],
         )
 
     return (
         events.withWatermark(ts_col, "2 hours")
-        .groupBy("user_id")
+        .groupBy(*keys)
         .applyInPandasWithState(
             run,
             outputStructType=out_schema,
@@ -1264,9 +1274,10 @@ def streaming_croston(
     timeout_minutes: int | None = 60,
     ts_col: str = "ts",
     value_col: str = "value",
+    key_cols: Sequence[str] = ("user_id",),
 ) -> DataFrame:
-    """Online Croston/SBA intermittent-demand forecasts per user — the
-    streaming face of :func:`operators.timeseries.croston_forecast`.
+    """Online Croston/SBA intermittent-demand forecasts per series key —
+    the streaming face of :func:`operators.timeseries.croston_forecast`.
     Croston is two SES recursions updated only on demand periods: state
     is SEVEN scalars per key (the two SES levels + their init flags,
     the inter-demand gap counter, and the backtest accumulators) —
@@ -1277,6 +1288,10 @@ def streaming_croston(
     parity. Input contract matches the batch operator: a regular
     zero-filled grid per key (compose after ``resample_grid`` +
     zero-fill); negative demand raises.
+
+    ``key_cols`` mirrors the batch operator's ``series_cols`` (r10,
+    ADVICE): the key portion of the output and state schemas is derived
+    from the INPUT schema, so any key arity/type works.
     """
     import pandas as pd  # noqa: F401
     from pyspark.sql.streaming.state import GroupStateTimeout
@@ -1285,8 +1300,13 @@ def streaming_croston(
         raise ValueError(f"streaming_croston: alpha must be in (0,1), got {alpha}")
     a = float(alpha)
     factor = (1.0 - a / 2.0) if sba else 1.0
+    keys = list(key_cols)
+    key_schema = ", ".join(
+        f"{f.name} {f.dataType.simpleString()}"
+        for f in events.select(*keys).schema.fields
+    )
     out_schema = (
-        f"user_id bigint, {ts_col} timestamp, {value_col} double, "
+        f"{key_schema}, {ts_col} timestamp, {value_col} double, "
         "croston_forecast double, abs_err double, croston_mae double"
     )
     state_schema = (
@@ -1301,7 +1321,6 @@ def streaming_croston(
             state.remove()
             return
 
-        (user_id,) = key
         if state.exists:
             z, p, has_z, has_p, gap, err_sum, err_n = state.get
         else:
@@ -1341,7 +1360,7 @@ def streaming_croston(
                         p = a * gap + (1.0 - a) * p
                     gap = 0
                 rows.append(
-                    (user_id, r[ts_col], y_t, fc, err,
+                    (*key, r[ts_col], y_t, fc, err,
                      (err_sum / err_n) if err_n else None)
                 )
         state.update((z, p, has_z, has_p, gap, err_sum, err_n))
@@ -1350,14 +1369,14 @@ def streaming_croston(
         yield pd.DataFrame(
             rows,
             columns=[
-                "user_id", ts_col, value_col,
+                *keys, ts_col, value_col,
                 "croston_forecast", "abs_err", "croston_mae",
             ],
         )
 
     return (
         events.withWatermark(ts_col, "2 hours")
-        .groupBy("user_id")
+        .groupBy(*keys)
         .applyInPandasWithState(
             run,
             outputStructType=out_schema,

@@ -191,6 +191,41 @@ class TestIncrementalIngest:
             kept |= {r["doc_id"] for r in novel.select("doc_id").collect()}
         assert kept == plain
 
+    def test_store_scheme_mismatch_raises(self, spark, tmp_path):
+        # r10 (ADVICE): r9 changed the xxhash64 signature VALUES; a
+        # store written under another scheme must refuse loudly, not
+        # silently match nothing.
+        docs = spark.createDataFrame(
+            [(1, "alpha beta gamma delta epsilon zeta")], ["doc_id", "text"]
+        )
+        store = str(tmp_path / "vstore")
+        incremental_neardup_batch(docs, store, 0, n_hashes=8)
+        # same scheme: fine
+        incremental_neardup_batch(docs, store, 1, n_hashes=8)
+        # different n_hashes -> different signature values -> refuse
+        with pytest.raises(ValueError, match="scheme"):
+            incremental_neardup_batch(docs, store, 2, n_hashes=16)
+        # different hash family -> refuse
+        with pytest.raises(ValueError, match="scheme"):
+            incremental_neardup_batch(docs, store, 2, n_hashes=8,
+                                      hash_fn="md5")
+
+    def test_legacy_unversioned_store_rejected(self, spark, tmp_path):
+        # a store written by pre-r10 code has no sig_scheme column; its
+        # signatures are not comparable with the current family
+        docs = spark.createDataFrame(
+            [(1, "alpha beta gamma delta epsilon zeta")], ["doc_id", "text"]
+        )
+        store = str(tmp_path / "legacy")
+        (
+            minhash_signatures(docs, n_hashes=8)
+            .withColumn("batch_id", F.lit(0))
+            .write.partitionBy("batch_id")
+            .parquet(store)
+        )
+        with pytest.raises(ValueError, match="rebuild"):
+            incremental_neardup_batch(docs, store, 1, n_hashes=8)
+
     def test_streaming_foreach_batch(self, spark, sf_dir, tmp_path):
         docs = _docs(spark, sf_dir)
         expect = _oracle_kept(spark, docs)

@@ -1262,6 +1262,48 @@ class TestStreamingForecast:
                 n_fc += 1
         assert n_fc > 0
 
+    def test_theta_string_key_cols(self, spark, sf_dir, tmp_path):
+        # r10 (ADVICE): the streaming twins accept key_cols like their
+        # batch series_cols — key schema derived from the input, so a
+        # STRING key must replay bit-exactly too.
+        from amonaly_detection_in_time_series_data_spark.operators.timeseries import (
+            resample_grid,
+            theta_forecast,
+        )
+        from amonaly_detection_in_time_series_data_spark.streaming.rolling import (
+            streaming_theta,
+        )
+
+        ev = load_table(spark, sf_dir, "events")
+        grid = (
+            resample_grid(ev, ["user_id"], "ts", ["value"], step="1 hour")
+            .na.drop(subset=["value"])
+            .select(
+                F.concat(F.lit("s"), F.col("user_id")).alias("series"),
+                F.col("bucket_ts").alias("ts"),
+                F.col("value").cast("double").alias("value"),
+            )
+        )
+        batch = theta_forecast(grid, "ts", "value", ["series"])
+        cols = ["theta_forecast", "abs_err", "theta_mae"]
+        expected = {
+            (r["series"], r["ts"]): tuple(r[c] for c in cols)
+            for r in batch.collect()
+        }
+
+        stream = self._replay_grid(spark, grid, tmp_path, "theta_sk")
+        out = streaming_theta(
+            stream, timeout_minutes=None, key_cols=["series"]
+        )
+        assert out.schema["series"].dataType.simpleString() == "string"
+        _run_stream_to_memory(out, "theta_sk_s", "append")
+        streamed = {
+            (r["series"], r["ts"]): tuple(r[c] for c in cols)
+            for r in spark.sql("SELECT * FROM theta_sk_s").collect()
+        }
+        assert len(streamed) == len(expected) > 0
+        assert streamed == expected
+
     def test_validation(self, spark):
         from amonaly_detection_in_time_series_data_spark.streaming.rolling import (
             streaming_croston,
