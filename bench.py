@@ -167,6 +167,21 @@ def main() -> None:
     # pays their GC), force a full GC between rungs, and report the
     # rung's GC time next to its wall time so any residual superlinear
     # growth is attributable in the artifact itself.
+    # unreported warmup rung: the first rung otherwise pays the three
+    # operators' interpreted-HOF + codegen warmup (r10 bench showed the
+    # 25k rung SLOWER than 100k for exactly this reason), which poisons
+    # the growth-ratio reading
+    warm = make_longdoc_corpus(docs, 16, 5_000).select(
+        "doc_id", "text"
+    ).localCheckpoint()
+    for op in (
+        lambda d: quality_rules(d, "text"),
+        lambda d: minhash_signatures(d, "text", "doc_id", n_hashes=8, shingle_n=3),
+        lambda d: span_dedup_stats(d, "text", "doc_id", span_len=8),
+    ):
+        op(warm).write.format("noop").mode("overwrite").save()
+    warm.unpersist(blocking=True)
+
     longdoc: dict[str, dict[str, float]] = {}
     for tokens in (25_000, 50_000, 100_000, 200_000):
         ld = make_longdoc_corpus(docs, 16, tokens).select(
