@@ -1546,10 +1546,70 @@ def q_typed_aggs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("benford_digits"),
         F.sum(bterm).alias("benford_digest"),
     )
+    # Merged r10: KMV theta-sketch distinct-count tier (operators.kmv —
+    # md5 hash family, engine-replayable like the CMS/MinHash md5
+    # paths). Per event_type: the sketch of user_id (size + a mod-p
+    # content digest pinning every array element + the (k-1)/u_k
+    # estimate); cross-joined set EXPRESSIONS the HLL tier cannot
+    # answer: the all-types union estimate via kmv_rollup and the
+    # click∩purchase user overlap (Jaccard + intersection estimate).
+    # All doubles derive from the same bigint hashes by one shared
+    # arithmetic shape on both engines.
+    from amonaly_detection_in_time_series_data_spark.operators.kmv import (
+        kmv_build,
+        kmv_estimate,
+        kmv_intersect_estimate,
+        kmv_jaccard_estimate,
+        kmv_rollup,
+    )
+
+    KMV_K, KMV_P = 128, 1000000007
+    sk = kmv_build(ev, ["event_type"], "user_id", k=KMV_K, hash_fn="md5")
+    sk_digest = F.pmod(
+        F.aggregate(
+            "kmv",
+            F.lit(0).cast("bigint"),
+            lambda acc, x: acc + F.pmod(x, F.lit(KMV_P)),
+        ),
+        F.lit(KMV_P),
+    )
+    sk_cols = sk.select(
+        "event_type",
+        F.size("kmv").alias("kmv_size"),
+        sk_digest.alias("kmv_digest"),
+        F.round(kmv_estimate("kmv", KMV_K, "md5"), 4).alias("kmv_users_est"),
+    )
+    union_est = kmv_rollup(
+        sk.withColumn("__one", F.lit(1)), ["__one"], KMV_K
+    ).select(
+        F.round(kmv_estimate("kmv", KMV_K, "md5"), 4).alias(
+            "kmv_all_users_est"
+        )
+    )
+    pair = (
+        sk.filter(F.col("event_type") == "click")
+        .select(F.col("kmv").alias("ka"))
+        .crossJoin(
+            sk.filter(F.col("event_type") == "purchase").select(
+                F.col("kmv").alias("kb")
+            )
+        )
+        .select(
+            F.round(kmv_jaccard_estimate("ka", "kb", KMV_K), 6).alias(
+                "kmv_click_purchase_jaccard"
+            ),
+            F.round(
+                kmv_intersect_estimate("ka", "kb", KMV_K, "md5"), 4
+            ).alias("kmv_click_purchase_users_est"),
+        )
+    )
     return (
         agg.crossJoin(F.broadcast(piv))
         .join(F.broadcast(mom), "event_type")
         .join(F.broadcast(bfa), "event_type")
+        .join(F.broadcast(sk_cols), "event_type")
+        .crossJoin(F.broadcast(union_est))
+        .crossJoin(F.broadcast(pair))
     )
 
 
@@ -4159,6 +4219,68 @@ bfa AS (
              ), 1, 15) AS BIGINT) % 1000000007) AS BIGINT) AS benford_digest
   FROM bfterm GROUP BY event_type
 ),
+-- KMV theta sketch (merged r10): md5 60-bit hash family, k=128;
+-- estimate = exact size below k else (k-1)/u_k with u = (h+1)/2^60
+kh AS (
+  SELECT DISTINCT event_type,
+         CAST('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15)
+              AS BIGINT) AS h
+  FROM events WHERE user_id IS NOT NULL
+),
+ksk AS (
+  SELECT event_type, list_sort(list(h)) AS kmv
+  FROM (
+    SELECT event_type, h,
+           row_number() OVER (PARTITION BY event_type ORDER BY h) AS rn
+    FROM kh
+  ) WHERE rn <= 128
+  GROUP BY event_type
+),
+kest AS (
+  SELECT event_type,
+         CAST(len(kmv) AS BIGINT) AS kmv_size,
+         CAST(list_sum(list_transform(kmv, x -> x % 1000000007))
+              % 1000000007 AS BIGINT) AS kmv_digest,
+         round(CASE WHEN len(kmv) < 128 THEN CAST(len(kmv) AS DOUBLE)
+               ELSE (128 - 1) / ((CAST(kmv[128] AS DOUBLE) + 1.0)
+                                 / 1152921504606846976.0) END,
+               4) AS kmv_users_est
+  FROM ksk
+),
+kall AS (
+  SELECT list_sort(list(h)) AS kmv
+  FROM (
+    SELECT h, row_number() OVER (ORDER BY h) AS rn
+    FROM (SELECT DISTINCT h FROM kh)
+  ) WHERE rn <= 128
+),
+kallest AS (
+  SELECT round(CASE WHEN len(kmv) < 128 THEN CAST(len(kmv) AS DOUBLE)
+               ELSE (128 - 1) / ((CAST(kmv[128] AS DOUBLE) + 1.0)
+                                 / 1152921504606846976.0) END,
+               4) AS kmv_all_users_est
+  FROM kall
+),
+kpairu AS (
+  SELECT a.kmv AS ka, b.kmv AS kb,
+         list_sort(list_distinct(list_concat(a.kmv, b.kmv)))[1:128] AS u
+  FROM (SELECT kmv FROM ksk WHERE event_type = 'click') a,
+       (SELECT kmv FROM ksk WHERE event_type = 'purchase') b
+),
+kpair AS (
+  SELECT
+    round(CAST(len(list_filter(u, x -> list_contains(ka, x)
+                                   AND list_contains(kb, x))) AS DOUBLE)
+          / len(u), 6) AS kmv_click_purchase_jaccard,
+    round((CAST(len(list_filter(u, x -> list_contains(ka, x)
+                                    AND list_contains(kb, x))) AS DOUBLE)
+           / len(u))
+          * (CASE WHEN len(u) < 128 THEN CAST(len(u) AS DOUBLE)
+             ELSE (128 - 1) / ((CAST(u[128] AS DOUBLE) + 1.0)
+                               / 1152921504606846976.0) END),
+          4) AS kmv_click_purchase_users_est
+  FROM kpairu
+),
 base AS (
 SELECT event_type,
        round(quantile_cont(value, 0.5), 6) AS p50,
@@ -4184,10 +4306,16 @@ GROUP BY event_type, hi_tp, hi_fp, hi_fn, hi_tn, hi_p, hi_r,
 )
 SELECT base.*, momf.mom_n, momf.mom_mean, momf.mom_std, momf.mom_skew,
        momf.mom_exkurt, bfa.benford_chi2, bfa.benford_digits,
-       bfa.benford_digest
+       bfa.benford_digest, kest.kmv_size, kest.kmv_digest,
+       kest.kmv_users_est, kallest.kmv_all_users_est,
+       kpair.kmv_click_purchase_jaccard,
+       kpair.kmv_click_purchase_users_est
 FROM base
 JOIN momf ON base.event_type = momf.event_type
 JOIN bfa ON base.event_type = bfa.event_type
+JOIN kest ON base.event_type = kest.event_type
+CROSS JOIN kallest
+CROSS JOIN kpair
 """
 
     sql["doc_dedup_exact"] = f"""
