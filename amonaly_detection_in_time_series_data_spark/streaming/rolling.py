@@ -1134,6 +1134,101 @@ def streaming_enrich(events: DataFrame, dim: DataFrame, on: str = "user_id") -> 
     return events.join(F.broadcast(dim), on)
 
 
+def streaming_kmv(
+    events: DataFrame,
+    value_col: str = "value",
+    k: int = 256,
+    hash_fn: str = "xxhash64",
+    key_cols: Sequence[str] = ("user_id",),
+    ts_col: str = "ts",
+    timeout_minutes: int | None = 60,
+) -> DataFrame:
+    """Continuously maintained KMV theta sketch per key — the streaming
+    twin of :func:`operators.kmv.kmv_build`. Each micro-batch emits the
+    key's updated sketch (sorted k smallest distinct hashes), its size,
+    and the ``(k-1)/u_k`` distinct-count estimate, so a dashboard reads
+    live cardinalities — and live set INTERSECTIONS via
+    :func:`~operators.kmv.kmv_intersect_estimate` over the emitted
+    sketch columns — without ever rescanning the stream's history.
+
+    State is the sorted ≤k-long hash array — bounded by construction
+    (the whole point of the sketch), and by the min-wise property the
+    streamed sketch equals the batch build over the same rows EXACTLY
+    (array equality, not approx — pinned on multi-micro-batch replay).
+    Hashing runs JVM-side before the stateful operator; the Python
+    state function only merges longs.
+    """
+    from ..operators.kmv import _U_DIV, _U_OFF, _kmv_hash
+
+    if k < 2:
+        raise ValueError(f"streaming_kmv: k must be >= 2, got {k}")
+    if hash_fn not in _U_DIV:
+        raise ValueError(f"unknown hash_fn {hash_fn!r}")
+    import pandas as pd  # noqa: F401
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    keys = list(key_cols)
+    key_schema = ", ".join(
+        f"{f.name} {f.dataType.simpleString()}"
+        for f in events.select(*keys).schema.fields
+    )
+    out_schema = (
+        f"{key_schema}, kmv array<bigint>, kmv_size int, kmv_est double"
+    )
+    state_schema = "mins array<bigint>"
+    kk = int(k)
+    u_off, u_div = _U_OFF[hash_fn], _U_DIV[hash_fn]
+
+    keyed = events.select(
+        *keys,
+        ts_col,
+        _kmv_hash(F.col(value_col), hash_fn).alias("__h"),
+    )
+
+    def run(key, pdf_iter, state):
+        import pandas as pd
+
+        if state.hasTimedOut:
+            state.remove()
+            return
+
+        mins = list(state.get[0]) if state.exists else []
+        seen = set(mins)
+        for pdf in pdf_iter:
+            for h in pdf["__h"]:
+                if h is not None and not pd.isna(h):
+                    seen.add(int(h))
+        mins = sorted(seen)[:kk]
+        state.update((mins,))
+        if timeout_minutes is not None:
+            state.setTimeoutDuration(timeout_minutes * 60 * 1000)
+        if len(mins) < kk:
+            est = float(len(mins))
+        else:
+            # same IEEE sequence as operators.kmv.kmv_estimate
+            est = (kk - 1) / ((float(mins[kk - 1]) + u_off) / u_div)
+        yield pd.DataFrame(
+            [(*key, mins, len(mins), est)],
+            columns=[*keys, "kmv", "kmv_size", "kmv_est"],
+        )
+
+    return (
+        keyed.withWatermark(ts_col, "2 hours")
+        .groupBy(*keys)
+        .applyInPandasWithState(
+            run,
+            outputStructType=out_schema,
+            stateStructType=state_schema,
+            outputMode="append",
+            timeoutConf=(
+                GroupStateTimeout.ProcessingTimeTimeout
+                if timeout_minutes is not None
+                else GroupStateTimeout.NoTimeout
+            ),
+        )
+    )
+
+
 def streaming_theta(
     events: DataFrame,
     alpha: float = 0.2,

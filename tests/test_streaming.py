@@ -1262,6 +1262,57 @@ class TestStreamingForecast:
                 n_fc += 1
         assert n_fc > 0
 
+    def test_kmv_sketch_matches_batch_exactly(self, spark, sf_dir, tmp_path):
+        # streaming_kmv after a 3-micro-batch replay == kmv_build over
+        # the same rows, ARRAY-EQUAL (min-wise property), and the
+        # streamed (k-1)/u_k estimate is the identical IEEE double.
+        from amonaly_detection_in_time_series_data_spark.operators.kmv import (
+            kmv_build,
+            kmv_estimate,
+        )
+        from amonaly_detection_in_time_series_data_spark.streaming.rolling import (
+            streaming_kmv,
+        )
+
+        K = 32  # small k so several users genuinely saturate at sf0.001
+        ev = load_table(spark, sf_dir, "events").select(
+            "user_id", "ts", "value"
+        )
+        batch = kmv_build(ev, ["user_id"], "value", k=K)
+        want = {
+            r["user_id"]: (r["kmv"], r["est"])
+            for r in batch.select(
+                "user_id", "kmv", kmv_estimate("kmv", K).alias("est")
+            ).collect()
+        }
+
+        stream = self._replay_grid(spark, ev, tmp_path, "kmv_g")
+        out = streaming_kmv(
+            stream, "value", k=K, key_cols=["user_id"],
+            timeout_minutes=None,
+        )
+        _run_stream_to_memory(out, "kmv_s", "append")
+        # progressive snapshots: the LAST emitted row per key is the
+        # full-history sketch. kmv_est is monotone nondecreasing over a
+        # key's emissions (pre-saturation it IS the growing size; after
+        # saturation every change shrinks u_k), so max-est = latest;
+        # no-new-data batches emit identical rows, so ties are safe.
+        rows = spark.sql(
+            "SELECT user_id, kmv, kmv_est FROM ("
+            "  SELECT *, row_number() OVER ("
+            "    PARTITION BY user_id ORDER BY kmv_est DESC) AS rn"
+            "  FROM kmv_s) WHERE rn = 1"
+        ).collect()
+        got = {r["user_id"]: (r["kmv"], r["kmv_est"]) for r in rows}
+        assert set(got) == set(want) and len(want) > 0
+        saturated = 0
+        for uid, (arr, est) in want.items():
+            assert got[uid][0] == arr, uid   # array-equal
+            assert got[uid][1] == est, uid   # bit-equal double
+            if len(arr) == K:
+                saturated += 1
+        assert saturated > 0  # the estimator path (not just exact-size)
+
     def test_theta_string_key_cols(self, spark, sf_dir, tmp_path):
         # r10 (ADVICE): the streaming twins accept key_cols like their
         # batch series_cols — key schema derived from the input, so a
