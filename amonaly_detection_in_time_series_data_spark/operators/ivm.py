@@ -53,9 +53,11 @@ __all__ = [
     "apply_agg_delta",
     "compute_agg",
     "refresh_groups",
+    "refresh_groups_with",
     "maintain_agg_snapshot",
     "maintain_agg_sink",
     "maintain_hll_snapshot",
+    "maintain_kmv_snapshot",
 ]
 
 COUNT_COL = "__n_rows"
@@ -154,6 +156,28 @@ def refresh_groups(
     would never recompute the NULL group and never retire its stale
     row. ``eqNullSafe`` keys still hash-join, so the broadcast prune
     is unchanged."""
+    return refresh_groups_with(
+        agg,
+        base_after,
+        group_cols,
+        lambda pruned: pruned.groupBy(*group_cols).agg(*agg_exprs),
+        affected,
+    )
+
+
+def refresh_groups_with(
+    agg: DataFrame,
+    base_after: DataFrame,
+    group_cols: list[str],
+    recompute_fn,
+    affected: DataFrame,
+) -> DataFrame:
+    """:func:`refresh_groups` for recomputations that are not a single
+    ``groupBy().agg()`` (e.g. the KMV build's distinct → rank-k →
+    collect pipeline): ``recompute_fn`` receives the base PRUNED to the
+    affected groups (broadcast null-safe semi-join) and must return a
+    frame keyed by ``group_cols``; its rows are spliced over the stale
+    ones (null-safe anti-join retires them)."""
 
     def _null_safe(left_alias: str, left: DataFrame, how: str):
         la = left.alias(left_alias)
@@ -166,11 +190,7 @@ def refresh_groups(
         return la.join(F.broadcast(aff), on=cond, how=how)
 
     aff = affected.select(*group_cols).distinct().alias("__ivm_aff")
-    recomputed = (
-        _null_safe("__ivm_base", base_after, "left_semi")
-        .groupBy(*group_cols)
-        .agg(*agg_exprs)
-    )
+    recomputed = recompute_fn(_null_safe("__ivm_base", base_after, "left_semi"))
     kept = _null_safe("__ivm_agg", agg, "left_anti")
     return kept.unionByName(recomputed)
 
@@ -342,6 +362,80 @@ def maintain_hll_snapshot(
         hll_build,
     )
 
+    return _maintain_sketch_snapshot(
+        spark, base_path, sketch_path, changes, keys, group_cols,
+        seq_col, delete_col,
+        recompute_fn=lambda base: hll_build(
+            base, group_cols, value_col, lg_k, sketch_col
+        ),
+        meta_params={"lg_k": int(lg_k)},
+        merge_kw=merge_kw,
+    )
+
+
+def maintain_kmv_snapshot(
+    spark: SparkSession,
+    base_path: str,
+    sketch_path: str,
+    changes: DataFrame,
+    keys: list[str],
+    group_cols: list[str],
+    value_col: str,
+    seq_col: str,
+    delete_col: str | None = None,
+    k: int = 256,
+    hash_fn: str = "xxhash64",
+    sketch_col: str = "kmv",
+    **merge_kw,
+) -> dict:
+    """The KMV twin of :func:`maintain_hll_snapshot`: keep a per-group
+    :func:`~.kmv.kmv_build` theta-sketch table in sync under the CDC
+    feed — same affected-group recompute (a delete can remove one of
+    the k smallest hashes, which only a rescan of that group restores),
+    same recorded-cut exactly-once argument. Because the KMV rollup is
+    LOSS-FREE, the maintained table answers not just rollup distinct
+    counts but set intersections across its groups
+    (:func:`~.kmv.kmv_intersect_estimate`) with zero base rescans.
+    ``k``/``hash_fn`` are recorded in the manifest meta and must not
+    change across calls. The maintained sketches equal a from-scratch
+    build of the merged base ARRAY-for-array (hypothesis-pinned)."""
+    from amonaly_detection_in_time_series_data_spark.operators.kmv import (
+        kmv_build,
+    )
+
+    return _maintain_sketch_snapshot(
+        spark, base_path, sketch_path, changes, keys, group_cols,
+        seq_col, delete_col,
+        recompute_fn=lambda base: kmv_build(
+            base, group_cols, value_col, k, hash_fn, sketch_col
+        ),
+        meta_params={"k": int(k), "hash_fn": hash_fn},
+        merge_kw=merge_kw,
+    )
+
+
+def _maintain_sketch_snapshot(
+    spark: SparkSession,
+    base_path: str,
+    sketch_path: str,
+    changes: DataFrame,
+    keys: list[str],
+    group_cols: list[str],
+    seq_col: str,
+    delete_col: str | None,
+    recompute_fn,
+    meta_params: dict,
+    merge_kw: dict,
+) -> dict:
+    """Shared core of the NON-additive summary-table maintainers
+    (:func:`maintain_hll_snapshot`, :func:`maintain_kmv_snapshot`):
+    ``recompute_fn(base_frame) -> per-group sketch frame`` is the only
+    sketch-specific piece — it runs over the FULL merged base on
+    bootstrap and over the affected-groups-pruned base on refresh
+    (:func:`refresh_groups_with` splices). ``meta_params`` are sketch
+    parameters that change sketch VALUES; they are recorded in the
+    manifest meta and a mismatch on a later call raises (mixing them
+    silently degrades or breaks comparability)."""
     try:
         man = snapshot_manifest(spark, sketch_path)
     except FileNotFoundError:
@@ -353,16 +447,17 @@ def maintain_hll_snapshot(
         base_cut = meta.get("base_version")
         if base_cut is None:
             raise ValueError(
-                f"maintain_hll_snapshot: sketch table at {sketch_path} has "
+                f"sketch maintainer: sketch table at {sketch_path} has "
                 "no recorded base_version (created outside the "
                 "maintainer?); delete it and let this function bootstrap it"
             )
-        if meta.get("lg_k") is not None and int(meta["lg_k"]) != int(lg_k):
-            raise ValueError(
-                f"maintain_hll_snapshot: sketch table was built at "
-                f"lg_k={meta['lg_k']}, called with lg_k={lg_k}; rebuild "
-                "rather than mixing precisions"
-            )
+        for p, v in meta_params.items():
+            if meta.get(p) is not None and meta[p] != v:
+                raise ValueError(
+                    f"sketch maintainer: sketch table was built with "
+                    f"{p}={meta[p]}, called with {p}={v}; rebuild rather "
+                    "than mixing sketch parameters"
+                )
         latest = latest_changes(changes, keys, seq_col, delete_col)
         base_at_cut = read_snapshot(spark, base_path, version=base_cut)
         old_groups = base_at_cut.join(
@@ -390,26 +485,16 @@ def maintain_hll_snapshot(
 
     if man is not None:
         sk_before = read_snapshot(spark, sketch_path)
-        sk_after = refresh_groups(
-            sk_before,
-            base_after,
-            group_cols,
-            [
-                F.hll_sketch_agg(F.col(value_col), F.lit(int(lg_k))).alias(
-                    sketch_col
-                )
-            ],
-            affected,
+        sk_after = refresh_groups_with(
+            sk_before, base_after, group_cols, recompute_fn, affected
         )
         op = "refresh"
     else:
-        sk_after = hll_build(
-            base_after, group_cols, value_col, lg_k, sketch_col
-        )
+        sk_after = recompute_fn(base_after)
         op = "bootstrap"
     sketch_version = snapshot_commit(
         spark, sketch_path, sk_after,
-        meta={"base_version": merge_stats["version"], "lg_k": int(lg_k)},
+        meta={"base_version": merge_stats["version"], **meta_params},
     )
     return {
         "base_version": merge_stats["version"],

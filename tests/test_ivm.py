@@ -372,6 +372,77 @@ class TestIvm:
 
         check()
 
+    def test_kmv_sketch_table_random_batches_match_rebuild(
+        self, spark, tmp_path
+    ):
+        # r10: the KMV maintainer is held to a STRONGER bar than HLL —
+        # the maintained sketches must be ARRAY-equal to a from-scratch
+        # kmv_build of the merged base (not just estimate-equal),
+        # because affected-group recompute is a pure function of the
+        # post-merge base.
+        from hypothesis import HealthCheck, given, settings
+        from hypothesis import strategies as st
+
+        from amonaly_detection_in_time_series_data_spark.operators.kmv import (
+            kmv_build,
+        )
+        from amonaly_detection_in_time_series_data_spark.operators.ivm import (
+            maintain_kmv_snapshot,
+        )
+
+        OPS = st.lists(
+            st.tuples(
+                st.integers(min_value=0, max_value=5),    # key
+                st.booleans(),                            # is_delete
+                st.integers(min_value=-9, max_value=9),   # x (the value)
+                st.sampled_from(["a", "b", None]),        # group (can move!)
+            ),
+            min_size=1,
+            max_size=12,
+        )
+
+        counter = [0]
+
+        def arr_dict(sk):
+            return {r["g"]: tuple(r["kmv"]) for r in sk.collect()}
+
+        @settings(
+            max_examples=6, deadline=None,
+            suppress_health_check=[HealthCheck.function_scoped_fixture],
+        )
+        @given(ops=OPS, n_batches=st.integers(min_value=1, max_value=3))
+        def check(ops, n_batches):
+            counter[0] += 1
+            base = str(tmp_path / f"kbase_{counter[0]}")
+            sk = str(tmp_path / f"ksk_{counter[0]}")
+            base_rows = [(kk, kk % 2, "a" if kk % 3 else "b", kk * 10)
+                         for kk in range(4)]
+            snapshot_commit(
+                spark, base,
+                spark.createDataFrame(base_rows, SCHEMA),
+                partition_col="p",
+            )
+            changes = [
+                (kk, kk % 2, g, x, seq, is_del)
+                for seq, (kk, is_del, x, g) in enumerate(ops)
+            ]
+            step = max(1, len(changes) // n_batches)
+            for lo in range(0, len(changes), step):
+                batch = spark.createDataFrame(
+                    changes[lo:lo + step], CHANGES_SCHEMA
+                )
+                maintain_kmv_snapshot(
+                    spark, base, sk, batch,
+                    keys=["k"], group_cols=["g"], value_col="x",
+                    seq_col="seq", delete_col="deleted", k=8,
+                )
+            merged = read_snapshot(spark, base)
+            got = arr_dict(read_snapshot(spark, sk))
+            want = arr_dict(kmv_build(merged, ["g"], "x", k=8))
+            assert got == want
+
+        check()
+
     def test_hll_maintainer_redelivery_and_lg_k_guard(self, spark, tmp_path):
         from amonaly_detection_in_time_series_data_spark.operators.hll import (
             hll_estimate,
