@@ -48,6 +48,7 @@ __all__ = [
     "kmv_union",
     "kmv_jaccard_estimate",
     "kmv_intersect_estimate",
+    "kmv_difference_estimate",
 ]
 
 # (k-1)/u_k needs u uniform in (0,1]; the divisor depends on the hash
@@ -178,3 +179,25 @@ def kmv_intersect_estimate(
     cb = F.col(b) if isinstance(b, str) else b
     u = kmv_union(ca, cb, k)
     return kmv_jaccard_estimate(ca, cb, k) * kmv_estimate(u, k, hash_fn)
+
+
+def kmv_difference_estimate(
+    a: Column | str, b: Column | str, k: int, hash_fn: str = "xxhash64"
+) -> Column:
+    """|A \\ B| estimate: the fraction of the union sketch present in
+    ``a`` but NOT ``b``, times the union estimate — same sampled-
+    permutation argument as the intersection estimator (subtracting two
+    independent estimates instead would compound their errors; scoring
+    every set expression against the ONE union sample keeps them
+    consistent: inter + diff(a,b) + diff(b,a) = union by construction).
+    """
+    ca = F.col(a) if isinstance(a, str) else a
+    cb = F.col(b) if isinstance(b, str) else b
+    u = kmv_union(ca, cb, k)
+    only_a = F.size(
+        F.filter(
+            u,
+            lambda x: F.array_contains(ca, x) & ~F.array_contains(cb, x),
+        )
+    )
+    return (only_a / F.size(u).cast("double")) * kmv_estimate(u, k, hash_fn)

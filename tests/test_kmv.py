@@ -108,6 +108,33 @@ class TestKmv:
         assert abs(row["jac"] - 1 / 3) < 4 * (1 / 3) / math.sqrt(K - 2) + 0.05
         assert abs(row["inter"] - 3_000) / 3_000 < 0.35
 
+    def test_difference_partitions_the_union(self, spark):
+        # inter + diff(a,b) + diff(b,a) == union_est BY CONSTRUCTION
+        # (all score against the one union sample), and the planted
+        # sizes are recovered: |A\B| = |B\A| = 3000 on the 1/3 fixture
+        from amonaly_detection_in_time_series_data_spark.operators.kmv import (
+            kmv_difference_estimate,
+        )
+
+        a = kmv_build(_ids(spark, 0, 6_000), ["g"], "v", k=K)
+        b = kmv_build(_ids(spark, 3_000, 9_000), ["g"], "v", k=K)
+        row = (
+            a.select(F.col("kmv").alias("ka"))
+            .crossJoin(b.select(F.col("kmv").alias("kb")))
+            .select(
+                kmv_intersect_estimate("ka", "kb", K).alias("inter"),
+                kmv_difference_estimate("ka", "kb", K).alias("d_ab"),
+                kmv_difference_estimate("kb", "ka", K).alias("d_ba"),
+                kmv_estimate(kmv_union("ka", "kb", K), K).alias("u"),
+            )
+            .collect()[0]
+        )
+        assert row["inter"] + row["d_ab"] + row["d_ba"] == pytest.approx(
+            row["u"], rel=1e-12
+        )
+        assert abs(row["d_ab"] - 3_000) / 3_000 < 0.35
+        assert abs(row["d_ba"] - 3_000) / 3_000 < 0.35
+
     def test_disjoint_sets_intersect_near_zero(self, spark):
         a = kmv_build(_ids(spark, 0, 5_000), ["g"], "v", k=K)
         b = kmv_build(_ids(spark, 100_000, 105_000), ["g"], "v", k=K)
