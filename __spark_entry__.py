@@ -1557,6 +1557,7 @@ def q_typed_aggs(spark: SparkSession, sf_dir: str) -> DataFrame:
     # arithmetic shape on both engines.
     from amonaly_detection_in_time_series_data_spark.operators.kmv import (
         kmv_build,
+        kmv_difference_estimate,
         kmv_estimate,
         kmv_intersect_estimate,
         kmv_jaccard_estimate,
@@ -1601,6 +1602,12 @@ def q_typed_aggs(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(
                 kmv_intersect_estimate("ka", "kb", KMV_K, "md5"), 4
             ).alias("kmv_click_purchase_users_est"),
+            F.round(
+                kmv_difference_estimate("ka", "kb", KMV_K, "md5"), 4
+            ).alias("kmv_click_only_users_est"),
+            F.round(
+                kmv_difference_estimate("kb", "ka", KMV_K, "md5"), 4
+            ).alias("kmv_purchase_only_users_est"),
         )
     )
     return (
@@ -4278,7 +4285,21 @@ kpair AS (
           * (CASE WHEN len(u) < 128 THEN CAST(len(u) AS DOUBLE)
              ELSE (128 - 1) / ((CAST(u[128] AS DOUBLE) + 1.0)
                                / 1152921504606846976.0) END),
-          4) AS kmv_click_purchase_users_est
+          4) AS kmv_click_purchase_users_est,
+    round((CAST(len(list_filter(u, x -> list_contains(ka, x)
+                                    AND NOT list_contains(kb, x))) AS DOUBLE)
+           / len(u))
+          * (CASE WHEN len(u) < 128 THEN CAST(len(u) AS DOUBLE)
+             ELSE (128 - 1) / ((CAST(u[128] AS DOUBLE) + 1.0)
+                               / 1152921504606846976.0) END),
+          4) AS kmv_click_only_users_est,
+    round((CAST(len(list_filter(u, x -> list_contains(kb, x)
+                                    AND NOT list_contains(ka, x))) AS DOUBLE)
+           / len(u))
+          * (CASE WHEN len(u) < 128 THEN CAST(len(u) AS DOUBLE)
+             ELSE (128 - 1) / ((CAST(u[128] AS DOUBLE) + 1.0)
+                               / 1152921504606846976.0) END),
+          4) AS kmv_purchase_only_users_est
   FROM kpairu
 ),
 base AS (
@@ -4309,7 +4330,9 @@ SELECT base.*, momf.mom_n, momf.mom_mean, momf.mom_std, momf.mom_skew,
        bfa.benford_digest, kest.kmv_size, kest.kmv_digest,
        kest.kmv_users_est, kallest.kmv_all_users_est,
        kpair.kmv_click_purchase_jaccard,
-       kpair.kmv_click_purchase_users_est
+       kpair.kmv_click_purchase_users_est,
+       kpair.kmv_click_only_users_est,
+       kpair.kmv_purchase_only_users_est
 FROM base
 JOIN momf ON base.event_type = momf.event_type
 JOIN bfa ON base.event_type = bfa.event_type
