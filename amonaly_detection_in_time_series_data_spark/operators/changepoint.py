@@ -33,10 +33,31 @@ __all__ = ["pelt_changepoints", "pelt_numpy", "opt_partition_numpy"]
 
 
 def _prefix_cost(y):
+    """O(1) segment-SSE oracle from prefix sums, numerically stabilized.
+
+    The textbook two-pass form ``(cs2[t]-cs2[s]) - (cs[t]-cs[s])^2/n``
+    over RAW prefix sums cancels catastrophically: a constant level
+    shift inflates the prefixes while segment SSEs stay tiny, and the
+    ~scale^2 * eps differencing error can flip near-tie partitions
+    (shift invariance is the cost's defining property, so that is a
+    real defect, not noise). Two stabilizations, both exact in real
+    arithmetic:
+
+    - center the series first (``y - mean(y)``) — SSE around a segment
+      mean is invariant to a global shift by construction, and
+      centering makes the float computation on ``y`` and ``y + b``
+      operate on nearly bit-identical arrays, so their rounding errors
+      correlate instead of diverging;
+    - accumulate in ``np.longdouble`` (80-bit extended on linux/x86,
+      eps ~1e-19) so residual differencing error sits ~3 orders below
+      float64 near-tie gaps.
+    """
     import numpy as np
 
-    cs = np.concatenate([[0.0], np.cumsum(y)])
-    cs2 = np.concatenate([[0.0], np.cumsum(y * y)])
+    y = np.asarray(y, dtype=np.longdouble)
+    y = y - y.mean()
+    cs = np.concatenate([[np.longdouble(0.0)], np.cumsum(y)])
+    cs2 = np.concatenate([[np.longdouble(0.0)], np.cumsum(y * y)])
 
     def cost(s, t):
         # SSE of y[s:t] around its mean; t > s
@@ -68,11 +89,12 @@ def pelt_numpy(y, penalty=None, min_size=2):
     n = len(y)
     if n < 2 * min_size:
         return []
-    beta = _default_penalty(y) if penalty is None else float(penalty)
+    beta = np.longdouble(_default_penalty(y) if penalty is None else float(penalty))
     cost = _prefix_cost(y)
     # F[t] = optimal penalized cost of y[0:t]; F[0] = -beta so the
-    # first segment does not pay a penalty.
-    F = np.full(n + 1, np.inf)
+    # first segment does not pay a penalty. Extended precision to
+    # match _prefix_cost (comparisons decide the partition).
+    F = np.full(n + 1, np.inf, dtype=np.longdouble)
     F[0] = -beta
     prev = np.zeros(n + 1, dtype="int64")
     cands = [0]
@@ -110,9 +132,9 @@ def opt_partition_numpy(y, penalty=None, min_size=2):
     n = len(y)
     if n < 2 * min_size:
         return []
-    beta = _default_penalty(y) if penalty is None else float(penalty)
+    beta = np.longdouble(_default_penalty(y) if penalty is None else float(penalty))
     cost = _prefix_cost(y)
-    F = np.full(n + 1, np.inf)
+    F = np.full(n + 1, np.inf, dtype=np.longdouble)
     F[0] = -beta
     prev = np.zeros(n + 1, dtype="int64")
     for t in range(min_size, n + 1):

@@ -481,6 +481,20 @@ class TestPELT:
     def test_constant_series_no_changepoints(self):
         assert pelt_numpy(np.ones(50)) == []
 
+    def test_pelt_shift_invariance_pinned(self):
+        """Pinned r10 hypothesis counterexample: the raw-prefix-sum SSE
+        form cancelled catastrophically under a +1 level shift and
+        flipped the near-tie partition [2,5,7] (strictly optimal by
+        ~1.1e-12) to [2,4,6]. Guards the centered + longdouble
+        stabilization in _prefix_cost; kept explicit because the
+        deterministic hypothesis profile does not replay the example DB.
+        """
+        y = np.array([77.0, -51.0, 0.0, 0.0, 0.0, 5.0] + [0.0] * 9 + [1e-05])
+        want = [2, 5, 7]
+        for b in (0.0, 1.0, -1.0, 37.5, -50.0):
+            assert pelt_numpy(y + b, penalty=5.0) == want
+            assert opt_partition_numpy(y + b, penalty=5.0) == want
+
     def test_min_size_respected(self):
         rng = np.random.default_rng(23)
         y = np.concatenate([rng.normal(0, 1, 30), rng.normal(6, 1, 30)])
