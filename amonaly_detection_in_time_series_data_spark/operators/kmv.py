@@ -167,7 +167,13 @@ def kmv_jaccard_estimate(
             lambda x: F.array_contains(ca, x) & F.array_contains(cb, x),
         )
     )
-    return both / F.size(u).cast("double")
+    # two EMPTY sketches (both groups had zero non-null values) have an
+    # empty union: J(∅, ∅) = 0 by convention, not NULL from 0/0. A NULL
+    # sketch (missing group) still propagates NULL — absence of a
+    # sketch is not an empty set.
+    return F.when(F.size(u) == 0, F.lit(0.0)).otherwise(
+        both / F.size(u).cast("double")
+    )
 
 
 def kmv_intersect_estimate(
@@ -200,4 +206,7 @@ def kmv_difference_estimate(
             lambda x: F.array_contains(ca, x) & ~F.array_contains(cb, x),
         )
     )
-    return (only_a / F.size(u).cast("double")) * kmv_estimate(u, k, hash_fn)
+    # empty-union guard: |∅ \ ∅| = 0.0, not NULL (see kmv_jaccard_estimate)
+    return F.when(F.size(u) == 0, F.lit(0.0)).otherwise(
+        (only_a / F.size(u).cast("double")) * kmv_estimate(u, k, hash_fn)
+    )

@@ -276,6 +276,19 @@ def lsh_cosine_topk(
     """
     import itertools as _it
 
+    # r10 ADVICE: probe_radius only has meaning with multiprobe=True
+    # (the mask list below is built from it only then); reject the
+    # silent-degradation inputs instead of ignoring them.
+    if probe_radius < 1:
+        raise ValueError(
+            f"lsh_cosine_topk: probe_radius must be >= 1, got {probe_radius}"
+        )
+    if not multiprobe and probe_radius != 1:
+        raise ValueError(
+            "lsh_cosine_topk: probe_radius is only used with "
+            "multiprobe=True (pass multiprobe=True or drop probe_radius)"
+        )
+
     tables = [
         _random_hyperplanes(dim, n_planes, seed + 7919 * t)
         for t in range(n_tables)

@@ -1179,7 +1179,12 @@ def streaming_kmv(
     kk = int(k)
     u_off, u_div = _U_OFF[hash_fn], _U_DIV[hash_fn]
 
-    keyed = events.select(
+    # NULLs must be dropped BEFORE hashing, mirroring kmv_build's
+    # isNotNull filter: xxhash64(NULL) is the seed 42 (never NULL), so
+    # the pd.isna guard downstream cannot catch it and a NULL value
+    # would inject hash 42 into the sketch, inflating below-k counts
+    # and breaking the documented array-equality with the batch build.
+    keyed = events.filter(F.col(value_col).isNotNull()).select(
         *keys,
         ts_col,
         _kmv_hash(F.col(value_col), hash_fn).alias("__h"),

@@ -173,3 +173,45 @@ class TestKmv:
         )
         sk = kmv_build(df, ["g"], "v", k=K)
         assert sk.select(F.size("kmv")).collect()[0][0] == 2
+
+    def test_empty_and_singleton_sketch_edges(self, spark):
+        # r10 VERDICT task: empty/NULL/singleton sketch contract.
+        # - two EMPTY sketches: union empty, jaccard/intersect/diff 0.0
+        #   (not NULL from 0/0);
+        # - a NULL sketch (missing group) propagates NULL — absence of
+        #   a sketch is not an empty set;
+        # - singleton vs itself: jaccard 1.0, diff 0.0, intersect 1.0
+        #   (exact below k);
+        # - singleton vs empty: jaccard 0.0, |a\b| = 1.0.
+        from amonaly_detection_in_time_series_data_spark.operators.kmv import (
+            kmv_difference_estimate,
+        )
+
+        df = spark.createDataFrame(
+            [
+                ("empty_empty", [], []),
+                ("null_b", [1], None),
+                ("single_self", [7], [7]),
+                ("single_empty", [7], []),
+            ],
+            "label string, a array<bigint>, b array<bigint>",
+        )
+        rows = {
+            r["label"]: r
+            for r in df.select(
+                "label",
+                kmv_jaccard_estimate("a", "b", K).alias("jac"),
+                kmv_intersect_estimate("a", "b", K).alias("inter"),
+                kmv_difference_estimate("a", "b", K).alias("a_only"),
+                F.size(kmv_union("a", "b", K)).alias("u_size"),
+            ).collect()
+        }
+        ee = rows["empty_empty"]
+        assert (ee["jac"], ee["inter"], ee["a_only"]) == (0.0, 0.0, 0.0)
+        assert ee["u_size"] == 0
+        nb = rows["null_b"]
+        assert nb["jac"] is None and nb["inter"] is None and nb["a_only"] is None
+        ss = rows["single_self"]
+        assert (ss["jac"], ss["inter"], ss["a_only"]) == (1.0, 1.0, 0.0)
+        se = rows["single_empty"]
+        assert (se["jac"], se["inter"], se["a_only"]) == (0.0, 0.0, 1.0)

@@ -179,6 +179,16 @@ class TestSimilarity:
             )
         )
         assert lsh_mp >= 0.75, f"multiprobe LSH recall@5 {lsh_mp:.3f}"
+        # r10 ADVICE: probe_radius is multiprobe-only — reject the two
+        # silent-degradation inputs instead of ignoring them
+        with pytest.raises(ValueError, match="probe_radius must be >= 1"):
+            lsh_cosine_topk(
+                emb, q, k=5, dim=64, multiprobe=True, probe_radius=0
+            )
+        with pytest.raises(ValueError, match="only used with"):
+            lsh_cosine_topk(
+                emb, q, k=5, dim=64, multiprobe=False, probe_radius=2
+            )
         ivf = recall(
             neighbors(
                 ivf_cosine_topk(emb, q, k=5, n_clusters=16, n_probe=4, seed=42)

@@ -1313,6 +1313,50 @@ class TestStreamingForecast:
                 saturated += 1
         assert saturated > 0  # the estimator path (not just exact-size)
 
+    def test_kmv_null_values_excluded(self, spark, tmp_path):
+        # r10 ADVICE: xxhash64(NULL) is the seed 42 (never NULL), so
+        # NULLs must be filtered BEFORE hashing or they inject hash 42
+        # into the sketch. Batch kmv_build filters isNotNull(); the
+        # streamed twin must match it array-equal on NULL-bearing data.
+        from amonaly_detection_in_time_series_data_spark.operators.kmv import (
+            kmv_build,
+        )
+        from amonaly_detection_in_time_series_data_spark.streaming.rolling import (
+            streaming_kmv,
+        )
+
+        rows = []
+        for u in (1, 2):
+            for i in range(6):
+                rows.append((u, f"2024-01-01 0{i}:00:00", float(10 * u + i)))
+            rows.append((u, "2024-01-01 07:00:00", None))  # NULL value
+        ev = spark.createDataFrame(
+            rows, "user_id int, ts string, value double"
+        ).select("user_id", F.col("ts").cast("timestamp").alias("ts"), "value")
+
+        want = {
+            r["user_id"]: r["kmv"]
+            for r in kmv_build(ev, ["user_id"], "value", k=16).collect()
+        }
+        assert all(42 not in arr for arr in want.values())
+
+        stream = self._replay_grid(spark, ev, tmp_path, "kmv_null_g")
+        out = streaming_kmv(
+            stream, "value", k=16, key_cols=["user_id"], timeout_minutes=None
+        )
+        _run_stream_to_memory(out, "kmv_null_s", "append")
+        got = {
+            r["user_id"]: r["kmv"]
+            for r in spark.sql(
+                "SELECT user_id, kmv FROM ("
+                "  SELECT *, row_number() OVER ("
+                "    PARTITION BY user_id ORDER BY kmv_size DESC) AS rn"
+                "  FROM kmv_null_s) WHERE rn = 1"
+            ).collect()
+        }
+        assert got == want and len(want) == 2
+        assert all(42 not in arr for arr in got.values())
+
     def test_theta_string_key_cols(self, spark, sf_dir, tmp_path):
         # r10 (ADVICE): the streaming twins accept key_cols like their
         # batch series_cols — key schema derived from the input, so a
