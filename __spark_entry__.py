@@ -1587,13 +1587,22 @@ def q_typed_aggs(spark: SparkSession, sf_dir: str) -> DataFrame:
             "kmv_all_users_est"
         )
     )
+    # r10 ADVICE guard: a filter+crossJoin pair frame is EMPTY when
+    # either event_type is absent at some scale factor, and the cross
+    # join would then silently empty the whole query. A global agg of
+    # conditional maxes always yields exactly one row; a missing type
+    # leaves its sketch NULL and the estimates propagate NULL instead
+    # of vanishing. (Arrays are orderable, so max over at most one
+    # non-null array is just that array.)
     pair = (
-        sk.filter(F.col("event_type") == "click")
-        .select(F.col("kmv").alias("ka"))
-        .crossJoin(
-            sk.filter(F.col("event_type") == "purchase").select(
-                F.col("kmv").alias("kb")
-            )
+        sk.groupBy()
+        .agg(
+            F.max(
+                F.when(F.col("event_type") == "click", F.col("kmv"))
+            ).alias("ka"),
+            F.max(
+                F.when(F.col("event_type") == "purchase", F.col("kmv"))
+            ).alias("kb"),
         )
         .select(
             F.round(kmv_jaccard_estimate("ka", "kb", KMV_K), 6).alias(
@@ -1744,7 +1753,25 @@ def q_text_quality_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
     redact_pii). The synthetic corpus carries no PII, so the query
     injects a deterministic email / phone / IPv4 / URL per doc (pure
     function of doc_id, mirrored in the oracle) and proves the
-    redaction byte-for-byte via md5 of the scrubbed text."""
+    redaction byte-for-byte via md5 of the scrubbed text.
+
+    Merged r11: URL curation (functions.url) — the last
+    SQL-expressible component that had no oracle row. A deterministic
+    URL per doc (modular synthesis mirrored in the oracle — mixed-case
+    scheme/host, default and non-default ports, tracking params
+    interleaved with content params, fragments, a root-slash form every
+    7th doc) runs the full CommonCrawl-style chain: parse
+    (host/registrable-domain/path/query), normalize (case, :80/:443,
+    fragment, utm_*/ref tracking params, trailing separators), then
+    registrable-domain BLOCK + ALLOW filtering through domain_filter's
+    broadcast anti/semi joins — blocked docs drop from the result,
+    exactly what the curation stage does to a corpus (10%% of docs:
+    domains site0.com + site3.io). Tracking params are synthesized
+    non-adjacent, where Java-lookbehind and RE2 captured-separator
+    replacement provably agree (adjacent tracking params diverge
+    between the engines; functions/url.py carries the Java semantics).
+    Map-only Catalyst regex + two broadcast joins — the corpus side
+    never shuffles."""
     from amonaly_detection_in_time_series_data_spark.functions.text import (
         pii_counts,
         redact_pii,
@@ -1763,6 +1790,57 @@ def q_text_quality_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(".7 via https://ex.com/p/"), did,
     )
     docs = docs.withColumn("__pii", pii_txt)
+    from amonaly_detection_in_time_series_data_spark.functions.url import (
+        domain_filter,
+        url_normalize,
+        url_parts,
+    )
+
+    d = F.col("doc_id")
+    scheme = F.element_at(
+        F.array(F.lit("HTTP://"), F.lit("https://"), F.lit("hTTp://")),
+        (d % 3 + 1).cast("int"),
+    )
+    tld = F.element_at(
+        F.array(F.lit("com"), F.lit("net"), F.lit("org"), F.lit("io")),
+        (d % 4 + 1).cast("int"),
+    )
+    port = F.element_at(
+        F.array(
+            F.lit(":80"), F.lit(":443"), F.lit(":8080"),
+            F.lit(""), F.lit(""), F.lit(""),
+        ),
+        (d % 6 + 1).cast("int"),
+    )
+    syn_host = F.concat(
+        F.lit("SUB"), (d % 2).cast("string"),
+        F.lit(".Site"), (d % 5).cast("string"),
+        F.lit("."), tld,
+    )
+    syn_url = F.when(
+        d % 7 == 0, F.concat(scheme, syn_host, port, F.lit("/"))
+    ).otherwise(
+        F.concat(
+            scheme, syn_host, port,
+            F.lit("/Article/"), did,
+            F.lit("?id="), did,
+            F.lit("&utm_campaign=c"), (d % 3).cast("string"),
+            F.lit("&lang=en&ref=r"), (d % 5).cast("string"),
+            F.lit("&page="), (d % 4).cast("string"),
+            F.lit("#sec-"), (d % 3).cast("string"),
+        )
+    )
+    docs = url_parts(docs.withColumn("__url", syn_url), "__url")
+    docs = docs.withColumn("__norm", url_normalize("__url"))
+    block = spark.createDataFrame(
+        [("site0.com",), ("SITE3.IO",)], "domain string"
+    )
+    allow = spark.createDataFrame(
+        [(f"site{j}.{t}",) for j in range(5) for t in ("com", "net", "org", "io")],
+        "domain string",
+    )
+    docs = domain_filter(docs, block, "__url", "domain", mode="block")
+    docs = domain_filter(docs, allow, "__url", "domain", mode="allow")
     toks = F.col("__toks")
     stops = LANG_STOPWORDS["en"]
     stop_hits = F.size(F.filter(toks, lambda t: t.isin(*stops)))
@@ -1779,6 +1857,11 @@ def q_text_quality_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
         lang_id_expr("text", tokens=toks).alias("lang_pred"),
         *pii_counts(F.col("__pii")),
         F.md5(redact_pii(F.col("__pii"))).alias("redacted_md5"),
+        F.col("host").alias("url_host"),
+        F.col("domain").alias("url_domain"),
+        F.col("path").alias("url_path"),
+        F.col("query").alias("url_query"),
+        F.col("__norm").alias("url_norm"),
     )
 
 
@@ -2171,14 +2254,23 @@ def _build_sequence_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     ev = _events(spark, sf_dir)
-    seqs = create_sequences(ev, ["value"], 12, KEY, ORDER)
-    # fit on the SAME lineage (the fit job materializes the (user_id)
-    # exchange once; scoring/stats reuse those shuffle files — a
-    # filtered fit_df would add a second, non-reusable exchange,
-    # measured slower at sf0.1). order_cols pins the sample to a
-    # TakeOrderedAndProject: the fitted model — and therefore this
-    # query's output — cannot shift when the session's
-    # shuffle-partition count or scheduling order changes.
+    # r11 (r10 verdict task 6): score NON-OVERLAPPING windows
+    # (stride = L). Stride-1 scoring re-materializes every event value
+    # into L sequences — the L x payload inflation was the headline's
+    # steepest measured scale term (2.22x wall for 10x rows at r10).
+    # Window-granular 3-sigma coverage is the same anomaly contract at
+    # 1/L the rows, and the strided assembly shuffles RAW rows through
+    # one ordinary groupBy instead of running a window that inflates
+    # first. The stride-1 reference contract (n-L+1 windows) stays
+    # pinned by q_sequences / q_sequences_digest.
+    seqs = create_sequences(ev, ["value"], 12, KEY, ORDER, stride=12)
+    # fit on the SAME lineage (the fit job materializes the exchange
+    # once; scoring/stats reuse those shuffle files — a filtered fit_df
+    # would add a second, non-reusable exchange, measured slower at
+    # sf0.1). order_cols pins the sample to a TakeOrderedAndProject:
+    # the fitted model — and therefore this query's output — cannot
+    # shift when the session's shuffle-partition count or scheduling
+    # order changes.
     scored = sequence_reconstruction_scores(
         seqs, "seq", k=2, fit_rows=512,
         order_cols=["user_id", "seq_start_ts"],
@@ -4268,11 +4360,21 @@ kallest AS (
                4) AS kmv_all_users_est
   FROM kall
 ),
+-- mirror of the Spark-side guard: global conditional-max agg (always
+-- one row; a missing event_type leaves its sketch NULL and every pair
+-- estimate NULL — DuckDB's list_concat treats NULL as [], so the
+-- NULL-propagation must be explicit here)
+kpairsel AS (
+  SELECT max(CASE WHEN event_type = 'click' THEN kmv END) AS ka,
+         max(CASE WHEN event_type = 'purchase' THEN kmv END) AS kb
+  FROM ksk
+),
 kpairu AS (
-  SELECT a.kmv AS ka, b.kmv AS kb,
-         list_sort(list_distinct(list_concat(a.kmv, b.kmv)))[1:128] AS u
-  FROM (SELECT kmv FROM ksk WHERE event_type = 'click') a,
-       (SELECT kmv FROM ksk WHERE event_type = 'purchase') b
+  SELECT ka, kb,
+         CASE WHEN ka IS NULL OR kb IS NULL THEN NULL
+              ELSE list_sort(list_distinct(list_concat(ka, kb)))[1:128]
+         END AS u
+  FROM kpairsel
 ),
 kpair AS (
   SELECT
@@ -4469,11 +4571,65 @@ ORDER BY cnt DESC, token
         _redacted = (
             f"regexp_replace({_redacted}, '{_pat}', '<{_name.upper()}>', 'g')"
         )
+    # r11 URL tier: same modular synthesis as the Spark side; the parse
+    # and normalize chains are replayed with RE2-safe regexes (RE2 has
+    # no lookbehind, so the [?&] separator is CAPTURED and kept where
+    # functions/url.py uses Java lookbehind — equivalent only because
+    # the synthesized tracking params are never adjacent).
+    _url_syn = """
+  SELECT doc_id,
+    CASE WHEN doc_id % 7 = 0 THEN scheme || host || prt || '/'
+         ELSE scheme || host || prt || '/Article/' || CAST(doc_id AS VARCHAR)
+              || '?id=' || CAST(doc_id AS VARCHAR)
+              || '&utm_campaign=c' || CAST(doc_id % 3 AS VARCHAR)
+              || '&lang=en&ref=r' || CAST(doc_id % 5 AS VARCHAR)
+              || '&page=' || CAST(doc_id % 4 AS VARCHAR)
+              || '#sec-' || CAST(doc_id % 3 AS VARCHAR)
+    END AS url
+  FROM (
+    SELECT doc_id,
+      ['HTTP://','https://','hTTp://'][CAST(doc_id % 3 AS INT) + 1] AS scheme,
+      'SUB' || CAST(doc_id % 2 AS VARCHAR) || '.Site'
+        || CAST(doc_id % 5 AS VARCHAR) || '.'
+        || ['com','net','org','io'][CAST(doc_id % 4 AS INT) + 1] AS host,
+      [':80',':443',':8080','','',''][CAST(doc_id % 6 AS INT) + 1] AS prt
+    FROM documents)
+"""
+    _url_allow = ", ".join(
+        f"'site{j}.{t}'" for j in range(5) for t in ("com", "net", "org", "io")
+    )
+    _url_norm = (
+        "regexp_replace(regexp_replace(regexp_replace(regexp_replace("
+        "regexp_replace("
+        "lower(regexp_extract(trim(url),"
+        " '^([A-Za-z][A-Za-z0-9+.-]*://[^/?#]*)', 1))"
+        " || regexp_replace(trim(url), '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*', ''),"
+        " '#.*$', ''),"
+        " '(://[^/?#:]+):(80|443)([/?]|$)', '\\1\\3'),"
+        " '([?&])(utm_[a-z]+|gclid|fbclid|ref|mc_eid)=[^&#]*&?', '\\1', 'g'),"
+        " '[?&]+$', ''),"
+        " '(://[^/?#]+)/$', '\\1')"
+    )
     sql["text_quality_lang"] = f"""
 WITH scored AS (
   SELECT doc_id, lang, text, {_pii_txt} AS pii,
        {lang_hits}
   FROM documents
+),
+urls AS ({_url_syn}),
+uderived AS (
+  SELECT doc_id, url_host,
+    regexp_extract(url_host, '([^.]+\\.[^.]+)$', 1) AS url_domain,
+    regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*(/[^?#]*)', 1)
+      AS url_path,
+    CASE WHEN url LIKE '%?%'
+         THEN regexp_extract(url, '\\?([^#]*)', 1) END AS url_query,
+    {_url_norm} AS url_norm
+  FROM (
+    SELECT doc_id, url,
+      lower(regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#:]+)', 1))
+        AS url_host
+    FROM urls)
 )
 SELECT doc_id,
        CAST(length(text) AS BIGINT) AS n_chars_calc,
@@ -4486,8 +4642,12 @@ SELECT doc_id,
        lang,
        CASE {best_case} END AS lang_pred,
        {_pii_count_cols},
-       md5({_redacted}) AS redacted_md5
-FROM (SELECT *, {max_expr} AS m FROM scored)
+       md5({_redacted}) AS redacted_md5,
+       u.url_host, u.url_domain, u.url_path, u.url_query, u.url_norm
+FROM (SELECT *, {max_expr} AS m FROM scored) s
+JOIN uderived u USING (doc_id)
+WHERE u.url_domain NOT IN ('site0.com', 'site3.io')
+  AND u.url_domain IN ({_url_allow})
 """
 
     knn_brute = """
