@@ -99,6 +99,28 @@ class TestOperatorProperties:
 
     @PROP
     @given(
+        xs=SERIES,
+        L=st.integers(min_value=1, max_value=10),
+        stride=st.integers(min_value=1, max_value=12),
+    )
+    def test_strided_sequences_are_slices(self, spark, xs, L, stride):
+        """r11: for ANY stride, the strided output is exactly the
+        stride-1 windows at start offsets 0, stride, 2*stride, ... —
+        the groupBy fast path (stride == L) and the filtered window
+        path must both equal python slicing of the series."""
+        df = _series_df(spark, xs).withColumn("ts", F.col("i").cast("timestamp"))
+        out = create_sequences(
+            df, ["x"], L, key_cols=[], order_cols=["i"], stride=stride
+        )
+        rows = sorted(out.collect(), key=lambda r: r["seq_start_ts"])
+        want = [
+            [[float(v)] for v in xs[s : s + L]]
+            for s in range(0, max(0, len(xs) - L + 1), stride)
+        ]
+        assert [r["seq"] for r in rows] == want
+
+    @PROP
+    @given(
         pairs=st.lists(
             st.tuples(st.integers(min_value=0, max_value=5), FINITE),
             min_size=1,
