@@ -58,6 +58,8 @@ __all__ = [
     "maintain_agg_sink",
     "maintain_hll_snapshot",
     "maintain_kmv_snapshot",
+    "maintain_hll_sink",
+    "maintain_kmv_sink",
 ]
 
 COUNT_COL = "__n_rows"
@@ -552,6 +554,105 @@ def maintain_agg_sink(
             spark, base_path, agg_path, batch_df, keys, group_cols,
             sum_cols, seq_col, delete_col=delete_col,
             partition_col=partition_col, **kw,
+        )
+
+    return apply
+
+
+def _bootstrap_empty_base(
+    batch_df: DataFrame,
+    base_path: str,
+    seq_col: str,
+    delete_col: str | None,
+    partition_col: str | None = None,
+) -> None:
+    """First-batch bootstrap shared by the foreachBatch sinks: if the
+    base table does not exist yet, commit an empty snapshot whose schema
+    is the stream's minus the CDC bookkeeping columns, so the first
+    maintain call merges into a real (empty) base."""
+    spark = batch_df.sparkSession
+    from amonaly_detection_in_time_series_data_spark.operators.snapshots import (
+        _fs_and_path,
+        _list_versions,
+        snapshot_commit,
+    )
+
+    fs, _ = _fs_and_path(spark, base_path)
+    if not _list_versions(spark, fs, base_path):
+        drop = {seq_col, delete_col} - {None}
+        cols = [c for c in batch_df.columns if c not in drop]
+        snapshot_commit(
+            spark,
+            base_path,
+            spark.createDataFrame([], batch_df.select(*cols).schema),
+            partition_col=partition_col,
+        )
+
+
+def maintain_hll_sink(
+    base_path: str,
+    sketch_path: str,
+    keys: list[str],
+    group_cols: list[str],
+    value_col: str,
+    seq_col: str,
+    delete_col: str | None = None,
+    **kw,
+):
+    """``foreachBatch`` adapter for the HLL summary table: every
+    micro-batch of a CDC stream lands on the base AND its per-group
+    sketch table as consistent snapshot cuts — the streaming face of
+    :func:`maintain_hll_snapshot`, exactly like :func:`maintain_agg_sink`
+    is for the additive rollup.
+
+    foreachBatch is at-least-once; the recorded-cut protocol in the
+    batch maintainer makes redelivery exactly-once in EFFECT (its
+    docstring carries the torn-window healing argument — for the
+    non-additive class it is strictly simpler: recomputed sketches are
+    a pure function of the post-merge base). The base bootstraps from
+    the stream schema on the first batch; the sketch table bootstraps
+    on its first maintain call. All base changes must flow through this
+    sink (an out-of-band merge shifts the base under the sketch table's
+    recorded cut)."""
+
+    def apply(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        _bootstrap_empty_base(batch_df, base_path, seq_col, delete_col)
+        maintain_hll_snapshot(
+            batch_df.sparkSession, base_path, sketch_path, batch_df,
+            keys, group_cols, value_col, seq_col,
+            delete_col=delete_col, **kw,
+        )
+
+    return apply
+
+
+def maintain_kmv_sink(
+    base_path: str,
+    sketch_path: str,
+    keys: list[str],
+    group_cols: list[str],
+    value_col: str,
+    seq_col: str,
+    delete_col: str | None = None,
+    **kw,
+):
+    """``foreachBatch`` adapter for the KMV theta-sketch summary table —
+    the streaming face of :func:`maintain_kmv_snapshot`; see
+    :func:`maintain_hll_sink` for the at-least-once / recorded-cut
+    exactly-once argument, identical here. Because the KMV rollup is
+    loss-free, the continuously maintained table keeps answering set
+    intersections across its groups with zero base rescans."""
+
+    def apply(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        _bootstrap_empty_base(batch_df, base_path, seq_col, delete_col)
+        maintain_kmv_snapshot(
+            batch_df.sparkSession, base_path, sketch_path, batch_df,
+            keys, group_cols, value_col, seq_col,
+            delete_col=delete_col, **kw,
         )
 
     return apply
