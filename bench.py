@@ -100,6 +100,54 @@ def main() -> None:
             total += it.next().getCollectionTime()
         return total
 
+    # r11 drift calibration (r10 verdict task 3): a pinned, deterministic,
+    # pure-JVM workload on GENERATED data — no IO, no Python, fixed plan —
+    # run 5x in the same session as the headline. Its median (wall - gc)
+    # measures the HOST, not the repo: cross-round headline comparisons
+    # divide by the calibration ratio to separate code deltas from host
+    # weather ("unchanged fingerprint + slower wall = drift" becomes a
+    # measurement instead of an inference). 20M-row codegen'd project +
+    # hash-aggregate over 9973 groups + 32-partition shuffle ~= the
+    # headline's dominant physical shapes at ~0.5 s scale.
+    from pyspark.sql import functions as F
+
+    def calibration_df():
+        return (
+            spark.range(0, 20_000_000, 1, 32)
+            .select(
+                (F.col("id") % 9973).alias("g"),
+                F.xxhash64("id").alias("h"),
+            )
+            .groupBy("g")
+            .agg(
+                # bit_xor, not sum: 20M full-range 64-bit hashes overflow
+                # an ANSI bigint sum; xor is the same JVM-side work with
+                # no overflow semantics to trip
+                F.expr("bit_xor(h)").alias("s"),
+                F.count("*").alias("n"),
+                F.max("h").alias("mx"),
+            )
+        )
+
+    calib_fp = plan_fingerprint(calibration_df())
+    calib_minus_gc: list[float] = []
+    calib_walls: list[float] = []
+    for _ in range(5):
+        gc0 = jvm_gc_ms()
+        start = time.perf_counter()
+        calibration_df().write.format("noop").mode("overwrite").save()
+        elapsed = time.perf_counter() - start
+        gc_sec = (jvm_gc_ms() - gc0) / 1000.0
+        calib_walls.append(elapsed)
+        calib_minus_gc.append(elapsed - gc_sec)
+    calibration_s = round(sorted(calib_minus_gc)[len(calib_minus_gc) // 2], 3)
+    calibration_detail = {
+        "median_wall": round(sorted(calib_walls)[len(calib_walls) // 2], 3),
+        "best": round(min(calib_walls), 3),
+        "gc": round(sum(w - m for w, m in zip(calib_walls, calib_minus_gc)), 3),
+        "plan": calib_fp,
+    }
+
     # r8 noise protocol (the r7 drift investigation showed best-of-3 is
     # not enough on this host — same-code runs spread >4x): 5 in-session
     # repetitions per query, each with its JVM GC time measured, and the
@@ -217,6 +265,8 @@ def main() -> None:
         "queries_cold": cold,
         "plans": plans,
         "longdoc_ladder_16docs": longdoc,
+        "calibration_s": calibration_s,
+        "calibration_detail": calibration_detail,
         "sf": float(sf) if sf else sf_dir,
     }
     # The driver archives only a bounded stdout tail window; r9 lost the
@@ -243,6 +293,7 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "n_queries": len(timings),
+                "calibration_s": calibration_s,
                 "sf": float(sf) if sf else sf_dir,
                 "trailer": True,
             }

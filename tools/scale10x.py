@@ -16,6 +16,14 @@ def main() -> None:
     import __spark_entry__ as e
     from bench import HEADLINE
 
+    # optional argv: two sf dirs (small, large) — defaults preserve the
+    # original sf0.01 -> sf0.1 decade; r11 runs it again for
+    # sf0.1 -> /tmp/sf1 (tools/make_sf1.py) as the second decade.
+    dirs = (
+        (sys.argv[1], sys.argv[2])
+        if len(sys.argv) > 2
+        else ("/root/testdata/sf0.01", "/root/testdata/sf0.1")
+    )
     spark = get_spark(app_name="scale10x")
 
     def jvm_gc_ms() -> int:
@@ -29,7 +37,7 @@ def main() -> None:
         return total
 
     results: dict[str, dict[str, float]] = {}
-    for sf_dir in ("/root/testdata/sf0.01", "/root/testdata/sf0.1"):
+    for sf_dir in dirs:
         tag = os.path.basename(sf_dir)
         for t in (
             "region nation customer supplier part orders lineitem "
@@ -50,15 +58,16 @@ def main() -> None:
                 )
             results.setdefault(name, {})[tag] = sorted(vals)[2]
             print(f"{tag} {name}: {sorted(vals)[2]:.3f}", flush=True)
-    tot01 = sum(v["sf0.01"] for v in results.values())
-    tot10 = sum(v["sf0.1"] for v in results.values())
-    print(f"\nTOTAL sf0.01={tot01:.2f} sf0.1={tot10:.2f} ratio={tot10/tot01:.2f}")
+    small, large = (os.path.basename(d.rstrip("/")) for d in dirs)
+    tot01 = sum(v[small] for v in results.values())
+    tot10 = sum(v[large] for v in results.values())
+    print(f"\nTOTAL {small}={tot01:.2f} {large}={tot10:.2f} ratio={tot10/tot01:.2f}")
     for name, v in sorted(
-        results.items(), key=lambda kv: -kv[1]["sf0.1"] / max(kv[1]["sf0.01"], 1e-9)
+        results.items(), key=lambda kv: -kv[1][large] / max(kv[1][small], 1e-9)
     ):
         print(
-            f"{name}: {v['sf0.01']:.3f} -> {v['sf0.1']:.3f} "
-            f"({v['sf0.1']/max(v['sf0.01'],1e-9):.2f}x)"
+            f"{name}: {v[small]:.3f} -> {v[large]:.3f} "
+            f"({v[large]/max(v[small],1e-9):.2f}x)"
         )
 
 
