@@ -2037,17 +2037,19 @@ def _build_bucketed_rolling(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     ev = _events(spark, sf_dir)
-    # precondition: every bucket must hold >= window_rows rows (the
-    # overlap ships exactly one preceding bucket). events has ~33
-    # rows/day at sf0.001, so '7 days' gives >=160-row buckets at
-    # every sf while still yielding 4+ parallel buckets.
+    # bucket='auto' (r11): width follows data density, so bucket count
+    # tracks parallelism at every sf instead of being a fixed-width
+    # ceiling (the '7 days' it replaces was 5 buckets at ANY scale —
+    # 5 tasks on a 32-core box, measured 3.36x wall for 10x rows in the
+    # sf0.1→sf1 decade). Exactness is bucketing-invariant; this query's
+    # oracle (the single-partition global window) proves it per-round.
     out = bucketed_rolling(
         ev,
         "value",
         24,
         aggs=("mean", "std"),
         order_cols=["ts", "event_id"],
-        bucket="7 days",
+        bucket="auto",
     )
     return out.select(
         "event_id",

@@ -20,6 +20,7 @@ from collections.abc import Sequence
 
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 ROLL_AGGS: dict[str, callable] = {
     "mean": F.avg,
@@ -130,35 +131,169 @@ def bucketed_rolling(
     EXACT for ANY bucket occupancy — gapped, bursty, or empty buckets
     included (r5's overlap shipped only the one preceding bucket, which
     silently under-filled frames whenever a bucket held fewer than
-    ``window_rows`` rows). Mechanics:
+    ``window_rows`` rows). Mechanics (r11 single-pass form):
 
-    1. per-bucket ``row_number`` + a prefix sum over the tiny per-bucket
-       count table (one row per time bucket; a single-partition window
-       over at most thousands of rows even at decade spans) = the exact
-       global row index of every row, with no single-task pass over the
-       DATA;
-    2. every bucket receives copies of the ``window_rows`` rows whose
-       global index immediately precedes the bucket's first owned row —
-       a broadcast range-join against the bucket-starts table, so the
-       copies may span any number of sparse predecessor buckets;
-    3. one per-bucket window sorted by global index computes the frame
+    1. one tiny per-bucket count aggregate (one row per time bucket) is
+       collected and prefix-summed DRIVER-side — the bucket-starts
+       table is bounded by the bucket count, the same bounded-small
+       collect contract as the IVF probe lists;
+    2. per-bucket ``row_number`` + a broadcast hash join against the
+       starts table = the exact global row index of every row, with no
+       single-task pass over the DATA;
+    3. each row emits itself once as OWNED plus one COPY per future
+       bucket whose first owned row it precedes by ``<= window_rows``
+       global positions — computed by filtering the CONSTANT starts
+       array (so the copies may span any number of sparse predecessor
+       buckets) and ``posexplode``-ing, all inside the one pass;
+    4. one per-bucket window sorted by global index computes the frame
        ``rowsBetween(-w, -1)``; copies are dropped after serving as
        history.
 
-    Shuffle cost: two exchanges on ``_bucket`` (index assignment +
-    windowing) carrying n + w*n_buckets rows total — versus the
+    Until r11 the copies were a second branch (broadcast range join +
+    union), which recomputed the whole scan→window lineage per branch —
+    the executed plan carried 10 scans / 12 exchanges / 2 full-data
+    row_number windows, and the sf0.1→sf1 decade measured it 3.36x for
+    10x rows. The explode form plans 2 scans (data + the tiny counts
+    job), 2 exchanges, 1 full-data window. Exactness is pinned by this
+    query's oracle — the single-partition global window.
+
+    Shuffle cost: two exchanges (bucket index assignment + the receiver
+    window) carrying n + w*n_buckets rows total — versus the
     single-partition global window this replaces, which is one task at
-    any cluster size. At 100 TB that trade IS the operator.
+    any cluster size. At 100 TB that trade IS the operator. More than
+    2048 buckets falls back to the join+union form (a constant array
+    that large stops being a sane expression tree); at that point pick
+    a wider bucket.
+
+    ``bucket='auto'`` (r11) sizes the width from the DATA — one tiny
+    (min ts, max ts, count) aggregate at plan-build time — targeting
+    ``min(n / 2w, 4 x defaultParallelism)`` buckets. A fixed width is a
+    parallelism ceiling in disguise: the r11 sf0.1→sf1 decade measured
+    the 7-day query at 3.36x wall for 10x rows purely because density
+    grew 10x inside the SAME 5 buckets (5 tasks on a 32-core box).
+    Results are bucketing-invariant by construction (every frame is the
+    exact global-index frame), so the width is free to track density —
+    the parity oracle (the single-partition global window) pins that.
     """
+    if bucket == "auto":
+        stats = df.select(
+            F.min(ts_col).alias("lo"),
+            F.max(ts_col).alias("hi"),
+            F.count(ts_col).alias("n"),
+        ).first()
+        if not stats["n"]:
+            bucket = "30 days"
+        else:
+            span = max(
+                1, int(stats["hi"].timestamp() - stats["lo"].timestamp())
+            )
+            par = df.sparkSession.sparkContext.defaultParallelism
+            n_buckets = max(
+                1,
+                min(stats["n"] // max(1, 2 * window_rows), 4 * par),
+            )
+            bucket = f"{max(1, -(-span // n_buckets)) + 1} seconds"
     bucket_col = F.window(F.col(ts_col), bucket).getField("start")
+    # tiny counts job, collected: one row per bucket (bounded-small by
+    # construction — auto targets <= 4 x parallelism buckets)
+    count_rows = sorted(
+        (r["_bucket"], r["_cnt"])
+        for r in df.select(bucket_col.alias("_bucket"))
+        .groupBy("_bucket")
+        .agg(F.count("*").alias("_cnt"))
+        .collect()
+    )
+    spark = df.sparkSession
+    starts_list, acc = [], 0
+    for bt, cnt in count_rows:
+        starts_list.append((bt, acc))
+        acc += cnt
     wb = Window.partitionBy("_bucket").orderBy(*_order_cols(order_cols))
     b = df.withColumn("_bucket", bucket_col).withColumn(
         "_rn", F.row_number().over(wb)
     )
-    # exact global index: per-bucket counts -> prefix sum (tiny table).
-    # The counts branch aggregates the RAW scan (map-side partial
-    # combine, no sort) rather than max(_rn) over the window lineage —
-    # same numbers, one fewer forced window computation.
+    w = (
+        Window.partitionBy("_recv")
+        .orderBy("_gidx")
+        .rowsBetween(-window_rows, -1)
+    )
+    roll_cols = {
+        f"{target}_roll_{a}_{window_rows}h": ROLL_AGGS[a](F.col(target)).over(w)
+        for a in aggs
+    }
+    if 0 < len(starts_list) <= 65536:
+        # per-bucket candidate receivers, DRIVER-computed from the known
+        # counts: bucket k's rows (gidx in [start_k, start_{k+1})) can
+        # serve future bucket j iff start_j <= gidx + w — so the
+        # candidate list is the j's with start_j < start_{k+1} + w,
+        # usually exactly [k+1] when buckets hold >= w rows. It rides
+        # the same broadcast hash join that ships _start, so the per-row
+        # filter touches ~1 element, not the whole starts table.
+        n_b = len(starts_list)
+        ends = [s for _, s in starts_list[1:]] + [acc]
+        cands = []
+        for k, (bt, s) in enumerate(starts_list):
+            lst = []
+            j = k + 1
+            while j < n_b and starts_list[j][1] < ends[k] + window_rows:
+                lst.append((starts_list[j][0], starts_list[j][1]))
+                j += 1
+            cands.append((bt, s, lst))
+        ts_type = df.schema[ts_col].dataType
+        starts_df = spark.createDataFrame(
+            cands,
+            T.StructType(
+                [
+                    T.StructField("_bucket", ts_type),
+                    T.StructField("_start", T.LongType()),
+                    T.StructField(
+                        "_cand",
+                        T.ArrayType(
+                            T.StructType(
+                                [
+                                    T.StructField("_recv", ts_type),
+                                    T.StructField("_s", T.LongType()),
+                                ]
+                            )
+                        ),
+                    ),
+                ]
+            ),
+        )
+        g = (
+            b.join(F.broadcast(starts_df), "_bucket")
+            .withColumn("_gidx", F.col("_start") + F.col("_rn") - 1)
+            .drop("_rn", "_start")
+        )
+        # owned row (pos 0) + one copy per candidate bucket whose first
+        # owned row this row precedes by <= window_rows, in ONE
+        # posexplode — no second branch, no union, no re-run of the
+        # scan->window lineage
+        served = F.filter(
+            F.col("_cand"),
+            lambda s: (F.col("_gidx") >= s["_s"] - window_rows)
+            & (F.col("_gidx") < s["_s"]),
+        )
+        own = F.array(
+            F.struct(
+                F.col("_bucket").alias("_recv"),
+                F.lit(-1).cast("bigint").alias("_s"),
+            )
+        )
+        ex = g.select(
+            *[c for c in g.columns if c != "_cand"],
+            F.posexplode(F.concat(own, served)).alias("_pos", "_r"),
+        ).select(
+            *[c for c in g.columns if c != "_cand"],
+            F.col("_r._recv").alias("_recv"),
+            (F.col("_pos") == 0).alias("_owned"),
+        )
+        out = ex.withColumns(roll_cols)
+        return out.filter(F.col("_owned")).drop(
+            "_bucket", "_recv", "_owned", "_gidx"
+        )
+    # fallback (empty input, or too many buckets for a constant array):
+    # the pre-r11 two-branch plan
     counts = (
         df.select(bucket_col.alias("_bucket"))
         .groupBy("_bucket")
@@ -189,15 +324,5 @@ def bucketed_rolling(
         .withColumn("_owned", F.lit(False))
     )
     unioned = owned.unionByName(copies.select(*owned.columns))
-    w = (
-        Window.partitionBy("_recv")
-        .orderBy("_gidx")
-        .rowsBetween(-window_rows, -1)
-    )
-    out = unioned.withColumns(
-        {
-            f"{target}_roll_{a}_{window_rows}h": ROLL_AGGS[a](F.col(target)).over(w)
-            for a in aggs
-        }
-    )
+    out = unioned.withColumns(roll_cols)
     return out.filter(F.col("_owned")).drop("_bucket", "_recv", "_owned", "_gidx")
