@@ -1619,11 +1619,45 @@ def q_typed_aggs(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("kmv_purchase_only_users_est"),
         )
     )
+    # merged r11: the ADDITIVE sketch — per-type equi-width binned
+    # histogram (operators.binsketch, 10 bins over [0, 250) + under/
+    # overflow) with interpolated p50/p90 estimates and a positional
+    # count digest. Integer counts + one division: the fold replays
+    # IEEE-exactly in DuckDB. This is the quantile summary whose CDC
+    # maintenance is pure delta folds (bin columns are sum_cols for
+    # maintain_agg_snapshot) — the class HLL/KMV cannot be.
+    from amonaly_detection_in_time_series_data_spark.operators.binsketch import (
+        hist_array,
+        hist_quantile,
+        hist_sketch,
+    )
+
+    HB = 10
+    hs = hist_sketch(ev, ["event_type"], "value", 0.0, 250.0, HB)
+    harr = hist_array(HB)
+    hdigest = F.pmod(
+        sum(
+            ((i + 1) * F.col(f"b{i}")).cast("bigint")
+            for i in range(HB + 2)
+        ),
+        F.lit(KMV_P),
+    ).cast("bigint")
+    hist_cols = hs.select(
+        "event_type",
+        hdigest.alias("hist_digest"),
+        F.round(
+            hist_quantile(harr, 0.5, 0.0, 250.0, HB), 6
+        ).alias("hist_p50_est"),
+        F.round(
+            hist_quantile(harr, 0.9, 0.0, 250.0, HB), 6
+        ).alias("hist_p90_est"),
+    )
     return (
         agg.crossJoin(F.broadcast(piv))
         .join(F.broadcast(mom), "event_type")
         .join(F.broadcast(bfa), "event_type")
         .join(F.broadcast(sk_cols), "event_type")
+        .join(F.broadcast(hist_cols), "event_type")
         .crossJoin(F.broadcast(union_est))
         .crossJoin(F.broadcast(pair))
     )
@@ -4406,6 +4440,68 @@ kpair AS (
           4) AS kmv_purchase_only_users_est
   FROM kpairu
 ),
+-- additive binned-histogram sketch (merged r11): 10 bins over [0,250)
+-- + under/overflow, positional digest, interpolated p50/p90 — the
+-- same integer-count + one-division IEEE sequence as the Spark fold
+hbin AS (
+  SELECT event_type,
+         CASE WHEN value IS NULL THEN NULL
+              WHEN value < 0.0 THEN 0
+              WHEN value >= 250.0 THEN 11
+              ELSE least(CAST(floor((value - 0.0) / 25.0) AS BIGINT) + 1, 10)
+         END AS hb
+  FROM events
+),
+hcc AS (
+  SELECT g.event_type, g.i,
+         CAST(coalesce(c.c, 0) AS BIGINT) AS c
+  FROM (SELECT DISTINCT event_type, i FROM events, range(12) t(i)) g
+  LEFT JOIN (SELECT event_type, hb, count(*) AS c FROM hbin
+             WHERE hb IS NOT NULL GROUP BY event_type, hb) c
+    ON g.event_type = c.event_type AND g.i = c.hb
+),
+hstat AS (
+  SELECT event_type, i, c,
+         coalesce(sum(c) OVER (PARTITION BY event_type ORDER BY i
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                  0) AS cumb,
+         sum(c) OVER (PARTITION BY event_type) AS n
+  FROM hcc
+),
+hqq AS (
+  SELECT event_type, q,
+         min(CASE WHEN i = 0 THEN 0.0
+                  WHEN i = 11 THEN 250.0
+                  ELSE 0.0 + (CAST(i - 1 AS DOUBLE)
+                              + (q * CAST(n AS DOUBLE)
+                                 - CAST(cumb AS DOUBLE))
+                                / CAST(c AS DOUBLE)) * 25.0
+             END) FILTER (WHERE c > 0
+                          AND CAST(cumb + c AS DOUBLE)
+                              >= q * CAST(n AS DOUBLE)
+                          AND i = first_hit) AS est
+  FROM (
+    SELECT h.*, v.q,
+           min(CASE WHEN c > 0 AND CAST(cumb + c AS DOUBLE)
+                         >= v.q * CAST(n AS DOUBLE)
+                    THEN i END)
+             OVER (PARTITION BY event_type, v.q) AS first_hit
+    FROM hstat h, (VALUES (0.5), (0.9)) v(q)
+  )
+  GROUP BY event_type, q
+),
+hq AS (
+  SELECT d.event_type,
+         CAST(d.hist_digest % 1000000007 AS BIGINT) AS hist_digest,
+         round(q50.est, 6) AS hist_p50_est,
+         round(q90.est, 6) AS hist_p90_est
+  FROM (SELECT event_type, sum((i + 1) * c) AS hist_digest
+        FROM hcc GROUP BY event_type) d
+  JOIN (SELECT event_type, est FROM hqq WHERE q = 0.5) q50
+    ON d.event_type = q50.event_type
+  JOIN (SELECT event_type, est FROM hqq WHERE q = 0.9) q90
+    ON d.event_type = q90.event_type
+),
 base AS (
 SELECT event_type,
        round(quantile_cont(value, 0.5), 6) AS p50,
@@ -4433,6 +4529,7 @@ SELECT base.*, momf.mom_n, momf.mom_mean, momf.mom_std, momf.mom_skew,
        momf.mom_exkurt, bfa.benford_chi2, bfa.benford_digits,
        bfa.benford_digest, kest.kmv_size, kest.kmv_digest,
        kest.kmv_users_est, kallest.kmv_all_users_est,
+       hq.hist_digest, hq.hist_p50_est, hq.hist_p90_est,
        kpair.kmv_click_purchase_jaccard,
        kpair.kmv_click_purchase_users_est,
        kpair.kmv_click_only_users_est,
@@ -4441,6 +4538,7 @@ FROM base
 JOIN momf ON base.event_type = momf.event_type
 JOIN bfa ON base.event_type = bfa.event_type
 JOIN kest ON base.event_type = kest.event_type
+JOIN hq ON base.event_type = hq.event_type
 CROSS JOIN kallest
 CROSS JOIN kpair
 """
