@@ -1489,3 +1489,35 @@ def streaming_croston(
             ),
         )
     )
+
+
+def streaming_hist(
+    events: DataFrame,
+    value_col: str = "value",
+    lo: float = 0.0,
+    hi: float = 250.0,
+    n_bins: int = 10,
+    key_cols: Sequence[str] = ("user_id",),
+    prefix: str = "b",
+) -> DataFrame:
+    """Continuously maintained binned-histogram sketch per key — the
+    streaming face of :func:`~..operators.binsketch.hist_sketch`, and
+    the demonstration of its algebraic class: the build is a PLAIN
+    additive aggregation, so Structured Streaming maintains it NATIVELY
+    (the state store holds B running bigint sums per key — no custom
+    state function, no applyInPandasWithState, no watermark needed for
+    correctness in update/complete output). Contrast
+    :func:`streaming_kmv`, whose bounded-state merge needs a custom
+    stateful operator. The streamed counts equal the batch build over
+    the same rows EXACTLY (integer sums are order-free), pinned on
+    multi-micro-batch replay.
+
+    Use update/complete output mode (it is an open aggregation); route
+    through ``foreachBatch`` + :func:`~..operators.ivm.maintain_agg_snapshot`
+    instead when the sketch table must live on disk with snapshot cuts.
+    """
+    from ..operators.binsketch import hist_sketch
+
+    return hist_sketch(
+        events, list(key_cols), value_col, lo, hi, n_bins, prefix
+    )

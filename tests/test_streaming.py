@@ -1357,6 +1357,42 @@ class TestStreamingForecast:
         assert got == want and len(want) == 2
         assert all(42 not in arr for arr in got.values())
 
+    def test_hist_sketch_matches_batch_exactly(self, spark, sf_dir, tmp_path):
+        # r11: the ADDITIVE sketch's streaming face — a plain native
+        # streaming aggregation (no custom state function). Streamed
+        # counts over a 3-micro-batch replay == batch hist_sketch over
+        # the same rows, integer-exact per bin.
+        from amonaly_detection_in_time_series_data_spark.operators.binsketch import (
+            hist_sketch,
+        )
+        from amonaly_detection_in_time_series_data_spark.streaming.rolling import (
+            streaming_hist,
+        )
+
+        NB = 8
+        cols = [f"b{i}" for i in range(NB + 2)]
+        ev = load_table(spark, sf_dir, "events").select(
+            "user_id", "ts", "value"
+        )
+        want = {
+            r["user_id"]: tuple(r[c] for c in cols)
+            for r in hist_sketch(
+                ev, ["user_id"], "value", 0.0, 250.0, NB
+            ).collect()
+        }
+
+        stream = self._replay_grid(spark, ev, tmp_path, "hist_g")
+        out = streaming_hist(
+            stream, "value", 0.0, 250.0, NB, key_cols=["user_id"]
+        )
+        assert out.isStreaming
+        _run_stream_to_memory(out, "hist_s", "complete")
+        got = {
+            r["user_id"]: tuple(r[c] for c in cols)
+            for r in spark.sql("SELECT * FROM hist_s").collect()
+        }
+        assert got == want and len(want) > 0
+
     def test_theta_string_key_cols(self, spark, sf_dir, tmp_path):
         # r10 (ADVICE): the streaming twins accept key_cols like their
         # batch series_cols — key schema derived from the input, so a
