@@ -533,26 +533,12 @@ def maintain_agg_sink(
     def apply(batch_df: DataFrame, batch_id: int) -> None:
         if batch_df.isEmpty():
             return
-        spark = batch_df.sparkSession
-        from amonaly_detection_in_time_series_data_spark.operators.snapshots import (
-            _fs_and_path,
-            _list_versions,
-            snapshot_commit,
+        _bootstrap_empty_base(
+            batch_df, base_path, seq_col, delete_col, partition_col
         )
-
-        fs, _ = _fs_and_path(spark, base_path)
-        if not _list_versions(spark, fs, base_path):
-            drop = {seq_col, delete_col} - {None}
-            cols = [c for c in batch_df.columns if c not in drop]
-            snapshot_commit(
-                spark,
-                base_path,
-                spark.createDataFrame([], batch_df.select(*cols).schema),
-                partition_col=partition_col,
-            )
         maintain_agg_snapshot(
-            spark, base_path, agg_path, batch_df, keys, group_cols,
-            sum_cols, seq_col, delete_col=delete_col,
+            batch_df.sparkSession, base_path, agg_path, batch_df, keys,
+            group_cols, sum_cols, seq_col, delete_col=delete_col,
             partition_col=partition_col, **kw,
         )
 
