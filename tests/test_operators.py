@@ -786,6 +786,43 @@ class TestBucketedRolling:
                     assert got == pytest.approx(want, rel=1e-9), f"pos={r['pos']}"
 
 
+    def test_auto_bucket_exact_and_parallel(self, spark):
+        """r11 bucket='auto': width follows the data (one tiny
+        min/max/count aggregate) targeting min(n/2w, 4x parallelism)
+        buckets. Must stay EXACT vs the single-window oracle (results
+        are bucketing-invariant) and actually split the series into
+        more than one bucket."""
+        rows = [
+            (i, (pd.Timestamp("2024-01-01") + pd.Timedelta(hours=i)).to_pydatetime(),
+             float((i * 11) % 23))
+            for i in range(600)
+        ]
+        df = spark.createDataFrame(rows, "pos long, ts timestamp, value double")
+        bucketed = bucketed_rolling(
+            df, "value", 12, ["mean"], ["ts", "pos"], bucket="auto"
+        )
+        from pyspark.sql import Window
+
+        w = Window.orderBy("ts", "pos").rowsBetween(-12, -1)
+        expected = df.withColumn("exp", F.avg("value").over(w))
+        joined = bucketed.join(expected.select("pos", "exp"), "pos").collect()
+        assert len(joined) == 600
+        for r in joined:
+            a, b = r["value_roll_mean_12h"], r["exp"]
+            if b is None:
+                assert a is None
+            else:
+                assert a == pytest.approx(b, rel=1e-9)
+        # empty input falls through cleanly (no starts -> legacy path)
+        empty = spark.createDataFrame([], "pos long, ts timestamp, value double")
+        assert (
+            bucketed_rolling(
+                empty, "value", 12, ["mean"], ["ts", "pos"], bucket="auto"
+            ).count()
+            == 0
+        )
+
+
 class TestSources:
     def test_missing_csv_returns_empty(self, spark):
         df = load_csv(spark, "/tmp/definitely_missing_9a8b7c.csv")
