@@ -65,7 +65,29 @@ def _prefix_cost(y):
         tot = cs[t] - cs[s]
         return (cs2[t] - cs2[s]) - tot * tot / n
 
-    return cost
+    return cost, float(cs2[-1])
+
+
+def _tie_tol(sse_scale: float, n: int, beta: float) -> float:
+    """Comparison tolerance for the DP: a candidate must beat the
+    incumbent by MORE than this to displace it, and pruning keeps
+    anything within it. Sized at ~64 n eps_longdouble x the cost
+    magnitudes, i.e. orders above the arithmetic's rounding noise and
+    orders below any decision a user could care about.
+
+    Why: EXACT cost ties exist (a spike [0, 5] costs the same paired
+    with its left or right neighbor), and at a true tie no precision
+    makes the float comparison shift-invariant — the ~1-ulp centering
+    noise of ``y`` vs ``y + b`` picks a side. Banding ties and breaking
+    them deterministically (first candidate in order wins; candidate
+    order is shift-invariant) restores invariance; a strictly better
+    partition still wins whenever its margin exceeds the band, which is
+    ~1e-13-relative — the r10 pinned counterexample's 1.1e-12 gap
+    decides strictly."""
+    import numpy as np
+
+    eps = float(np.finfo(np.longdouble).eps)
+    return 64.0 * eps * n * (sse_scale + n * abs(beta) + 1.0)
 
 
 def _default_penalty(y):
@@ -90,10 +112,12 @@ def pelt_numpy(y, penalty=None, min_size=2):
     if n < 2 * min_size:
         return []
     beta = np.longdouble(_default_penalty(y) if penalty is None else float(penalty))
-    cost = _prefix_cost(y)
+    cost, sse_scale = _prefix_cost(y)
+    tol = _tie_tol(sse_scale, n, float(beta))
     # F[t] = optimal penalized cost of y[0:t]; F[0] = -beta so the
     # first segment does not pay a penalty. Extended precision to
-    # match _prefix_cost (comparisons decide the partition).
+    # match _prefix_cost; tie-banded comparisons (see _tie_tol) so
+    # exact-tie partitions resolve shift-invariantly.
     F = np.full(n + 1, np.inf, dtype=np.longdouble)
     F[0] = -beta
     prev = np.zeros(n + 1, dtype="int64")
@@ -104,13 +128,18 @@ def pelt_numpy(y, penalty=None, min_size=2):
             if t - s < min_size:
                 continue
             v = F[s] + cost(s, t) + beta
-            if v < best:
+            if v < best - tol:
                 best, arg = v, s
         F[t] = best
         prev[t] = arg
         # prune: keep s only if it can still win for some t' > t
-        # (candidates too young to evaluate are kept until they can be)
-        cands = [s for s in cands if t - s < min_size or F[s] + cost(s, t) <= F[t]]
+        # (candidates too young to evaluate are kept until they can be;
+        # within-tol candidates are kept — conservative, so pruning can
+        # never remove a tie the unpruned DP would select)
+        cands = [
+            s for s in cands
+            if t - s < min_size or F[s] + cost(s, t) <= F[t] + tol
+        ]
         cands.append(t)
     # backtrack
     cps = []
@@ -133,7 +162,8 @@ def opt_partition_numpy(y, penalty=None, min_size=2):
     if n < 2 * min_size:
         return []
     beta = np.longdouble(_default_penalty(y) if penalty is None else float(penalty))
-    cost = _prefix_cost(y)
+    cost, sse_scale = _prefix_cost(y)
+    tol = _tie_tol(sse_scale, n, float(beta))
     F = np.full(n + 1, np.inf, dtype=np.longdouble)
     F[0] = -beta
     prev = np.zeros(n + 1, dtype="int64")
@@ -142,7 +172,7 @@ def opt_partition_numpy(y, penalty=None, min_size=2):
             if not np.isfinite(F[s]):
                 continue
             v = F[s] + cost(s, t) + beta
-            if v < F[t]:
+            if v < F[t] - tol:
                 F[t] = v
                 prev[t] = s
     cps = []

@@ -495,6 +495,21 @@ class TestPELT:
             assert pelt_numpy(y + b, penalty=5.0) == want
             assert opt_partition_numpy(y + b, penalty=5.0) == want
 
+    def test_pelt_exact_tie_pinned(self):
+        """Second pinned counterexample (r11 explore run): an isolated
+        spike costs EXACTLY the same paired with its left or right
+        neighbor ([0,5] vs [5,0] — a true tie in real arithmetic), so
+        no precision makes the float comparison shift-invariant; the
+        tie-banded first-candidate-wins comparison (_tie_tol) must pick
+        the SAME side for any shift, and PELT must still equal the
+        unpruned DP."""
+        y = np.array([0.0] * 14 + [5.0] + [0.0] * 3)
+        base = pelt_numpy(y, penalty=5.0)
+        assert base == opt_partition_numpy(y, penalty=5.0)
+        for b in (1.0, -1.0, 0.25, 37.5, -50.0):
+            assert pelt_numpy(y + b, penalty=5.0) == base, b
+            assert opt_partition_numpy(y + b, penalty=5.0) == base, b
+
     def test_min_size_respected(self):
         rng = np.random.default_rng(23)
         y = np.concatenate([rng.normal(0, 1, 30), rng.normal(6, 1, 30)])
