@@ -1008,6 +1008,10 @@ def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     (a scale-killer at 100 TB: one popular source made the declared
     plan O(n^2)); the exact-Jaccard re-rank now touches only the LSH
     survivors, which is the plan you'd actually run at scale."""
+    from amonaly_detection_in_time_series_data_spark.operators.similarity import (
+        prefix_jaccard_join,
+    )
+
     docs = spread_small(_docs_with_dups(spark, sf_dir))
     sigs = minhash_signatures(
         docs, "text", "doc_id", n_hashes=8, shingle_n=3, hash_fn="md5"
@@ -1020,12 +1024,31 @@ def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     # vs containment) beside Jaccard — the doc-inside-doc signal a
     # symmetric score misses (a page quoting a short doc wholesale:
     # jaccard ~ 0, containment of the short side ~ 1).
-    return out.select(
+    lsh_rows = out.select(
+        F.lit("lsh_rerank").alias("tier"),
         "id_a", "id_b",
         F.round("jaccard", 4).alias("jaccard"),
         F.round("containment_a", 4).alias("containment_a"),
         F.round("containment_b", 4).alias("containment_b"),
     )
+    # Merged r11: the EXACT prefix-filtered similarity self-join
+    # (AllPairs/PPJoin) at J >= 1/2 — the deterministic complement to
+    # the probabilistic LSH tier (no false negatives at the threshold).
+    # The oracle side is a genuinely INDEPENDENT brute force (all pairs,
+    # exact Jaccard) — it shares no algorithmic structure with the
+    # prefix-filter plan, so agreement proves the filters are lossless,
+    # not merely replayed.
+    pp = prefix_jaccard_join(
+        docs, "text", "doc_id", threshold_num=1, threshold_den=2
+    )
+    pp_rows = pp.select(
+        F.lit("ppjoin").alias("tier"),
+        "id_a", "id_b",
+        F.round("jaccard", 4).alias("jaccard"),
+        F.round(F.col("inter") / F.col("size_a"), 4).alias("containment_a"),
+        F.round(F.col("inter") / F.col("size_b"), 4).alias("containment_b"),
+    )
+    return lsh_rows.unionByName(pp_rows)
 
 
 def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -4806,7 +4829,7 @@ cand AS (
   JOIN bands b ON a.b = b.b AND a.slice = b.slice AND a.doc_id < b.doc_id
 ),
 sh AS (SELECT doc_id, {grams} AS grams FROM docs2)
-SELECT c.id_a, c.id_b,
+SELECT 'lsh_rerank' AS tier, c.id_a, c.id_b,
        round(len(list_intersect(x.grams, y.grams)) /
              nullif(CAST(len(x.grams) + len(y.grams) - len(list_intersect(x.grams, y.grams)) AS DOUBLE), 0),
              4) AS jaccard,
@@ -4817,6 +4840,23 @@ SELECT c.id_a, c.id_b,
 FROM cand c
 JOIN sh x ON c.id_a = x.doc_id
 JOIN sh y ON c.id_b = y.doc_id
+UNION ALL
+-- ppjoin tier: INDEPENDENT brute force for the prefix-filtered exact
+-- join — every pair at exact 3-gram Jaccard >= 1/2, decided in integer
+-- arithmetic (i*(p+q) >= p*(sa+sb)), no prefix/positional machinery on
+-- this side at all.
+SELECT 'ppjoin' AS tier, z.id_a, z.id_b,
+       round(CAST(z.i AS DOUBLE) / (z.sa + z.sb - z.i), 4) AS jaccard,
+       round(CAST(z.i AS DOUBLE) / z.sa, 4) AS containment_a,
+       round(CAST(z.i AS DOUBLE) / z.sb, 4) AS containment_b
+FROM (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         len(list_intersect(a.grams, b.grams)) AS i,
+         len(a.grams) AS sa, len(b.grams) AS sb
+  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+  WHERE len(a.grams) > 0 AND len(b.grams) > 0
+) z
+WHERE z.i * 3 >= (z.sa + z.sb)
 """
 
     sql["multimodal_decode"] = """

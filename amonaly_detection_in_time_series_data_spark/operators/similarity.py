@@ -992,3 +992,168 @@ def semantic_dedup(
         )
         .drop("__dup", "__centroid")
     )
+
+
+def prefix_jaccard_join(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    threshold_num: int = 1,
+    threshold_den: int = 2,
+    shingle_n: int = 3,
+    positional: bool = True,
+) -> DataFrame:
+    """EXACT Jaccard-threshold similarity self-join via prefix filtering
+    — AllPairs (Bayardo, Ma, Srikant, WWW'07) with PPJoin's positional
+    filter (Xiao, Wang, Lin, Yuan, WWW'08). The deterministic complement
+    to the probabilistic MinHash-LSH tier: NO false negatives and no
+    false positives — every pair of documents whose distinct word
+    ``shingle_n``-gram sets have Jaccard >= threshold_num/threshold_den
+    is returned, and nothing else.
+
+    Why it scales (the prefix-filter theorem): order the global gram
+    vocabulary by ascending document frequency (rarest first, gram
+    string as tiebreak — a total order, since grams are distinct within
+    a doc). Sort each doc's gram set by that order. If
+    ``J(x,y) >= t = p/q`` then the overlap is at least
+    ``alpha = ceil(p*(|x|+|y|)/(p+q))``, and two sets with overlap alpha
+    MUST share a token inside their first ``|x| - ceil(p*|x|/q) + 1``
+    tokens — so only that PREFIX is exploded into the inverted index.
+    With rarest-first ordering the prefixes carry the lowest-frequency
+    grams, so candidate buckets stay small exactly where the corpus is
+    big. The positional filter then bounds the achievable overlap of a
+    candidate occurrence at prefix positions (i, j) by
+    ``min(i-1, j-1) + 1 + min(|x|-i, |y|-j)`` (common tokens split
+    cleanly into before/after the shared token because both arrays are
+    sorted by the SAME total order) and drops occurrences that cannot
+    reach alpha. Survivors are verified by exact ``array_intersect``.
+
+    Every filter is INTEGER arithmetic on (p, q, sizes) — no float
+    threshold comparisons anywhere — so the result set is bit-decidable
+    and an independent brute-force oracle (all pairs, exact Jaccard)
+    must agree exactly.
+
+    Shuffle budget at 100 TB: (1) groupBy gram for document frequency,
+    (2) join + groupBy id to attach the global order (one exchange —
+    the df join rides the same gram shuffle), (3) the prefix-token
+    equi-join (the inverted index — PREFIX tokens only, the whole point),
+    (4) one join back to the full arrays for verification. Never
+    all-pairs; candidate generation is bounded by prefix-bucket sizes,
+    which rarest-first ordering keeps near-uniform. The known adversary
+    is a gram that is BOTH high-frequency and prefix-resident (tiny docs
+    at low thresholds) — the same mega-bucket regime as MinHash-LSH;
+    cap or drop top-df grams there (stopword-gram removal) if it bites.
+
+    Output: ``id_a < id_b``, exact ``jaccard`` (double), ``inter``,
+    ``size_a``, ``size_b`` (gram-set cardinalities). Empty-gram docs
+    (< shingle_n tokens) cannot reach any positive threshold and are
+    dropped, matching :func:`minhash_signatures`.
+    """
+    p, q = int(threshold_num), int(threshold_den)
+    if not 0 < p <= q:
+        raise ValueError(
+            f"prefix_jaccard_join: threshold must be in (0,1]: got {p}/{q}"
+        )
+    sets = (
+        docs.withColumn("__toks", tokenize(F.col(text_col)))
+        .select(
+            F.col(id_col).alias("id"),
+            shingles_from_tokens(F.col("__toks"), shingle_n).alias("grams"),
+        )
+        .filter(F.size("grams") > 0)
+    )
+    tok_df = (
+        sets.select(F.explode("grams").alias("gram"))
+        .groupBy("gram")
+        .agg(F.count(F.lit(1)).alias("df"))
+    )
+    ordered = (
+        sets.select(
+            "id", F.size("grams").alias("sz"), F.explode("grams").alias("gram")
+        )
+        .join(tok_df, "gram")
+        .groupBy("id", "sz")
+        .agg(
+            F.transform(
+                F.sort_array(F.collect_list(F.struct("df", "gram"))),
+                lambda s: s["gram"],
+            ).alias("toks")
+        )
+    )
+    # prefix length |x| - ceil(p*|x|/q) + 1, pure integer arithmetic
+    plen = (
+        F.col("sz")
+        - F.floor((F.lit(p) * F.col("sz") + F.lit(q - 1)) / F.lit(q))
+        + F.lit(1)
+    ).cast("int")
+    prefix = ordered.select(
+        "id",
+        "sz",
+        F.posexplode(F.slice("toks", F.lit(1), plen)).alias("pos0", "gram"),
+    ).select("id", "sz", (F.col("pos0") + 1).alias("pos"), "gram")
+    a = prefix.select(
+        F.col("id").alias("id_a"),
+        F.col("sz").alias("sz_a"),
+        F.col("pos").alias("pos_a"),
+        "gram",
+    )
+    b = prefix.select(
+        F.col("id").alias("id_b"),
+        F.col("sz").alias("sz_b"),
+        F.col("pos").alias("pos_b"),
+        "gram",
+    )
+    cand = a.join(b, "gram").filter(
+        (F.col("id_a") < F.col("id_b"))
+        # size filter: q*min_size >= p*max_size (J >= p/q is impossible
+        # outside this band regardless of content)
+        & (F.col("sz_a") * q >= F.col("sz_b") * p)
+        & (F.col("sz_b") * q >= F.col("sz_a") * p)
+    )
+    # minimum overlap alpha = ceil(p*(sa+sb)/(p+q)) as integer floor-div
+    alpha = F.floor(
+        (F.lit(p) * (F.col("sz_a") + F.col("sz_b")) + F.lit(p + q - 1))
+        / F.lit(p + q)
+    )
+    if positional:
+        ubound = (
+            F.least(F.col("pos_a"), F.col("pos_b"))
+            - 1
+            + 1
+            + F.least(
+                F.col("sz_a") - F.col("pos_a"), F.col("sz_b") - F.col("pos_b")
+            )
+        )
+        cand = cand.filter(ubound >= alpha)
+    cand_ids = cand.select("id_a", "id_b").distinct()
+    g_a = ordered.select(
+        F.col("id").alias("id_a"),
+        F.col("toks").alias("g_a"),
+        F.col("sz").alias("size_a"),
+    )
+    g_b = ordered.select(
+        F.col("id").alias("id_b"),
+        F.col("toks").alias("g_b"),
+        F.col("sz").alias("size_b"),
+    )
+    verified = (
+        cand_ids.join(g_a, "id_a")
+        .join(g_b, "id_b")
+        .withColumn("inter", F.size(F.array_intersect("g_a", "g_b")))
+        # J >= p/q  <=>  inter*(p+q) >= p*(size_a+size_b): integer-exact
+        .filter(
+            F.col("inter") * (p + q)
+            >= F.lit(p) * (F.col("size_a") + F.col("size_b"))
+        )
+    )
+    return verified.select(
+        "id_a",
+        "id_b",
+        (
+            F.col("inter")
+            / (F.col("size_a") + F.col("size_b") - F.col("inter"))
+        ).alias("jaccard"),
+        F.col("inter").cast("bigint").alias("inter"),
+        F.col("size_a").cast("bigint").alias("size_a"),
+        F.col("size_b").cast("bigint").alias("size_b"),
+    )

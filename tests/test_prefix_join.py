@@ -1,0 +1,124 @@
+"""prefix_jaccard_join (AllPairs/PPJoin prefix-filtered EXACT similarity
+self-join): equality against an independent Python brute force — the
+operator promises no false negatives AND no false positives at the
+threshold, so set equality (not containment) is the contract. Plus
+threshold-boundary exactness (the integer-arithmetic filters must keep a
+pair at exactly J = p/q) and the positional-filter on/off invariance.
+"""
+
+from __future__ import annotations
+
+import itertools
+
+import pytest
+from hypothesis import given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+
+from amonaly_detection_in_time_series_data_spark.operators.similarity import (
+    prefix_jaccard_join,
+)
+
+
+def _grams(text: str, n: int = 3) -> frozenset[str]:
+    toks = text.lower().split()
+    if len(toks) < n:
+        return frozenset()
+    return frozenset(
+        " ".join(toks[i : i + n]) for i in range(len(toks) - n + 1)
+    )
+
+
+def _brute(rows: list[tuple[int, str]], p: int, q: int, n: int = 3):
+    sets = {i: _grams(t, n) for i, t in rows}
+    out = {}
+    for (ia, ga), (ib, gb) in itertools.combinations(sorted(sets.items()), 2):
+        if not ga or not gb:
+            continue
+        inter = len(ga & gb)
+        if inter * (p + q) >= p * (len(ga) + len(gb)):
+            out[(ia, ib)] = (inter, len(ga), len(gb))
+    return out
+
+
+def _run(spark, rows, p, q, positional=True):
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    got = prefix_jaccard_join(
+        df, "text", "doc_id", threshold_num=p, threshold_den=q,
+        positional=positional,
+    ).collect()
+    return {
+        (r["id_a"], r["id_b"]): (r["inter"], r["size_a"], r["size_b"])
+        for r in got
+    }
+
+
+WORDS = ["alpha", "beta", "gamma", "delta", "eps", "zeta", "eta", "theta"]
+
+
+class TestPrefixJaccardJoin:
+    def test_matches_brute_force_on_corpus(self, spark, sf_dir):
+        from amonaly_detection_in_time_series_data_spark.sources.readers import load_table
+
+        docs = load_table(spark, sf_dir, "documents").limit(120)
+        rows = [(r["doc_id"], r["text"]) for r in docs.collect()]
+        # inject exact + near duplicates so the threshold actually binds
+        rows += [(i + 10000, t) for i, t in rows if i % 10 == 0]
+        rows += [
+            (i + 20000, t + " extra trailing words here")
+            for i, t in rows
+            if isinstance(i, int) and i % 17 == 0 and i < 10000
+        ]
+        df = spark.createDataFrame(rows, ["doc_id", "text"])
+        got = {
+            (r["id_a"], r["id_b"]): (r["inter"], r["size_a"], r["size_b"])
+            for r in prefix_jaccard_join(df, threshold_num=1, threshold_den=2)
+            .collect()
+        }
+        assert got == _brute(rows, 1, 2)
+
+    def test_threshold_boundary_pair_kept(self, spark):
+        # two 4-token docs sharing their middle trigram: sizes 2 and 2,
+        # inter 1 -> J = 1/3 exactly; must be KEPT at threshold 1/3 and
+        # dropped at anything above.
+        rows = [
+            (1, "a b c d"),
+            (2, "x b c d"),  # grams: {a b c, b c d} vs {x b c, b c d}
+        ]
+        assert set(_run(spark, rows, 1, 3)) == {(1, 2)}
+        assert set(_run(spark, rows, 34, 100)) == set()
+
+    def test_positional_filter_is_pure_pruning(self, spark):
+        rows = [
+            (i, " ".join(WORDS[j % 8] for j in range(i % 5, i % 5 + 6)))
+            for i in range(30)
+        ]
+        assert _run(spark, rows, 2, 5, positional=True) == _run(
+            spark, rows, 2, 5, positional=False
+        )
+
+    def test_short_docs_dropped(self, spark):
+        rows = [(1, "a b"), (2, "a b"), (3, "a b c"), (4, "a b c")]
+        # doc 1/2 have <3 tokens -> zero grams -> never paired
+        assert set(_run(spark, rows, 1, 2)) == {(3, 4)}
+
+    def test_invalid_threshold_raises(self, spark):
+        df = spark.createDataFrame([(1, "a b c")], ["doc_id", "text"])
+        with pytest.raises(ValueError):
+            prefix_jaccard_join(df, threshold_num=0, threshold_den=2)
+        with pytest.raises(ValueError):
+            prefix_jaccard_join(df, threshold_num=3, threshold_den=2)
+
+    @settings(max_examples=15, deadline=None)
+    @given(
+        docs=st.lists(
+            st.lists(st.sampled_from(WORDS), min_size=0, max_size=10),
+            min_size=2,
+            max_size=12,
+        ),
+        pq=st.sampled_from([(1, 2), (1, 3), (2, 3), (3, 4), (1, 1)]),
+    )
+    def test_property_equals_brute_force(self, spark, docs, pq):
+        p, q = pq
+        rows = [(i, " ".join(toks)) for i, toks in enumerate(docs)]
+        assert _run(spark, rows, p, q) == _brute(rows, p, q)
