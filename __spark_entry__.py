@@ -2416,6 +2416,7 @@ def q_minhash_pairs_md5(spark: SparkSession, sf_dir: str) -> DataFrame:
     from amonaly_detection_in_time_series_data_spark.operators.graph import (
         connected_components,
         pagerank,
+        triangle_counts,
     )
 
     docs = spread_small(_docs_with_dups(spark, sf_dir))
@@ -2449,7 +2450,50 @@ def q_minhash_pairs_md5(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(None).cast("bigint").alias("id_b"),
         F.round("rank", 7).alias("jaccard_est"),
     )
-    return pair_rows.unionByName(comp_rows).unionByName(pr_rows)
+    # Merged r11: kind='triangle' — per-node triangle counts + local
+    # clustering coefficient (operators.graph.triangle_counts, degree-
+    # ordered orientation) over the pair graph UNION a deterministic
+    # synthesized lattice (edges doc_id -> doc_id+1 / +2 where the
+    # target exists — the modular-synthesis convention), so triangles
+    # provably exist at every sf. id_b packs (deg, triangles) as
+    # deg*100000 + triangles (both bounded integers); jaccard_est
+    # carries the coefficient 2T/(deg*(deg-1)) — ONE division of exact
+    # integers, engine-identical unrounded. The oracle replays triangles
+    # by brute-force canonical-edge joins (x<y<z), sharing nothing with
+    # the oriented-wedge plan.
+    ids = docs.select("doc_id")
+    tgt = ids.select(F.col("doc_id").alias("id_b"))
+    syn = (
+        ids.select(
+            F.col("doc_id").alias("id_a"),
+            (F.col("doc_id") + 1).alias("id_b"),
+        )
+        .unionByName(
+            ids.select(
+                F.col("doc_id").alias("id_a"),
+                (F.col("doc_id") + 2).alias("id_b"),
+            )
+        )
+        .join(tgt, "id_b", "semi")
+    )
+    tri = triangle_counts(
+        pairs.select("id_a", "id_b").unionByName(syn.select("id_a", "id_b")),
+        nodes=docs,
+        node_col="doc_id",
+    )
+    tri_rows = tri.select(
+        F.lit("triangle").alias("kind"),
+        F.col("node").alias("id_a"),
+        (F.col("deg") * 100000 + F.col("triangles"))
+        .cast("bigint")
+        .alias("id_b"),
+        F.col("clustering").alias("jaccard_est"),
+    )
+    return (
+        pair_rows.unionByName(comp_rows)
+        .unionByName(pr_rows)
+        .unionByName(tri_rows)
+    )
 
 
 def q_simhash_md5(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -5031,7 +5075,48 @@ comp AS (
 deg AS (SELECT a AS src, count(*) AS outd FROM und GROUP BY a),
 pn AS (SELECT count(*) AS n FROM docs2),
 r0 AS (SELECT doc_id AS node, 1.0 / (SELECT n FROM pn) AS rank FROM docs2),
-{pr_rounds}
+{pr_rounds},
+-- r11 triangle tier: pair graph + synthesized +1/+2 lattice, triangles
+-- by brute-force canonical-edge joins (x<y<z counted exactly once) —
+-- independent of the Spark side's degree-oriented wedge plan.
+syn AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM docs2 a JOIN docs2 b ON b.doc_id = a.doc_id + 1
+  UNION ALL
+  SELECT a.doc_id, b.doc_id
+  FROM docs2 a JOIN docs2 b ON b.doc_id = a.doc_id + 2
+),
+tund AS (
+  SELECT DISTINCT least(id_a, id_b) AS u, greatest(id_a, id_b) AS v
+  FROM (SELECT id_a, id_b FROM pairs UNION ALL SELECT id_a, id_b FROM syn)
+  WHERE id_a <> id_b
+),
+tdeg AS (
+  SELECT node, count(*) AS deg FROM (
+    SELECT u AS node FROM tund UNION ALL SELECT v AS node FROM tund
+  ) GROUP BY node
+),
+tri3 AS (
+  SELECT e1.u AS x, e1.v AS y, e2.v AS z
+  FROM tund e1
+  JOIN tund e2 ON e2.u = e1.v
+  JOIN tund e3 ON e3.u = e1.u AND e3.v = e2.v
+),
+tcnt AS (
+  SELECT node, count(*) AS triangles FROM (
+    SELECT x AS node FROM tri3
+    UNION ALL SELECT y AS node FROM tri3
+    UNION ALL SELECT z AS node FROM tri3
+  ) GROUP BY node
+),
+trows AS (
+  SELECT d.doc_id AS node,
+         coalesce(t.deg, 0) AS deg,
+         coalesce(c.triangles, 0) AS triangles
+  FROM docs2 d
+  LEFT JOIN tdeg t ON t.node = d.doc_id
+  LEFT JOIN tcnt c ON c.node = d.doc_id
+)
 SELECT 'pair' AS kind, id_a, id_b, jaccard_est FROM pairs
 UNION ALL
 SELECT 'component' AS kind, node AS id_a, component AS id_b,
@@ -5041,6 +5126,13 @@ UNION ALL
 SELECT 'pagerank' AS kind, node AS id_a, CAST(NULL AS BIGINT) AS id_b,
        round(rank, 7) AS jaccard_est
 FROM r3
+UNION ALL
+SELECT 'triangle' AS kind, node AS id_a,
+       CAST(deg * 100000 + triangles AS BIGINT) AS id_b,
+       CASE WHEN deg >= 2
+            THEN (2 * triangles) / CAST(deg * (deg - 1) AS DOUBLE)
+            ELSE 0.0 END AS jaccard_est
+FROM trows
 """
 
     sql["simhash_md5"] = f"""

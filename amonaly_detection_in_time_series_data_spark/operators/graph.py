@@ -31,7 +31,12 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
 
-__all__ = ["connected_components", "dedup_group_keep", "pagerank"]
+__all__ = [
+    "connected_components",
+    "dedup_group_keep",
+    "pagerank",
+    "triangle_counts",
+]
 
 
 def connected_components(
@@ -296,4 +301,127 @@ def dedup_group_keep(
     comparison — no extra shuffle)."""
     return components.withColumn(
         keep_col, (F.col(node_col) == F.col(comp_col)).cast("int")
+    )
+
+
+def triangle_counts(
+    edges: DataFrame,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    nodes: DataFrame | None = None,
+    node_col: str | None = None,
+) -> DataFrame:
+    """Per-node triangle counts and local clustering coefficient via
+    DEGREE-ORDERED edge orientation (Cohen 2009, "Graph Twiddling in a
+    MapReduce World"; Suri & Vassilvitskii WWW'11) — the standard
+    distributed triangle algorithm.
+
+    On a near-dup pair graph this is the cluster-density signal: a dup
+    GROUP (connected component) with clustering ~1 is a clique of mutual
+    near-copies (one survivor suffices), while a low-coefficient hub is
+    chain/boilerplate linkage that transitive grouping may be
+    over-collapsing — the classic dedup-quality diagnostic on top of
+    :func:`connected_components`.
+
+    Semantics: the input pair list is canonicalized first (NULLs and
+    self-loops dropped, undirected dedup as (min,max)); ``triangles`` is
+    the number of distinct triangles containing the node;
+    ``clustering`` = 2*T / (deg*(deg-1)) with 0.0 when deg < 2 — one
+    division of exact integers, so the value is engine-portable without
+    rounding. ``nodes``/``node_col`` optionally adds isolated vertices
+    (deg 0, coefficient 0.0), mirroring :func:`connected_components`.
+
+    Why it scales: orienting every undirected edge from its
+    lower-(degree, id) endpoint to the higher one makes each triangle
+    countable EXACTLY once, at its lowest-ordered corner, and bounds
+    every node's out-degree by O(sqrt(m)) — the wedge self-join
+    (out-neighbors x out-neighbors per apex) is therefore O(m^1.5)
+    total work instead of the O(sum deg^2) a naive wedge count pays on
+    skewed graphs (a 1M-degree boilerplate hub contributes ~nothing as
+    an apex because almost all its edges point INTO it). Shuffle budget:
+    one groupBy for degrees, two key joins to attach them, one
+    self-join on the apex, one join to close wedges, one explode +
+    groupBy for per-node counts — all on node/edge keys, no driver
+    state, no iteration.
+    """
+    e = edges.select(
+        F.col(id_a).cast("bigint").alias("a"),
+        F.col(id_b).cast("bigint").alias("b"),
+    ).filter(
+        F.col("a").isNotNull() & F.col("b").isNotNull()
+        & (F.col("a") != F.col("b"))
+    )
+    und = e.select(
+        F.least("a", "b").alias("u"), F.greatest("a", "b").alias("v")
+    ).distinct()
+    deg = (
+        und.select(F.col("u").alias("node"))
+        .unionAll(und.select(F.col("v").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("deg"))
+    )
+    wd = und.join(
+        deg.select(F.col("node").alias("u"), F.col("deg").alias("deg_u")), "u"
+    ).join(
+        deg.select(F.col("node").alias("v"), F.col("deg").alias("deg_v")), "v"
+    )
+    # total order: (degree, id) — orient low -> high; ties impossible
+    # (id is unique). Carry the dst's order key for the wedge filter.
+    src_first = F.struct("deg_u", "u") < F.struct("deg_v", "v")
+    oriented = wd.select(
+        F.when(src_first, F.col("u")).otherwise(F.col("v")).alias("src"),
+        F.when(src_first, F.col("v")).otherwise(F.col("u")).alias("dst"),
+        F.when(src_first, F.col("deg_v")).otherwise(F.col("deg_u")).alias(
+            "deg_dst"
+        ),
+    )
+    w1 = oriented.select(
+        "src", F.col("dst").alias("x"), F.col("deg_dst").alias("dx")
+    )
+    w2 = oriented.select(
+        "src", F.col("dst").alias("y"), F.col("deg_dst").alias("dy")
+    )
+    # wedge (x, y) at apex src, x strictly below y in the total order —
+    # the closing edge, if present, is then oriented exactly x -> y.
+    wedges = (
+        w1.join(w2, "src")
+        .filter(F.struct("dx", "x") < F.struct("dy", "y"))
+        .select("src", "x", "y")
+    )
+    closer = oriented.select(F.col("src").alias("x"), F.col("dst").alias("y"))
+    tris = wedges.join(closer, ["x", "y"])
+    per_node = (
+        tris.select(
+            F.explode(F.array("src", "x", "y")).alias("node")
+        )
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("triangles"))
+    )
+    out = (
+        deg.join(per_node, "node", "left")
+        .na.fill({"triangles": 0})
+    )
+    if nodes is not None:
+        if node_col is None:
+            raise ValueError("triangle_counts: nodes requires node_col")
+        iso = (
+            nodes.select(F.col(node_col).cast("bigint").alias("node"))
+            .distinct()
+            .join(out.select("node"), "node", "left_anti")
+            .select(
+                "node",
+                F.lit(0).cast("bigint").alias("deg"),
+                F.lit(0).cast("bigint").alias("triangles"),
+            )
+        )
+        out = out.unionByName(iso)
+    return out.select(
+        "node",
+        F.col("deg").cast("bigint").alias("deg"),
+        F.col("triangles").cast("bigint").alias("triangles"),
+        F.when(F.col("deg") >= 2,
+               F.lit(2) * F.col("triangles")
+               / (F.col("deg") * (F.col("deg") - F.lit(1))))
+        .otherwise(F.lit(0.0))
+        .alias("clustering"),
     )
