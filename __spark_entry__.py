@@ -1439,7 +1439,40 @@ def q_cube_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("retention").alias("total"),
         F.col("users").cast("bigint").alias("n_orders"),
     )
-    return relational.unionByName(fun).unionByName(coh)
+    # Merged r11: pairwise association rules (Apriori k=2 layer) over
+    # order baskets — parts co-ordered in >= 2 orders, deterministic
+    # top-50 by (lift desc, part_a, part_b) via TakeOrderedAndProject.
+    # Every value is an exact-integer ratio (one division), so the
+    # support/confidence/lift rows are hash-checked UNROUNDED.
+    from amonaly_detection_in_time_series_data_spark.operators.product_analytics import (
+        basket_rules,
+    )
+    from amonaly_detection_in_time_series_data_spark.operators.relational import (
+        top_k_global,
+    )
+
+    li = load_table(spark, sf_dir, "lineitem")
+    rules = top_k_global(
+        basket_rules(li, "l_orderkey", "l_partkey", min_pair_count=2),
+        [F.col("lift").desc(), F.col("item_a").asc(), F.col("item_b").asc()],
+        50,
+    )
+    def _basket_row(op, dim1, dim2, val):
+        return rules.select(
+            F.lit(op).alias("op"),
+            F.col(dim1).cast("string").alias("c_mktsegment"),
+            F.col(dim2).cast("string").alias("o_orderpriority"),
+            F.col(val).alias("total"),
+            F.col("pair_n").cast("bigint").alias("n_orders"),
+        )
+
+    basket = (
+        _basket_row("basket_lift", "item_a", "item_b", "lift")
+        .unionByName(_basket_row("basket_supp", "item_a", "item_b", "support"))
+        .unionByName(_basket_row("basket_conf", "item_a", "item_b", "conf_a_b"))
+        .unionByName(_basket_row("basket_conf", "item_b", "item_a", "conf_b_a"))
+    )
+    return relational.unionByName(fun).unionByName(coh).unionByName(basket)
 
 
 def q_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -4319,6 +4352,53 @@ JOIN (
                   FROM events GROUP BY user_id)
   SELECT cohort, count(*) AS cohort_size FROM firstd GROUP BY cohort
 ) AS b ON c.cohort = b.cohort
+UNION ALL
+-- association rules (merged r11): Apriori k=2 over order baskets —
+-- basket-presence counts (leading DISTINCT), integer products, ONE
+-- division per measure, deterministic top-50 by (lift, part_a, part_b)
+SELECT t.op, t.c_mktsegment, t.o_orderpriority, t.total, t.n_orders
+FROM (
+  WITH bsk AS (SELECT DISTINCT l_orderkey AS basket, l_partkey AS item
+               FROM lineitem),
+       tot AS (SELECT count(DISTINCT basket) AS n_baskets FROM bsk),
+       it AS (SELECT item, count(*) AS n_item FROM bsk GROUP BY item),
+       pr AS (
+         SELECT l.item AS item_a, r.item AS item_b, count(*) AS pair_n
+         FROM bsk l JOIN bsk r ON l.basket = r.basket AND l.item < r.item
+         GROUP BY l.item, r.item
+         HAVING count(*) >= 2
+       ),
+       rules AS (
+         SELECT p.item_a, p.item_b, p.pair_n, a.n_item AS n_a,
+                bb.n_item AS n_b,
+                p.pair_n / t2.n_baskets AS support,
+                p.pair_n / a.n_item AS conf_a_b,
+                p.pair_n / bb.n_item AS conf_b_a,
+                (p.pair_n * t2.n_baskets) / (a.n_item * bb.n_item) AS lift
+         FROM pr p
+         JOIN it a ON a.item = p.item_a
+         JOIN it bb ON bb.item = p.item_b
+         CROSS JOIN tot t2
+       ),
+       top50 AS (
+         SELECT * FROM rules
+         ORDER BY lift DESC, item_a, item_b
+         LIMIT 50
+       )
+  SELECT 'basket_lift' AS op, CAST(item_a AS VARCHAR) AS c_mktsegment,
+         CAST(item_b AS VARCHAR) AS o_orderpriority, lift AS total,
+         pair_n AS n_orders
+  FROM top50
+  UNION ALL
+  SELECT 'basket_supp', CAST(item_a AS VARCHAR), CAST(item_b AS VARCHAR),
+         support, pair_n FROM top50
+  UNION ALL
+  SELECT 'basket_conf', CAST(item_a AS VARCHAR), CAST(item_b AS VARCHAR),
+         conf_a_b, pair_n FROM top50
+  UNION ALL
+  SELECT 'basket_conf', CAST(item_b AS VARCHAR), CAST(item_a AS VARCHAR),
+         conf_b_a, pair_n FROM top50
+) AS t
 """
 
     # moments + Benford fragments come from the operator's own SQL text

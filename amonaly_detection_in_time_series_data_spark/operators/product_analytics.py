@@ -29,7 +29,13 @@ from collections.abc import Sequence
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["funnel_steps", "funnel_user_depth", "cohort_retention", "transition_matrix"]
+__all__ = [
+    "basket_rules",
+    "funnel_steps",
+    "funnel_user_depth",
+    "cohort_retention",
+    "transition_matrix",
+]
 
 
 def funnel_user_depth(
@@ -210,4 +216,88 @@ def transition_matrix(
     return counts.withColumn(
         "prob",
         F.col("cnt").cast("double") / F.sum("cnt").over(tot).cast("double"),
+    )
+
+
+def basket_rules(
+    df: DataFrame,
+    basket_col: str,
+    item_col: str,
+    min_pair_count: int = 2,
+) -> DataFrame:
+    """Pairwise association rules (market-basket co-occurrence): for
+    every item pair appearing together in at least ``min_pair_count``
+    baskets, emit support / directed confidences / lift — the Apriori
+    k=2 layer (Agrawal & Srikant, VLDB'94), which is the layer retail
+    and recommendation pipelines actually run at scale (higher-k
+    itemsets explode combinatorially and are mined on the filtered
+    pair graph instead).
+
+    Definitions (basket-presence semantics — duplicates of an item
+    within one basket count once, via the leading DISTINCT):
+    ``support = pair_n / n_baskets``; ``conf_a_b = pair_n / n_a``
+    (P(b in basket | a in basket)); ``lift = pair_n * n_baskets /
+    (n_a * n_b)`` — computed as integer products with ONE final
+    division, so every value is an exact-integer ratio and
+    engine-portable unrounded.
+
+    Scale: pair generation is a self-join keyed on the basket id —
+    O(k^2) rows per basket where k is basket size (bounded by the
+    order-lines/cart-size contract; cap pathological baskets upstream
+    like every other mega-group), never a cross join. One groupBy for
+    item frequencies, one for pair counts (map-side partial combine on
+    both), the scalar basket total broadcast via the tiny-stats
+    crossJoin pattern. ``min_pair_count`` prunes the long tail BEFORE
+    the stats joins — at retail scale the pair tail is the data.
+    """
+    if min_pair_count < 1:
+        raise ValueError(
+            f"basket_rules: min_pair_count must be >= 1, got {min_pair_count}"
+        )
+    b = df.select(
+        F.col(basket_col).alias("__basket"), F.col(item_col).alias("__item")
+    ).filter(
+        F.col("__basket").isNotNull() & F.col("__item").isNotNull()
+    ).distinct()
+    totals = b.groupBy().agg(
+        F.countDistinct("__basket").alias("__n_baskets")
+    )
+    items = b.groupBy("__item").agg(F.count(F.lit(1)).alias("__n_item"))
+    lhs = b.select("__basket", F.col("__item").alias("item_a"))
+    rhs = b.select("__basket", F.col("__item").alias("item_b"))
+    pairs = (
+        lhs.join(rhs, "__basket")
+        .filter(F.col("item_a") < F.col("item_b"))
+        .groupBy("item_a", "item_b")
+        .agg(F.count(F.lit(1)).alias("pair_n"))
+        .filter(F.col("pair_n") >= min_pair_count)
+    )
+    out = (
+        pairs.join(
+            items.select(
+                F.col("__item").alias("item_a"), F.col("__n_item").alias("n_a")
+            ),
+            "item_a",
+        )
+        .join(
+            items.select(
+                F.col("__item").alias("item_b"), F.col("__n_item").alias("n_b")
+            ),
+            "item_b",
+        )
+        .crossJoin(F.broadcast(totals))
+    )
+    return out.select(
+        "item_a",
+        "item_b",
+        F.col("pair_n").cast("bigint").alias("pair_n"),
+        F.col("n_a").cast("bigint").alias("n_a"),
+        F.col("n_b").cast("bigint").alias("n_b"),
+        (F.col("pair_n") / F.col("__n_baskets")).alias("support"),
+        (F.col("pair_n") / F.col("n_a")).alias("conf_a_b"),
+        (F.col("pair_n") / F.col("n_b")).alias("conf_b_a"),
+        (
+            (F.col("pair_n") * F.col("__n_baskets"))
+            / (F.col("n_a") * F.col("n_b"))
+        ).alias("lift"),
     )

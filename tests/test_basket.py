@@ -1,0 +1,113 @@
+"""basket_rules (pairwise association rules): equality against a
+Python brute force — support/confidence/lift definitions under
+basket-presence semantics (in-basket duplicates collapse), the
+min_pair_count prune, NULL hygiene, and the known-lift fixture.
+"""
+
+from __future__ import annotations
+
+import itertools
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from amonaly_detection_in_time_series_data_spark.operators.product_analytics import (
+    basket_rules,
+)
+
+
+def _brute(rows, min_pair_count=2):
+    b = {(bk, it) for bk, it in rows if bk is not None and it is not None}
+    baskets: dict[object, set] = {}
+    for bk, it in b:
+        baskets.setdefault(bk, set()).add(it)
+    n_baskets = len(baskets)
+    n_item: dict[object, int] = {}
+    pair_n: dict[tuple, int] = {}
+    for items in baskets.values():
+        for it in items:
+            n_item[it] = n_item.get(it, 0) + 1
+        for x, y in itertools.combinations(sorted(items), 2):
+            pair_n[(x, y)] = pair_n.get((x, y), 0) + 1
+    out = {}
+    for (x, y), pn in pair_n.items():
+        if pn < min_pair_count:
+            continue
+        out[(x, y)] = (
+            pn,
+            n_item[x],
+            n_item[y],
+            pn / n_baskets,
+            pn / n_item[x],
+            pn / n_item[y],
+            (pn * n_baskets) / (n_item[x] * n_item[y]),
+        )
+    return out
+
+
+def _run(spark, rows, min_pair_count=2):
+    df = spark.createDataFrame(rows, ["basket", "item"])
+    got = basket_rules(df, "basket", "item", min_pair_count).collect()
+    return {
+        (r["item_a"], r["item_b"]): (
+            r["pair_n"], r["n_a"], r["n_b"],
+            r["support"], r["conf_a_b"], r["conf_b_a"], r["lift"],
+        )
+        for r in got
+    }
+
+
+class TestBasketRules:
+    def test_known_lift_fixture(self, spark):
+        # 4 baskets; {a,b} together twice, a in 2, b in 3:
+        # support 2/4, conf a->b 2/2=1.0, conf b->a 2/3, lift 2*4/(2*3)
+        rows = [
+            (1, "a"), (1, "b"),
+            (2, "a"), (2, "b"),
+            (3, "b"), (3, "c"),
+            (4, "c"),
+        ]
+        got = _run(spark, rows, min_pair_count=2)
+        assert set(got) == {("a", "b")}
+        pn, na, nb, sup, cab, cba, lift = got[("a", "b")]
+        assert (pn, na, nb) == (2, 2, 3)
+        assert sup == 2 / 4 and cab == 1.0 and cba == 2 / 3
+        assert lift == (2 * 4) / (2 * 3)
+
+    def test_in_basket_duplicates_collapse(self, spark):
+        rows = [(1, "a"), (1, "a"), (1, "b"), (2, "a"), (2, "b")]
+        got = _run(spark, rows, min_pair_count=1)
+        assert got[("a", "b")][0] == 2  # pair counted once per basket
+
+    def test_min_pair_count_prunes(self, spark):
+        rows = [(1, "a"), (1, "b"), (2, "b"), (2, "c")]
+        assert set(_run(spark, rows, min_pair_count=2)) == set()
+        assert set(_run(spark, rows, min_pair_count=1)) == {
+            ("a", "b"), ("b", "c")
+        }
+
+    def test_nulls_dropped(self, spark):
+        rows = [(1, "a"), (1, None), (None, "b"), (1, "b"), (2, "a"), (2, "b")]
+        assert _run(spark, rows, 1) == _brute(rows, 1)
+
+    def test_invalid_min_pair_count_raises(self, spark):
+        import pytest
+
+        df = spark.createDataFrame([(1, "a")], ["basket", "item"])
+        with pytest.raises(ValueError):
+            basket_rules(df, "basket", "item", 0)
+
+    @settings(max_examples=20, deadline=None)
+    @given(
+        rows=st.lists(
+            st.tuples(
+                st.integers(min_value=0, max_value=6),
+                st.sampled_from(["a", "b", "c", "d", "e"]),
+            ),
+            min_size=2,
+            max_size=40,
+        ),
+        mpc=st.sampled_from([1, 2, 3]),
+    )
+    def test_property_equals_brute_force(self, spark, rows, mpc):
+        assert _run(spark, rows, mpc) == _brute(rows, mpc)
