@@ -1472,7 +1472,28 @@ def q_cube_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(_basket_row("basket_conf", "item_a", "item_b", "conf_a_b"))
         .unionByName(_basket_row("basket_conf", "item_b", "item_a", "conf_b_a"))
     )
-    return relational.unionByName(fun).unionByName(coh).unionByName(basket)
+    # Merged r11: RFM customer segmentation over orders — exact
+    # centi-unit monetary, quantile-boundary scoring (strict >, ties
+    # down), segment label in dim2. Engine-portable by construction:
+    # integer sums, quantile_cont boundaries, one final division.
+    from amonaly_detection_in_time_series_data_spark.operators.product_analytics import (
+        rfm_segments,
+    )
+
+    rfm = rfm_segments(orders, "o_custkey", "o_orderdate", "o_totalprice")
+    rfm_rows = rfm.select(
+        F.lit("rfm").alias("op"),
+        F.col("customer").cast("string").alias("c_mktsegment"),
+        F.col("segment").alias("o_orderpriority"),
+        F.col("monetary").alias("total"),
+        F.col("frequency").cast("bigint").alias("n_orders"),
+    )
+    return (
+        relational.unionByName(fun)
+        .unionByName(coh)
+        .unionByName(basket)
+        .unionByName(rfm_rows)
+    )
 
 
 def q_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -4399,6 +4420,53 @@ FROM (
   SELECT 'basket_conf', CAST(item_b AS VARCHAR), CAST(item_a AS VARCHAR),
          conf_b_a, pair_n FROM top50
 ) AS t
+UNION ALL
+-- RFM segmentation (merged r11): exact centi-unit monetary, linear
+-- quantile boundaries (quantile_cont == Spark percentile on integer
+-- inputs), strict-> scoring so boundary ties score down on both engines
+SELECT 'rfm' AS op, CAST(customer AS VARCHAR) AS c_mktsegment,
+       segment AS o_orderpriority, monetary AS total,
+       frequency AS n_orders
+FROM (
+  WITH per AS (
+    SELECT o_custkey AS customer,
+           max(CAST(o_orderdate AS DATE)) AS last_d,
+           count(*) AS frequency,
+           sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS m_cents
+    FROM orders GROUP BY o_custkey
+  ),
+  rr AS (SELECT max(last_d) AS ref_d FROM per),
+  rec AS (
+    SELECT p.*, date_diff('day', p.last_d, r.ref_d) AS recency_days
+    FROM per p CROSS JOIN rr r
+  ),
+  bq AS (
+    SELECT quantile_cont(recency_days, [0.2, 0.4, 0.6, 0.8]) AS rb,
+           quantile_cont(frequency,    [0.2, 0.4, 0.6, 0.8]) AS fb,
+           quantile_cont(m_cents,      [0.2, 0.4, 0.6, 0.8]) AS mb
+    FROM rec
+  ),
+  sc AS (
+    SELECT rec.customer, rec.frequency, rec.m_cents,
+           5 - (CAST(rec.recency_days > bq.rb[1] AS INT)
+              + CAST(rec.recency_days > bq.rb[2] AS INT)
+              + CAST(rec.recency_days > bq.rb[3] AS INT)
+              + CAST(rec.recency_days > bq.rb[4] AS INT)) AS r_score,
+           1 + (CAST(rec.frequency > bq.fb[1] AS INT)
+              + CAST(rec.frequency > bq.fb[2] AS INT)
+              + CAST(rec.frequency > bq.fb[3] AS INT)
+              + CAST(rec.frequency > bq.fb[4] AS INT)) AS f_score,
+           1 + (CAST(rec.m_cents > bq.mb[1] AS INT)
+              + CAST(rec.m_cents > bq.mb[2] AS INT)
+              + CAST(rec.m_cents > bq.mb[3] AS INT)
+              + CAST(rec.m_cents > bq.mb[4] AS INT)) AS m_score
+    FROM rec CROSS JOIN bq
+  )
+  SELECT customer, frequency, m_cents / 100.0 AS monetary,
+         CAST(r_score AS VARCHAR) || '-' || CAST(f_score AS VARCHAR)
+           || '-' || CAST(m_score AS VARCHAR) AS segment
+  FROM sc
+) AS rfm_t
 """
 
     # moments + Benford fragments come from the operator's own SQL text

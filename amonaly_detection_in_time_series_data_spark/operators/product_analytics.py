@@ -34,6 +34,7 @@ __all__ = [
     "funnel_steps",
     "funnel_user_depth",
     "cohort_retention",
+    "rfm_segments",
     "transition_matrix",
 ]
 
@@ -300,4 +301,105 @@ def basket_rules(
             (F.col("pair_n") * F.col("__n_baskets"))
             / (F.col("n_a") * F.col("n_b"))
         ).alias("lift"),
+    )
+
+
+def rfm_segments(
+    df: DataFrame,
+    customer_col: str,
+    date_col: str,
+    amount_col: str,
+    quantiles: Sequence[float] = (0.2, 0.4, 0.6, 0.8),
+    ref_date=None,
+) -> DataFrame:
+    """RFM (recency / frequency / monetary) customer segmentation — the
+    classic CRM scoring (Hughes 1994): per-customer last-activity age,
+    activity count, and exact centi-unit spend, each scored 1..k+1
+    against the population's interpolated quantile boundaries, plus the
+    concatenated segment label ("5-5-5" = best).
+
+    Determinism & portability: monetary is summed in EXACT centi-unit
+    integers (amounts on a 0.01 grid — the repo-wide convention), so
+    per-customer totals never carry float combine-order jitter;
+    boundaries come from ``percentile`` (== SQL ``quantile_cont``,
+    engine-identical on integer inputs) and scores are strict ``>``
+    comparisons against them — ties at a boundary always score DOWN, on
+    both engines. Recency is whole days against ``ref_date`` (default:
+    the population's max activity date, so the result is reproducible
+    from the data alone).
+
+    Scale: one groupBy(customer) aggregate, one 4-value quantile
+    aggregate broadcast back, then map-only scoring — boundary-BASED
+    scoring instead of rank-based ntile precisely because a global
+    ntile is a one-partition sort at 100 TB (same trade as
+    ``ppl_bucket``'s documented scale mode; equal-count buckets are
+    only approximate under heavy ties, which is the accepted RFM
+    semantics).
+    """
+    qs = [float(x) for x in quantiles]
+    if not qs or any(not 0.0 < x < 1.0 for x in qs) or sorted(qs) != qs:
+        raise ValueError(
+            f"rfm_segments: quantiles must be sorted within (0,1), got {quantiles}"
+        )
+    per = (
+        df.select(
+            F.col(customer_col).alias("customer"),
+            F.to_date(F.col(date_col)).alias("__d"),
+            F.round(F.col(amount_col) * 100)
+            .cast("bigint")
+            .alias("__cents"),
+        )
+        .filter(F.col("customer").isNotNull())
+        .groupBy("customer")
+        .agg(
+            F.max("__d").alias("__last"),
+            F.count(F.lit(1)).alias("frequency"),
+            F.sum("__cents").alias("__m_cents"),
+        )
+    )
+    ref = (
+        per.groupBy().agg(F.max("__last").alias("__ref"))
+        if ref_date is None
+        else None
+    )
+    base = (
+        per.crossJoin(F.broadcast(ref))
+        if ref is not None
+        else per.withColumn("__ref", F.to_date(F.lit(ref_date)))
+    )
+    base = base.withColumn(
+        "recency_days", F.datediff("__ref", "__last").cast("bigint")
+    )
+    qarr = F.array(*[F.lit(x) for x in qs])
+    bounds = base.groupBy().agg(
+        F.percentile("recency_days", qarr).alias("__rb"),
+        F.percentile("frequency", qarr).alias("__fb"),
+        F.percentile("__m_cents", qarr).alias("__mb"),
+    )
+    k = len(qs)
+
+    def _above(col: str, barr: str):
+        # number of boundaries strictly exceeded, as an exact integer
+        s = F.lit(0)
+        for i in range(1, k + 1):
+            s = s + (F.col(col) > F.element_at(F.col(barr), i)).cast("int")
+        return s
+
+    scored = (
+        base.crossJoin(F.broadcast(bounds))
+        .withColumn("r_score", (F.lit(k + 1) - _above("recency_days", "__rb")).cast("bigint"))
+        .withColumn("f_score", (F.lit(1) + _above("frequency", "__fb")).cast("bigint"))
+        .withColumn("m_score", (F.lit(1) + _above("__m_cents", "__mb")).cast("bigint"))
+    )
+    return scored.select(
+        "customer",
+        "recency_days",
+        F.col("frequency").cast("bigint").alias("frequency"),
+        (F.col("__m_cents") / F.lit(100.0)).alias("monetary"),
+        "r_score",
+        "f_score",
+        "m_score",
+        F.concat_ws(
+            "-", F.col("r_score"), F.col("f_score"), F.col("m_score")
+        ).alias("segment"),
     )
