@@ -2999,8 +2999,34 @@ def q_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("__mv.v").alias("score"),
         F.lit(None).cast("bigint").alias("rank"),
     )
+    # tier='keyness' (merged r11): two-corpus log-odds keyness (Monroe
+    # et al. 2008) between even and odd doc_ids — top-10 tokens per
+    # direction, query_id carries the group label, score the z rounded
+    # 6 (rank on rounded score + token tiebreak, the engine-portable
+    # ordering convention shared by every tier here).
+    from amonaly_detection_in_time_series_data_spark.operators.corpus import (
+        keyness_log_odds,
+    )
+
+    key = keyness_log_odds(
+        docs, "text", F.col("doc_id") % 2 == 0, alpha0=10.0, k=10
+    )
+    key_tier = key.select(
+        F.lit("keyness").alias("tier"),
+        F.col("group").alias("query_id"),
+        F.lit(None).cast("bigint").alias("doc_id"),
+        F.col("token").alias("term"),
+        F.col("cnt_in").alias("tf"),
+        F.col("cnt_out").alias("df"),
+        F.lit(None).cast("bigint").alias("n_hit"),
+        F.col("z").alias("score"),
+        "rank",
+    )
     return (
-        tfidf.unionByName(bm25).unionByName(hybrid).unionByName(eval_tier)
+        tfidf.unionByName(bm25)
+        .unionByName(hybrid)
+        .unionByName(eval_tier)
+        .unionByName(key_tier)
     )
 
 
@@ -5778,6 +5804,49 @@ SELECT 'eval' AS tier, query_id, CAST(NULL AS BIGINT) AS doc_id,
        'ndcg_at_k' AS term, n_rel AS tf, CAST(NULL AS BIGINT) AS df,
        hits AS n_hit, ndcg_at_k AS score, CAST(NULL AS BIGINT) AS rank
 FROM ev
+UNION ALL
+-- keyness (merged r11): Monroe 2008 log-odds with informative
+-- Dirichlet prior between even/odd doc_ids; expression grouping
+-- mirrors the Spark operator term-for-term so the IEEE doubles agree
+-- before the round-6
+SELECT 'keyness' AS tier, kx.grp AS query_id, CAST(NULL AS BIGINT) AS doc_id,
+       kx.token AS term, kx.cnt_in AS tf, kx.cnt_out AS df,
+       CAST(NULL AS BIGINT) AS n_hit, kx.z AS score, kx.rnk AS rank
+FROM (
+  WITH kt AS (
+    SELECT CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 0 END AS ga,
+           unnest({toks}) AS token
+    FROM documents
+  ),
+  kc AS (
+    SELECT token, sum(ga) AS y_a, sum(1 - ga) AS y_b FROM kt GROUP BY token
+  ),
+  ktot AS (SELECT sum(y_a) AS n_a, sum(y_b) AS n_b FROM kc),
+  ks AS (
+    SELECT token, y_a, y_b,
+           round(
+             (ln((y_a + aw) / (n_a + 10.0 - (y_a + aw)))
+            - ln((y_b + aw) / (n_b + 10.0 - (y_b + aw))))
+             / sqrt(1.0 / (y_a + aw) + 1.0 / (y_b + aw)), 6) AS z
+    FROM (SELECT kc.*, t.n_a, t.n_b,
+                 10.0 * (kc.y_a + kc.y_b) / (t.n_a + t.n_b) AS aw
+          FROM kc CROSS JOIN ktot t) kp
+  ),
+  ka AS (
+    SELECT 'a' AS grp, token, y_a AS cnt_in, y_b AS cnt_out, z,
+           CAST(row_number() OVER (ORDER BY z DESC, token) AS BIGINT) AS rnk
+    FROM ks
+  ),
+  kb AS (
+    SELECT 'b' AS grp, token, y_b AS cnt_in, y_a AS cnt_out,
+           (-ks.z + 0.0) AS z,
+           CAST(row_number() OVER (ORDER BY ks.z ASC, token) AS BIGINT) AS rnk
+    FROM ks
+  )
+  SELECT * FROM ka WHERE rnk <= 10
+  UNION ALL
+  SELECT * FROM kb WHERE rnk <= 10
+) kx
 """
 
     sql["rolling_time_window"] = f"""
