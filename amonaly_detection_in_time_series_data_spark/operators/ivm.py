@@ -56,6 +56,9 @@ __all__ = [
     "refresh_groups_with",
     "maintain_agg_snapshot",
     "maintain_agg_sink",
+    "basket_pairs_delta",
+    "compute_basket_pairs",
+    "maintain_basket_snapshot",
     "maintain_hll_snapshot",
     "maintain_kmv_snapshot",
     "maintain_hll_sink",
@@ -642,3 +645,187 @@ def maintain_kmv_sink(
         )
 
     return apply
+
+
+# ---------------------------------------------------------------------------
+# self-join views (r11): the basket pair-count view
+# ---------------------------------------------------------------------------
+#
+# A third IVM class beyond additive columns and non-additive sketches:
+# views built from a SELF-JOIN of the base (here the Apriori-k=2 pair
+# counts behind operators.product_analytics.basket_rules). A pair's
+# count spans MANY baskets, so affected-group splice by the view key
+# (the pair) would lose contributions from untouched baskets — the
+# correct decomposition is by the JOIN key instead: pair_n is a sum of
+# per-BASKET indicator terms, so recompute the terms of TOUCHED baskets
+# only (old contents retracted, new contents inserted) and fold the
+# result additively into the view. Cost: O(touched baskets x k^2),
+# never a base rescan — the delta form of ΔA⋈A + A⋈ΔA + ΔA⋈ΔA
+# specialized to the within-group pair triangle.
+
+
+def _basket_pair_rows(rows: DataFrame, basket_col: str, item_col: str):
+    """One row per (basket, item_a < item_b) under basket-presence
+    semantics — the per-basket terms of the pair-count view."""
+    b = (
+        rows.select(
+            F.col(basket_col).alias("__bk"), F.col(item_col).alias("__it")
+        )
+        .filter(F.col("__bk").isNotNull() & F.col("__it").isNotNull())
+        .distinct()
+    )
+    lhs = b.select("__bk", F.col("__it").alias("item_a"))
+    rhs = b.select("__bk", F.col("__it").alias("item_b"))
+    return lhs.join(rhs, "__bk").filter(F.col("item_a") < F.col("item_b"))
+
+
+def compute_basket_pairs(
+    base: DataFrame, basket_col: str, item_col: str
+) -> DataFrame:
+    """Full-recompute twin of the pair view (bootstrap + test oracle):
+    ``(item_a, item_b, __n_rows = co-occurrence basket count)``."""
+    return (
+        _basket_pair_rows(base, basket_col, item_col)
+        .groupBy("item_a", "item_b")
+        .agg(F.count(F.lit(1)).alias(COUNT_COL))
+    )
+
+
+def basket_pairs_delta(
+    base_before: DataFrame,
+    changes: DataFrame,
+    basket_col: str,
+    item_col: str,
+    keys: list[str],
+    seq_col: str,
+    delete_col: str | None = None,
+) -> DataFrame:
+    """The pair-count delta a change batch induces. Touched baskets =
+    baskets of the batch's upserts UNION baskets of the old images of
+    every changed key (so an item MOVING between baskets retracts from
+    its old basket and lands in the new one). For those baskets the old
+    contents' pair terms are retracted (-1) and the post-batch
+    contents' terms inserted (+1); one groupBy nets the delta. All
+    batch-derived sides are broadcast."""
+    latest = latest_changes(changes, keys, seq_col, delete_col)
+    chg_keys = latest.select(*keys).distinct()
+    old_images = base_before.join(F.broadcast(chg_keys), keys, "left_semi")
+    upserts = latest
+    if delete_col is not None:
+        upserts = upserts.filter(~F.coalesce(F.col(delete_col), F.lit(False)))
+    touched = (
+        old_images.select(F.col(basket_col).alias("__tb"))
+        .unionByName(upserts.select(F.col(basket_col).alias("__tb")))
+        .filter(F.col("__tb").isNotNull())
+        .distinct()
+    )
+    old_rows = base_before.join(
+        F.broadcast(touched),
+        base_before[basket_col] == F.col("__tb"),
+        "left_semi",
+    )
+    new_rows = (
+        old_rows.join(F.broadcast(chg_keys), keys, "left_anti")
+        .select(basket_col, item_col)
+        .unionByName(upserts.select(basket_col, item_col))
+    )
+
+    def signed(rows: DataFrame, sign: int) -> DataFrame:
+        return _basket_pair_rows(rows, basket_col, item_col).select(
+            "item_a", "item_b", F.lit(sign).alias(COUNT_COL)
+        )
+
+    return (
+        signed(old_rows, -1)
+        .unionByName(signed(new_rows, 1))
+        .groupBy("item_a", "item_b")
+        .agg(F.sum(COUNT_COL).alias(COUNT_COL))
+    )
+
+
+def maintain_basket_snapshot(
+    spark: SparkSession,
+    base_path: str,
+    pairs_path: str,
+    changes: DataFrame,
+    keys: list[str],
+    basket_col: str,
+    item_col: str,
+    seq_col: str,
+    delete_col: str | None = None,
+    partition_col: str | None = None,
+    **merge_kw,
+) -> dict:
+    """Maintain the pair-count view under the CDC feed with the SAME
+    recorded-cut protocol as :func:`maintain_agg_snapshot` (old state
+    time-traveled from the view's recorded base version; base merge;
+    delta fold; view committed with the new cut — exactly-once EFFECT
+    under redelivery, torn window heals; see that docstring).
+
+    ``partition_col`` contract is STRICTER here: it must be immutable
+    per key AND constant per basket (e.g. a basket-date partition) —
+    the delta needs the touched baskets' FULL old contents, so pruning
+    to the batch's partitions is only sound when a basket never spans
+    partitions. Pass None (semi-join pruning only) otherwise.
+    """
+    try:
+        pairs_man = snapshot_manifest(spark, pairs_path)
+    except FileNotFoundError:
+        pairs_man = None
+
+    if pairs_man is not None:
+        base_cut = (pairs_man.get("meta") or {}).get("base_version")
+        if base_cut is None:
+            raise ValueError(
+                f"maintain_basket_snapshot: view at {pairs_path} has no "
+                "recorded base_version (created outside the maintainer?); "
+                "delete it and let this function bootstrap it"
+            )
+        base_at_cut = read_snapshot(spark, base_path, version=base_cut)
+        if partition_col is not None:
+            touched = [
+                r[0]
+                for r in latest_changes(changes, keys, seq_col, delete_col)
+                .select(partition_col)
+                .distinct()
+                .collect()
+            ]
+            non_null = [v for v in touched if v is not None]
+            cond = (
+                F.col(partition_col).isin(non_null)
+                if non_null
+                else F.lit(False)
+            )
+            if any(v is None for v in touched):
+                cond = cond | F.col(partition_col).isNull()
+            base_at_cut = base_at_cut.filter(cond)
+        delta = basket_pairs_delta(
+            base_at_cut, changes, basket_col, item_col, keys, seq_col,
+            delete_col,
+        )
+
+    merge_stats = snapshot_merge(
+        spark, base_path, changes, keys, seq_col,
+        delete_col=delete_col, **merge_kw,
+    )
+
+    if pairs_man is not None:
+        pairs_before = read_snapshot(spark, pairs_path)
+        pairs_after = apply_agg_delta(
+            pairs_before, delta, ["item_a", "item_b"], []
+        )
+        op = "incremental"
+    else:
+        pairs_after = compute_basket_pairs(
+            read_snapshot(spark, base_path), basket_col, item_col
+        )
+        op = "bootstrap"
+    pairs_version = snapshot_commit(
+        spark, pairs_path, pairs_after,
+        meta={"base_version": merge_stats["version"]},
+    )
+    return {
+        "base_version": merge_stats["version"],
+        "pairs_version": pairs_version,
+        "pairs_op": op,
+    }
