@@ -59,6 +59,7 @@ __all__ = [
     "basket_pairs_delta",
     "compute_basket_pairs",
     "maintain_basket_snapshot",
+    "maintain_basket_sink",
     "maintain_hll_snapshot",
     "maintain_kmv_snapshot",
     "maintain_hll_sink",
@@ -829,3 +830,35 @@ def maintain_basket_snapshot(
         "pairs_version": pairs_version,
         "pairs_op": op,
     }
+
+
+def maintain_basket_sink(
+    base_path: str,
+    pairs_path: str,
+    keys: list[str],
+    basket_col: str,
+    item_col: str,
+    seq_col: str,
+    delete_col: str | None = None,
+    **kw,
+):
+    """``foreachBatch`` adapter for the basket pair-count view — the
+    streaming face of :func:`maintain_basket_snapshot`, completing the
+    sink family (additive rollup / HLL / KMV / self-join view). Same
+    at-least-once + recorded-cut exactly-once argument as
+    :func:`maintain_agg_sink`; the self-join delta is computed against
+    the view's recorded base cut, so a redelivered batch retracts and
+    re-inserts identical per-basket terms and nets zero. All base
+    changes must flow through this sink."""
+
+    def apply(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        _bootstrap_empty_base(batch_df, base_path, seq_col, delete_col)
+        maintain_basket_snapshot(
+            batch_df.sparkSession, base_path, pairs_path, batch_df,
+            keys, basket_col, item_col, seq_col,
+            delete_col=delete_col, **kw,
+        )
+
+    return apply

@@ -155,3 +155,49 @@ class TestBasketView:
         b1 = spark.createDataFrame([(0, 0, "a", 1, True)], CHANGES_SCHEMA)
         maintain_basket_snapshot(spark, base, view, b1, **KW)
         assert _pairs_dict(read_snapshot(spark, view)) == {("a", "b"): 1}
+
+    def test_streaming_sink_stands_up_base_and_view(self, spark, tmp_path):
+        """maintain_basket_sink: one foreachBatch sink bootstraps the
+        base from the stream schema and keeps the pair view maintained
+        per micro-batch; the final view equals a full recompute of the
+        final base — the streaming-vs-batch parity contract the other
+        sinks pin, here for the self-join class."""
+        from amonaly_detection_in_time_series_data_spark.operators.ivm import (
+            maintain_basket_sink,
+        )
+
+        base = str(tmp_path / "sbase")
+        view = str(tmp_path / "spairs")
+        src = tmp_path / "feed"
+        batches = [
+            # basket 0 = {a, b}; basket 1 = {c}
+            [(0, 0, "a", 0, False), (1, 0, "b", 0, False),
+             (2, 1, "c", 0, False)],
+            # c joins basket 0; a moves to basket 1; b deleted
+            [(3, 0, "c", 1, False), (0, 1, "a", 1, False),
+             (1, 0, "b", 1, True)],
+        ]
+        for i, rows in enumerate(batches):
+            spark.createDataFrame(rows, CHANGES_SCHEMA).coalesce(
+                1
+            ).write.mode("overwrite").parquet(str(src / f"b{i}"))
+        stream = (
+            spark.readStream.schema(CHANGES_SCHEMA)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(str(src / "b*"))
+        )
+        q = (
+            stream.writeStream.foreachBatch(
+                maintain_basket_sink(base, view, **KW)
+            )
+            .option("checkpointLocation", str(tmp_path / "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
+        got = _pairs_dict(read_snapshot(spark, view))
+        want = _pairs_dict(
+            compute_basket_pairs(read_snapshot(spark, base), "bk", "it")
+        )
+        # final state: basket 0 = {c}, basket 1 = {a, c} -> one pair
+        assert got == want == {("a", "c"): 1}
