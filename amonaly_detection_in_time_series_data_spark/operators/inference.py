@@ -372,10 +372,27 @@ def sequence_reconstruction_scores(
 
 
 def flag_sequence_anomalies(
-    scored: DataFrame, error_col: str = "recon_error", threshold: float = 3.0
+    scored: DataFrame,
+    error_col: str = "recon_error",
+    threshold: float = 3.0,
+    persist: bool = False,
 ) -> DataFrame:
     """3-sigma flags over the reconstruction-error distribution — the
-    reference's ANOMALY_THRESHOLD = 3.0 contract (config.py:21)."""
+    reference's ANOMALY_THRESHOLD = 3.0 contract (config.py:21).
+
+    The flag needs two global passes over the scored frame (the mu/sigma
+    aggregate, then the row scan), and the stats branch cannot reuse the
+    scoring exchange (column pruning specializes its subtree — the
+    SCALING §10a0c ceiling note). ``persist=True`` is the cluster
+    deployment's answer: cache the scored frame so the broadcast-stats
+    job materializes it once and the row scan reads memory/disk — the
+    declared oracle query stays on the pure two-pass plan (persist is a
+    runtime decision, and caching inside a bench-measured query would
+    measure the cache, not the operator). Results are value-identical
+    either way (pytest-pinned); call ``.unpersist()`` on the INPUT frame
+    when done."""
     from .anomaly import global_zscore_flags
 
+    if persist:
+        scored = scored.persist()
     return global_zscore_flags(scored, error_col, threshold)

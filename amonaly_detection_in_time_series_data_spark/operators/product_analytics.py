@@ -349,7 +349,15 @@ def rfm_segments(
             .cast("bigint")
             .alias("__cents"),
         )
-        .filter(F.col("customer").isNotNull())
+        # NULL customer cannot be scored; NULL date/amount rows would
+        # leak NULL through recency/monetary into the scores (and a
+        # NULL score corrupts the concat_ws segment silently) — drop
+        # them here and document the contract
+        .filter(
+            F.col("customer").isNotNull()
+            & F.col("__d").isNotNull()
+            & F.col("__cents").isNotNull()
+        )
         .groupBy("customer")
         .agg(
             F.max("__d").alias("__last"),

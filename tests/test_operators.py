@@ -4001,3 +4001,34 @@ class TestTrendOlsExpanding:
             ._jdf.queryExecution().executedPlan().toString()
         )
         assert plan.count("Exchange hashpartitioning") == 1, plan
+
+
+class TestFlagPersistKnob:
+    def test_persist_flag_is_value_identical(self, spark, sf_dir):
+        """flag_sequence_anomalies(persist=True) — the cluster answer to
+        the two-global-pass ceiling (SCALING §10a0c) — must be value-
+        identical to the pure two-pass plan."""
+        from amonaly_detection_in_time_series_data_spark.operators.inference import (
+            flag_sequence_anomalies,
+            sequence_reconstruction_scores,
+        )
+        from amonaly_detection_in_time_series_data_spark.operators.sequences import (
+            create_sequences,
+        )
+
+        ev = load_table(spark, sf_dir, "events")
+        seqs = create_sequences(
+            ev, ["value"], 12, ["user_id"], ["ts", "event_id"], stride=12
+        )
+        scored = sequence_reconstruction_scores(
+            seqs, "seq", k=2, fit_rows=512,
+            order_cols=["user_id", "seq_start_ts"],
+        )
+        cols = ["user_id", "seq_start_ts", "recon_error", "is_anomaly"]
+        plain = flag_sequence_anomalies(scored, persist=False).select(*cols)
+        cached = flag_sequence_anomalies(scored, persist=True).select(*cols)
+        try:
+            assert plain.exceptAll(cached).count() == 0
+            assert cached.exceptAll(plain).count() == 0
+        finally:
+            scored.unpersist()

@@ -129,3 +129,26 @@ class TestRfmSegments:
             for c, d, cents in data
         ]
         assert _run(spark, rows) == _brute(rows)
+
+    def test_null_rows_dropped(self, spark):
+        rows = _rows(n_cust=6, seed=3)
+        df_rows = rows + [
+            (None, dt.datetime(2024, 1, 5), 10.0),
+            (0, None, 10.0),
+            (0, dt.datetime(2024, 1, 5), None),
+        ]
+        df = spark.createDataFrame(
+            df_rows, "cust int, d timestamp, amt double"
+        )
+        from amonaly_detection_in_time_series_data_spark.operators.product_analytics import (
+            rfm_segments,
+        )
+
+        got = {
+            r["customer"]: (
+                r["recency_days"], r["frequency"], r["monetary"],
+                r["r_score"], r["f_score"], r["m_score"], r["segment"],
+            )
+            for r in rfm_segments(df, "cust", "d", "amt", QS).collect()
+        }
+        assert got == _brute(rows)  # NULL rows contribute nothing
