@@ -96,3 +96,19 @@ class TestTriangleCounts:
         if not clean:
             return
         assert _run(spark, clean) == _brute(clean)
+
+
+class TestTrianglesLarger:
+    def test_dense_random_graph_matches_brute(self, spark):
+        """60-node seeded random graph (~270 edges, triangle-rich):
+        the degree-orientation plan against the all-3-subsets brute
+        force at a size where orientation mistakes could not hide."""
+        import numpy as np
+
+        rng = np.random.RandomState(42)
+        edges = [
+            (int(a), int(b))
+            for a, b in rng.randint(0, 60, size=(300, 2))
+            if a != b
+        ]
+        assert _run(spark, edges) == _brute(edges)
