@@ -748,7 +748,8 @@ def q_fuzzy_match(spark: SparkSession, sf_dir: str) -> DataFrame:
         left_keep=["src_key"],
         right_keep=["p_partkey", "p_name"],
     )
-    return out.filter(F.col("match_rank") <= 3).select(
+    name_rows = out.filter(F.col("match_rank") <= 3).select(
+        F.lit("name").alias("tier"),
         F.col("l_src_key").alias("src_key"),
         F.col("__lv").alias("q"),
         F.col("r_p_partkey").alias("match_key"),
@@ -756,6 +757,38 @@ def q_fuzzy_match(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("edit_dist").cast("bigint").alias("edit_dist"),
         F.col("match_rank").cast("bigint").alias("match_rank"),
     )
+    # Merged r11: tier='price_band' — the NUMERIC linkage axis next to
+    # the string one: operators.relational.band_join pairs parts whose
+    # retail prices differ by <= 0.10 (exact centi-unit integers,
+    # eps-bucket equi-join — never a range nested loop), top-3 closest
+    # per part with (diff, key) deterministic ranking. The distance
+    # column carries |Δ| in cents; the oracle brute-forces the band.
+    from amonaly_detection_in_time_series_data_spark.operators.relational import (
+        band_join,
+    )
+
+    prices = part.select("p_partkey", "p_retailprice")
+    bj = band_join(
+        prices, prices, "p_retailprice", "p_retailprice", eps=0.10,
+        left_keep=["p_partkey"], right_keep=["p_partkey"],
+    ).filter(F.col("l_p_partkey") != F.col("r_p_partkey"))
+    wb = Window.partitionBy("l_p_partkey").orderBy(
+        F.col("abs_diff_units").asc(), F.col("r_p_partkey").asc()
+    )
+    band_rows = (
+        bj.withColumn("match_rank", F.row_number().over(wb))
+        .filter(F.col("match_rank") <= 3)
+        .select(
+            F.lit("price_band").alias("tier"),
+            F.col("l_p_partkey").alias("src_key"),
+            F.lit(None).cast("string").alias("q"),
+            F.col("r_p_partkey").alias("match_key"),
+            F.lit(None).cast("string").alias("match_name"),
+            F.col("abs_diff_units").cast("bigint").alias("edit_dist"),
+            F.col("match_rank").cast("bigint").alias("match_rank"),
+        )
+    )
+    return name_rows.unionByName(band_rows)
 
 
 def q_select_numeric(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3953,10 +3986,30 @@ ranked AS (
     ORDER BY edit_dist, match_name, match_key) AS match_rank
   FROM cand
 )
-SELECT src_key, q, match_key, match_name,
+SELECT 'name' AS tier, src_key, q, match_key, match_name,
        CAST(edit_dist AS BIGINT) AS edit_dist,
        CAST(match_rank AS BIGINT) AS match_rank
 FROM ranked WHERE match_rank <= 3
+UNION ALL
+-- price_band (merged r11): brute-force replay of the eps-bucketed
+-- band join — exact centi-unit integers, |diff| <= 10, top-3 closest
+SELECT 'price_band' AS tier, src_key, CAST(NULL AS VARCHAR) AS q,
+       match_key, CAST(NULL AS VARCHAR) AS match_name,
+       CAST(diff AS BIGINT) AS edit_dist,
+       CAST(rnk AS BIGINT) AS match_rank
+FROM (
+  SELECT a.p_partkey AS src_key, b.p_partkey AS match_key,
+         abs(CAST(round(a.p_retailprice * 100) AS BIGINT)
+           - CAST(round(b.p_retailprice * 100) AS BIGINT)) AS diff,
+         row_number() OVER (
+           PARTITION BY a.p_partkey
+           ORDER BY abs(CAST(round(a.p_retailprice * 100) AS BIGINT)
+                      - CAST(round(b.p_retailprice * 100) AS BIGINT)),
+                    b.p_partkey) AS rnk
+  FROM part a JOIN part b ON a.p_partkey <> b.p_partkey
+  WHERE abs(CAST(round(a.p_retailprice * 100) AS BIGINT)
+          - CAST(round(b.p_retailprice * 100) AS BIGINT)) <= 10
+) WHERE rnk <= 3
 """
 
     sql["set_ops"] = """

@@ -226,3 +226,71 @@ def heavy_hitters(
         )
         .orderBy(F.col("cnt").desc(), F.col(out_name).asc())
     )
+
+
+def band_join(
+    left: DataFrame,
+    right: DataFrame,
+    left_col: str,
+    right_col: str,
+    eps: float,
+    scale: int = 100,
+    left_keep: Sequence[str] = (),
+    right_keep: Sequence[str] = (),
+) -> DataFrame:
+    """Numeric band join: all (left, right) pairs with
+    ``|left_col - right_col| <= eps`` — the "values within tolerance"
+    join behind price matching, sensor alignment and numeric record
+    linkage — WITHOUT the nested-loop/cross-join plan a naive range
+    predicate degenerates to.
+
+    How: values are snapped to the 1/``scale`` integer grid (the
+    repo-wide exact-units convention — eps must be representable on
+    it), bucketed by ``floor(units / eps_units)``, and the LEFT side
+    probes buckets {b-1, b, b+1} (any value within eps lies in the
+    same or an adjacent bucket). The join is then a plain equi-join on
+    the bucket key plus an exact integer filter — each qualifying pair
+    matches EXACTLY once because the right row's bucket is unique (no
+    post-join dedup). All comparisons are integer, so the result set
+    is bit-decidable and brute-force replayable.
+
+    Scale: one explode(x3) on the left, one bucket-keyed shuffle; the
+    adversary is a value cluster inside one eps-window (a mega-bucket
+    — same playbook as every other blocked join here: cap, salt, or
+    split the hot band). Output columns: ``left_keep`` prefixed ``l_``,
+    ``right_keep`` prefixed ``r_``, plus ``abs_diff_units``.
+    """
+    eps_units = int(round(eps * scale))
+    if eps_units <= 0:
+        raise ValueError(
+            f"band_join: eps*scale must round to a positive integer, "
+            f"got eps={eps} scale={scale}"
+        )
+    lu = F.round(F.col(left_col) * scale).cast("bigint")
+    ru = F.round(F.col(right_col) * scale).cast("bigint")
+    lb = left.filter(F.col(left_col).isNotNull()).select(
+        *[F.col(c).alias(f"l_{c}") for c in left_keep],
+        lu.alias("__lu"),
+        F.explode(
+            F.array(
+                *[
+                    (F.floor(lu / F.lit(eps_units)) + F.lit(d)).cast("bigint")
+                    for d in (-1, 0, 1)
+                ]
+            )
+        ).alias("__bk"),
+    )
+    rb = right.filter(F.col(right_col).isNotNull()).select(
+        *[F.col(c).alias(f"r_{c}") for c in right_keep],
+        ru.alias("__ru"),
+        F.floor(ru / F.lit(eps_units)).cast("bigint").alias("__bk"),
+    )
+    return (
+        lb.join(rb, "__bk")
+        .filter(F.abs(F.col("__lu") - F.col("__ru")) <= eps_units)
+        .select(
+            *[f"l_{c}" for c in left_keep],
+            *[f"r_{c}" for c in right_keep],
+            F.abs(F.col("__lu") - F.col("__ru")).alias("abs_diff_units"),
+        )
+    )
