@@ -1762,12 +1762,29 @@ def q_typed_aggs(spark: SparkSession, sf_dir: str) -> DataFrame:
             hist_quantile(harr, 0.9, 0.0, 250.0, HB), 6
         ).alias("hist_p90_est"),
     )
+    # merged r11 (late): per-type Pearson correlations from EXACT
+    # BIGINT sufficient statistics (operators.profiling.pearson_exact,
+    # shared-SQL-text convention like the moments) — the feature-
+    # dependency screen. dayofweek mirrored as DuckDB dayofweek(ts)+1.
+    from amonaly_detection_in_time_series_data_spark.operators.profiling import (
+        pearson_exact,
+    )
+
+    VU = "cast(round(value * 100) as bigint)"
+    HU = "cast(hour(ts) as bigint)"
+    DU = "cast(dayofweek(ts) as bigint)"
+    corr_vh = pearson_exact(ev, ["event_type"], VU, HU, "corr_value_hour")
+    corr_vd = pearson_exact(ev, ["event_type"], VU, DU, "corr_value_dow")
+    corr_hd = pearson_exact(ev, ["event_type"], HU, DU, "corr_hour_dow")
     return (
         agg.crossJoin(F.broadcast(piv))
         .join(F.broadcast(mom), "event_type")
         .join(F.broadcast(bfa), "event_type")
         .join(F.broadcast(sk_cols), "event_type")
         .join(F.broadcast(hist_cols), "event_type")
+        .join(F.broadcast(corr_vh), "event_type")
+        .join(F.broadcast(corr_vd), "event_type")
+        .join(F.broadcast(corr_hd), "event_type")
         .crossJoin(F.broadcast(union_est))
         .crossJoin(F.broadcast(pair))
     )
@@ -4556,6 +4573,37 @@ FROM (
     from amonaly_detection_in_time_series_data_spark.operators.profiling import (
         _moment_text as _mom_text,
     )
+    from amonaly_detection_in_time_series_data_spark.operators.profiling import (
+        _pearson_text as _pr_text,
+    )
+
+    # shared-text correlation CTE builder: the SAME expression string
+    # the Spark side runs via selectExpr, over the same BIGINT sums —
+    # identical IEEE doubles, emitted unrounded (moments convention).
+    def _corr_cte(name, xu, yu, out):
+        return f"""{name} AS (
+  SELECT event_type, {_pr_text()} AS {out}
+  FROM (
+    SELECT event_type, count(*) AS __n, sum(__x) AS __sx, sum(__y) AS __sy,
+           sum(__x * __y) AS __sxy, sum(__x * __x) AS __sxx,
+           sum(__y * __y) AS __syy
+    FROM (SELECT event_type, {xu} AS __x, {yu} AS __y FROM events)
+    WHERE __x IS NOT NULL AND __y IS NOT NULL
+    GROUP BY event_type
+  ) t
+)"""
+
+    _vu = "cast(round(value * 100) as bigint)"
+    _hu = "cast(hour(ts) as bigint)"
+    # Spark dayofweek is 1=Sunday..7; DuckDB dayofweek is 0=Sunday..6
+    _du = "cast(dayofweek(ts) + 1 as bigint)"
+    _corr_ctes = ",\n".join(
+        [
+            _corr_cte("cvh", _vu, _hu, "corr_value_hour"),
+            _corr_cte("cvd", _vu, _du, "corr_value_dow"),
+            _corr_cte("chd", _hu, _du, "corr_hour_dow"),
+        ]
+    )
 
     _mom = _mom_text()
     _bf_p_case, _bf_chi2 = _bf_text()
@@ -4796,6 +4844,7 @@ hq AS (
   JOIN (SELECT event_type, est FROM hqq WHERE q = 0.9) q90
     ON d.event_type = q90.event_type
 ),
+{_corr_ctes},
 base AS (
 SELECT event_type,
        round(quantile_cont(value, 0.5), 6) AS p50,
@@ -4827,12 +4876,16 @@ SELECT base.*, momf.mom_n, momf.mom_mean, momf.mom_std, momf.mom_skew,
        kpair.kmv_click_purchase_jaccard,
        kpair.kmv_click_purchase_users_est,
        kpair.kmv_click_only_users_est,
-       kpair.kmv_purchase_only_users_est
+       kpair.kmv_purchase_only_users_est,
+       cvh.corr_value_hour, cvd.corr_value_dow, chd.corr_hour_dow
 FROM base
 JOIN momf ON base.event_type = momf.event_type
 JOIN bfa ON base.event_type = bfa.event_type
 JOIN kest ON base.event_type = kest.event_type
 JOIN hq ON base.event_type = hq.event_type
+JOIN cvh ON base.event_type = cvh.event_type
+JOIN cvd ON base.event_type = cvd.event_type
+JOIN chd ON base.event_type = chd.event_type
 CROSS JOIN kallest
 CROSS JOIN kpair
 """

@@ -36,7 +36,7 @@ from collections.abc import Sequence
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["moment_features", "benford_report", "BENFORD_P"]
+__all__ = ["moment_features", "benford_report", "pearson_exact", "BENFORD_P"]
 
 # log10(1 + 1/d) rounded to 12 decimals — the rounding makes the
 # literal parse to the identical double in any engine
@@ -167,4 +167,68 @@ def benford_report(
         "CASE WHEN __ntot > 0 THEN "
         + chi2.replace("__p", f"({p_case})")
         + " END AS bf_chi2_term",
+    )
+
+
+def _pearson_text() -> str:
+    """Pearson r over exact BIGINT sums named
+    __n/__sx/__sy/__sxy/__sxx/__syy (x, y in snapped integer units) —
+    the same shared-SQL-text convention as :func:`_moment_text`: every
+    product/difference is exact integer arithmetic and the ONLY float
+    steps are the final cast, multiply, sqrt and divide, so an oracle
+    using this identical text computes the identical IEEE double.
+    Degenerate columns (zero variance) yield NULL, not a 0/0."""
+    num = "cast(__n * __sxy - __sx * __sy as double)"
+    vx = "(__n * __sxx - __sx * __sx)"
+    vy = "(__n * __syy - __sy * __sy)"
+    return (
+        f"CASE WHEN {vx} > 0 AND {vy} > 0 THEN "
+        f"{num} / sqrt(cast({vx} as double) * cast({vy} as double)) END"
+    )
+
+
+def pearson_exact(
+    df: DataFrame,
+    group_cols: Sequence[str],
+    x_units_sql: str,
+    y_units_sql: str,
+    out_name: str = "pearson_r",
+) -> DataFrame:
+    """Per-group Pearson correlation from EXACT integer sufficient
+    statistics — the data-profiling dependency screen (which feature
+    pairs carry redundant signal) done the repo's way: the caller
+    snaps each column to an integer grid via SQL text (e.g.
+    ``cast(round(value * 100) as bigint)``), the six sums
+    (n, Σx, Σy, Σxy, Σx², Σy²) accumulate in BIGINT — combine-order-
+    proof, so the grouped aggregate is deterministic under ANY
+    partitioning — and :func:`_pearson_text` turns them into r with
+    one float tail. Rows with a NULL on either side are excluded
+    pairwise (the standard correlation contract).
+
+    Overflow contract (caller's): ``n * max(units)^2 < 2^63`` — at a
+    0.01 grid that is ~30B rows of values up to ~55k per group, far
+    beyond any per-group profile; snap coarser for wider domains.
+
+    One shuffle (the groupBy), map-side combined; output one row per
+    group with ``out_name``.
+    """
+    sums = (
+        df.selectExpr(
+            *group_cols,
+            f"({x_units_sql}) AS __x",
+            f"({y_units_sql}) AS __y",
+        )
+        .filter(F.col("__x").isNotNull() & F.col("__y").isNotNull())
+        .groupBy(*group_cols)
+        .agg(
+            F.count(F.lit(1)).alias("__n"),
+            F.sum("__x").alias("__sx"),
+            F.sum("__y").alias("__sy"),
+            F.sum(F.expr("__x * __y")).alias("__sxy"),
+            F.sum(F.expr("__x * __x")).alias("__sxx"),
+            F.sum(F.expr("__y * __y")).alias("__syy"),
+        )
+    )
+    return sums.selectExpr(
+        *group_cols, f"{_pearson_text()} AS {out_name}"
     )
