@@ -1521,11 +1521,35 @@ def q_cube_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("monetary").alias("total"),
         F.col("frequency").cast("bigint").alias("n_orders"),
     )
+    # Merged r11 (late): marketing attribution — first/last/linear-touch
+    # conversion credit over the events stream (purchase = conversion,
+    # signup/view/click = touches, 7-day lookback). Credit in exact ppm
+    # integers (the transition_matrix convention) with ONE division
+    # here; the oracle replays via an INDEPENDENT conversion×touch join
+    # + row_number argmin/argmax, not the window-frame plan.
+    from amonaly_detection_in_time_series_data_spark.operators.product_analytics import (
+        attribution_credit,
+    )
+
+    att = attribution_credit(
+        ev, "ts", "user_id", "event_type",
+        is_touch=F.col("event_type").isin("signup", "view", "click"),
+        is_conversion=F.col("event_type") == "purchase",
+        lookback="7 days",
+    )
+    att_rows = att.select(
+        F.concat(F.lit("attrib_"), F.col("model")).alias("op"),
+        F.col("channel").alias("c_mktsegment"),
+        F.lit(None).cast("string").alias("o_orderpriority"),
+        (F.col("credit_ppm") / F.lit(1_000_000.0)).alias("total"),
+        F.col("conversions").cast("bigint").alias("n_orders"),
+    )
     return (
         relational.unionByName(fun)
         .unionByName(coh)
         .unionByName(basket)
         .unionByName(rfm_rows)
+        .unionByName(att_rows)
     )
 
 
@@ -4516,6 +4540,63 @@ FROM (
   SELECT 'basket_conf', CAST(item_b AS VARCHAR), CAST(item_a AS VARCHAR),
          conf_b_a, pair_n FROM top50
 ) AS t
+UNION ALL
+-- attribution (merged r11): independent replay — conversion x touch
+-- join + row_number argmin/argmax (the Spark side is a window-frame
+-- plan); exact ppm integer credit, one division at the end
+SELECT a.op, a.channel AS c_mktsegment, CAST(NULL AS VARCHAR) AS o_orderpriority,
+       a.credit_ppm / 1000000.0 AS total, a.conversions AS n_orders
+FROM (
+  WITH aconv AS (
+    SELECT event_id AS cid, user_id, epoch_us(ts) AS cus
+    FROM events WHERE event_type = 'purchase'
+  ),
+  atch AS (
+    SELECT user_id, epoch_us(ts) AS tus, event_type AS ch
+    FROM events WHERE event_type IN ('signup', 'view', 'click')
+  ),
+  apairs AS (
+    SELECT c.cid, t.tus, t.ch
+    FROM aconv c JOIN atch t ON t.user_id = c.user_id
+     AND t.tus BETWEEN c.cus - 604800000000 AND c.cus - 1
+  ),
+  ark AS (
+    SELECT cid, ch,
+           row_number() OVER (PARTITION BY cid ORDER BY tus, ch) AS rf,
+           row_number() OVER (PARTITION BY cid ORDER BY tus DESC, ch DESC) AS rl,
+           count(*) OVER (PARTITION BY cid) AS n
+    FROM apairs
+  ),
+  afirst AS (
+    SELECT coalesce(r.ch, '(direct)') AS channel
+    FROM aconv c LEFT JOIN (SELECT cid, ch FROM ark WHERE rf = 1) r
+      ON r.cid = c.cid
+  ),
+  alast AS (
+    SELECT coalesce(r.ch, '(direct)') AS channel
+    FROM aconv c LEFT JOIN (SELECT cid, ch FROM ark WHERE rl = 1) r
+      ON r.cid = c.cid
+  ),
+  alin AS (
+    SELECT ch AS channel, count(*) AS conversions,
+           CAST(sum(1000000 // n) AS BIGINT) AS credit_ppm
+    FROM ark GROUP BY ch
+    UNION ALL
+    SELECT '(direct)', count(*), CAST(count(*) * 1000000 AS BIGINT)
+    FROM aconv c LEFT JOIN (SELECT DISTINCT cid FROM ark) r ON r.cid = c.cid
+    WHERE r.cid IS NULL
+    HAVING count(*) > 0
+  )
+  SELECT 'attrib_first' AS op, channel, count(*) AS conversions,
+         CAST(count(*) * 1000000 AS BIGINT) AS credit_ppm
+  FROM afirst GROUP BY channel
+  UNION ALL
+  SELECT 'attrib_last', channel, count(*),
+         CAST(count(*) * 1000000 AS BIGINT)
+  FROM alast GROUP BY channel
+  UNION ALL
+  SELECT 'attrib_linear', channel, conversions, credit_ppm FROM alin
+) AS a
 UNION ALL
 -- RFM segmentation (merged r11): exact centi-unit monetary, linear
 -- quantile boundaries (quantile_cont == Spark percentile on integer

@@ -35,6 +35,7 @@ __all__ = [
     "funnel_user_depth",
     "cohort_retention",
     "rfm_segments",
+    "attribution_credit",
     "transition_matrix",
 ]
 
@@ -411,3 +412,137 @@ def rfm_segments(
             "-", F.col("r_score"), F.col("f_score"), F.col("m_score")
         ).alias("segment"),
     )
+
+
+def attribution_credit(
+    df: DataFrame,
+    ts_col: str,
+    user_col: str,
+    channel_col: str,
+    is_touch,
+    is_conversion,
+    lookback: str = "7 days",
+    models: Sequence[str] = ("first", "last", "linear"),
+) -> DataFrame:
+    """Marketing attribution: credit each conversion to the touch
+    events (channel exposures) preceding it within ``lookback`` —
+    first-touch, last-touch, and linear (equal-split) models, the three
+    every attribution tool ships.
+
+    Semantics, deterministically:
+
+    - a touch counts iff it is STRICTLY earlier than the conversion
+      (>= 1 microsecond — the strict-ts convention of ``funnel_steps``)
+      and within the lookback window;
+    - first/last pick the min/max of a ``(ts, channel)`` STRUCT over
+      the window frame, so equal-timestamp touches resolve by the
+      channel string, never by partition order;
+    - linear splits one conversion over its n touches as
+      ``floor(1e6 / n)`` ppm per touch — EXACT integer credit (the
+      ``transition_matrix`` ppm convention), so sums are
+      combine-order-proof and engine-portable; the ≤ n−1 ppm lost to
+      the floor per conversion is the documented rounding;
+    - a conversion with NO touch in the window credits the synthetic
+      ``(direct)`` channel (1e6 ppm under every model).
+
+    Output: one row per (model, channel) with ``conversions`` (count of
+    conversions any of whose credit went to the channel) and
+    ``credit_ppm`` (total credit, 1e6 = one conversion).
+
+    Scale: ONE user-keyed exchange — the window frames (range frame
+    over epoch-µs) ride it for all three models; the linear explode is
+    bounded by touches-per-lookback. No joins.
+    """
+    bad = [m for m in models if m not in ("first", "last", "linear")]
+    if bad:
+        raise ValueError(f"attribution_credit: unknown models {bad}")
+    import re as _re
+
+    m_ = _re.fullmatch(r"(\d+)\s*(day|days|hour|hours)", lookback.strip())
+    if not m_:
+        raise ValueError(
+            f"attribution_credit: lookback must be '<n> days|hours', got {lookback!r}"
+        )
+    n_, unit = int(m_.group(1)), m_.group(2)
+    lookback_us = n_ * (86_400_000_000 if unit.startswith("day") else 3_600_000_000)
+
+    us = F.unix_micros(F.col(ts_col))
+    ev = df.select(
+        F.col(user_col).alias("__u"),
+        us.alias("__us"),
+        F.col(channel_col).alias("__ch"),
+        is_touch.cast("boolean").alias("__t"),
+        is_conversion.cast("boolean").alias("__c"),
+    ).filter(F.col("__u").isNotNull() & F.col("__us").isNotNull())
+
+    from pyspark.sql import Window
+
+    w = (
+        Window.partitionBy("__u")
+        .orderBy("__us")
+        .rangeBetween(-lookback_us, -1)
+    )
+    touch_struct = F.when(
+        F.col("__t"), F.struct(F.col("__us"), F.col("__ch"))
+    )
+    conv = (
+        ev.withColumn("__first", F.min(touch_struct).over(w))
+        .withColumn("__last", F.max(touch_struct).over(w))
+        .withColumn(
+            "__chans", F.collect_list(F.when(F.col("__t"), F.col("__ch"))).over(w)
+        )
+        .filter(F.col("__c"))
+    )
+    out = None
+
+    def _single(model: str, struct_col: str) -> DataFrame:
+        ch = F.coalesce(F.col(f"{struct_col}.__ch"), F.lit("(direct)"))
+        return conv.select(ch.alias("channel")).groupBy("channel").agg(
+            F.count(F.lit(1)).alias("conversions"),
+            (F.count(F.lit(1)) * F.lit(1_000_000)).alias("credit_ppm"),
+        ).select(F.lit(model).alias("model"), "channel", "conversions",
+                 F.col("credit_ppm").cast("bigint").alias("credit_ppm"))
+
+    for model in models:
+        if model == "first":
+            rows = _single("first", "__first")
+        elif model == "last":
+            rows = _single("last", "__last")
+        else:
+            n_t = F.size("__chans")
+            touched = (
+                conv.filter(n_t > 0)
+                .select(
+                    F.floor(F.lit(1_000_000) / n_t).alias("__ppm"),
+                    F.explode("__chans").alias("channel"),
+                )
+                .groupBy("channel")
+                .agg(
+                    F.count(F.lit(1)).alias("conversions"),
+                    F.sum("__ppm").cast("bigint").alias("credit_ppm"),
+                )
+            )
+            direct = (
+                conv.filter(n_t == 0)
+                .groupBy()
+                .agg(F.count(F.lit(1)).alias("conversions"))
+                .filter(F.col("conversions") > 0)
+                .select(
+                    F.lit("(direct)").alias("channel"),
+                    "conversions",
+                    (F.col("conversions") * F.lit(1_000_000))
+                    .cast("bigint")
+                    .alias("credit_ppm"),
+                )
+            )
+            rows = touched.select(
+                F.lit("linear").alias("model"), "channel", "conversions",
+                "credit_ppm",
+            ).unionByName(
+                direct.select(
+                    F.lit("linear").alias("model"), "channel",
+                    "conversions", "credit_ppm",
+                )
+            )
+        out = rows if out is None else out.unionByName(rows)
+    return out
