@@ -226,7 +226,9 @@ def basket_rules(
     basket_col: str,
     item_col: str,
     min_pair_count: int = 2,
-) -> DataFrame:
+    max_basket_size: int | None = None,
+    return_excluded: bool = False,
+):
     """Pairwise association rules (market-basket co-occurrence): for
     every item pair appearing together in at least ``min_pair_count``
     baskets, emit support / directed confidences / lift — the Apriori
@@ -244,23 +246,50 @@ def basket_rules(
     engine-portable unrounded.
 
     Scale: pair generation is a self-join keyed on the basket id —
-    O(k^2) rows per basket where k is basket size (bounded by the
-    order-lines/cart-size contract; cap pathological baskets upstream
-    like every other mega-group), never a cross join. One groupBy for
-    item frequencies, one for pair counts (map-side partial combine on
-    both), the scalar basket total broadcast via the tiny-stats
-    crossJoin pattern. ``min_pair_count`` prunes the long tail BEFORE
-    the stats joins — at retail scale the pair tail is the data.
+    O(k^2) rows per basket where k is basket size, never a cross join.
+    A pathological mega-basket (one bot cart with 1e5 items is
+    C(1e5,2) ~ 5e9 pairs from a SINGLE key) is the skew bomb of this
+    shape; ``max_basket_size`` drops baskets with more than the cap
+    DISTINCT items BEFORE pair generation, item frequencies, and the
+    basket total, so the output is exactly the brute-force answer on
+    the surviving baskets (support/confidence/lift denominators stay
+    mutually consistent). The over-cap basket list is bounded by
+    n_rows/cap entries, so the anti-join broadcast stays tiny. With
+    ``return_excluded=True`` returns ``(rules, excluded)`` where
+    ``excluded`` is the (basket, basket_size) table of dropped baskets
+    — the loud-count channel, declarative so no job runs unless the
+    caller looks. One groupBy for item frequencies, one for pair
+    counts (map-side partial combine on both), the scalar basket total
+    broadcast via the tiny-stats crossJoin pattern. ``min_pair_count``
+    prunes the long tail BEFORE the stats joins — at retail scale the
+    pair tail is the data.
     """
     if min_pair_count < 1:
         raise ValueError(
             f"basket_rules: min_pair_count must be >= 1, got {min_pair_count}"
+        )
+    if return_excluded and max_basket_size is None:
+        raise ValueError(
+            "basket_rules: return_excluded requires max_basket_size"
+        )
+    if max_basket_size is not None and max_basket_size < 1:
+        raise ValueError(
+            f"basket_rules: max_basket_size must be >= 1, got {max_basket_size}"
         )
     b = df.select(
         F.col(basket_col).alias("__basket"), F.col(item_col).alias("__item")
     ).filter(
         F.col("__basket").isNotNull() & F.col("__item").isNotNull()
     ).distinct()
+    excluded = None
+    if max_basket_size is not None:
+        over = (
+            b.groupBy("__basket")
+            .agg(F.count(F.lit(1)).alias("basket_size"))
+            .filter(F.col("basket_size") > max_basket_size)
+        )
+        b = b.join(F.broadcast(over.select("__basket")), "__basket", "left_anti")
+        excluded = over.select(F.col("__basket").alias("basket"), "basket_size")
     totals = b.groupBy().agg(
         F.countDistinct("__basket").alias("__n_baskets")
     )
@@ -289,7 +318,7 @@ def basket_rules(
         )
         .crossJoin(F.broadcast(totals))
     )
-    return out.select(
+    rules = out.select(
         "item_a",
         "item_b",
         F.col("pair_n").cast("bigint").alias("pair_n"),
@@ -303,6 +332,9 @@ def basket_rules(
             / (F.col("n_a") * F.col("n_b"))
         ).alias("lift"),
     )
+    if return_excluded:
+        return rules, excluded
+    return rules
 
 
 def rfm_segments(

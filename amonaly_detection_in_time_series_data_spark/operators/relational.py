@@ -237,7 +237,9 @@ def band_join(
     scale: int = 100,
     left_keep: Sequence[str] = (),
     right_keep: Sequence[str] = (),
-) -> DataFrame:
+    max_band_size: int | None = None,
+    return_excluded: bool = False,
+):
     """Numeric band join: all (left, right) pairs with
     ``|left_col - right_col| <= eps`` — the "values within tolerance"
     join behind price matching, sensor alignment and numeric record
@@ -251,14 +253,29 @@ def band_join(
     same or an adjacent bucket). The join is then a plain equi-join on
     the bucket key plus an exact integer filter — each qualifying pair
     matches EXACTLY once because the right row's bucket is unique (no
-    post-join dedup). All comparisons are integer, so the result set
-    is bit-decidable and brute-force replayable.
+    post-join dedup). The bucket id is computed with EXACT bigint
+    floor division — ``(u - pmod(u, e)) div e`` stays in integer
+    arithmetic for the full 64-bit unit range (a double ``/`` would
+    mis-bucket beyond 2^53 and silently drop pairs) and floors rather
+    than truncates for negative units because ``pmod`` is
+    non-negative. All comparisons are integer, so the result set is
+    bit-decidable and brute-force replayable.
 
     Scale: one explode(x3) on the left, one bucket-keyed shuffle; the
-    adversary is a value cluster inside one eps-window (a mega-bucket
-    — same playbook as every other blocked join here: cap, salt, or
-    split the hot band). Output columns: ``left_keep`` prefixed ``l_``,
-    ``right_keep`` prefixed ``r_``, plus ``abs_diff_units``.
+    adversary is a value cluster inside one eps-window (a mega-band:
+    pairs within a hot bucket are |left-in-bucket| x |right-in-bucket|).
+    ``max_band_size`` caps it on the BUILD side, mirroring
+    ``blocked_fuzzy_join``'s ``max_block_size``: right-side buckets
+    with more than the cap rows are dropped entirely (per-left-row
+    fanout is then <= 3*cap), and the over-cap bucket list is bounded
+    by n_right/cap rows so the anti-join broadcast stays tiny. With
+    ``return_excluded=True`` the function returns ``(pairs,
+    excluded)`` where ``excluded`` is the (band_bucket, band_size)
+    table of dropped buckets — the loud-count channel, declarative so
+    no job runs unless the caller looks.
+
+    Output columns: ``left_keep`` prefixed ``l_``, ``right_keep``
+    prefixed ``r_``, plus ``abs_diff_units``.
     """
     eps_units = int(round(eps * scale))
     if eps_units <= 0:
@@ -266,26 +283,57 @@ def band_join(
             f"band_join: eps*scale must round to a positive integer, "
             f"got eps={eps} scale={scale}"
         )
+    if return_excluded and max_band_size is None:
+        raise ValueError(
+            "band_join: return_excluded requires max_band_size"
+        )
+    if max_band_size is not None and max_band_size < 1:
+        raise ValueError(
+            f"band_join: max_band_size must be >= 1, got {max_band_size}"
+        )
     lu = F.round(F.col(left_col) * scale).cast("bigint")
     ru = F.round(F.col(right_col) * scale).cast("bigint")
-    lb = left.filter(F.col(left_col).isNotNull()).select(
-        *[F.col(c).alias(f"l_{c}") for c in left_keep],
-        lu.alias("__lu"),
-        F.explode(
-            F.array(
-                *[
-                    (F.floor(lu / F.lit(eps_units)) + F.lit(d)).cast("bigint")
-                    for d in (-1, 0, 1)
-                ]
-            )
-        ).alias("__bk"),
+    bucket = F.expr(
+        f"(__u - pmod(__u, {eps_units}L)) div {eps_units}L"
     )
-    rb = right.filter(F.col(right_col).isNotNull()).select(
-        *[F.col(c).alias(f"r_{c}") for c in right_keep],
-        ru.alias("__ru"),
-        F.floor(ru / F.lit(eps_units)).cast("bigint").alias("__bk"),
+    lb = (
+        left.filter(F.col(left_col).isNotNull())
+        .select(
+            *[F.col(c).alias(f"l_{c}") for c in left_keep],
+            lu.alias("__u"),
+        )
+        .withColumn("__b0", bucket)
+        .select(
+            *[f"l_{c}" for c in left_keep],
+            F.col("__u").alias("__lu"),
+            F.explode(
+                F.array(
+                    *[(F.col("__b0") + F.lit(d)).cast("bigint") for d in (-1, 0, 1)]
+                )
+            ).alias("__bk"),
+        )
     )
-    return (
+    rb = (
+        right.filter(F.col(right_col).isNotNull())
+        .select(
+            *[F.col(c).alias(f"r_{c}") for c in right_keep],
+            ru.alias("__u"),
+        )
+        .withColumn("__bk", bucket)
+        .withColumnRenamed("__u", "__ru")
+    )
+    excluded = None
+    if max_band_size is not None:
+        over = (
+            rb.groupBy("__bk")
+            .agg(F.count(F.lit(1)).alias("band_size"))
+            .filter(F.col("band_size") > max_band_size)
+        )
+        rb = rb.join(F.broadcast(over.select("__bk")), "__bk", "left_anti")
+        excluded = over.select(
+            F.col("__bk").alias("band_bucket"), "band_size"
+        )
+    out = (
         lb.join(rb, "__bk")
         .filter(F.abs(F.col("__lu") - F.col("__ru")) <= eps_units)
         .select(
@@ -294,3 +342,6 @@ def band_join(
             F.abs(F.col("__lu") - F.col("__ru")).alias("abs_diff_units"),
         )
     )
+    if return_excluded:
+        return out, excluded
+    return out

@@ -89,3 +89,79 @@ class TestBandJoin:
         assert _run(spark, lvals, rvals, eps_units / 100.0) == _brute(
             lvals, rvals, eps_units
         )
+
+
+class TestMaxBandSize:
+    """The mega-band cap: right-side buckets above the cap are dropped
+    entirely; surviving pairs are byte-identical to brute force on the
+    surviving right rows."""
+
+    def test_cap_binds_and_rest_matches_brute_force(self, spark):
+        # 300 right rows all at 1.00 (one mega eps-bucket), plus normal
+        # rows far away from it
+        mega = [(1000 + i, 1.00) for i in range(300)]
+        normal = [(10, 50.00), (11, 50.02), (12, 50.10)]
+        lvals = [(1, 1.01), (2, 50.01), (3, 50.08)]
+        l = spark.createDataFrame(lvals, ["lid", "lv"])
+        r = spark.createDataFrame(mega + normal, ["rid", "rv"])
+        pairs, excluded = band_join(
+            l, r, "lv", "rv", 0.05, scale=100,
+            left_keep=["lid"], right_keep=["rid"],
+            max_band_size=50, return_excluded=True,
+        )
+        ex = excluded.collect()
+        assert len(ex) == 1 and ex[0]["band_size"] == 300
+        got = {
+            (row["l_lid"], row["r_rid"]): row["abs_diff_units"]
+            for row in pairs.collect()
+        }
+        assert got == _brute(lvals, normal, 5)
+
+    def test_cap_not_binding_is_identity(self, spark):
+        lvals = [(1, 0.00), (2, 0.04)]
+        rvals = [(10, 0.05), (11, -0.01)]
+        l = spark.createDataFrame(lvals, ["lid", "lv"])
+        r = spark.createDataFrame(rvals, ["rid", "rv"])
+        pairs, excluded = band_join(
+            l, r, "lv", "rv", 0.05, scale=100,
+            left_keep=["lid"], right_keep=["rid"],
+            max_band_size=1000, return_excluded=True,
+        )
+        assert excluded.count() == 0
+        got = {
+            (row["l_lid"], row["r_rid"]): row["abs_diff_units"]
+            for row in pairs.collect()
+        }
+        assert got == _brute(lvals, rvals, 5)
+
+    def test_validation(self, spark):
+        df = spark.createDataFrame([(1, 1.0)], ["i", "v"])
+        with pytest.raises(ValueError):
+            band_join(df, df, "v", "v", 0.05, return_excluded=True)
+        with pytest.raises(ValueError):
+            band_join(df, df, "v", "v", 0.05, max_band_size=0)
+
+
+class TestHugeUnitsExactBucketing:
+    """Bucket ids are computed with exact bigint floor division — for
+    units far beyond 2^53 (where double division mis-buckets), pairs
+    within eps are still found. LongType inputs with scale=1 keep the
+    unit arithmetic exact end-to-end."""
+
+    def test_pairs_near_2_pow_62(self, spark):
+        base = 1 << 62
+        lvals = [(1, base + 7), (2, base - 10_000)]
+        rvals = [(10, base + 9), (11, base - 10_003), (12, base + 5_000)]
+        l = spark.createDataFrame(lvals, "lid int, lv long")
+        r = spark.createDataFrame(rvals, "rid int, rv long")
+        rows = band_join(
+            l, r, "lv", "rv", 7, scale=1,
+            left_keep=["lid"], right_keep=["rid"],
+        ).collect()
+        got = {(row["l_lid"], row["r_rid"]): row["abs_diff_units"] for row in rows}
+        expect = {}
+        for li, lv in lvals:
+            for ri, rv in rvals:
+                if abs(lv - rv) <= 7:
+                    expect[(li, ri)] = abs(lv - rv)
+        assert got == expect

@@ -111,3 +111,54 @@ class TestBasketRules:
     )
     def test_property_equals_brute_force(self, spark, rows, mpc):
         assert _run(spark, rows, mpc) == _brute(rows, mpc)
+
+
+class TestMaxBasketSize:
+    """The mega-basket cap: dropped baskets vanish from EVERY
+    denominator (pair counts, item frequencies, basket total), so the
+    capped output is byte-identical to brute force on the surviving
+    baskets only."""
+
+    def test_cap_binds_and_rest_matches_brute_force(self, spark):
+        normal = [(b, it) for b in range(1, 6) for it in ("a", "b", "c")]
+        mega = [(99, f"i{k}") for k in range(60)] + [(99, "a"), (99, "b")]
+        df = spark.createDataFrame(normal + mega, ["basket", "item"])
+        rules, excluded = basket_rules(
+            df, "basket", "item", 1, max_basket_size=10, return_excluded=True
+        )
+        ex = excluded.collect()
+        assert [(r["basket"], r["basket_size"]) for r in ex] == [(99, 62)]
+        got = {
+            (r["item_a"], r["item_b"]): (
+                r["pair_n"], r["n_a"], r["n_b"],
+                r["support"], r["conf_a_b"], r["conf_b_a"], r["lift"],
+            )
+            for r in rules.collect()
+        }
+        assert got == _brute(normal, 1)
+
+    def test_cap_not_binding_is_identity(self, spark):
+        rows = [(1, "a"), (1, "b"), (2, "a"), (2, "b"), (3, "a")]
+        base = _run(spark, rows, 1)
+        df = spark.createDataFrame(rows, ["basket", "item"])
+        rules, excluded = basket_rules(
+            df, "basket", "item", 1, max_basket_size=100, return_excluded=True
+        )
+        assert excluded.count() == 0
+        got = {
+            (r["item_a"], r["item_b"]): (
+                r["pair_n"], r["n_a"], r["n_b"],
+                r["support"], r["conf_a_b"], r["conf_b_a"], r["lift"],
+            )
+            for r in rules.collect()
+        }
+        assert got == base
+
+    def test_validation(self, spark):
+        import pytest
+
+        df = spark.createDataFrame([(1, "a")], ["basket", "item"])
+        with pytest.raises(ValueError):
+            basket_rules(df, "basket", "item", 1, return_excluded=True)
+        with pytest.raises(ValueError):
+            basket_rules(df, "basket", "item", 1, max_basket_size=0)
