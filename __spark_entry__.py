@@ -1531,11 +1531,17 @@ def q_cube_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
         attribution_credit,
     )
 
+    # r12: + position-based (U-shaped 40-20-40) and quantized
+    # exponential time-decay (half-life 1 day, exact power-of-two
+    # bigint weights) — same single user-keyed exchange, two more
+    # credit expressions
     att = attribution_credit(
         ev, "ts", "user_id", "event_type",
         is_touch=F.col("event_type").isin("signup", "view", "click"),
         is_conversion=F.col("event_type") == "purchase",
         lookback="7 days",
+        models=("first", "last", "linear", "position", "decay"),
+        half_life="1 day",
     )
     att_rows = att.select(
         F.concat(F.lit("attrib_"), F.col("model")).alias("op"),
@@ -4556,7 +4562,7 @@ FROM (
     FROM events WHERE event_type IN ('signup', 'view', 'click')
   ),
   apairs AS (
-    SELECT c.cid, t.tus, t.ch
+    SELECT c.cid, c.cus, t.tus, t.ch
     FROM aconv c JOIN atch t ON t.user_id = c.user_id
      AND t.tus BETWEEN c.cus - 604800000000 AND c.cus - 1
   ),
@@ -4586,6 +4592,46 @@ FROM (
     FROM aconv c LEFT JOIN (SELECT DISTINCT cid FROM ark) r ON r.cid = c.cid
     WHERE r.cid IS NULL
     HAVING count(*) > 0
+  ),
+  adirect AS (
+    SELECT '(direct)' AS channel, count(*) AS conversions,
+           CAST(count(*) * 1000000 AS BIGINT) AS credit_ppm
+    FROM aconv c LEFT JOIN (SELECT DISTINCT cid FROM ark) r ON r.cid = c.cid
+    WHERE r.cid IS NULL
+    HAVING count(*) > 0
+  ),
+  -- position (r12): U-shaped 40-20-40 over the (tus, ch)-ordered touch
+  -- list; n=1 -> 1e6, n=2 -> 500k each, middles floor(200k/(n-2))
+  apos AS (
+    SELECT ch AS channel, count(*) AS conversions,
+           CAST(sum(CASE WHEN n = 1 THEN 1000000
+                         WHEN n = 2 THEN 500000
+                         WHEN rf = 1 OR rf = n THEN 400000
+                         ELSE 200000 // (n - 2) END) AS BIGINT) AS credit_ppm
+    FROM ark GROUP BY ch
+    UNION ALL SELECT * FROM adirect
+  ),
+  -- decay (r12): quantized exponential half-life (1 day) — weight
+  -- 2^-(k - kmin) floored at 2^-40, exact power-of-two bigints,
+  -- credit (1e6*w) // sum(w): bit-identical to the Spark shiftleft plan
+  adk AS (
+    SELECT cid, ch, (cus - tus) // 86400000000 AS k FROM apairs
+  ),
+  adw AS (
+    SELECT cid, ch,
+           (CAST(1 AS BIGINT) << CAST(40 - LEAST(
+              k - min(k) OVER (PARTITION BY cid), 40) AS INTEGER)) AS w
+    FROM adk
+  ),
+  adc AS (
+    SELECT ch, (1000000 * w) // sum(w) OVER (PARTITION BY cid) AS ppm
+    FROM adw
+  ),
+  adecay AS (
+    SELECT ch AS channel, count(*) AS conversions,
+           CAST(sum(ppm) AS BIGINT) AS credit_ppm
+    FROM adc GROUP BY ch
+    UNION ALL SELECT * FROM adirect
   )
   SELECT 'attrib_first' AS op, channel, count(*) AS conversions,
          CAST(count(*) * 1000000 AS BIGINT) AS credit_ppm
@@ -4596,6 +4642,10 @@ FROM (
   FROM alast GROUP BY channel
   UNION ALL
   SELECT 'attrib_linear', channel, conversions, credit_ppm FROM alin
+  UNION ALL
+  SELECT 'attrib_position', channel, conversions, credit_ppm FROM apos
+  UNION ALL
+  SELECT 'attrib_decay', channel, conversions, credit_ppm FROM adecay
 ) AS a
 UNION ALL
 -- RFM segmentation (merged r11): exact centi-unit monetary, linear

@@ -455,11 +455,13 @@ def attribution_credit(
     is_conversion,
     lookback: str = "7 days",
     models: Sequence[str] = ("first", "last", "linear"),
+    half_life: str = "1 day",
 ) -> DataFrame:
     """Marketing attribution: credit each conversion to the touch
     events (channel exposures) preceding it within ``lookback`` —
-    first-touch, last-touch, and linear (equal-split) models, the three
-    every attribution tool ships.
+    first-touch, last-touch, linear (equal-split), position-based
+    (U-shaped 40-20-40) and time-decay models: the five every
+    attribution tool ships.
 
     Semantics, deterministically:
 
@@ -474,29 +476,63 @@ def attribution_credit(
       ``transition_matrix`` ppm convention), so sums are
       combine-order-proof and engine-portable; the ≤ n−1 ppm lost to
       the floor per conversion is the documented rounding;
+    - position (U-shaped): over the ``(ts, channel)``-sorted touch
+      list, the first touch gets 400_000 ppm, the last 400_000, each
+      middle ``floor(200_000/(n-2))``; n=1 → 1e6, n=2 → 500_000 each
+      (the standard two-touch renormalization). Positional over the
+      SORTED array, so duplicates and equal timestamps are handled
+      deterministically;
+    - decay: exponential half-life weights QUANTIZED to whole
+      half-life periods — touch weight ``2^-s`` where ``s = k - kmin``
+      and ``k = floor(age / half_life)`` (``kmin`` over the
+      conversion's touches), floored at ``2^-40``. Weights are exact
+      powers of two built in bigint arithmetic (``shiftleft``), credit
+      is ``(1e6 * w) div sum(w)`` — fully integer, engine-portable,
+      no float ``pow``. The quantization (the weight halves at period
+      boundaries rather than continuously) is the documented trade for
+      bit-exact oracle replay;
     - a conversion with NO touch in the window credits the synthetic
       ``(direct)`` channel (1e6 ppm under every model).
 
-    Output: one row per (model, channel) with ``conversions`` (count of
-    conversions any of whose credit went to the channel) and
-    ``credit_ppm`` (total credit, 1e6 = one conversion).
+    Output: one row per (model, channel) with ``conversions`` and
+    ``credit_ppm`` (total credit, 1e6 = one conversion). For the
+    whole-conversion models (first/last) ``conversions`` counts
+    conversions; for the split models (linear/position/decay) it
+    counts CREDITING TOUCH ROWS — a conversion with two touches on the
+    same channel contributes 2 to that channel's count (credit_ppm is
+    the reconcilable column; the ppm totals are what sum to 1e6 per
+    conversion).
 
     Scale: ONE user-keyed exchange — the window frames (range frame
-    over epoch-µs) ride it for all three models; the linear explode is
-    bounded by touches-per-lookback. No joins.
+    over epoch-µs) ride it for all five models; the split-model
+    explode is bounded by touches-per-lookback (the per-conversion
+    touch list must stay executor-bounded — same contract as
+    ``sequences``; decay additionally assumes < 2^22 touches per
+    conversion so the bigint weight sum cannot overflow). No joins.
     """
-    bad = [m for m in models if m not in ("first", "last", "linear")]
+    known = ("first", "last", "linear", "position", "decay")
+    bad = [m for m in models if m not in known]
     if bad:
         raise ValueError(f"attribution_credit: unknown models {bad}")
+    if len(set(models)) != len(list(models)):
+        raise ValueError(
+            f"attribution_credit: duplicate models in {list(models)!r} "
+            "(each model emits its rows once; repeats would silently "
+            "double credit totals downstream)"
+        )
     import re as _re
 
-    m_ = _re.fullmatch(r"(\d+)\s*(day|days|hour|hours)", lookback.strip())
-    if not m_:
-        raise ValueError(
-            f"attribution_credit: lookback must be '<n> days|hours', got {lookback!r}"
-        )
-    n_, unit = int(m_.group(1)), m_.group(2)
-    lookback_us = n_ * (86_400_000_000 if unit.startswith("day") else 3_600_000_000)
+    def _parse_duration(text: str, what: str) -> int:
+        m = _re.fullmatch(r"(\d+)\s*(day|days|hour|hours)", text.strip())
+        if not m:
+            raise ValueError(
+                f"attribution_credit: {what} must be '<n> days|hours', got {text!r}"
+            )
+        n, unit = int(m.group(1)), m.group(2)
+        return n * (86_400_000_000 if unit.startswith("day") else 3_600_000_000)
+
+    lookback_us = _parse_duration(lookback, "lookback")
+    half_life_us = _parse_duration(half_life, "half_life") if "decay" in models else None
 
     us = F.unix_micros(F.col(ts_col))
     ev = df.select(
@@ -523,8 +559,15 @@ def attribution_credit(
         .withColumn(
             "__chans", F.collect_list(F.when(F.col("__t"), F.col("__ch"))).over(w)
         )
-        .filter(F.col("__c"))
     )
+    if any(m in ("position", "decay") for m in models):
+        # (us, channel) structs, sorted lexicographically — the same
+        # tie-break as the struct min/max above, but positional, so
+        # the U-shape/decay walks are order-deterministic
+        conv = conv.withColumn(
+            "__srt", F.array_sort(F.collect_list(touch_struct).over(w))
+        )
+    conv = conv.filter(F.col("__c"))
     out = None
 
     def _single(model: str, struct_col: str) -> DataFrame:
@@ -535,11 +578,84 @@ def attribution_credit(
         ).select(F.lit(model).alias("model"), "channel", "conversions",
                  F.col("credit_ppm").cast("bigint").alias("credit_ppm"))
 
+    def _split(model: str, base: DataFrame, credits_col) -> DataFrame:
+        # explode the per-conversion (channel, ppm) credit array and
+        # aggregate; `conversions` counts crediting rows (see docstring)
+        return (
+            base.select(F.explode(credits_col).alias("cr"))
+            .select(
+                F.col("cr.channel").alias("channel"),
+                F.col("cr.ppm").alias("__ppm"),
+            )
+            .groupBy("channel")
+            .agg(
+                F.count(F.lit(1)).alias("conversions"),
+                F.sum("__ppm").cast("bigint").alias("credit_ppm"),
+            )
+            .select(
+                F.lit(model).alias("model"), "channel", "conversions",
+                "credit_ppm",
+            )
+        )
+
+    _direct_arr = (
+        "array(named_struct('channel', '(direct)', 'ppm', 1000000L))"
+    )
+    position_credits = F.expr(
+        f"""CASE
+        WHEN size(__srt) = 0 THEN {_direct_arr}
+        WHEN size(__srt) = 1 THEN
+          array(named_struct('channel', __srt[0].__ch, 'ppm', 1000000L))
+        WHEN size(__srt) = 2 THEN
+          array(named_struct('channel', __srt[0].__ch, 'ppm', 500000L),
+                named_struct('channel', __srt[1].__ch, 'ppm', 500000L))
+        ELSE concat(
+          array(named_struct('channel', __srt[0].__ch, 'ppm', 400000L),
+                named_struct('channel', element_at(__srt, -1).__ch,
+                             'ppm', 400000L)),
+          transform(slice(__srt, 2, size(__srt) - 2),
+                    t -> named_struct('channel', t.__ch,
+                                      'ppm', 200000L div (size(__srt) - 2))))
+        END"""
+    )
+
+    def _decay_rows() -> DataFrame:
+        # k = whole half-life periods of touch age; weight 2^-(k-kmin)
+        # floored at 2^-40, scaled to exact bigint powers of two. kmin
+        # is the newest touch's k (sorted array → last element), so
+        # the heaviest weight is always 2^40 and sums stay in bigint.
+        d = (
+            conv.withColumn(
+                "__ks",
+                F.expr(f"transform(__srt, t -> (__us - t.__us) div {half_life_us}L)"),
+            )
+            .withColumn(
+                "__ws",
+                F.expr(
+                    "transform(__ks, k -> shiftleft(1L, "
+                    "cast(40 - least(k - array_min(__ks), 40L) as int)))"
+                ),
+            )
+            .withColumn("__sumw", F.expr("aggregate(__ws, 0L, (a, x) -> a + x)"))
+        )
+        credits = F.expr(
+            f"""CASE WHEN size(__srt) = 0 THEN {_direct_arr}
+            ELSE zip_with(__srt, __ws,
+                   (t, w) -> named_struct('channel', t.__ch,
+                                          'ppm', (1000000L * w) div __sumw))
+            END"""
+        )
+        return _split("decay", d, credits)
+
     for model in models:
         if model == "first":
             rows = _single("first", "__first")
         elif model == "last":
             rows = _single("last", "__last")
+        elif model == "position":
+            rows = _split("position", conv, position_credits)
+        elif model == "decay":
+            rows = _decay_rows()
         else:
             n_t = F.size("__chans")
             touched = (

@@ -1,7 +1,8 @@
-"""attribution_credit (first/last/linear-touch marketing attribution):
-equality against a Python brute force — strict-earlier touch window,
-equal-timestamp tie resolution via the struct min/max, exact ppm linear
-split, the (direct) fallback, and lookback-boundary edges.
+"""attribution_credit (first/last/linear/position/decay marketing
+attribution): equality against a Python brute force — strict-earlier
+touch window, equal-timestamp tie resolution via the struct min/max,
+exact ppm splits (linear, U-shaped 40-20-40, quantized half-life
+decay), the (direct) fallback, and lookback-boundary edges.
 """
 
 from __future__ import annotations
@@ -53,10 +54,36 @@ def _brute(rows):
                     e2 = out.setdefault(("linear", ch), [0, 0])
                     e2[0] += 1
                     e2[1] += ppm
+                srt = sorted(touches)
+                n = len(srt)
+                if n == 1:
+                    credits = [(srt[0][1], 1_000_000)]
+                elif n == 2:
+                    credits = [(srt[0][1], 500_000), (srt[1][1], 500_000)]
+                else:
+                    credits = (
+                        [(srt[0][1], 400_000)]
+                        + [(t[1], 200_000 // (n - 2)) for t in srt[1:-1]]
+                        + [(srt[-1][1], 400_000)]
+                    )
+                for ch, ppm2 in credits:
+                    e2 = out.setdefault(("position", ch), [0, 0])
+                    e2[0] += 1
+                    e2[1] += ppm2
+                hl = 86_400_000_000
+                ks = [(c_us - tu) // hl for tu, _ in srt]
+                kmin = min(ks)
+                ws = [1 << (40 - min(k - kmin, 40)) for k in ks]
+                sumw = sum(ws)
+                for (tu, ch), w in zip(srt, ws):
+                    e2 = out.setdefault(("decay", ch), [0, 0])
+                    e2[0] += 1
+                    e2[1] += (1_000_000 * w) // sumw
             else:
-                e2 = out.setdefault(("linear", "(direct)"), [0, 0])
-                e2[0] += 1
-                e2[1] += 1_000_000
+                for model in ("linear", "position", "decay"):
+                    e2 = out.setdefault((model, "(direct)"), [0, 0])
+                    e2[0] += 1
+                    e2[1] += 1_000_000
     return {k: tuple(v) for k, v in out.items()}
 
 
@@ -67,6 +94,8 @@ def _run(spark, rows):
         is_touch=F.col("et").isin(*TOUCH_TYPES),
         is_conversion=F.col("et") == "purchase",
         lookback="7 days",
+        models=("first", "last", "linear", "position", "decay"),
+        half_life="1 day",
     ).collect()
     return {
         (r["model"], r["channel"]): (r["conversions"], r["credit_ppm"])
@@ -132,6 +161,16 @@ class TestAttribution:
             attribution_credit(
                 df, "ts", "u", "et", F.lit(True), F.lit(False),
                 lookback="soon",
+            )
+        with pytest.raises(ValueError):
+            attribution_credit(
+                df, "ts", "u", "et", F.lit(True), F.lit(False),
+                models=("linear", "linear"),
+            )
+        with pytest.raises(ValueError):
+            attribution_credit(
+                df, "ts", "u", "et", F.lit(True), F.lit(False),
+                models=("decay",), half_life="eventually",
             )
 
     @settings(max_examples=15, deadline=None)
