@@ -1071,8 +1071,12 @@ def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     # exact Jaccard) — it shares no algorithmic structure with the
     # prefix-filter plan, so agreement proves the filters are lossless,
     # not merely replayed.
+    # pin=False here (r12): declared queries are PLANS ONLY — no
+    # side-effecting localCheckpoint job inside queries(). pin=True
+    # stays the documented knob for long sessions that re-consume the
+    # shingled table (see prefix_jaccard_join's docstring).
     pp = prefix_jaccard_join(
-        docs, "text", "doc_id", threshold_num=1, threshold_den=2
+        docs, "text", "doc_id", threshold_num=1, threshold_den=2, pin=False
     )
     pp_rows = pp.select(
         F.lit("ppjoin").alias("tier"),

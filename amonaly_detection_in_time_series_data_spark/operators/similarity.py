@@ -1063,10 +1063,16 @@ def prefix_jaccard_join(
       ``pin=False`` for a purely declarative plan.
     - verification is TWO-stage: a 64-bit-hash intersect screen first
       (``xxhash64`` arrays — long comparisons, no string equality),
-      then the exact string intersect only on its survivors. Hash
-      collisions can only INFLATE the screen's intersect (a shared
-      gram always matches), so the screen never drops a qualifying
-      pair and the string stage keeps the result exact. Measured: the
+      then the exact string intersect only on its survivors. A shared
+      gram always matches its own hash, so collisions between
+      NON-shared grams only inflate the screen's intersect; the one
+      theoretical exception is two DISTINCT shared grams colliding to
+      the same 64-bit hash — ``array_intersect`` deduplicates, so the
+      hash intersect would then undercount the string intersect by
+      one and a pair sitting exactly at the threshold could be
+      screened out (probability ~2^-64 per gram pair — astronomically
+      unlikely, but the screen is "lossless" only up to that caveat;
+      the string stage keeps every SURVIVOR exact). Measured: the
       screen passes ~the true result set and cuts verify 4.2 s ->
       1.8 s; end-to-end warm 6.1 s -> ~3.5 s.
     """
