@@ -1003,7 +1003,9 @@ def prefix_jaccard_join(
     shingle_n: int = 3,
     positional: bool = True,
     pin: bool = True,
-) -> DataFrame:
+    max_gram_df: int | None = None,
+    return_excluded: bool = False,
+):
     """EXACT Jaccard-threshold similarity self-join via prefix filtering
     — AllPairs (Bayardo, Ma, Srikant, WWW'07) with PPJoin's positional
     filter (Xiao, Wang, Lin, Yuan, WWW'08). The deterministic complement
@@ -1042,8 +1044,17 @@ def prefix_jaccard_join(
     all-pairs; candidate generation is bounded by prefix-bucket sizes,
     which rarest-first ordering keeps near-uniform. The known adversary
     is a gram that is BOTH high-frequency and prefix-resident (tiny docs
-    at low thresholds) — the same mega-bucket regime as MinHash-LSH;
-    cap or drop top-df grams there (stopword-gram removal) if it bites.
+    at low thresholds) — the same mega-bucket regime as MinHash-LSH.
+    ``max_gram_df`` is the cap knob for it: grams with document
+    frequency above the cap are dropped from the PREFIX INDEX ONLY
+    (verification still uses full gram sets), bounding every
+    prefix-bucket's candidate fanout to C(cap, 2). The trade is
+    recall, not precision: a pair whose EVERY shared prefix gram is
+    over the cap loses its only index entry and is missed (the classic
+    stopword-prefix trade — survivors stay exact). With
+    ``return_excluded=True`` returns ``(pairs, excluded)`` where
+    ``excluded`` is the dropped (gram, df) table — declarative, the
+    loud-count channel of the other capped joins.
 
     Output: ``id_a < id_b``, exact ``jaccard`` (double), ``inter``,
     ``size_a``, ``size_b`` (gram-set cardinalities). Empty-gram docs
@@ -1080,6 +1091,14 @@ def prefix_jaccard_join(
     if not 0 < p <= q:
         raise ValueError(
             f"prefix_jaccard_join: threshold must be in (0,1]: got {p}/{q}"
+        )
+    if return_excluded and max_gram_df is None:
+        raise ValueError(
+            "prefix_jaccard_join: return_excluded requires max_gram_df"
+        )
+    if max_gram_df is not None and max_gram_df < 1:
+        raise ValueError(
+            f"prefix_jaccard_join: max_gram_df must be >= 1, got {max_gram_df}"
         )
     sets = (
         docs.withColumn("__toks", tokenize(F.col(text_col)))
@@ -1121,6 +1140,15 @@ def prefix_jaccard_join(
         "sz",
         F.posexplode(F.slice("toks", F.lit(1), plen)).alias("pos0", "gram"),
     ).select("id", "sz", (F.col("pos0") + 1).alias("pos"), "gram")
+    excluded = None
+    if max_gram_df is not None:
+        # over-cap grams are few by construction (<= total gram
+        # occurrences / cap), so the anti-join broadcast stays tiny
+        hot = tok_df.filter(F.col("df") > max_gram_df)
+        prefix = prefix.join(
+            F.broadcast(hot.select("gram")), "gram", "left_anti"
+        )
+        excluded = hot.select("gram", "df")
     a = prefix.select(
         F.col("id").alias("id_a"),
         F.col("sz").alias("sz_a"),
@@ -1199,7 +1227,7 @@ def prefix_jaccard_join(
             >= F.lit(p) * (F.col("size_a") + F.col("size_b"))
         )
     )
-    return verified.select(
+    pairs = verified.select(
         "id_a",
         "id_b",
         (
@@ -1210,3 +1238,6 @@ def prefix_jaccard_join(
         F.col("size_a").cast("bigint").alias("size_a"),
         F.col("size_b").cast("bigint").alias("size_b"),
     )
+    if return_excluded:
+        return pairs, excluded
+    return pairs
