@@ -148,6 +148,47 @@ def main() -> None:
         "plan": calib_fp,
     }
 
+    # r12 second probe (r11 verdict task 3): SCALING §15's fourth
+    # session showed the pure-CPU probe above under-tracks IO/py4j-
+    # flavored host drift (all fingerprints byte-identical, normalized
+    # wall still +23%). This probe carries the HEADLINE's physical mix
+    # instead: a real parquet scan off disk, a 32-partition shuffle +
+    # hash aggregate, and a per-repetition py4j plan build (the
+    # DataFrame is reconstructed each rep, exactly like the headline
+    # loop). Cross-round normalization should report BOTH ratios; when
+    # they disagree, the drift is flavored and per-query fingerprints
+    # decide attribution.
+    def calibration_io_df():
+        cust = spark.read.parquet(os.path.join(sf_dir, "customer.parquet"))
+        return (
+            cust.repartition(32, "c_nationkey")
+            .groupBy("c_nationkey")
+            .agg(
+                F.count("*").alias("n"),
+                F.sum("c_acctbal").alias("s"),
+                F.max("c_name").alias("mx"),
+            )
+        )
+
+    calib_io_fp = plan_fingerprint(calibration_io_df())
+    io_minus_gc: list[float] = []
+    io_walls: list[float] = []
+    for _ in range(5):
+        gc0 = jvm_gc_ms()
+        start = time.perf_counter()
+        calibration_io_df().write.format("noop").mode("overwrite").save()
+        elapsed = time.perf_counter() - start
+        gc_sec = (jvm_gc_ms() - gc0) / 1000.0
+        io_walls.append(elapsed)
+        io_minus_gc.append(elapsed - gc_sec)
+    calibration_io_s = round(sorted(io_minus_gc)[len(io_minus_gc) // 2], 3)
+    calibration_io_detail = {
+        "median_wall": round(sorted(io_walls)[len(io_walls) // 2], 3),
+        "best": round(min(io_walls), 3),
+        "gc": round(sum(w - m for w, m in zip(io_walls, io_minus_gc)), 3),
+        "plan": calib_io_fp,
+    }
+
     # r8 noise protocol (the r7 drift investigation showed best-of-3 is
     # not enough on this host — same-code runs spread >4x): 5 in-session
     # repetitions per query, each with its JVM GC time measured, and the
@@ -267,6 +308,8 @@ def main() -> None:
         "longdoc_ladder_16docs": longdoc,
         "calibration_s": calibration_s,
         "calibration_detail": calibration_detail,
+        "calibration_io_s": calibration_io_s,
+        "calibration_io_detail": calibration_io_detail,
         "sf": float(sf) if sf else sf_dir,
     }
     # The driver archives only a bounded stdout tail window; r9 lost the
@@ -294,6 +337,7 @@ def main() -> None:
                 "queries": timings,
                 "n_queries": len(timings),
                 "calibration_s": calibration_s,
+                "calibration_io_s": calibration_io_s,
                 "sf": float(sf) if sf else sf_dir,
                 "trailer": True,
             }
