@@ -1521,3 +1521,92 @@ def streaming_hist(
     return hist_sketch(
         events, list(key_cols), value_col, lo, hi, n_bins, prefix
     )
+
+
+def streaming_transitions(
+    events: DataFrame,
+    session_cols: Sequence[str] = ("user_id",),
+    order_cols: Sequence[str] = ("ts", "event_id"),
+    type_col: str = "event_type",
+    ts_col: str = "ts",
+    timeout_minutes: int | None = 60,
+) -> DataFrame:
+    """Online user-journey transition events per session — the
+    streaming face of :func:`operators.product_analytics.
+    transition_matrix`'s lag step (the k x k count/probability matrix
+    is an open aggregation and stays a downstream
+    update-mode/foreachBatch concern; the WALK itself is the
+    O(1)-state part a stream can own, exactly the
+    :func:`streaming_episode_assign` split).
+
+    State is the last event type per session key (one string + a
+    has-seen flag) — the ``lag`` recurrence. Each arriving row beyond
+    the session's first emits one append-mode transition row
+    ``(session_cols..., order_cols..., from_type, to_type)``; grouping
+    those by (from_type, to_type) reproduces the batch matrix's ``cnt``
+    EXACTLY on in-order replay (asserted in the parity test). A null
+    PREVIOUS type emits nothing — the batch operator's
+    ``lag IS NOT NULL`` filter cannot distinguish "no previous" from
+    "previous was null", and the twin mirrors that contract; a null
+    CURRENT type is emitted as a transition to null and becomes the
+    next row's (suppressed) predecessor.
+    """
+    import pandas as pd  # noqa: F401
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    keys = list(session_cols)
+    order = list(order_cols)
+    key_schema = ", ".join(
+        f"{f.name} {f.dataType.simpleString()}"
+        for f in events.select(*keys).schema.fields
+    )
+    order_schema = ", ".join(
+        f"{f.name} {f.dataType.simpleString()}"
+        for f in events.select(*order).schema.fields
+    )
+    out_schema = (
+        f"{key_schema}, {order_schema}, from_type string, to_type string"
+    )
+    state_schema = "has_last boolean, last_type string"
+
+    def walk(key, pdf_iter, state):
+        import pandas as pd
+
+        if state.hasTimedOut:
+            state.remove()
+            return
+
+        has_last, last_type = state.get if state.exists else (False, None)
+        rows = []
+        for pdf in pdf_iter:
+            pdf = pdf.sort_values(order)
+            for _, r in pdf.iterrows():
+                cur = r[type_col]
+                cur = None if pd.isna(cur) else str(cur)
+                if has_last and last_type is not None:
+                    rows.append(
+                        (*key, *(r[c] for c in order), last_type, cur)
+                    )
+                has_last, last_type = True, cur
+        state.update((has_last, last_type))
+        if timeout_minutes is not None:
+            state.setTimeoutDuration(timeout_minutes * 60 * 1000)
+        yield pd.DataFrame(
+            rows, columns=[*keys, *order, "from_type", "to_type"]
+        )
+
+    return (
+        events.withWatermark(ts_col, "2 hours")
+        .groupBy(*keys)
+        .applyInPandasWithState(
+            walk,
+            outputStructType=out_schema,
+            stateStructType=state_schema,
+            outputMode="append",
+            timeoutConf=(
+                GroupStateTimeout.ProcessingTimeTimeout
+                if timeout_minutes is not None
+                else GroupStateTimeout.NoTimeout
+            ),
+        )
+    )

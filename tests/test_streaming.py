@@ -1451,3 +1451,104 @@ class TestStreamingForecast:
             streaming_theta(df, min_points=1)
         with pytest.raises(ValueError, match="alpha"):
             streaming_croston(df, alpha=0.0)
+
+
+class TestStreamingTransitions:
+    """streaming_transitions (r12): the lag walk of transition_matrix
+    with one string of state per session key. Aggregating the streamed
+    transition rows reproduces the batch matrix's cnt (and hence prob
+    — same integer divisions) EXACTLY on in-order multi-micro-batch
+    replay."""
+
+    def test_matches_batch_matrix_exactly(self, spark, sf_dir, tmp_path):
+        from amonaly_detection_in_time_series_data_spark.operators.product_analytics import (
+            transition_matrix,
+        )
+        from amonaly_detection_in_time_series_data_spark.streaming.rolling import (
+            streaming_transitions,
+        )
+
+        ev = load_table(spark, sf_dir, "events").select(
+            "user_id", "ts", "event_id", "event_type"
+        )
+        batch = {
+            (r["from_type"], r["to_type"]): (r["cnt"], r["prob"])
+            for r in transition_matrix(
+                ev, ["user_id"], ["ts", "event_id"], "event_type"
+            ).collect()
+        }
+
+        stream = TestStreamingForecast._replay_grid(
+            spark, ev, tmp_path, "trans_g"
+        )
+        out = streaming_transitions(
+            stream,
+            session_cols=["user_id"],
+            order_cols=["ts", "event_id"],
+            type_col="event_type",
+            timeout_minutes=None,
+        )
+        assert out.isStreaming
+        _run_stream_to_memory(out, "trans_s", "append")
+        rows = spark.sql(
+            "SELECT from_type, to_type, count(*) AS cnt FROM trans_s "
+            "GROUP BY from_type, to_type"
+        ).collect()
+        cnts = {(r["from_type"], r["to_type"]): r["cnt"] for r in rows}
+        froms: dict[str, int] = {}
+        for (f_, _), c in cnts.items():
+            froms[f_] = froms.get(f_, 0) + c
+        got = {
+            k: (c, c / froms[k[0]]) for k, c in cnts.items()
+        }
+        assert got == batch and len(batch) > 0
+
+    def test_session_boundary_and_null_types(self, spark, tmp_path):
+        # transitions never cross the session key; a null PREVIOUS type
+        # suppresses the emission (the batch lag-filter contract) while
+        # a null CURRENT type is a transition TO null
+        import datetime as dt
+
+        from amonaly_detection_in_time_series_data_spark.operators.product_analytics import (
+            transition_matrix,
+        )
+        from amonaly_detection_in_time_series_data_spark.streaming.rolling import (
+            streaming_transitions,
+        )
+
+        B = dt.datetime(2024, 1, 1)
+        rows = [
+            (1, B, 1, "a"),
+            (1, B, 2, None),
+            (1, B + dt.timedelta(minutes=1), 3, "b"),
+            (1, B + dt.timedelta(minutes=2), 4, "c"),
+            (2, B, 5, "x"),
+            (2, B + dt.timedelta(minutes=1), 6, "x"),
+        ]
+        ev = spark.createDataFrame(
+            rows, "user_id bigint, ts timestamp, event_id bigint, event_type string"
+        )
+        batch = {
+            (r["from_type"], r["to_type"]): r["cnt"]
+            for r in transition_matrix(
+                ev, ["user_id"], ["ts", "event_id"], "event_type"
+            ).collect()
+        }
+        stream = TestStreamingForecast._replay_grid(
+            spark, ev, tmp_path, "trans_null_g"
+        )
+        out = streaming_transitions(
+            stream,
+            session_cols=["user_id"],
+            order_cols=["ts", "event_id"],
+            timeout_minutes=None,
+        )
+        _run_stream_to_memory(out, "trans_null_s", "append")
+        got_rows = spark.sql("SELECT * FROM trans_null_s").collect()
+        got = {}
+        for r in got_rows:
+            k = (r["from_type"], r["to_type"])
+            got[k] = got.get(k, 0) + 1
+        assert got == batch
+        assert ("a", None) in got       # transition TO null is real
+        assert all(f_ is not None for f_, _ in got)  # never FROM null
