@@ -283,13 +283,28 @@ def basket_rules(
     ).distinct()
     excluded = None
     if max_basket_size is not None:
-        over = (
-            b.groupBy("__basket")
-            .agg(F.count(F.lit(1)).alias("basket_size"))
-            .filter(F.col("basket_size") > max_basket_size)
+        # windowed count, NOT a sizes-groupBy + anti-join: one
+        # basket-keyed exchange instead of a second full pass over the
+        # distinct table. Measured (SCALING §10a0d): free at 6M
+        # lineitem rows (4.22 vs 4.69 s uncapped); at 60M rows the
+        # window's per-partition SORT prices the cap at +36% over
+        # uncapped (20.8 vs 15.3 s) — roughly 2x cheaper than the
+        # anti-join form at the same scale, and on data where the cap
+        # BINDS it deletes C(k,2) pair blowups that dwarf it
+        from pyspark.sql import Window as _W
+
+        sized = b.withColumn(
+            "__bsz", F.count(F.lit(1)).over(_W.partitionBy("__basket"))
         )
-        b = b.join(F.broadcast(over.select("__basket")), "__basket", "left_anti")
-        excluded = over.select(F.col("__basket").alias("basket"), "basket_size")
+        excluded = (
+            sized.filter(F.col("__bsz") > max_basket_size)
+            .select(
+                F.col("__basket").alias("basket"),
+                F.col("__bsz").alias("basket_size"),
+            )
+            .distinct()
+        )
+        b = sized.filter(F.col("__bsz") <= max_basket_size).drop("__bsz")
     totals = b.groupBy().agg(
         F.countDistinct("__basket").alias("__n_baskets")
     )
