@@ -1554,12 +1554,34 @@ def q_cube_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("credit_ppm") / F.lit(1_000_000.0)).alias("total"),
         F.col("conversions").cast("bigint").alias("n_orders"),
     )
+    # Merged r12: 3-step journey-path mining — the transition matrix's
+    # k-deep sibling (top paths by count, exact integer share). Rides
+    # the same user-keyed window exchange family; top-50 deterministic
+    # (cnt desc, path asc).
+    from amonaly_detection_in_time_series_data_spark.operators.product_analytics import (
+        journey_paths,
+    )
+    from amonaly_detection_in_time_series_data_spark.operators.relational import (
+        top_k_global,
+    )
+
+    paths = journey_paths(ev, ["user_id"], ["ts", "event_id"], "event_type", k=3)
+    path_rows = top_k_global(
+        paths, [F.col("cnt").desc(), F.col("path").asc()], 50
+    ).select(
+        F.lit("path3").alias("op"),
+        F.col("path").alias("c_mktsegment"),
+        F.lit(None).cast("string").alias("o_orderpriority"),
+        F.col("share").alias("total"),
+        F.col("cnt").alias("n_orders"),
+    )
     return (
         relational.unionByName(fun)
         .unionByName(coh)
         .unionByName(basket)
         .unionByName(rfm_rows)
         .unionByName(att_rows)
+        .unionByName(path_rows)
     )
 
 
@@ -4651,6 +4673,33 @@ FROM (
   UNION ALL
   SELECT 'attrib_decay', channel, conversions, credit_ppm FROM adecay
 ) AS a
+UNION ALL
+-- path3 (merged r12): 3-step journey-path mining — two lags over the
+-- same (user; ts, event_id) window, NULL-bearing runs dropped (the
+-- transition-matrix lag-filter convention), share = same-integer
+-- division, top-50 by (cnt desc, path asc)
+SELECT 'path3' AS op, p.path AS c_mktsegment,
+       CAST(NULL AS VARCHAR) AS o_orderpriority,
+       p.share AS total, p.cnt AS n_orders
+FROM (
+  WITH runs AS (
+    SELECT lag(event_type, 2) OVER w AS s0,
+           lag(event_type, 1) OVER w AS s1,
+           event_type AS s2
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+  ),
+  pc AS (
+    SELECT s0 || '>' || s1 || '>' || s2 AS path, count(*) AS cnt
+    FROM runs
+    WHERE s0 IS NOT NULL AND s1 IS NOT NULL AND s2 IS NOT NULL
+    GROUP BY 1
+  )
+  SELECT path, cnt, cnt / sum(cnt) OVER () AS share
+  FROM pc
+  ORDER BY cnt DESC, path ASC
+  LIMIT 50
+) AS p
 UNION ALL
 -- RFM segmentation (merged r11): exact centi-unit monetary, linear
 -- quantile boundaries (quantile_cont == Spark percentile on integer

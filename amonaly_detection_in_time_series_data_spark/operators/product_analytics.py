@@ -31,6 +31,7 @@ from pyspark.sql import functions as F
 
 __all__ = [
     "basket_rules",
+    "journey_paths",
     "funnel_steps",
     "funnel_user_depth",
     "cohort_retention",
@@ -218,6 +219,53 @@ def transition_matrix(
     return counts.withColumn(
         "prob",
         F.col("cnt").cast("double") / F.sum("cnt").over(tot).cast("double"),
+    )
+
+
+def journey_paths(
+    df: DataFrame,
+    session_cols: Sequence[str],
+    order_cols: Sequence[str],
+    type_col: str = "event_type",
+    k: int = 3,
+    sep: str = ">",
+) -> DataFrame:
+    """k-step user-journey path mining: counts of every length-``k``
+    run of consecutive within-session event types — the
+    :func:`transition_matrix` generalization that answers "what are the
+    top PATHS users take" (the sankey's k-deep variant; ClickHouse's
+    ``sequenceCount`` family, Amplitude's Pathfinder).
+
+    Output: ``path`` (types joined by ``sep``), ``cnt``, ``share``
+    (cnt / total paths — same-integer division, engine-portable).
+    A run containing a NULL type anywhere is dropped (the
+    transition-matrix lag-filter convention: a NULL cannot name a
+    step). Runs never cross the session key.
+
+    Scale shape: k-1 ``lag`` columns on ONE session-keyed window
+    exchange (shared with any sessionizer/transition plan), then a
+    groupBy bounded by the type vocabulary^k — the share window runs
+    over that small grouped table, never the events.
+    """
+    if k < 2:
+        raise ValueError(f"journey_paths: k must be >= 2, got {k}")
+    from pyspark.sql import Window as W
+
+    w = W.partitionBy(*session_cols).orderBy(*order_cols)
+    steps = [
+        F.lag(F.col(type_col), k - 1 - i).over(w).alias(f"__s{i}")
+        for i in range(k - 1)
+    ] + [F.col(type_col).alias(f"__s{k - 1}")]
+    cond = F.col("__s0").isNotNull()
+    for i in range(1, k):
+        cond = cond & F.col(f"__s{i}").isNotNull()
+    runs = df.select(*steps).filter(cond)
+    counts = runs.groupBy(
+        F.concat_ws(sep, *[F.col(f"__s{i}") for i in range(k)]).alias("path")
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
+    total = W.partitionBy()
+    return counts.withColumn(
+        "share", F.col("cnt") / F.sum("cnt").over(total)
     )
 
 

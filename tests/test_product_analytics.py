@@ -235,3 +235,64 @@ class TestTransitionMatrix:
         sums = tm.groupBy("from_type").agg(SF.sum("prob").alias("s")).collect()
         for r in sums:
             assert r["s"] == pytest.approx(1.0)
+
+
+class TestJourneyPaths:
+    """journey_paths (r12): length-k run counts vs a Python brute
+    force — session boundaries, NULL-run dropping, exact shares."""
+
+    def _brute(self, rows, k):
+        by_u = {}
+        for u, ts, eid, et in rows:
+            by_u.setdefault(u, []).append((ts, eid, et))
+        counts = {}
+        for evs in by_u.values():
+            evs.sort()
+            types = [e[2] for e in evs]
+            for i in range(len(types) - k + 1):
+                run = types[i:i + k]
+                if any(t is None for t in run):
+                    continue
+                counts[">".join(run)] = counts.get(">".join(run), 0) + 1
+        total = sum(counts.values())
+        return {p: (c, c / total) for p, c in counts.items()}
+
+    def test_matches_brute_force(self, spark):
+        import datetime as dt
+
+        from amonaly_detection_in_time_series_data_spark.operators.product_analytics import (
+            journey_paths,
+        )
+
+        B = dt.datetime(2024, 1, 1)
+        rows = [
+            (1, B, 1, "a"), (1, B, 2, "b"), (1, B, 3, "c"), (1, B, 4, "a"),
+            (2, B, 5, "a"), (2, B, 6, "b"), (2, B, 7, None), (2, B, 8, "c"),
+            (3, B, 9, "a"), (3, B, 10, "b"),  # too short for k=3
+        ]
+        df = spark.createDataFrame(
+            rows, "u bigint, ts timestamp, eid bigint, et string"
+        )
+        for k in (2, 3):
+            got = {
+                r["path"]: (r["cnt"], r["share"])
+                for r in journey_paths(
+                    df, ["u"], ["ts", "eid"], "et", k=k
+                ).collect()
+            }
+            assert got == self._brute(rows, k)
+        # sessions never crossed: user 3's 'b' followed by user 1's 'a'
+        # would fabricate b>a at k=2 — assert absent unless organic
+        got2 = self._brute(rows, 2)
+        assert "c>a" in got2  # within user 1
+
+    def test_k_validation(self, spark):
+        import pytest as _pytest
+
+        from amonaly_detection_in_time_series_data_spark.operators.product_analytics import (
+            journey_paths,
+        )
+
+        df = spark.createDataFrame([(1, 1, "a")], ["u", "o", "et"])
+        with _pytest.raises(ValueError):
+            journey_paths(df, ["u"], ["o"], "et", k=1)
