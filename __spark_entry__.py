@@ -1469,6 +1469,20 @@ def q_cube_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("conv_from_first").alias("total"),
         F.col("users").cast("bigint").alias("n_orders"),
     )
+    # r12: the anchored window-funnel tier — same walk, every step must
+    # land within 3 days of the user's FIRST signup (the deadline face
+    # of windowFunnel; anchoring keeps the greedy walk SQL-replayable)
+    fun_w = funnel_steps(
+        ev, "ts", "user_id", "event_type",
+        ["signup", "view", "click", "purchase"], within="3 days",
+    ).select(
+        F.lit("funnel_w").alias("op"),
+        F.col("step_name").alias("c_mktsegment"),
+        F.col("step_idx").cast("string").alias("o_orderpriority"),
+        F.col("conv_from_first").alias("total"),
+        F.col("users").cast("bigint").alias("n_orders"),
+    )
+    fun = fun.unionByName(fun_w)
     coh = cohort_retention(ev, "ts", "user_id", period="day").select(
         F.lit("cohort").alias("op"),
         F.col("cohort").cast("string").alias("c_mktsegment"),
@@ -4500,6 +4514,42 @@ CROSS JOIN (
        t4 AS (SELECT e.user_id, min(e.ts) AS ts4 FROM events e
               JOIN t3 ON e.user_id = t3.user_id
               WHERE e.event_type = 'purchase' AND e.ts > t3.ts3 GROUP BY e.user_id)
+  SELECT (SELECT count(*) FROM t1) AS s1, (SELECT count(*) FROM t2) AS s2,
+         (SELECT count(*) FROM t3) AS s3, (SELECT count(*) FROM t4) AS s4
+) AS f
+UNION ALL
+-- anchored window funnel (merged r12): the same greedy chain with a
+-- deadline — every step within 3 days of the user's FIRST signup (the
+-- anchor; max-over-chains windowFunnel is deliberately NOT computed,
+-- it has no SQL replay)
+SELECT 'funnel_w' AS op, s.step_name AS c_mktsegment,
+       CAST(s.step_idx AS VARCHAR) AS o_orderpriority,
+       CASE WHEN f.s1 > 0 THEN
+         CAST(CASE s.step_idx WHEN 1 THEN f.s1 WHEN 2 THEN f.s2
+              WHEN 3 THEN f.s3 ELSE f.s4 END AS DOUBLE) / f.s1
+       END AS total,
+       CASE s.step_idx WHEN 1 THEN f.s1 WHEN 2 THEN f.s2
+            WHEN 3 THEN f.s3 ELSE f.s4 END AS n_orders
+FROM (VALUES (1, 'signup'), (2, 'view'), (3, 'click'), (4, 'purchase'))
+     AS s(step_idx, step_name)
+CROSS JOIN (
+  WITH t1 AS (SELECT user_id, min(ts) AS ts1 FROM events
+              WHERE event_type = 'signup' GROUP BY user_id),
+       t2 AS (SELECT e.user_id, t1.ts1, min(e.ts) AS ts2 FROM events e
+              JOIN t1 ON e.user_id = t1.user_id
+              WHERE e.event_type = 'view' AND e.ts > t1.ts1
+                AND e.ts <= t1.ts1 + INTERVAL 3 DAY
+              GROUP BY e.user_id, t1.ts1),
+       t3 AS (SELECT e.user_id, t2.ts1, min(e.ts) AS ts3 FROM events e
+              JOIN t2 ON e.user_id = t2.user_id
+              WHERE e.event_type = 'click' AND e.ts > t2.ts2
+                AND e.ts <= t2.ts1 + INTERVAL 3 DAY
+              GROUP BY e.user_id, t2.ts1),
+       t4 AS (SELECT e.user_id, min(e.ts) AS ts4 FROM events e
+              JOIN t3 ON e.user_id = t3.user_id
+              WHERE e.event_type = 'purchase' AND e.ts > t3.ts3
+                AND e.ts <= t3.ts1 + INTERVAL 3 DAY
+              GROUP BY e.user_id)
   SELECT (SELECT count(*) FROM t1) AS s1, (SELECT count(*) FROM t2) AS s2,
          (SELECT count(*) FROM t3) AS s3, (SELECT count(*) FROM t4) AS s4
 ) AS f

@@ -47,10 +47,22 @@ def funnel_user_depth(
     user_col: str,
     event_col: str,
     steps: Sequence[str],
+    within: str | None = None,
 ) -> DataFrame:
     """Per-user funnel depth: how many of ``steps`` the user completed
     in order, each at a strictly later timestamp than the previous.
     Returns one row per user: ``user_col``, ``funnel_depth`` (0..k).
+
+    ``within`` (r12, e.g. ``"3 days"``): the ANCHORED window-funnel
+    variant (the deadline face of ClickHouse's ``windowFunnel``) —
+    every completed step must fall within ``within`` of the user's
+    FIRST step-1 event (the anchor; "the first signup starts the
+    clock"). Anchoring at the earliest step-1 keeps the walk greedy
+    and therefore exactly SQL-expressible (the chained min-over-filter
+    CTEs gain one bound) — the full max-over-all-chains windowFunnel
+    semantics is NOT SQL-replayable and deliberately not what this
+    computes; a user whose deep chain starts at a LATER step-1 scores
+    shallower here. Documented contract, deterministic.
 
     One shuffle (the groupBy); the walk itself is a Catalyst
     ``aggregate`` HOF over the sorted event array — JVM-side, no UDF.
@@ -60,23 +72,58 @@ def funnel_user_depth(
         raise ValueError("funnel_steps: need at least one step")
     if len(set(steps)) != k:
         raise ValueError(f"funnel_steps: steps must be distinct, got {steps!r}")
+    within_us = None
+    if within is not None:
+        import re as _re
+
+        m = _re.fullmatch(r"(\d+)\s*(day|days|hour|hours)", within.strip())
+        if not m:
+            raise ValueError(
+                f"funnel: within must be '<n> days|hours', got {within!r}"
+            )
+        within_us = int(m.group(1)) * (
+            86_400_000_000 if m.group(2).startswith("day") else 3_600_000_000
+        )
     step_arr = F.array(*[F.lit(s) for s in steps])
     events = F.sort_array(
         F.collect_list(F.struct(F.col(ts_col).alias("ts"), F.col(event_col).alias("ev")))
     )
-    # acc: (done steps, timestamp of the last completed step)
+
+    # acc: (done steps, anchor = ts of step 1, ts of the last completed
+    # step)
+    def advance(acc, e):
+        ok = (
+            (acc["done"] < k)
+            & (e["ev"] == F.get(step_arr, acc["done"]))
+            & ((acc["done"] == 0) | (e["ts"] > acc["last"]))
+        )
+        if within_us is not None:
+            ok = ok & (
+                (acc["done"] == 0)
+                | (
+                    F.unix_micros(e["ts"])
+                    <= F.unix_micros(acc["first"]) + F.lit(within_us)
+                )
+            )
+        return F.when(
+            ok,
+            F.struct(
+                (acc["done"] + 1).alias("done"),
+                F.when(acc["done"] == 0, e["ts"])
+                .otherwise(acc["first"])
+                .alias("first"),
+                e["ts"].alias("last"),
+            ),
+        ).otherwise(acc)
+
     walk = F.aggregate(
         events,
         F.struct(
             F.lit(0).alias("done"),
+            F.lit("1900-01-01 00:00:00").cast("timestamp").alias("first"),
             F.lit("1900-01-01 00:00:00").cast("timestamp").alias("last"),
         ),
-        lambda acc, e: F.when(
-            (acc["done"] < k)
-            & (e["ev"] == F.get(step_arr, acc["done"]))
-            & ((acc["done"] == 0) | (e["ts"] > acc["last"])),
-            F.struct((acc["done"] + 1).alias("done"), e["ts"].alias("last")),
-        ).otherwise(acc),
+        advance,
     )
     return (
         df.select(user_col, ts_col, event_col)
@@ -92,19 +139,21 @@ def funnel_steps(
     user_col: str,
     event_col: str,
     steps: Sequence[str],
+    within: str | None = None,
 ) -> DataFrame:
     """Funnel conversion table: one row per step with ``step_idx``
     (1-based), ``step_name``, ``users`` (users whose ordered walk
     reached at least this step), ``conv_from_first`` and
     ``conv_from_prev`` (exact integer-ratio doubles, unrounded; null
     when the base is 0 — and ``conv_from_first`` is 1.0 on the first
-    step by definition).
+    step by definition). ``within``: the anchored window-funnel
+    deadline (see :func:`funnel_user_depth`).
 
     Steps with zero users still appear (count 0), so the output always
     has exactly ``len(steps)`` rows.
     """
     k = len(steps)
-    depth = funnel_user_depth(df, ts_col, user_col, event_col, steps)
+    depth = funnel_user_depth(df, ts_col, user_col, event_col, steps, within)
     # users reaching >= step i, for i = 1..k: tiny k-row aggregate
     reached = depth.select(
         *[

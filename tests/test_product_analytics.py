@@ -296,3 +296,79 @@ class TestJourneyPaths:
         df = spark.createDataFrame([(1, 1, "a")], ["u", "o", "et"])
         with _pytest.raises(ValueError):
             journey_paths(df, ["u"], ["o"], "et", k=1)
+
+
+class TestWindowFunnel:
+    """funnel with the r12 `within` deadline: greedy chain anchored at
+    the user's first step-1 event, every step within the window."""
+
+    @staticmethod
+    def _ref_depth_within(pdf, steps, within_s):
+        out = {}
+        for u, g in pdf.groupby("user_id"):
+            last = None
+            anchor = None
+            depth = 0
+            for s in steps:
+                cand = g[g.event == s]
+                if last is not None:
+                    cand = cand[cand.ts > last]
+                if anchor is not None:
+                    cand = cand[cand.ts <= anchor + pd.Timedelta(seconds=within_s)]
+                if len(cand) == 0:
+                    break
+                last = cand.ts.min()
+                if anchor is None:
+                    anchor = last
+                depth += 1
+            out[u] = depth
+        return out
+
+    def test_deadline_binds(self, spark):
+        rows = [
+            # u1: completes within 10s of signup
+            ("u1", 0, "signup"), ("u1", 3, "view"), ("u1", 8, "purchase"),
+            # u2: view inside, purchase OUTSIDE the window -> depth 2
+            ("u2", 0, "signup"), ("u2", 5, "view"), ("u2", 7200, "purchase"),
+            # u3: a LATER signup would allow full depth, but the anchor
+            # is the FIRST signup -> view at 7000 is out of window
+            ("u3", 0, "signup"), ("u3", 6995, "signup"),
+            ("u3", 7000, "view"), ("u3", 7001, "purchase"),
+        ]
+        df = _ev(spark, rows)
+        got = {
+            r["user_id"]: r["funnel_depth"]
+            for r in funnel_user_depth(
+                df, "ts", "user_id", "event", STEPS, within="1 hours"
+            ).collect()
+        }
+        want = self._ref_depth_within(df.toPandas(), STEPS, 3600)
+        assert got == dict(want)
+        assert got == {"u1": 3, "u2": 2, "u3": 1}
+
+    def test_no_deadline_identical_to_plain(self, spark):
+        rows = [
+            ("u1", 0, "signup"), ("u1", 5, "view"), ("u1", 9, "purchase"),
+            ("u2", 0, "signup"), ("u2", 400000, "view"),  # 277 days later
+        ]
+        df = _ev(spark, rows)
+        plain = {
+            r["user_id"]: r["funnel_depth"]
+            for r in funnel_user_depth(df, "ts", "user_id", "event", STEPS).collect()
+        }
+        wide = {
+            r["user_id"]: r["funnel_depth"]
+            for r in funnel_user_depth(
+                df, "ts", "user_id", "event", STEPS, within="365 days"
+            ).collect()
+        }
+        assert plain == wide
+
+    def test_bad_within_raises(self, spark):
+        import pytest as _pytest
+
+        df = _ev(spark, [("u1", 0, "signup")])
+        with _pytest.raises(ValueError):
+            funnel_user_depth(
+                df, "ts", "user_id", "event", STEPS, within="whenever"
+            )
