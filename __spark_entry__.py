@@ -1522,6 +1522,8 @@ def q_cube_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(_basket_row("basket_supp", "item_a", "item_b", "support"))
         .unionByName(_basket_row("basket_conf", "item_a", "item_b", "conf_a_b"))
         .unionByName(_basket_row("basket_conf", "item_b", "item_a", "conf_b_a"))
+        # r12: item-item co-occurrence cosine (pair_n / sqrt(n_a*n_b))
+        .unionByName(_basket_row("basket_cos", "item_a", "item_b", "cosine"))
     )
     # Merged r11: RFM customer segmentation over orders — exact
     # centi-unit monetary, quantile-boundary scoring (strict >, ties
@@ -4597,7 +4599,8 @@ FROM (
                 p.pair_n / t2.n_baskets AS support,
                 p.pair_n / a.n_item AS conf_a_b,
                 p.pair_n / bb.n_item AS conf_b_a,
-                (p.pair_n * t2.n_baskets) / (a.n_item * bb.n_item) AS lift
+                (p.pair_n * t2.n_baskets) / (a.n_item * bb.n_item) AS lift,
+                p.pair_n / sqrt(a.n_item * bb.n_item) AS cosine
          FROM pr p
          JOIN it a ON a.item = p.item_a
          JOIN it bb ON bb.item = p.item_b
@@ -4621,6 +4624,9 @@ FROM (
   UNION ALL
   SELECT 'basket_conf', CAST(item_b AS VARCHAR), CAST(item_a AS VARCHAR),
          conf_b_a, pair_n FROM top50
+  UNION ALL
+  SELECT 'basket_cos', CAST(item_a AS VARCHAR), CAST(item_b AS VARCHAR),
+         cosine, pair_n FROM top50
 ) AS t
 UNION ALL
 -- attribution (merged r11): independent replay — conversion x touch

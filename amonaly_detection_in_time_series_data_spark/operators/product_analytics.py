@@ -443,6 +443,13 @@ def basket_rules(
             (F.col("pair_n") * F.col("__n_baskets"))
             / (F.col("n_a") * F.col("n_b"))
         ).alias("lift"),
+        # item-item cosine over basket-presence vectors (Deshpande &
+        # Karypis item-based top-N): pair_n / sqrt(n_a*n_b) — the exact
+        # bigint product converts losslessly below 2^53 and sqrt/division
+        # are IEEE-correctly-rounded, so the score is engine-portable
+        (
+            F.col("pair_n") / F.sqrt(F.col("n_a") * F.col("n_b"))
+        ).alias("cosine"),
     )
     if return_excluded:
         return rules, excluded

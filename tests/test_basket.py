@@ -7,6 +7,7 @@ min_pair_count prune, NULL hygiene, and the known-lift fixture.
 from __future__ import annotations
 
 import itertools
+import math
 
 from hypothesis import given, settings
 from hypothesis import strategies as st
@@ -41,6 +42,7 @@ def _brute(rows, min_pair_count=2):
             pn / n_item[x],
             pn / n_item[y],
             (pn * n_baskets) / (n_item[x] * n_item[y]),
+            pn / math.sqrt(n_item[x] * n_item[y]),
         )
     return out
 
@@ -52,6 +54,7 @@ def _run(spark, rows, min_pair_count=2):
         (r["item_a"], r["item_b"]): (
             r["pair_n"], r["n_a"], r["n_b"],
             r["support"], r["conf_a_b"], r["conf_b_a"], r["lift"],
+            r["cosine"],
         )
         for r in got
     }
@@ -69,7 +72,7 @@ class TestBasketRules:
         ]
         got = _run(spark, rows, min_pair_count=2)
         assert set(got) == {("a", "b")}
-        pn, na, nb, sup, cab, cba, lift = got[("a", "b")]
+        pn, na, nb, sup, cab, cba, lift, cos = got[("a", "b")]
         assert (pn, na, nb) == (2, 2, 3)
         assert sup == 2 / 4 and cab == 1.0 and cba == 2 / 3
         assert lift == (2 * 4) / (2 * 3)
@@ -132,6 +135,7 @@ class TestMaxBasketSize:
             (r["item_a"], r["item_b"]): (
                 r["pair_n"], r["n_a"], r["n_b"],
                 r["support"], r["conf_a_b"], r["conf_b_a"], r["lift"],
+                r["cosine"],
             )
             for r in rules.collect()
         }
@@ -149,6 +153,7 @@ class TestMaxBasketSize:
             (r["item_a"], r["item_b"]): (
                 r["pair_n"], r["n_a"], r["n_b"],
                 r["support"], r["conf_a_b"], r["conf_b_a"], r["lift"],
+                r["cosine"],
             )
             for r in rules.collect()
         }
