@@ -1610,3 +1610,151 @@ def streaming_transitions(
             ),
         )
     )
+
+
+def streaming_attribution(
+    events: DataFrame,
+    channel_col: str = "event_type",
+    touch_types: Sequence[str] = ("signup", "view", "click"),
+    conversion_types: Sequence[str] = ("purchase",),
+    lookback_us: int = 7 * 86_400_000_000,
+    half_life_us: int = 86_400_000_000,
+    models: Sequence[str] = ("first", "last", "linear", "position", "decay"),
+    key_cols: Sequence[str] = ("user_id",),
+    ts_col: str = "ts",
+    timeout_minutes: int | None = 60,
+) -> DataFrame:
+    """Online marketing attribution per user — the streaming face of
+    :func:`operators.product_analytics.attribution_credit`. The
+    bounded-state part a stream can own is the per-user TOUCH LIST
+    within the lookback (entries older than ``now - lookback`` can
+    never credit a future conversion and are pruned on arrival — state
+    is exactly the batch operator's touches-per-lookback contract);
+    each arriving conversion emits its credit rows
+    ``(key..., ts, model, channel, ppm)`` in append mode. The
+    (model, channel) totals are an open aggregation and stay a
+    downstream update-mode/foreachBatch concern — the
+    :func:`streaming_transitions` split.
+
+    Credit arithmetic is the batch operator's EXACT integer math
+    replayed in Python ints (floor-div ppm, power-of-two decay
+    weights), and eligibility is purely timestamp-based (strictly
+    earlier, within lookback) just like the batch range frame — so
+    aggregating the streamed rows equals the batch
+    ``attribution_credit`` output bit-for-bit on in-order replay
+    (conversions AND credit_ppm; asserted in the parity test). A
+    conversion row that is also a touch credits later conversions but
+    never itself, matching the strict-earlier frame.
+    """
+    import pandas as pd  # noqa: F401
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    known = ("first", "last", "linear", "position", "decay")
+    bad = [m for m in models if m not in known]
+    if bad:
+        raise ValueError(f"streaming_attribution: unknown models {bad}")
+    if len(set(models)) != len(list(models)):
+        raise ValueError(
+            f"streaming_attribution: duplicate models in {list(models)!r}"
+        )
+    keys = list(key_cols)
+    model_list = list(models)
+    touch_set = set(touch_types)
+    conv_set = set(conversion_types)
+    key_schema = ", ".join(
+        f"{f.name} {f.dataType.simpleString()}"
+        for f in events.select(*keys).schema.fields
+    )
+    out_schema = (
+        f"{key_schema}, {ts_col} timestamp, model string, "
+        "channel string, ppm bigint"
+    )
+    state_schema = "tus array<bigint>, chs array<string>"
+
+    def credits_for(touches: list, cus: int) -> list:
+        """(model, channel, ppm) rows for one conversion — the batch
+        integer math, verbatim."""
+        elig = sorted((t, c) for t, c in touches if cus - lookback_us <= t < cus)
+        out = []
+        if not elig:
+            return [(m, "(direct)", 1_000_000) for m in model_list]
+        n = len(elig)
+        for m in model_list:
+            if m == "first":
+                out.append((m, elig[0][1], 1_000_000))
+            elif m == "last":
+                out.append((m, elig[-1][1], 1_000_000))
+            elif m == "linear":
+                ppm = 1_000_000 // n
+                out.extend((m, c, ppm) for _, c in elig)
+            elif m == "position":
+                if n == 1:
+                    out.append((m, elig[0][1], 1_000_000))
+                elif n == 2:
+                    out.append((m, elig[0][1], 500_000))
+                    out.append((m, elig[1][1], 500_000))
+                else:
+                    out.append((m, elig[0][1], 400_000))
+                    mid = 200_000 // (n - 2)
+                    out.extend((m, c, mid) for _, c in elig[1:-1])
+                    out.append((m, elig[-1][1], 400_000))
+            else:  # decay
+                ks = [(cus - t) // half_life_us for t, _ in elig]
+                kmin = min(ks)
+                ws = [1 << (40 - min(k - kmin, 40)) for k in ks]
+                sumw = sum(ws)
+                out.extend(
+                    (m, c, (1_000_000 * w) // sumw)
+                    for (_, c), w in zip(elig, ws)
+                )
+        return out
+
+    def walk(key, pdf_iter, state):
+        import pandas as pd
+
+        if state.hasTimedOut:
+            state.remove()
+            return
+
+        tus, chs = state.get if state.exists else ([], [])
+        touches = list(zip(list(tus), list(chs)))
+        rows = []
+        for pdf in pdf_iter:
+            pdf = pdf.sort_values(ts_col, kind="mergesort")
+            for _, r in pdf.iterrows():
+                et = r[channel_col]
+                us = int(pd.Timestamp(r[ts_col]).value // 1000)
+                if et in conv_set:
+                    for m, c, ppm in credits_for(touches, us):
+                        rows.append((*key, r[ts_col], m, c, ppm))
+                if et in touch_set:
+                    touches.append((us, str(et)))
+                    # prune: older than us - lookback can never credit
+                    # a future conversion (future cus >= us)
+                    touches = [
+                        (t, c) for t, c in touches if t >= us - lookback_us
+                    ]
+        state.update((
+            [t for t, _ in touches], [c for _, c in touches],
+        ))
+        if timeout_minutes is not None:
+            state.setTimeoutDuration(timeout_minutes * 60 * 1000)
+        yield pd.DataFrame(
+            rows, columns=[*keys, ts_col, "model", "channel", "ppm"]
+        )
+
+    return (
+        events.withWatermark(ts_col, "2 hours")
+        .groupBy(*keys)
+        .applyInPandasWithState(
+            walk,
+            outputStructType=out_schema,
+            stateStructType=state_schema,
+            outputMode="append",
+            timeoutConf=(
+                GroupStateTimeout.ProcessingTimeTimeout
+                if timeout_minutes is not None
+                else GroupStateTimeout.NoTimeout
+            ),
+        )
+    )

@@ -1552,3 +1552,70 @@ class TestStreamingTransitions:
         assert got == batch
         assert ("a", None) in got       # transition TO null is real
         assert all(f_ is not None for f_, _ in got)  # never FROM null
+
+
+class TestStreamingAttribution:
+    """streaming_attribution (r12): bounded per-user touch-list state;
+    aggregating the streamed per-conversion credit rows equals the
+    batch attribution_credit output exactly (all five models) on
+    in-order multi-micro-batch replay."""
+
+    def test_matches_batch_exactly(self, spark, sf_dir, tmp_path):
+        from amonaly_detection_in_time_series_data_spark.operators.product_analytics import (
+            attribution_credit,
+        )
+        from amonaly_detection_in_time_series_data_spark.streaming.rolling import (
+            streaming_attribution,
+        )
+
+        MODELS = ("first", "last", "linear", "position", "decay")
+        ev = load_table(spark, sf_dir, "events").select(
+            "user_id", "ts", "event_type"
+        )
+        batch = {
+            (r["model"], r["channel"]): (r["conversions"], r["credit_ppm"])
+            for r in attribution_credit(
+                ev, "ts", "user_id", "event_type",
+                is_touch=F.col("event_type").isin("signup", "view", "click"),
+                is_conversion=F.col("event_type") == "purchase",
+                lookback="7 days",
+                models=MODELS,
+                half_life="1 day",
+            ).collect()
+        }
+
+        stream = TestStreamingForecast._replay_grid(
+            spark, ev, tmp_path, "attr_g"
+        )
+        out = streaming_attribution(
+            stream,
+            channel_col="event_type",
+            touch_types=("signup", "view", "click"),
+            conversion_types=("purchase",),
+            models=MODELS,
+            key_cols=["user_id"],
+            timeout_minutes=None,
+        )
+        assert out.isStreaming
+        _run_stream_to_memory(out, "attr_s", "append")
+        got = {
+            (r["model"], r["channel"]): (r["conversions"], r["credit_ppm"])
+            for r in spark.sql(
+                "SELECT model, channel, count(*) AS conversions, "
+                "sum(ppm) AS credit_ppm FROM attr_s GROUP BY model, channel"
+            ).collect()
+        }
+        assert got == batch and len(batch) > 0
+
+    def test_validation(self, spark, sf_dir):
+        import pytest as _pytest
+
+        from amonaly_detection_in_time_series_data_spark.streaming.rolling import (
+            streaming_attribution,
+        )
+
+        ev = load_table(spark, sf_dir, "events")
+        with _pytest.raises(ValueError):
+            streaming_attribution(ev, models=("nope",))
+        with _pytest.raises(ValueError):
+            streaming_attribution(ev, models=("linear", "linear"))
