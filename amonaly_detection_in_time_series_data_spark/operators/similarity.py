@@ -1108,16 +1108,36 @@ def prefix_jaccard_join(
         )
         .filter(F.size("grams") > 0)
     )
-    tok_df = (
-        sets.select(F.explode("grams").alias("gram"))
-        .groupBy("gram")
-        .agg(F.count(F.lit(1)).alias("df"))
+    exploded = sets.select(
+        "id", F.size("grams").alias("sz"), F.explode("grams").alias("gram")
     )
-    ordered = (
-        sets.select(
-            "id", F.size("grams").alias("sz"), F.explode("grams").alias("gram")
+    if max_gram_df is None:
+        # r12 (third-decade finding, SCALING §10a0d): the df groupBy +
+        # order-attach join were the dominant superlinear term at 500k
+        # docs — they shuffled ~100M FULL GRAM STRINGS against a ~50M-
+        # entry vocabulary. Keying both on xxhash64(gram) ships 8-byte
+        # longs instead (~3x lighter shuffle, cheaper sort-merge keys).
+        # Exactness is unaffected BY CONSTRUCTION: the prefix theorem
+        # needs any CONSISTENT total token order, and (df', gram) —
+        # where df' is a deterministic function of the gram via its
+        # hash, collisions merely summing two grams' counts with
+        # probability ~2^-64 — is still consistent across documents;
+        # rarest-first is only a candidate-count heuristic, and the
+        # exact verify stage is untouched.
+        exploded_h = exploded.withColumn("__h", F.xxhash64("gram"))
+        tok_df_h = exploded_h.groupBy("__h").agg(F.count(F.lit(1)).alias("df"))
+        joined = exploded_h.join(tok_df_h, "__h").drop("__h")
+        tok_df = None
+    else:
+        # cap mode keeps the string-keyed df table so the excluded
+        # report carries gram strings (adversarial-defense path; the
+        # extra string shuffle is the price of the loud count)
+        tok_df = (
+            exploded.groupBy("gram").agg(F.count(F.lit(1)).alias("df"))
         )
-        .join(tok_df, "gram")
+        joined = exploded.join(tok_df, "gram")
+    ordered = (
+        joined
         .groupBy("id", "sz")
         .agg(
             F.transform(
