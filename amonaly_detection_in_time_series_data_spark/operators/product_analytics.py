@@ -380,14 +380,16 @@ def basket_rules(
     ).distinct()
     excluded = None
     if max_basket_size is not None:
-        # windowed count, NOT a sizes-groupBy + anti-join: one
-        # basket-keyed exchange instead of a second full pass over the
-        # distinct table. Measured (SCALING §10a0d): free at 6M
-        # lineitem rows (4.22 vs 4.69 s uncapped); at 60M rows the
-        # window's per-partition SORT prices the cap at +36% over
-        # uncapped (20.8 vs 15.3 s) — roughly 2x cheaper than the
-        # anti-join form at the same scale, and on data where the cap
-        # BINDS it deletes C(k,2) pair blowups that dwarf it
+        # windowed count: one basket-keyed exchange carries both the
+        # size filter and the excluded report. Measured (SCALING
+        # §10a0d): free at 6M lineitem rows (4.22 vs 4.69 s uncapped);
+        # at 60M rows the sizing pass prices the cap at ~+36% over
+        # uncapped in-session. An interleaved A/B vs the
+        # sizes-groupBy + broadcast-anti form measured the two plans
+        # EQUAL within host noise (22.30 vs 22.39 s median at 60M
+        # rows) — the window form is kept for its single-exchange
+        # structure, not a measured edge. Where the cap BINDS it
+        # deletes C(k,2) pair blowups that dwarf one sizing pass.
         from pyspark.sql import Window as _W
 
         sized = b.withColumn(
