@@ -41,6 +41,21 @@ __all__ = [
 ]
 
 
+def _parse_duration(text: str, what: str) -> int:
+    """Parse ``'<n> days|hours'`` into microseconds. ``what`` names the
+    calling parameter (e.g. ``"attribution_credit: lookback"``) so the
+    error message points at the right knob. Shared by every duration
+    knob in this module so the accepted units and messages stay in
+    sync."""
+    import re as _re
+
+    m = _re.fullmatch(r"(\d+)\s*(day|days|hour|hours)", text.strip())
+    if not m:
+        raise ValueError(f"{what} must be '<n> days|hours', got {text!r}")
+    n, unit = int(m.group(1)), m.group(2)
+    return n * (86_400_000_000 if unit.startswith("day") else 3_600_000_000)
+
+
 def funnel_user_depth(
     df: DataFrame,
     ts_col: str,
@@ -74,16 +89,7 @@ def funnel_user_depth(
         raise ValueError(f"funnel_steps: steps must be distinct, got {steps!r}")
     within_us = None
     if within is not None:
-        import re as _re
-
-        m = _re.fullmatch(r"(\d+)\s*(day|days|hour|hours)", within.strip())
-        if not m:
-            raise ValueError(
-                f"funnel: within must be '<n> days|hours', got {within!r}"
-            )
-        within_us = int(m.group(1)) * (
-            86_400_000_000 if m.group(2).startswith("day") else 3_600_000_000
-        )
+        within_us = _parse_duration(within, "funnel: within")
     step_arr = F.array(*[F.lit(s) for s in steps])
     events = F.sort_array(
         F.collect_list(F.struct(F.col(ts_col).alias("ts"), F.col(event_col).alias("ev")))
@@ -291,6 +297,13 @@ def journey_paths(
     transition-matrix lag-filter convention: a NULL cannot name a
     step). Runs never cross the session key.
 
+    Contract: event types must not CONTAIN ``sep`` — the path key is a
+    plain ``concat_ws`` join, so ``('a>b','c')`` and ``('a','b>c')``
+    would collide into one ``a>b>c`` key under the default separator.
+    The collision is deterministic and mirrored by any SQL replay, but
+    silently lossy; pick a ``sep`` outside the type alphabet (e.g. a
+    control character) when types are free-form.
+
     Scale shape: k-1 ``lag`` columns on ONE session-keyed window
     exchange (shared with any sessionizer/transition plan), then a
     groupBy bounded by the type vocabulary^k — the share window runs
@@ -325,6 +338,7 @@ def basket_rules(
     min_pair_count: int = 2,
     max_basket_size: int | None = None,
     return_excluded: bool = False,
+    apriori_prune: bool = True,
 ):
     """Pairwise association rules (market-basket co-occurrence): for
     every item pair appearing together in at least ``min_pair_count``
@@ -355,11 +369,32 @@ def basket_rules(
     ``return_excluded=True`` returns ``(rules, excluded)`` where
     ``excluded`` is the (basket, basket_size) table of dropped baskets
     — the loud-count channel, declarative so no job runs unless the
-    caller looks. One groupBy for item frequencies, one for pair
+    caller looks. Measured price of the knob (SCALING §10a0d): the
+    sizing pass costs ~1/3 extra at 60M rows when the cap never
+    binds — enable it where mega-basket floods are plausible, not by
+    default. One groupBy for item frequencies, one for pair
     counts (map-side partial combine on both), the scalar basket total
     broadcast via the tiny-stats crossJoin pattern. ``min_pair_count``
     prunes the long tail BEFORE the stats joins — at retail scale the
     pair tail is the data.
+
+    ``apriori_prune`` (default ON) applies the Apriori anti-monotone
+    property at the item layer BEFORE the pair explode:
+    ``pair_n(a,b) <= min(n_a, n_b)`` under basket-presence semantics,
+    so an item appearing in fewer than ``min_pair_count`` baskets
+    cannot participate in ANY surviving pair — semi-joining those
+    items away is provably lossless for the declared output. The
+    denominators stay exact because ``n_baskets`` and the per-item
+    counts are computed on the UNPRUNED (post-cap) frame; only the
+    pair-generation input shrinks. This attacks the pair shuffle —
+    the operator's steepest measured scale term (SCALING §10a0d:
+    3.26x/decade uncapped at sf1→sf10) — wherever the item-frequency
+    distribution has a tail, which is every real basket corpus
+    (Agrawal & Srikant's original candidate-pruning step, VLDB'94
+    §2.1). The frequent-item side rides the SAME ``items`` groupBy
+    the stats joins already need (Catalyst reuses the aggregate
+    subtree); the semi-join is left to AQE to broadcast when the
+    frequent vocabulary is small. A no-op when ``min_pair_count == 1``.
     """
     if min_pair_count < 1:
         raise ValueError(
@@ -408,8 +443,15 @@ def basket_rules(
         F.countDistinct("__basket").alias("__n_baskets")
     )
     items = b.groupBy("__item").agg(F.count(F.lit(1)).alias("__n_item"))
-    lhs = b.select("__basket", F.col("__item").alias("item_a"))
-    rhs = b.select("__basket", F.col("__item").alias("item_b"))
+    bp = b
+    if apriori_prune and min_pair_count > 1:
+        # anti-monotone prune: items below the pair floor can't survive
+        freq = items.filter(
+            F.col("__n_item") >= min_pair_count
+        ).select("__item")
+        bp = b.join(freq, "__item", "semi")
+    lhs = bp.select("__basket", F.col("__item").alias("item_a"))
+    rhs = bp.select("__basket", F.col("__item").alias("item_b"))
     pairs = (
         lhs.join(rhs, "__basket")
         .filter(F.col("item_a") < F.col("item_b"))
@@ -641,19 +683,12 @@ def attribution_credit(
             "(each model emits its rows once; repeats would silently "
             "double credit totals downstream)"
         )
-    import re as _re
-
-    def _parse_duration(text: str, what: str) -> int:
-        m = _re.fullmatch(r"(\d+)\s*(day|days|hour|hours)", text.strip())
-        if not m:
-            raise ValueError(
-                f"attribution_credit: {what} must be '<n> days|hours', got {text!r}"
-            )
-        n, unit = int(m.group(1)), m.group(2)
-        return n * (86_400_000_000 if unit.startswith("day") else 3_600_000_000)
-
-    lookback_us = _parse_duration(lookback, "lookback")
-    half_life_us = _parse_duration(half_life, "half_life") if "decay" in models else None
+    lookback_us = _parse_duration(lookback, "attribution_credit: lookback")
+    half_life_us = (
+        _parse_duration(half_life, "attribution_credit: half_life")
+        if "decay" in models
+        else None
+    )
 
     us = F.unix_micros(F.col(ts_col))
     ev = df.select(

@@ -116,6 +116,71 @@ class TestBasketRules:
         assert _run(spark, rows, mpc) == _brute(rows, mpc)
 
 
+class TestAprioriPrune:
+    """The anti-monotone item prune is LOSSLESS: with it on (default)
+    the output — values AND denominators — equals both the
+    apriori_prune=False plan and brute force, on fixtures where the
+    prune verifiably removes tail items and even whole baskets from
+    the pair-generation input."""
+
+    def _collect(self, rules):
+        return {
+            (r["item_a"], r["item_b"]): (
+                r["pair_n"], r["n_a"], r["n_b"],
+                r["support"], r["conf_a_b"], r["conf_b_a"], r["lift"],
+                r["cosine"],
+            )
+            for r in rules.collect()
+        }
+
+    def test_tail_items_pruned_losslessly(self, spark):
+        # x/y/z each appear in ONE basket -> pruned at mpc=2; basket 4
+        # holds ONLY an infrequent item, so it vanishes from the pair
+        # input entirely — yet n_baskets must still count it (support
+        # for (a,b) is 3/4, not 3/3).
+        rows = [
+            (1, "a"), (1, "b"), (1, "x"),
+            (2, "a"), (2, "b"), (2, "y"),
+            (3, "a"), (3, "b"),
+            (4, "z"),
+        ]
+        df = spark.createDataFrame(rows, ["basket", "item"])
+        got = self._collect(basket_rules(df, "basket", "item", 2))
+        off = self._collect(
+            basket_rules(df, "basket", "item", 2, apriori_prune=False)
+        )
+        assert got == off == _brute(rows, 2)
+        assert got[("a", "b")][3] == 3 / 4
+
+    def test_noop_at_mpc_one(self, spark):
+        rows = [(1, "a"), (1, "b"), (2, "c")]
+        df = spark.createDataFrame(rows, ["basket", "item"])
+        got = self._collect(basket_rules(df, "basket", "item", 1))
+        assert got == _brute(rows, 1)
+
+    @settings(max_examples=20, deadline=None)
+    @given(
+        rows=st.lists(
+            st.tuples(
+                st.integers(min_value=0, max_value=6),
+                st.sampled_from(["a", "b", "c", "d", "e"]),
+            ),
+            min_size=2,
+            max_size=40,
+        ),
+        mpc=st.sampled_from([2, 3, 4]),
+    )
+    def test_property_pruned_equals_unpruned(self, spark, rows, mpc):
+        df = spark.createDataFrame(rows, ["basket", "item"])
+        assert (
+            self._collect(basket_rules(df, "basket", "item", mpc))
+            == self._collect(
+                basket_rules(df, "basket", "item", mpc, apriori_prune=False)
+            )
+            == _brute(rows, mpc)
+        )
+
+
 class TestMaxBasketSize:
     """The mega-basket cap: dropped baskets vanish from EVERY
     denominator (pair counts, item frequencies, basket total), so the

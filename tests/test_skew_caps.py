@@ -62,10 +62,9 @@ class TestMegaBasket:
         pair_rows = rules.collect()
         # no pair involves a flood item; normal pairs all present
         assert all(not r["item_a"].startswith("bot") for r in pair_rows)
-        expect_pairs = {
-            p for _ in range(1)
-            for p in itertools.combinations(sorted(f"it{i}" for i in range(4)), 2)
-        }
+        expect_pairs = set(
+            itertools.combinations(sorted(f"it{i}" for i in range(4)), 2)
+        )
         assert {(r["item_a"], r["item_b"]) for r in pair_rows} == expect_pairs
 
 
