@@ -1581,23 +1581,31 @@ def q_cube_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
         top_k_global,
     )
 
-    paths = journey_paths(ev, ["user_id"], ["ts", "event_id"], "event_type", k=3)
-    path_rows = top_k_global(
-        paths, [F.col("cnt").desc(), F.col("path").asc()], 50
-    ).select(
-        F.lit("path3").alias("op"),
-        F.col("path").alias("c_mktsegment"),
-        F.lit(None).cast("string").alias("o_orderpriority"),
-        F.col("share").alias("total"),
-        F.col("cnt").alias("n_orders"),
-    )
+    # r13: k=4 tier beside k=3 — k is a real parameter of the operator
+    # (one more lag on the SAME session-keyed exchange), so two k's are
+    # oracle-pinned, not one
+    def _path_rows(k: int) -> DataFrame:
+        paths = journey_paths(
+            ev, ["user_id"], ["ts", "event_id"], "event_type", k=k
+        )
+        return top_k_global(
+            paths, [F.col("cnt").desc(), F.col("path").asc()], 50
+        ).select(
+            F.lit(f"path{k}").alias("op"),
+            F.col("path").alias("c_mktsegment"),
+            F.lit(None).cast("string").alias("o_orderpriority"),
+            F.col("share").alias("total"),
+            F.col("cnt").alias("n_orders"),
+        )
+
     return (
         relational.unionByName(fun)
         .unionByName(coh)
         .unionByName(basket)
         .unionByName(rfm_rows)
         .unionByName(att_rows)
-        .unionByName(path_rows)
+        .unionByName(_path_rows(3))
+        .unionByName(_path_rows(4))
     )
 
 
@@ -2510,6 +2518,12 @@ def _build_sequence_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
         seqs, "seq", k=2, fit_rows=512,
         order_cols=["user_id", "seq_start_ts"],
     )
+    # r13: stats='collect' (the default) — mu/sigma computed once at
+    # build as a bounded 1-row collect (the audited exception class,
+    # like the fit collect above) and embedded as literals. The lazy
+    # broadcast-stats branch re-executed the whole Arrow scoring pass
+    # on EVERY action (column pruning cannot cross mapInPandas) — the
+    # two-global-pass ceiling of SCALING §10a0d, now one pass/action.
     flagged = flag_sequence_anomalies(scored)
     return flagged.select(
         "user_id",
@@ -4753,6 +4767,34 @@ FROM (
   )
   SELECT path, cnt, cnt / sum(cnt) OVER () AS share
   FROM pc
+  ORDER BY cnt DESC, path ASC
+  LIMIT 50
+) AS p
+UNION ALL
+-- path4 (r13): the k=4 tier — one more lag, same window; pins that k
+-- is a real parameter (only-k=3-checked was the gap)
+SELECT 'path4' AS op, p.path AS c_mktsegment,
+       CAST(NULL AS VARCHAR) AS o_orderpriority,
+       p.share AS total, p.cnt AS n_orders
+FROM (
+  WITH runs4 AS (
+    SELECT lag(event_type, 3) OVER w AS s0,
+           lag(event_type, 2) OVER w AS s1,
+           lag(event_type, 1) OVER w AS s2,
+           event_type AS s3
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+  ),
+  pc4 AS (
+    SELECT s0 || '>' || s1 || '>' || s2 || '>' || s3 AS path,
+           count(*) AS cnt
+    FROM runs4
+    WHERE s0 IS NOT NULL AND s1 IS NOT NULL AND s2 IS NOT NULL
+      AND s3 IS NOT NULL
+    GROUP BY 1
+  )
+  SELECT path, cnt, cnt / sum(cnt) OVER () AS share
+  FROM pc4
   ORDER BY cnt DESC, path ASC
   LIMIT 50
 ) AS p

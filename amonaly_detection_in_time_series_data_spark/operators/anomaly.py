@@ -79,21 +79,48 @@ def rolling_zscore(
 
 
 def global_zscore_flags(
-    df: DataFrame, score_col: str, threshold: float = 3.0
+    df: DataFrame, score_col: str, threshold: float = 3.0,
+    collect_stats: bool = False,
 ) -> DataFrame:
     """Standardize ``score_col`` against its global mean/std and flag
     ``|z| > threshold`` (reference spec main.py:223-231 with the 3.0
     constant from config.py:21).
 
     Stats via one aggregate + broadcast — no global window partition.
+
+    ``collect_stats=True`` runs the mu/sigma aggregate EAGERLY as one
+    bounded scalar collect (a single row — the audited exception
+    class) and embeds the values as literals, so the returned plan has
+    NO stats subtree. Why that matters: when ``score_col`` is produced
+    by a Python map stage (the Arrow ``mapInPandas`` scorer), column
+    pruning cannot cross the UDF boundary, so the lazy broadcast-stats
+    branch re-executes the ENTIRE scoring pass on every action — two
+    global passes per count/write, the measured ~3x/decade ceiling of
+    ``sequence_scores`` (SCALING §10a0d). Collected once, each action
+    pays ONE pass. The aggregate is the identical physical plan either
+    way, so values match the lazy form bit-for-bit under the same
+    partitioning (pytest-pinned); across different partition layouts
+    the usual float combine-order caveat applies to BOTH forms
+    equally.
     """
-    stats = df.agg(
-        F.avg(score_col).alias("__mu"), F.stddev_samp(score_col).alias("__sigma")
+    agg_exprs = (
+        F.avg(score_col).alias("__mu"),
+        F.stddev_samp(score_col).alias("__sigma"),
     )
-    z = (F.col(score_col) - F.col("__mu")) / F.nullif(F.col("__sigma"), F.lit(0.0))
-    return (
-        df.crossJoin(F.broadcast(stats))
-        .withColumn(f"{score_col}_z", z)
+    if collect_stats:
+        row = df.agg(*agg_exprs).collect()[0]
+        mu = F.lit(row["__mu"]).cast("double")
+        sigma = F.lit(row["__sigma"]).cast("double")
+        z = (F.col(score_col) - mu) / F.nullif(sigma, F.lit(0.0))
+        stats_df = None
+    else:
+        stats_df = df.agg(*agg_exprs)
+        z = (
+            F.col(score_col) - F.col("__mu")
+        ) / F.nullif(F.col("__sigma"), F.lit(0.0))
+    out = df if stats_df is None else df.crossJoin(F.broadcast(stats_df))
+    out = (
+        out.withColumn(f"{score_col}_z", z)
         .withColumn(
             "is_anomaly",
             F.coalesce(
@@ -101,8 +128,8 @@ def global_zscore_flags(
                 F.lit(0),
             ),
         )
-        .drop("__mu", "__sigma")
     )
+    return out if stats_df is None else out.drop("__mu", "__sigma")
 
 
 def pca_reconstruction_error(

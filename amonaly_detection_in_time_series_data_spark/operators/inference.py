@@ -376,23 +376,41 @@ def flag_sequence_anomalies(
     error_col: str = "recon_error",
     threshold: float = 3.0,
     persist: bool = False,
+    stats: str = "collect",
 ) -> DataFrame:
     """3-sigma flags over the reconstruction-error distribution — the
     reference's ANOMALY_THRESHOLD = 3.0 contract (config.py:21).
 
-    The flag needs two global passes over the scored frame (the mu/sigma
-    aggregate, then the row scan), and the stats branch cannot reuse the
-    scoring exchange (column pruning specializes its subtree — the
-    SCALING §10a0c ceiling note). ``persist=True`` is the cluster
-    deployment's answer: cache the scored frame so the broadcast-stats
-    job materializes it once and the row scan reads memory/disk — the
-    declared oracle query stays on the pure two-pass plan (persist is a
-    runtime decision, and caching inside a bench-measured query would
-    measure the cache, not the operator). Results are value-identical
-    either way (pytest-pinned); call ``.unpersist()`` on the INPUT frame
-    when done."""
+    ``stats`` picks how the global mu/sigma reaches the row scan:
+
+    - ``'collect'`` (default, r13): run the stats aggregate ONCE as a
+      bounded scalar collect (one row — the audited exception class)
+      and embed literals. The returned plan then costs ONE scoring
+      pass per action. This removed the second global pass that made
+      the operator ~3x/decade (SCALING §10a0d): the Arrow scorer sits
+      below the stats branch and column pruning cannot cross a
+      ``mapInPandas``, so the lazy form re-executes the full scoring
+      pass inside the broadcast subtree on EVERY action.
+    - ``'plan'``: the fully-lazy two-pass form (stats as a broadcast
+      subquery) — keeps the result a pure unexecuted plan, for callers
+      composing larger lazy pipelines that must not trigger jobs at
+      build time.
+
+    Results are value-identical under the same partitioning
+    (pytest-pinned — the stats aggregate is the identical physical
+    plan either way). ``persist=True`` remains available as a runtime
+    option for ``stats='plan'`` pipelines that take many actions:
+    cache the scored frame so each pass reads memory/disk; call
+    ``.unpersist()`` on the INPUT frame when done."""
+    if stats not in ("collect", "plan"):
+        raise ValueError(
+            f"flag_sequence_anomalies: stats must be 'collect' or 'plan', "
+            f"got {stats!r}"
+        )
     from .anomaly import global_zscore_flags
 
     if persist:
         scored = scored.persist()
-    return global_zscore_flags(scored, error_col, threshold)
+    return global_zscore_flags(
+        scored, error_col, threshold, collect_stats=(stats == "collect")
+    )

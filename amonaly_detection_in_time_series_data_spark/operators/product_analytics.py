@@ -338,7 +338,7 @@ def basket_rules(
     min_pair_count: int = 2,
     max_basket_size: int | None = None,
     return_excluded: bool = False,
-    apriori_prune: bool = True,
+    apriori_prune: bool = False,
 ):
     """Pairwise association rules (market-basket co-occurrence): for
     every item pair appearing together in at least ``min_pair_count``
@@ -378,23 +378,29 @@ def basket_rules(
     prunes the long tail BEFORE the stats joins — at retail scale the
     pair tail is the data.
 
-    ``apriori_prune`` (default ON) applies the Apriori anti-monotone
-    property at the item layer BEFORE the pair explode:
-    ``pair_n(a,b) <= min(n_a, n_b)`` under basket-presence semantics,
-    so an item appearing in fewer than ``min_pair_count`` baskets
-    cannot participate in ANY surviving pair — semi-joining those
-    items away is provably lossless for the declared output. The
-    denominators stay exact because ``n_baskets`` and the per-item
-    counts are computed on the UNPRUNED (post-cap) frame; only the
-    pair-generation input shrinks. This attacks the pair shuffle —
-    the operator's steepest measured scale term (SCALING §10a0d:
-    3.26x/decade uncapped at sf1→sf10) — wherever the item-frequency
-    distribution has a tail, which is every real basket corpus
-    (Agrawal & Srikant's original candidate-pruning step, VLDB'94
-    §2.1). The frequent-item side rides the SAME ``items`` groupBy
-    the stats joins already need (Catalyst reuses the aggregate
-    subtree); the semi-join is left to AQE to broadcast when the
-    frequent vocabulary is small. A no-op when ``min_pair_count == 1``.
+    ``apriori_prune`` applies the Apriori anti-monotone property at
+    the item layer BEFORE the pair explode: ``pair_n(a,b) <=
+    min(n_a, n_b)`` under basket-presence semantics, so an item
+    appearing in fewer than ``min_pair_count`` baskets cannot
+    participate in ANY surviving pair — removing those items is
+    provably lossless for the declared output (Agrawal & Srikant's
+    original candidate-pruning step, VLDB'94 §2.1). Denominators stay
+    exact: ``n_baskets`` and per-item counts are computed on the
+    UNPRUNED (post-cap) frame; only the pair-generation input shrinks.
+    Implemented as an anti-join of the presence frame against the
+    INFREQUENT-item list (derived from the same ``items`` groupBy the
+    stats joins already need). Default OFF, by measurement (SCALING
+    §10a0e, the ``max_basket_size`` precedent): the anti-join costs
+    one extra item-keyed exchange of the presence frame even when
+    NOTHING qualifies (AQE's broadcast conversion happens after that
+    shuffle's map side is written — measured +40-60% at 6M-60M
+    tail-free rows), while the win where a sub-threshold tail exists
+    is a quadratic cut of the exploded pair intermediate (measured on
+    a planted Poisson-tailed item universe at 60M rows, same
+    section). Enable it where the item-frequency distribution has a
+    ``min_pair_count`` tail — most real retail/co-occurrence corpora;
+    NOT TPC-H-shaped uniform keys, whose every item clears any small
+    threshold. A no-op when ``min_pair_count == 1``.
     """
     if min_pair_count < 1:
         raise ValueError(
@@ -445,11 +451,16 @@ def basket_rules(
     items = b.groupBy("__item").agg(F.count(F.lit(1)).alias("__n_item"))
     bp = b
     if apriori_prune and min_pair_count > 1:
-        # anti-monotone prune: items below the pair floor can't survive
-        freq = items.filter(
-            F.col("__n_item") >= min_pair_count
+        # anti-monotone prune: items below the pair floor can't survive.
+        # Anti-join against the INFREQUENT list (not semi against the
+        # frequent one): the list is EMPTY on tail-free data and
+        # exactly the removable rows otherwise; AQE picks broadcast vs
+        # shuffle by its measured size. The aggregate is the same
+        # `items` subtree the stats joins need — one exchange, reused.
+        infreq = items.filter(
+            F.col("__n_item") < min_pair_count
         ).select("__item")
-        bp = b.join(freq, "__item", "semi")
+        bp = b.join(infreq, "__item", "anti")
     lhs = bp.select("__basket", F.col("__item").alias("item_a"))
     rhs = bp.select("__basket", F.col("__item").alias("item_b"))
     pairs = (

@@ -1005,6 +1005,7 @@ def prefix_jaccard_join(
     pin: bool = True,
     max_gram_df: int | None = None,
     return_excluded: bool = False,
+    gram_order_path: str | None = None,
 ):
     """EXACT Jaccard-threshold similarity self-join via prefix filtering
     — AllPairs (Bayardo, Ma, Srikant, WWW'07) with PPJoin's positional
@@ -1061,6 +1062,20 @@ def prefix_jaccard_join(
     (< shingle_n tokens) cannot reach any positive threshold and are
     dropped, matching :func:`minhash_signatures`.
 
+    ``gram_order_path`` (r13): reuse a PERSISTED rarest-first gram-df
+    index built by :func:`gram_df_index_build` /
+    :func:`gram_df_index_update` instead of recomputing the df groupBy
+    over every gram occurrence per call — the order is corpus-level
+    state, and at 500k docs its rebuild dominated the wall (SCALING
+    §10a0d/§10a0e). Staleness contract: ANY per-gram df assignment
+    yields a consistent total order (``(df, gram)``, df deterministic
+    per gram; unseen grams order as df=0, the rarest bucket), so the
+    result set is EXACT regardless of index age — the prefix theorem
+    needs consistency, not accuracy; a drifted order only grows
+    candidate counts. With ``max_gram_df`` the cap binds on the
+    index's dfs (refresh the index before trusting the cap against a
+    new flood).
+
     Two measured engineering choices (sf0.1, 5k docs, 308k candidates):
 
     - ``pin=True`` localCheckpoints the ordered-gram table once — the
@@ -1100,18 +1115,35 @@ def prefix_jaccard_join(
         raise ValueError(
             f"prefix_jaccard_join: max_gram_df must be >= 1, got {max_gram_df}"
         )
-    sets = (
-        docs.withColumn("__toks", tokenize(F.col(text_col)))
-        .select(
-            F.col(id_col).alias("id"),
-            shingles_from_tokens(F.col("__toks"), shingle_n).alias("grams"),
-        )
-        .filter(F.size("grams") > 0)
-    )
+    sets = _gram_sets(docs, text_col, id_col, shingle_n)
     exploded = sets.select(
         "id", F.size("grams").alias("sz"), F.explode("grams").alias("gram")
     )
-    if max_gram_df is None:
+    if gram_order_path is not None:
+        # r13 (SCALING §10a0e): the rarest-first order is corpus-level
+        # state — reuse a PERSISTED gram-df index instead of rebuilding
+        # the df groupBy over every gram OCCURRENCE per call (the
+        # dominant sf10 term). Keyed on xxhash64(gram) exactly like the
+        # inline hash path below; grams absent from the index get df=0
+        # (the rarest bucket). A STALE index is still a CONSISTENT
+        # total order — (df', gram) with df' a deterministic function
+        # of the gram — so exactness holds by the same argument as the
+        # hash-keyed fix; only prefix efficiency degrades with drift.
+        idx = _read_gram_df_index(
+            docs.sparkSession, gram_order_path, shingle_n
+        )
+        exploded_h = exploded.withColumn("__h", F.xxhash64("gram"))
+        joined = (
+            exploded_h.join(idx.select("__h", "df"), "__h", "left")
+            .select(
+                "id", "sz", "gram",
+                F.coalesce(F.col("df"), F.lit(0)).alias("df"),
+            )
+        )
+        # cap mode binds on the INDEX's (possibly stale) dfs; the
+        # excluded report carries the index's representative gram
+        tok_df = idx.select("gram", "df") if max_gram_df is not None else None
+    elif max_gram_df is None:
         # r12 (third-decade finding, SCALING §10a0d): the df groupBy +
         # order-attach join were the dominant superlinear term at 500k
         # docs — they shuffled ~100M FULL GRAM STRINGS against a ~50M-
@@ -1162,12 +1194,16 @@ def prefix_jaccard_join(
     ).select("id", "sz", (F.col("pos0") + 1).alias("pos"), "gram")
     excluded = None
     if max_gram_df is not None:
-        # over-cap grams are few by construction (<= total gram
-        # occurrences / cap), so the anti-join broadcast stays tiny
+        # over-cap grams are bounded by total gram occurrences / cap —
+        # tiny for realistic caps, but a SMALL cap over a huge corpus
+        # makes the bound millions of rows (cap=10 over 100M
+        # occurrences allows 10M), a driver-side broadcast risk. No
+        # forced broadcast hint: AQE broadcasts the anti-join side when
+        # its measured size is small and falls back to a shuffle
+        # anti-join when it is not, which is exactly the right call at
+        # both ends.
         hot = tok_df.filter(F.col("df") > max_gram_df)
-        prefix = prefix.join(
-            F.broadcast(hot.select("gram")), "gram", "left_anti"
-        )
+        prefix = prefix.join(hot.select("gram"), "gram", "left_anti")
         excluded = hot.select("gram", "df")
     a = prefix.select(
         F.col("id").alias("id_a"),
@@ -1261,3 +1297,143 @@ def prefix_jaccard_join(
     if return_excluded:
         return pairs, excluded
     return pairs
+
+
+def _gram_sets(
+    docs: DataFrame, text_col: str, id_col: str, shingle_n: int
+) -> DataFrame:
+    """(id, grams) — each doc's DISTINCT word n-gram set, empty-gram
+    docs dropped. The shared front end of :func:`prefix_jaccard_join`
+    and the gram-df index builders (identical shingling => identical
+    df semantics)."""
+    return (
+        docs.withColumn("__toks", tokenize(F.col(text_col)))
+        .select(
+            F.col(id_col).alias("id"),
+            shingles_from_tokens(F.col("__toks"), shingle_n).alias("grams"),
+        )
+        .filter(F.size("grams") > 0)
+    )
+
+
+_GRAM_DF_COMPAT = "ppjoin-gramdf:v1"
+
+
+def _gram_df_compat_tag(shingle_n: int) -> str:
+    return f"{_GRAM_DF_COMPAT}:shingle_n={shingle_n}"
+
+
+def _read_gram_df_index(
+    spark, index_path: str, shingle_n: int
+) -> DataFrame:
+    """Read + validate a persisted gram-df index. Refuses an index
+    built with a different shingle width or format version — its dfs
+    would describe a DIFFERENT gram universe (the signature-store
+    compat-tag convention, operators/ingest.py)."""
+    idx = spark.read.parquet(index_path)
+    expected = _gram_df_compat_tag(shingle_n)
+    head = idx.select("compat").limit(1).collect()
+    if head and head[0]["compat"] != expected:
+        raise ValueError(
+            f"gram-df index at {index_path!r} has compat tag "
+            f"{head[0]['compat']!r}, caller expects {expected!r} — "
+            "rebuild the index with the caller's shingle_n"
+        )
+    return idx
+
+
+def gram_df_index_build(
+    docs: DataFrame,
+    index_path: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingle_n: int = 3,
+) -> DataFrame:
+    """Build and persist the rarest-first gram-df index
+    :func:`prefix_jaccard_join` consumes via ``gram_order_path`` —
+    the corpus-level half of the join, materialized ONCE instead of
+    per call (the ``file_stats_index`` pattern applied to ppjoin's
+    vocabulary state; r12's third decade measured the per-call df
+    rebuild as the dominant sf10 term).
+
+    Schema: one row per distinct ``xxhash64(gram)`` — ``__h``,
+    ``df`` (document frequency summed over the hash bucket; the
+    2^-64 collision merely sums two grams' counts, exactly the inline
+    hash path's documented semantics), ``gram`` (the bucket's MIN
+    gram string — the representative the cap's excluded report
+    shows), ``compat`` (format/shingle tag, validated on read).
+
+    One aggregation over gram occurrences + one over the vocabulary —
+    the same work ONE ppjoin call pays for its order, amortized over
+    every subsequent call. Returns the index read back from
+    ``index_path``."""
+    counts = (
+        _gram_sets(docs, text_col, id_col, shingle_n)
+        .select(F.explode("grams").alias("gram"))
+        .groupBy("gram")
+        .agg(F.count(F.lit(1)).alias("df"))
+    )
+    merged = (
+        counts.groupBy(F.xxhash64("gram").alias("__h"))
+        .agg(F.sum("df").alias("df"), F.min("gram").alias("gram"))
+        .withColumn("compat", F.lit(_gram_df_compat_tag(shingle_n)))
+    )
+    merged.write.mode("overwrite").parquet(index_path)
+    return docs.sparkSession.read.parquet(index_path)
+
+
+def gram_df_index_update(
+    spark,
+    index_path: str,
+    new_docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingle_n: int = 3,
+) -> DataFrame:
+    """Incremental maintenance of a persisted gram-df index: fold ONE
+    new batch's gram counts into the stored index at O(batch) cost —
+    the ingest-store pattern (a full rebuild is a whole-corpus scan;
+    a table fed by per-batch ingest must pay per batch only).
+
+    Bootstraps with :func:`gram_df_index_build` when no index exists.
+    Invariant (pytest-pinned): after any sequence of updates the index
+    equals a from-scratch rebuild over the union corpus, row for row
+    — df sums are associative and the representative gram is a MIN,
+    so incremental folding is exact. Append-only semantics: this
+    counts NEW documents; re-submitting the same batch double-counts
+    (dedupe upstream, the ingest contract)."""
+    try:
+        old = spark.read.parquet(index_path)
+        _ = old.columns
+    except Exception:
+        old = None
+    if old is None:
+        return gram_df_index_build(
+            new_docs, index_path, text_col, id_col, shingle_n
+        )
+    expected = _gram_df_compat_tag(shingle_n)
+    head = old.select("compat").limit(1).collect()
+    if head and head[0]["compat"] != expected:
+        raise ValueError(
+            f"gram-df index at {index_path!r} has compat tag "
+            f"{head[0]['compat']!r}, update expects {expected!r}"
+        )
+    batch = (
+        _gram_sets(new_docs, text_col, id_col, shingle_n)
+        .select(F.explode("grams").alias("gram"))
+        .groupBy("gram")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .groupBy(F.xxhash64("gram").alias("__h"))
+        .agg(F.sum("df").alias("df"), F.min("gram").alias("gram"))
+    )
+    merged = (
+        old.select("__h", "df", "gram")
+        .unionByName(batch)
+        .groupBy("__h")
+        .agg(F.sum("df").alias("df"), F.min("gram").alias("gram"))
+        .withColumn("compat", F.lit(expected))
+    )
+    # materialize before overwriting the parquet the lineage reads from
+    merged = merged.localCheckpoint(eager=True)
+    merged.write.mode("overwrite").parquet(index_path)
+    return spark.read.parquet(index_path)

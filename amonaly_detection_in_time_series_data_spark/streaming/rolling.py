@@ -1725,6 +1725,15 @@ def streaming_attribution(
                 et = r[channel_col]
                 us = int(pd.Timestamp(r[ts_col]).value // 1000)
                 if et in conv_set:
+                    # prune on conversion arrival too: a user whose
+                    # traffic turns conversion-only must not retain
+                    # touches beyond the lookback indefinitely (the
+                    # state contract is pruned-on-ANY-arrival; safe —
+                    # entries below us - lookback are ineligible for
+                    # this and every future conversion)
+                    touches = [
+                        (t, c) for t, c in touches if t >= us - lookback_us
+                    ]
                     for m, c, ppm in credits_for(touches, us):
                         rows.append((*key, r[ts_col], m, c, ppm))
                 if et in touch_set:
@@ -1742,6 +1751,108 @@ def streaming_attribution(
         yield pd.DataFrame(
             rows, columns=[*keys, ts_col, "model", "channel", "ppm"]
         )
+
+    return (
+        events.withWatermark(ts_col, "2 hours")
+        .groupBy(*keys)
+        .applyInPandasWithState(
+            walk,
+            outputStructType=out_schema,
+            stateStructType=state_schema,
+            outputMode="append",
+            timeoutConf=(
+                GroupStateTimeout.ProcessingTimeTimeout
+                if timeout_minutes is not None
+                else GroupStateTimeout.NoTimeout
+            ),
+        )
+    )
+
+
+def streaming_funnel(
+    events: DataFrame,
+    steps: Sequence[str],
+    within_us: int | None = None,
+    event_col: str = "event_type",
+    key_cols: Sequence[str] = ("user_id",),
+    ts_col: str = "ts",
+    timeout_minutes: int | None = 60,
+) -> DataFrame:
+    """Online funnel progression per user — the streaming face of
+    :func:`operators.product_analytics.funnel_user_depth`, including
+    the anchored ``within`` window variant (r12's ``funnel_w``).
+
+    State is O(steps) scalars per user: the completed depth, the
+    anchor (the FIRST step-1 timestamp — "the first signup starts the
+    clock"), and the last-completed-step timestamp. Each event that
+    ADVANCES the funnel emits an append row ``(key..., ts,
+    funnel_depth)`` — so the user's current depth is the max streamed
+    row, and the depth-over-time sankey is the row sequence. The
+    per-user final-depth table stays a downstream open aggregation
+    (``max(funnel_depth) group by user``) — the
+    :func:`streaming_transitions` split.
+
+    The walk is the batch operator's advancement rule verbatim: a step
+    counts iff it names ``steps[done]``, is STRICTLY later than the
+    last completed step, and (anchored variant) falls within
+    ``within_us`` of the anchor; non-step event types are ignored
+    entirely (the batch ``isin(steps)`` filter). Ties replay the batch
+    ``sort_array(struct(ts, ev))`` order: micro-batches sort by
+    ``(ts, event)``. On in-order replay the streamed max depth per
+    user equals the batch ``funnel_depth`` exactly for every user who
+    advanced at least once, and users the batch scores 0 emit nothing
+    (asserted in the parity test).
+    """
+    import pandas as pd  # noqa: F401
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    k = len(steps)
+    if k < 1:
+        raise ValueError("streaming_funnel: need at least one step")
+    if len(set(steps)) != k:
+        raise ValueError(
+            f"streaming_funnel: steps must be distinct, got {list(steps)!r}"
+        )
+    keys = list(key_cols)
+    step_list = [str(s) for s in steps]
+    key_schema = ", ".join(
+        f"{f.name} {f.dataType.simpleString()}"
+        for f in events.select(*keys).schema.fields
+    )
+    out_schema = f"{key_schema}, {ts_col} timestamp, funnel_depth int"
+    state_schema = "done int, anchor bigint, last bigint"
+
+    def walk(key, pdf_iter, state):
+        import pandas as pd
+
+        if state.hasTimedOut:
+            state.remove()
+            return
+
+        done, anchor, last = state.get if state.exists else (0, 0, 0)
+        rows = []
+        for pdf in pdf_iter:
+            pdf = pdf[pdf[event_col].isin(step_list)]
+            pdf = pdf.sort_values([ts_col, event_col], kind="mergesort")
+            for _, r in pdf.iterrows():
+                if done >= k:
+                    break
+                us = int(pd.Timestamp(r[ts_col]).value // 1000)
+                ok = str(r[event_col]) == step_list[done] and (
+                    done == 0 or us > last
+                )
+                if within_us is not None and done > 0:
+                    ok = ok and us <= anchor + within_us
+                if ok:
+                    if done == 0:
+                        anchor = us
+                    done += 1
+                    last = us
+                    rows.append((*key, r[ts_col], done))
+        state.update((done, anchor, last))
+        if timeout_minutes is not None:
+            state.setTimeoutDuration(timeout_minutes * 60 * 1000)
+        yield pd.DataFrame(rows, columns=[*keys, ts_col, "funnel_depth"])
 
     return (
         events.withWatermark(ts_col, "2 hours")

@@ -117,9 +117,9 @@ class TestBasketRules:
 
 
 class TestAprioriPrune:
-    """The anti-monotone item prune is LOSSLESS: with it on (default)
-    the output — values AND denominators — equals both the
-    apriori_prune=False plan and brute force, on fixtures where the
+    """The anti-monotone item prune is LOSSLESS: with it on the
+    output — values AND denominators — equals both the default
+    (apriori_prune=False) plan and brute force, on fixtures where the
     prune verifiably removes tail items and even whole baskets from
     the pair-generation input."""
 
@@ -145,7 +145,9 @@ class TestAprioriPrune:
             (4, "z"),
         ]
         df = spark.createDataFrame(rows, ["basket", "item"])
-        got = self._collect(basket_rules(df, "basket", "item", 2))
+        got = self._collect(
+            basket_rules(df, "basket", "item", 2, apriori_prune=True)
+        )
         off = self._collect(
             basket_rules(df, "basket", "item", 2, apriori_prune=False)
         )
@@ -155,7 +157,9 @@ class TestAprioriPrune:
     def test_noop_at_mpc_one(self, spark):
         rows = [(1, "a"), (1, "b"), (2, "c")]
         df = spark.createDataFrame(rows, ["basket", "item"])
-        got = self._collect(basket_rules(df, "basket", "item", 1))
+        got = self._collect(
+            basket_rules(df, "basket", "item", 1, apriori_prune=True)
+        )
         assert got == _brute(rows, 1)
 
     @settings(max_examples=20, deadline=None)
@@ -173,7 +177,9 @@ class TestAprioriPrune:
     def test_property_pruned_equals_unpruned(self, spark, rows, mpc):
         df = spark.createDataFrame(rows, ["basket", "item"])
         assert (
-            self._collect(basket_rules(df, "basket", "item", mpc))
+            self._collect(
+                basket_rules(df, "basket", "item", mpc, apriori_prune=True)
+            )
             == self._collect(
                 basket_rules(df, "basket", "item", mpc, apriori_prune=False)
             )

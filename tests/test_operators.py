@@ -4032,3 +4032,53 @@ class TestFlagPersistKnob:
             assert cached.exceptAll(plain).count() == 0
         finally:
             scored.unpersist()
+
+    def test_collect_stats_mode_is_value_identical(self, spark, sf_dir):
+        """flag_sequence_anomalies(stats='collect') — the r13 fix for
+        the two-global-pass ceiling — must be value-identical to the
+        lazy stats='plan' form (same physical aggregate, same
+        partitioning), and its plan must carry NO stats subtree (no
+        second scoring pass per action)."""
+        from amonaly_detection_in_time_series_data_spark.operators.inference import (
+            flag_sequence_anomalies,
+            sequence_reconstruction_scores,
+        )
+        from amonaly_detection_in_time_series_data_spark.operators.sequences import (
+            create_sequences,
+        )
+
+        ev = load_table(spark, sf_dir, "events")
+        seqs = create_sequences(
+            ev, ["value"], 12, ["user_id"], ["ts", "event_id"], stride=12
+        )
+        # pandas scorer: the case the fix exists for — column pruning
+        # cannot cross mapInPandas, so the lazy stats subtree re-runs
+        # the whole Arrow scoring pass
+        scored = sequence_reconstruction_scores(
+            seqs, "seq", k=2, fit_rows=512,
+            order_cols=["user_id", "seq_start_ts"], scorer="pandas",
+        )
+        cols = ["user_id", "seq_start_ts", "recon_error", "is_anomaly"]
+        lazy = flag_sequence_anomalies(scored, stats="plan").select(*cols)
+        fused = flag_sequence_anomalies(scored, stats="collect").select(*cols)
+        assert lazy.exceptAll(fused).count() == 0
+        assert fused.exceptAll(lazy).count() == 0
+        # exactly one Arrow scoring stage in the fused plan (the lazy
+        # form carries a second one inside the stats subtree); logical
+        # plan, since AQE hides the physical tree until execution
+        fplan = fused._jdf.queryExecution().optimizedPlan().toString()
+        lplan = lazy._jdf.queryExecution().optimizedPlan().toString()
+        assert fplan.count("MapInPandas") == 1, fplan
+        assert lplan.count("MapInPandas") == 2, lplan
+        assert "stddev_samp" not in fplan
+
+    def test_stats_mode_validation(self, spark):
+        import pytest
+
+        from amonaly_detection_in_time_series_data_spark.operators.inference import (
+            flag_sequence_anomalies,
+        )
+
+        df = spark.range(3).withColumn("recon_error", F.col("id") * 1.0)
+        with pytest.raises(ValueError):
+            flag_sequence_anomalies(df, stats="bogus")

@@ -122,3 +122,113 @@ class TestPrefixJaccardJoin:
         p, q = pq
         rows = [(i, " ".join(toks)) for i, toks in enumerate(docs)]
         assert _run(spark, rows, p, q) == _brute(rows, p, q)
+
+
+class TestGramDfIndex:
+    """The persisted rarest-first gram-df index (r13): reused order ==
+    fresh output, stale order still EXACT (consistency, not accuracy,
+    is what the prefix theorem needs), incremental update == rebuild,
+    compat-tag validation."""
+
+    CORPUS = [
+        (1, "alpha beta gamma delta eps"),
+        (2, "alpha beta gamma delta zeta"),
+        (3, "beta gamma delta eps zeta"),
+        (4, "eta theta alpha beta gamma"),
+        (5, "zeta eta theta alpha beta"),
+        (6, "gamma delta eps zeta eta"),
+    ]
+
+    def _run_with_index(self, spark, rows, path, p=1, q=2, **kw):
+        df = spark.createDataFrame(rows, ["doc_id", "text"])
+        got = prefix_jaccard_join(
+            df, "text", "doc_id", threshold_num=p, threshold_den=q,
+            gram_order_path=path, **kw
+        ).collect()
+        return {
+            (r["id_a"], r["id_b"]): (r["inter"], r["size_a"], r["size_b"])
+            for r in got
+        }
+
+    def test_reused_order_equals_fresh(self, spark, tmp_path):
+        from amonaly_detection_in_time_series_data_spark.operators.similarity import (
+            gram_df_index_build,
+        )
+
+        path = str(tmp_path / "gramdf")
+        df = spark.createDataFrame(self.CORPUS, ["doc_id", "text"])
+        gram_df_index_build(df, path)
+        got = self._run_with_index(spark, self.CORPUS, path)
+        assert got == _run(spark, self.CORPUS, 1, 2) == _brute(
+            self.CORPUS, 1, 2
+        )
+
+    def test_stale_index_still_exact(self, spark, tmp_path):
+        # index built on HALF the corpus: dfs are wrong and half the
+        # grams are unseen (df=0) — the result must STILL be exact
+        from amonaly_detection_in_time_series_data_spark.operators.similarity import (
+            gram_df_index_build,
+        )
+
+        path = str(tmp_path / "gramdf_stale")
+        half = spark.createDataFrame(self.CORPUS[:3], ["doc_id", "text"])
+        gram_df_index_build(half, path)
+        got = self._run_with_index(spark, self.CORPUS, path)
+        assert got == _brute(self.CORPUS, 1, 2)
+
+    def test_incremental_update_equals_rebuild(self, spark, tmp_path):
+        from amonaly_detection_in_time_series_data_spark.operators.similarity import (
+            gram_df_index_build,
+            gram_df_index_update,
+        )
+
+        inc_path = str(tmp_path / "gramdf_inc")
+        full_path = str(tmp_path / "gramdf_full")
+        b1 = spark.createDataFrame(self.CORPUS[:2], ["doc_id", "text"])
+        b2 = spark.createDataFrame(self.CORPUS[2:4], ["doc_id", "text"])
+        b3 = spark.createDataFrame(self.CORPUS[4:], ["doc_id", "text"])
+        # bootstrap (no index yet) then two incremental folds
+        gram_df_index_update(spark, inc_path, b1)
+        gram_df_index_update(spark, inc_path, b2)
+        inc = gram_df_index_update(spark, inc_path, b3)
+        full = gram_df_index_build(
+            spark.createDataFrame(self.CORPUS, ["doc_id", "text"]), full_path
+        )
+        key = lambda r: (r["__h"], r["df"], r["gram"], r["compat"])
+        assert sorted(map(key, inc.collect())) == sorted(
+            map(key, full.collect())
+        )
+
+    def test_compat_mismatch_raises(self, spark, tmp_path):
+        from amonaly_detection_in_time_series_data_spark.operators.similarity import (
+            gram_df_index_build,
+            gram_df_index_update,
+        )
+
+        path = str(tmp_path / "gramdf_compat")
+        df = spark.createDataFrame(self.CORPUS, ["doc_id", "text"])
+        gram_df_index_build(df, path, shingle_n=2)
+        with pytest.raises(ValueError, match="compat"):
+            self._run_with_index(spark, self.CORPUS, path)  # shingle_n=3
+        with pytest.raises(ValueError, match="compat"):
+            gram_df_index_update(spark, path, df)  # shingle_n=3
+
+    def test_cap_with_index(self, spark, tmp_path):
+        # max_gram_df binds on the index's dfs; survivors stay exact
+        from amonaly_detection_in_time_series_data_spark.operators.similarity import (
+            gram_df_index_build,
+        )
+
+        path = str(tmp_path / "gramdf_cap")
+        df = spark.createDataFrame(self.CORPUS, ["doc_id", "text"])
+        gram_df_index_build(df, path)
+        pairs, excluded = prefix_jaccard_join(
+            df, "text", "doc_id", 1, 2,
+            gram_order_path=path, max_gram_df=10**6, return_excluded=True,
+        )
+        got = {
+            (r["id_a"], r["id_b"]): (r["inter"], r["size_a"], r["size_b"])
+            for r in pairs.collect()
+        }
+        assert got == _brute(self.CORPUS, 1, 2)  # cap never binds
+        assert excluded.count() == 0

@@ -273,7 +273,7 @@ class TestJourneyPaths:
         df = spark.createDataFrame(
             rows, "u bigint, ts timestamp, eid bigint, et string"
         )
-        for k in (2, 3):
+        for k in (2, 3, 4):
             got = {
                 r["path"]: (r["cnt"], r["share"])
                 for r in journey_paths(

@@ -1619,3 +1619,74 @@ class TestStreamingAttribution:
             streaming_attribution(ev, models=("nope",))
         with _pytest.raises(ValueError):
             streaming_attribution(ev, models=("linear", "linear"))
+
+
+class TestStreamingFunnel:
+    """streaming_funnel (r13, ledger row 22): O(steps) scalars of
+    per-user state; the streamed max depth per user equals the batch
+    funnel_user_depth exactly — plain AND anchored (within) variants —
+    on in-order multi-micro-batch replay."""
+
+    STEPS = ("view", "click", "purchase")
+
+    def _parity(self, spark, sf_dir, tmp_path, within, tag):
+        from amonaly_detection_in_time_series_data_spark.operators.product_analytics import (
+            funnel_user_depth,
+        )
+        from amonaly_detection_in_time_series_data_spark.streaming.rolling import (
+            streaming_funnel,
+        )
+
+        ev = load_table(spark, sf_dir, "events").select(
+            "user_id", "ts", "event_type"
+        )
+        batch = {
+            r["user_id"]: r["funnel_depth"]
+            for r in funnel_user_depth(
+                ev, "ts", "user_id", "event_type", list(self.STEPS),
+                within=within,
+            ).collect()
+        }
+        within_us = None
+        if within is not None:
+            n, unit = within.split()
+            within_us = int(n) * (
+                86_400_000_000 if unit.startswith("day") else 3_600_000_000
+            )
+        stream = TestStreamingForecast._replay_grid(
+            spark, ev, tmp_path, f"funnel_g_{tag}"
+        )
+        out = streaming_funnel(
+            stream, list(self.STEPS), within_us=within_us,
+            key_cols=["user_id"], timeout_minutes=None,
+        )
+        assert out.isStreaming
+        _run_stream_to_memory(out, f"funnel_s_{tag}", "append")
+        rows = spark.sql(
+            "SELECT user_id, max(funnel_depth) AS depth, "
+            f"count(*) AS n FROM funnel_s_{tag} GROUP BY user_id"
+        ).collect()
+        got = {r["user_id"]: r["depth"] for r in rows}
+        # every advance emitted exactly once: n rows == final depth
+        assert all(r["n"] == r["depth"] for r in rows)
+        expected = {u: d for u, d in batch.items() if d >= 1}
+        assert got == expected and len(expected) > 0
+
+    def test_matches_batch_exactly(self, spark, sf_dir, tmp_path):
+        self._parity(spark, sf_dir, tmp_path, within=None, tag="p")
+
+    def test_anchored_within_matches_batch(self, spark, sf_dir, tmp_path):
+        self._parity(spark, sf_dir, tmp_path, within="1 days", tag="w")
+
+    def test_validation(self, spark, sf_dir):
+        import pytest as _pytest
+
+        from amonaly_detection_in_time_series_data_spark.streaming.rolling import (
+            streaming_funnel,
+        )
+
+        ev = load_table(spark, sf_dir, "events")
+        with _pytest.raises(ValueError):
+            streaming_funnel(ev, [])
+        with _pytest.raises(ValueError):
+            streaming_funnel(ev, ["a", "a"])
