@@ -115,7 +115,7 @@ def main() -> None:
         ).count()
         return (
             f"pairs={n} ==clean={clean == n} "
-            f"excluded={[(r['bucket'], r['band_size']) for r in ex]}"
+            f"excluded={[(r['band_bucket'], r['band_size']) for r in ex]}"
         )
 
     # --- minhash LSH: 10^4 identical vocab-disjoint docs in 50k real ---
