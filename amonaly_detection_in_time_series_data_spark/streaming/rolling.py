@@ -1869,3 +1869,101 @@ def streaming_funnel(
             ),
         )
     )
+
+
+def streaming_journey_paths(
+    events: DataFrame,
+    k: int = 3,
+    session_cols: Sequence[str] = ("user_id",),
+    order_cols: Sequence[str] = ("ts", "event_id"),
+    type_col: str = "event_type",
+    ts_col: str = "ts",
+    sep: str = ">",
+    timeout_minutes: int | None = 60,
+) -> DataFrame:
+    """Online k-step journey paths per session — the streaming face of
+    :func:`operators.product_analytics.journey_paths`, completing the
+    product-analytics streaming family (transitions is the k=2 walk;
+    this is the k-deep one). The top-paths table (count/share) is an
+    open aggregation and stays a downstream update-mode/foreachBatch
+    concern — the :func:`streaming_transitions` split; the WALK owns
+    O(k) state.
+
+    State is the last k-1 event types per session key, kept as
+    parallel (value, is-null) arrays so a NULL type still OCCUPIES its
+    position exactly like the batch lag columns: a completed run
+    containing a NULL anywhere emits nothing (the batch lag-filter
+    convention), but the NULL advances the window and poisons the next
+    k-1 runs it participates in. Each arriving row that completes an
+    all-non-null run emits one append row ``(session_cols...,
+    order_cols..., path)`` with the batch's ``sep``-joined path key
+    (same 'type must not contain sep' contract); grouping the streamed
+    rows by path reproduces the batch ``cnt`` EXACTLY on in-order
+    replay (asserted in the parity test), and share = cnt/total
+    downstream.
+    """
+    import pandas as pd  # noqa: F401
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    if k < 2:
+        raise ValueError(f"streaming_journey_paths: k must be >= 2, got {k}")
+    keys = list(session_cols)
+    order = list(order_cols)
+    key_schema = ", ".join(
+        f"{f.name} {f.dataType.simpleString()}"
+        for f in events.select(*keys).schema.fields
+    )
+    order_schema = ", ".join(
+        f"{f.name} {f.dataType.simpleString()}"
+        for f in events.select(*order).schema.fields
+    )
+    out_schema = f"{key_schema}, {order_schema}, path string"
+    state_schema = "vals array<string>, nulls array<boolean>"
+
+    def walk(key, pdf_iter, state):
+        import pandas as pd
+
+        if state.hasTimedOut:
+            state.remove()
+            return
+
+        vals, nulls = state.get if state.exists else ([], [])
+        prev = [
+            (None if isnull else v)
+            for v, isnull in zip(list(vals), list(nulls))
+        ]
+        rows = []
+        for pdf in pdf_iter:
+            pdf = pdf.sort_values(order)
+            for _, r in pdf.iterrows():
+                cur = r[type_col]
+                cur = None if pd.isna(cur) else str(cur)
+                run = prev + [cur]
+                if len(run) == k and all(t is not None for t in run):
+                    rows.append(
+                        (*key, *(r[c] for c in order), sep.join(run))
+                    )
+                prev = (prev + [cur])[-(k - 1):]
+        state.update((
+            ["" if t is None else t for t in prev],
+            [t is None for t in prev],
+        ))
+        if timeout_minutes is not None:
+            state.setTimeoutDuration(timeout_minutes * 60 * 1000)
+        yield pd.DataFrame(rows, columns=[*keys, *order, "path"])
+
+    return (
+        events.withWatermark(ts_col, "2 hours")
+        .groupBy(*keys)
+        .applyInPandasWithState(
+            walk,
+            outputStructType=out_schema,
+            stateStructType=state_schema,
+            outputMode="append",
+            timeoutConf=(
+                GroupStateTimeout.ProcessingTimeTimeout
+                if timeout_minutes is not None
+                else GroupStateTimeout.NoTimeout
+            ),
+        )
+    )

@@ -1690,3 +1690,86 @@ class TestStreamingFunnel:
             streaming_funnel(ev, [])
         with _pytest.raises(ValueError):
             streaming_funnel(ev, ["a", "a"])
+
+
+class TestStreamingJourneyPaths:
+    """streaming_journey_paths (r13, ledger row 23): O(k) state per
+    session; grouping the streamed per-run rows by path equals the
+    batch journey_paths counts exactly on in-order multi-micro-batch
+    replay — k=3 and k=4 on real events, plus a NULL-bearing synthetic
+    replay pinning the lag-filter convention (a NULL occupies its
+    position and poisons the runs it joins, emitting nothing)."""
+
+    def _parity(self, spark, ev, tmp_path, k, tag):
+        from amonaly_detection_in_time_series_data_spark.operators.product_analytics import (
+            journey_paths,
+        )
+        from amonaly_detection_in_time_series_data_spark.streaming.rolling import (
+            streaming_journey_paths,
+        )
+
+        batch = {
+            r["path"]: r["cnt"]
+            for r in journey_paths(
+                ev, ["user_id"], ["ts", "event_id"], "event_type", k=k
+            ).collect()
+        }
+        stream = TestStreamingForecast._replay_grid(
+            spark, ev, tmp_path, f"jp_g_{tag}"
+        )
+        out = streaming_journey_paths(
+            stream, k=k, session_cols=["user_id"],
+            order_cols=["ts", "event_id"], timeout_minutes=None,
+        )
+        assert out.isStreaming
+        _run_stream_to_memory(out, f"jp_s_{tag}", "append")
+        got = {
+            r["path"]: r["cnt"]
+            for r in spark.sql(
+                f"SELECT path, count(*) AS cnt FROM jp_s_{tag} GROUP BY path"
+            ).collect()
+        }
+        assert got == batch and len(batch) > 0
+
+    def test_matches_batch_k3(self, spark, sf_dir, tmp_path):
+        ev = load_table(spark, sf_dir, "events").select(
+            "user_id", "ts", "event_id", "event_type"
+        )
+        self._parity(spark, ev, tmp_path, 3, "k3")
+
+    def test_matches_batch_k4(self, spark, sf_dir, tmp_path):
+        ev = load_table(spark, sf_dir, "events").select(
+            "user_id", "ts", "event_id", "event_type"
+        )
+        self._parity(spark, ev, tmp_path, 4, "k4")
+
+    def test_null_types_poison_runs(self, spark, tmp_path):
+        import datetime as dt
+
+        B = dt.datetime(2024, 1, 1)
+
+        def ts(m):
+            return B + dt.timedelta(minutes=m)
+
+        rows = [
+            (1, ts(1), 1, "a"), (1, ts(2), 2, "b"), (1, ts(3), 3, None),
+            (1, ts(4), 4, "c"), (1, ts(5), 5, "d"), (1, ts(6), 6, "e"),
+            (2, ts(7), 7, "a"), (2, ts(8), 8, "b"), (2, ts(9), 9, "c"),
+        ]
+        ev = spark.createDataFrame(
+            rows,
+            "user_id bigint, ts timestamp, event_id bigint, "
+            "event_type string",
+        )
+        self._parity(spark, ev, tmp_path, 3, "nulls")
+
+    def test_validation(self, spark, sf_dir):
+        import pytest as _pytest
+
+        from amonaly_detection_in_time_series_data_spark.streaming.rolling import (
+            streaming_journey_paths,
+        )
+
+        ev = load_table(spark, sf_dir, "events")
+        with _pytest.raises(ValueError):
+            streaming_journey_paths(ev, k=1)
