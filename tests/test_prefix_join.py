@@ -232,3 +232,27 @@ class TestGramDfIndex:
         }
         assert got == _brute(self.CORPUS, 1, 2)  # cap never binds
         assert excluded.count() == 0
+
+    def test_indexed_plan_skips_df_aggregate(self, spark, tmp_path):
+        # the point of the index: the per-call plan must not rebuild
+        # the gram-df groupBy over gram OCCURRENCES — one aggregate
+        # (the per-doc ordered assembly) instead of two, and a scan of
+        # the index parquet in its place
+        from amonaly_detection_in_time_series_data_spark.operators.similarity import (
+            gram_df_index_build,
+        )
+
+        path = str(tmp_path / "gramdf_plan")
+        df = spark.createDataFrame(self.CORPUS, ["doc_id", "text"])
+        gram_df_index_build(df, path)
+        fresh = prefix_jaccard_join(df, "text", "doc_id", 1, 2, pin=False)
+        indexed = prefix_jaccard_join(
+            df, "text", "doc_id", 1, 2, pin=False, gram_order_path=path
+        )
+        fplan = fresh._jdf.queryExecution().optimizedPlan().toString()
+        iplan = indexed._jdf.queryExecution().optimizedPlan().toString()
+        # the logical tree repeats the shared subtree per consumer, so
+        # count the df-aggregate SIGNATURE, not Aggregate nodes
+        assert "count(1) AS df" in fplan
+        assert "count(1) AS df" not in iplan, iplan
+        assert "parquet" in iplan  # the index scan took its place
