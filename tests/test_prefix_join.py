@@ -256,3 +256,102 @@ class TestGramDfIndex:
         assert "count(1) AS df" in fplan
         assert "count(1) AS df" not in iplan, iplan
         assert "parquet" in iplan  # the index scan took its place
+
+
+class TestOrderedTokensArtifact:
+    """The persisted ordered-tokens artifact (r13): joining the
+    artifact equals the direct join AND brute force — one-shot builds,
+    incrementally-appended builds (the frozen-index cross-batch
+    consistency contract), any query-time threshold — and a drifted
+    gram index is refused loudly."""
+
+    CORPUS = TestGramDfIndex.CORPUS
+
+    def _join(self, spark, path, p=1, q=2):
+        from amonaly_detection_in_time_series_data_spark.operators.similarity import (
+            prefix_jaccard_join_indexed,
+        )
+
+        got = prefix_jaccard_join_indexed(spark, path, p, q).collect()
+        return {
+            (r["id_a"], r["id_b"]): (r["inter"], r["size_a"], r["size_b"])
+            for r in got
+        }
+
+    def test_one_shot_equals_direct_and_brute(self, spark, tmp_path):
+        from amonaly_detection_in_time_series_data_spark.operators.similarity import (
+            gram_df_index_build,
+            ordered_tokens_build,
+        )
+
+        gpath = str(tmp_path / "g")
+        tpath = str(tmp_path / "t")
+        df = spark.createDataFrame(self.CORPUS, ["doc_id", "text"])
+        gram_df_index_build(df, gpath)
+        ordered_tokens_build(df, tpath, gpath)
+        for p, q in ((1, 2), (1, 3), (2, 3)):
+            assert (
+                self._join(spark, tpath, p, q)
+                == _run(spark, self.CORPUS, p, q)
+                == _brute(self.CORPUS, p, q)
+            )
+
+    def test_incremental_appends_stay_exact(self, spark, tmp_path):
+        # index frozen on the FIRST batch only — stale (df=0) for every
+        # gram the later batches introduce; the union join must still
+        # be exact, and cross-batch pairs must be found
+        from amonaly_detection_in_time_series_data_spark.operators.similarity import (
+            gram_df_index_build,
+            ordered_tokens_update,
+        )
+
+        gpath = str(tmp_path / "gi")
+        tpath = str(tmp_path / "ti")
+        b1 = spark.createDataFrame(self.CORPUS[:2], ["doc_id", "text"])
+        gram_df_index_build(b1, gpath)
+        ordered_tokens_update(spark, tpath, b1, gpath)  # bootstrap
+        ordered_tokens_update(
+            spark, tpath,
+            spark.createDataFrame(self.CORPUS[2:4], ["doc_id", "text"]),
+            gpath,
+        )
+        ordered_tokens_update(
+            spark, tpath,
+            spark.createDataFrame(self.CORPUS[4:], ["doc_id", "text"]),
+            gpath,
+        )
+        got = self._join(spark, tpath)
+        assert got == _brute(self.CORPUS, 1, 2)
+        # cross-batch pairs exist in this fixture (docs 1-2 vs 3+)
+        assert any(a <= 2 < b for a, b in got)
+
+    def test_drifted_index_refused(self, spark, tmp_path):
+        import pytest as _pytest
+
+        from amonaly_detection_in_time_series_data_spark.operators.similarity import (
+            gram_df_index_build,
+            gram_df_index_update,
+            ordered_tokens_build,
+            ordered_tokens_update,
+        )
+
+        gpath = str(tmp_path / "gd")
+        tpath = str(tmp_path / "td")
+        b1 = spark.createDataFrame(self.CORPUS[:3], ["doc_id", "text"])
+        b2 = spark.createDataFrame(self.CORPUS[3:], ["doc_id", "text"])
+        gram_df_index_build(b1, gpath)
+        ordered_tokens_build(b1, tpath, gpath)
+        # drift the index (fold in batch 2), then try to append
+        gram_df_index_update(spark, gpath, b2)
+        with _pytest.raises(ValueError, match="drifted"):
+            ordered_tokens_update(spark, tpath, b2, gpath)
+
+    def test_threshold_validation(self, spark, tmp_path):
+        import pytest as _pytest
+
+        from amonaly_detection_in_time_series_data_spark.operators.similarity import (
+            prefix_jaccard_join_indexed,
+        )
+
+        with _pytest.raises(ValueError):
+            prefix_jaccard_join_indexed(spark, str(tmp_path), 0, 2)
