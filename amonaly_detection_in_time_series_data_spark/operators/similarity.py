@@ -1074,7 +1074,10 @@ def prefix_jaccard_join(
     needs consistency, not accuracy; a drifted order only grows
     candidate counts. With ``max_gram_df`` the cap binds on the
     index's dfs (refresh the index before trusting the cap against a
-    new flood).
+    new flood); the ``return_excluded`` report is intersected with the
+    call's own gram set so a superset index can't list grams this
+    corpus lacks (r13 ADVICE — the prefix anti-join itself keeps the
+    full index hot list, which is report-invisible and conservative).
 
     Two measured engineering choices (sf0.1, 5k docs, 308k candidates):
 
@@ -1141,7 +1144,14 @@ def prefix_jaccard_join(
             )
         )
         # cap mode binds on the INDEX's (possibly stale) dfs; the
-        # excluded report carries the index's representative gram
+        # excluded report carries the index's representative gram.
+        # Report semantics in this mode (r13 ADVICE): the hot list is
+        # INDEX state — with return_excluded it is intersected with the
+        # call's own gram set below so the report never lists grams a
+        # stale/superset index knows but this corpus lacks; a 2^-64
+        # hash-colliding NON-representative hot gram is still neither
+        # reported nor anti-joined (the prefix filter stays merely
+        # conservative for it — exactness unaffected, documented trade)
         tok_df = idx.select("gram", "df") if max_gram_df is not None else None
     elif max_gram_df is None:
         # r12 (third-decade finding, SCALING §10a0d): the df groupBy +
@@ -1195,6 +1205,14 @@ def prefix_jaccard_join(
         # both ends.
         hot = tok_df.filter(F.col("df") > max_gram_df)
         excluded = hot.select("gram", "df")
+        if gram_order_path is not None and return_excluded:
+            # scope the REPORT to grams actually present in this call's
+            # corpus (the hot list came from the index, which may be a
+            # superset); the anti-join keeps the full index hot list —
+            # absent grams match nothing there, so this is report-only
+            excluded = excluded.join(
+                exploded.select("gram").distinct(), "gram", "left_semi"
+            )
     pairs = _ppjoin_tail(ordered, p, q, positional, hot_grams=hot)
     if return_excluded:
         return pairs, excluded
@@ -1343,6 +1361,37 @@ def _gram_df_compat_tag(shingle_n: int) -> str:
     return f"{_GRAM_DF_COMPAT}:shingle_n={shingle_n}"
 
 
+def _read_artifact_if_exists(spark, path: str) -> DataFrame | None:
+    """Read a persisted artifact, returning ``None`` ONLY when the
+    path does not exist yet (the caller then bootstraps). Every OTHER
+    read failure — permissions, object-store consistency, a corrupt
+    footer — re-raises: the update paths bootstrap via
+    ``mode('overwrite')`` from the NEW BATCH ALONE, so swallowing a
+    transient read error would silently destroy the accumulated
+    corpus state (r13 ADVICE)."""
+    from pyspark.errors import AnalysisException
+
+    try:
+        df = spark.read.parquet(path)
+        _ = df.columns
+        return df
+    except AnalysisException as e:
+        cond = ""
+        for getter in ("getCondition", "getErrorClass"):
+            fn = getattr(e, getter, None)
+            if fn is not None:
+                try:
+                    cond = fn() or ""
+                except Exception:
+                    cond = ""
+                if cond:
+                    break
+        msg = str(e)
+        if "PATH_NOT_FOUND" in cond or "Path does not exist" in msg:
+            return None
+        raise
+
+
 def _read_gram_df_index(
     spark, index_path: str, shingle_n: int
 ) -> DataFrame:
@@ -1468,11 +1517,9 @@ def ordered_tokens_update(
     artifact equals the one-shot direct join over the union corpus."""
     idx = _read_gram_df_index(spark, gram_order_path, shingle_n)
     fp = _gram_index_fingerprint(idx)
-    try:
-        old = spark.read.parquet(tokens_path)
-        _ = old.columns
-    except Exception:
-        old = None
+    # path-not-found ONLY → bootstrap; real read errors re-raise so a
+    # transient failure can't trigger a destructive one-batch rebuild
+    old = _read_artifact_if_exists(spark, tokens_path)
     if old is None:
         return ordered_tokens_build(
             new_docs, tokens_path, gram_order_path,
@@ -1585,11 +1632,9 @@ def gram_df_index_update(
     so incremental folding is exact. Append-only semantics: this
     counts NEW documents; re-submitting the same batch double-counts
     (dedupe upstream, the ingest contract)."""
-    try:
-        old = spark.read.parquet(index_path)
-        _ = old.columns
-    except Exception:
-        old = None
+    # path-not-found ONLY → bootstrap; real read errors re-raise so a
+    # transient failure can't trigger a destructive one-batch rebuild
+    old = _read_artifact_if_exists(spark, index_path)
     if old is None:
         return gram_df_index_build(
             new_docs, index_path, text_col, id_col, shingle_n

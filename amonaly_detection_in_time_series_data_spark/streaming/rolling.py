@@ -1802,6 +1802,17 @@ def streaming_funnel(
     user equals the batch ``funnel_depth`` exactly for every user who
     advanced at least once, and users the batch scores 0 emit nothing
     (asserted in the parity test).
+
+    Timeout caveat (r13 ADVICE): the default
+    ``timeout_minutes=60`` bounds per-user state, but eviction
+    mid-funnel resets ``done``/``anchor`` to 0 — a user whose funnel
+    spans longer than the timeout re-walks from step 1 and can stream
+    depths the batch operator (anchored at the FIRST step-1) would
+    never assign. Because streamed depth is otherwise monotone per
+    user, this re-emission is the one way parity can diverge: the
+    replay-parity claim above holds unconditionally only with
+    ``timeout_minutes=None``; the default trades that guarantee for
+    bounded state on funnels slower than the timeout.
     """
     import pandas as pd  # noqa: F401
     from pyspark.sql.streaming.state import GroupStateTimeout

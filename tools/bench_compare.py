@@ -25,15 +25,24 @@ def main() -> None:
     def load(path):
         """Accept either bench.py's own JSON line or the driver's
         BENCH_r{N}.json wrapper ({'parsed': ..., 'tail': ...}); pull
-        the plans map out of the wrapper's tail text when present."""
-        import re
-
+        the plans map out of the wrapper's tail text when present.
+        The tail's plans value is parsed with raw_decode from the
+        found offset (r13 ADVICE) — a brace-bounded regex can't match
+        a map whose values contain nested braces."""
         d = json.load(open(path))
         plans = d.get("plans", {})
         if "parsed" in d:
-            m = re.search(r'"plans": (\{[^}]*\})', d.get("tail", ""))
-            if m:
-                plans = json.loads(m.group(1))
+            tail = d.get("tail", "")
+            key = '"plans":'
+            at = tail.find(key)
+            if at >= 0:
+                start = at + len(key)
+                while start < len(tail) and tail[start] in " \t\r\n":
+                    start += 1
+                try:
+                    plans, _ = json.JSONDecoder().raw_decode(tail, start)
+                except ValueError:
+                    plans = {}
             d = d["parsed"]
         return d, plans
 
@@ -42,14 +51,6 @@ def main() -> None:
     if detail_p:
         detail = json.load(open(detail_p))
         new_plans = new_plans or detail.get("plans", {})
-    else:
-        detail = {}
-
-    def ratios(tag: str) -> tuple[float, float]:
-        c_old, c_new = old.get(tag), new.get(tag)
-        if not c_old or not c_new:
-            return float("nan"), float("nan")
-        return c_new / c_old, c_old / c_new
 
     cpu_r = new.get("calibration_s", 0) / max(old.get("calibration_s", 1), 1e-9)
     io_r = new.get("calibration_io_s", 0) / max(
