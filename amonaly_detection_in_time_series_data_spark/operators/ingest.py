@@ -48,6 +48,13 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from amonaly_detection_in_time_series_data_spark.operators.similarity import (
+    _gram_df_compat_tag,
+    _gram_df_merged,
+    _gram_index_fingerprint,
+    _ord_tok_tag,
+    _ordered_under_index,
+    _read_artifact_if_exists,
+    _read_gram_df_index,
     band_buckets,
     minhash_jaccard_est,
     minhash_signatures,
@@ -58,6 +65,10 @@ __all__ = [
     "incremental_ingest_sink",
     "read_store",
     "sig_scheme",
+    "similarity_index_update",
+    "similarity_index_paths",
+    "similarity_index_rebuild_df",
+    "similarity_ingest_sink",
 ]
 
 # Version tag of each hash family's SIGNATURE VALUES, bumped whenever an
@@ -82,10 +93,12 @@ def sig_scheme(hash_fn: str, n_hashes: int, shingle_n: int) -> str:
 
 
 def read_store(spark: SparkSession, store_path: str) -> DataFrame | None:
-    """The signature store if it exists and is non-empty, else None."""
-    try:
-        df = spark.read.parquet(store_path)
-    except Exception:
+    """The signature store if it exists and is non-empty, else None.
+    Path-not-found only — a transient read error re-raises instead of
+    silently skipping history dedup for the batch (the r13-ADVICE
+    strict-read rule, applied store-wide)."""
+    df = _read_artifact_if_exists(spark, store_path)
+    if df is None:
         return None
     return df if "sig" in df.columns else None
 
@@ -276,5 +289,245 @@ def incremental_ingest_sink(
             file_stats_index_update(
                 df.sparkSession, out_path, stats_cols or [], stats_index_path
             )
+
+    return write_batch
+
+
+# --------------------------------------------------------------------------
+# Composed ppjoin similarity store (r14, the r13 verdict's #1): one ingest
+# call keeps the gram-df index AND the ordered-tokens artifact in lockstep.
+# --------------------------------------------------------------------------
+
+
+def similarity_index_paths(base_path: str) -> tuple[str, str, str]:
+    """The three artifacts of a composed similarity store under one
+    base directory: ``(gram_df, gram_order, ordered_tokens)``.
+
+    - ``gram_df`` — the LIVE gram-df index
+      (:func:`~.similarity.gram_df_index_build` format plus a constant
+      ``last_batch`` column), folded per batch; serves
+      ``prefix_jaccard_join(gram_order_path=...)`` over external
+      corpora and keeps cap-mode dfs fresh.
+    - ``gram_order`` — the FROZEN order snapshot: a copy of ``gram_df``
+      taken at bootstrap and never touched again. It exists because
+      the two halves the verdict asks to compose are otherwise
+      CONTRADICTORY: :func:`~.similarity.ordered_tokens_update`
+      refuses appends under an index whose content fingerprint
+      drifted (the cross-batch consistency precondition of the prefix
+      theorem), while folding the df index per batch drifts it on
+      EVERY batch. Freezing the order decouples them — tokens stay
+      appendable forever (exactness needs CONSISTENCY of the order,
+      not accuracy; stale dfs only grow candidate counts), and the
+      live index stays fresh for its own consumers.
+    - ``ordered_tokens`` — the per-doc artifact
+      :func:`~.similarity.prefix_jaccard_join_indexed` joins, sorted
+      under ``gram_order``, partitioned by ``batch_id``.
+    """
+    return (
+        f"{base_path}/gram_df",
+        f"{base_path}/gram_order",
+        f"{base_path}/ordered_tokens",
+    )
+
+
+def similarity_index_update(
+    batch: DataFrame,
+    base_path: str,
+    batch_id: int,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingle_n: int = 3,
+) -> None:
+    """Fold ONE arriving document batch into a composed similarity
+    store: append its ordered-token rows to the tokens artifact AND
+    its gram counts to the live gram-df index — or refuse atomically,
+    with every validation (compat tags, frozen-order fingerprint,
+    half-bootstrap detection) performed BEFORE any write, so a
+    drifted-index refusal can never strand a half-updated pair.
+
+    Layout: :func:`similarity_index_paths`. Bootstraps all three
+    artifacts from the first batch.
+
+    **Idempotency under foreachBatch redelivery** (caller owns
+    monotone ``batch_id``, the store convention): the EXACTNESS-
+    critical half — the tokens artifact — is written per ``batch_id``
+    partition with dynamic overwrite, so a redelivered batch rewrites
+    its own partition (exactly-once effective, like the signature
+    store). The live df fold is guarded by the ``last_batch`` stamp
+    written atomically WITH the fold (one parquet overwrite): a
+    redelivered ``batch_id <= last_batch`` skips the fold. The one
+    unguarded crash window — mid-overwrite of ``gram_df`` itself — is
+    recoverable without the original texts via
+    :func:`similarity_index_rebuild_df` (each doc's ``toks`` array IS
+    its distinct gram set), and a doubled df would in any case be
+    EFFICIENCY-only by the staleness contract (any df assignment is a
+    consistent total order; exactness is untouched).
+
+    Duplicate contract: append-only by ``doc_id`` — re-submitting the
+    same document under a NEW batch_id double-enters it (dedupe
+    upstream, e.g. chain behind :func:`incremental_neardup_batch`).
+
+    Consumers: ``prefix_jaccard_join_indexed(spark, tokens_path, p,
+    q)`` for the corpus self-join at any threshold;
+    ``prefix_jaccard_join(..., gram_order_path=gram_df_path)`` for
+    inline joins that want the live dfs."""
+    spark = batch.sparkSession
+    df_p, ord_p, tok_p = similarity_index_paths(base_path)
+    compat = _gram_df_compat_tag(shingle_n)
+    order = _read_artifact_if_exists(spark, ord_p)
+
+    if order is None:
+        # ---- bootstrap: live index, frozen order snapshot, tokens ----
+        merged = _gram_df_merged(
+            batch, text_col, id_col, shingle_n
+        ).withColumn("compat", F.lit(compat))
+        merged.withColumn("last_batch", F.lit(int(batch_id))).write.mode(
+            "overwrite"
+        ).parquet(df_p)
+        # the snapshot is a READ-BACK copy of what was just written —
+        # bit-identical content, so the fingerprint recorded in the
+        # tokens tag is reproducible from either artifact
+        spark.read.parquet(df_p).drop("last_batch").write.mode(
+            "overwrite"
+        ).parquet(ord_p)
+        idx = _read_gram_df_index(spark, ord_p, shingle_n)
+        _write_tokens_partition(
+            batch, idx, tok_p, batch_id, text_col, id_col, shingle_n
+        )
+        return
+
+    # ---- validate EVERYTHING before any write (atomic refusal) ----
+    idx = _read_gram_df_index(spark, ord_p, shingle_n)  # compat check
+    tag = _ord_tok_tag(shingle_n, _gram_index_fingerprint(idx))
+    live = _read_gram_df_index(spark, df_p, shingle_n)  # compat check
+    last_applied = None
+    if "last_batch" in live.columns:
+        head = live.select("last_batch").limit(1).collect()
+        if head:
+            last_applied = int(head[0]["last_batch"])
+    toks_old = _read_artifact_if_exists(spark, tok_p)
+    if toks_old is None:
+        # crash window between the bootstrap's order-snapshot write and
+        # its tokens write: completable iff THIS is the same batch
+        # retrying (the df fold already holds its counts)
+        if last_applied != int(batch_id):
+            raise ValueError(
+                f"similarity store at {base_path!r} has an order "
+                f"snapshot but no tokens artifact, and the live index "
+                f"was last folded for batch {last_applied!r} (caller "
+                f"is batch {int(batch_id)}) — the store is "
+                "inconsistent; rebuild it from the corpus"
+            )
+        _write_tokens_partition(
+            batch, idx, tok_p, batch_id, text_col, id_col, shingle_n,
+            tag=tag,
+        )
+        return
+    head = toks_old.select("compat").limit(1).collect()
+    if head and head[0]["compat"] != tag:
+        raise ValueError(
+            f"ordered-tokens artifact at {tok_p!r} has compat tag "
+            f"{head[0]['compat']!r}, but the frozen order snapshot at "
+            f"{ord_p!r} yields {tag!r} — the order drifted; REFUSING "
+            "before any write (neither artifact was touched); rebuild "
+            "the store"
+        )
+
+    # ---- tokens: batch_id-partitioned dynamic overwrite (idempotent) --
+    _write_tokens_partition(
+        batch, idx, tok_p, batch_id, text_col, id_col, shingle_n, tag=tag
+    )
+
+    # ---- live df fold, skipped on redelivery ----
+    if last_applied is not None and last_applied >= int(batch_id):
+        return
+    batch_df = _gram_df_merged(batch, text_col, id_col, shingle_n)
+    folded = (
+        live.select("__h", "df", "gram")
+        .unionByName(batch_df)
+        .groupBy("__h")
+        .agg(F.sum("df").alias("df"), F.min("gram").alias("gram"))
+        .withColumn("compat", F.lit(compat))
+        .withColumn("last_batch", F.lit(int(batch_id)))
+    )
+    # materialize before overwriting the parquet the lineage reads from
+    folded = folded.localCheckpoint(eager=True)
+    folded.write.mode("overwrite").parquet(df_p)
+
+
+def _write_tokens_partition(
+    batch: DataFrame,
+    idx: DataFrame,
+    tok_p: str,
+    batch_id: int,
+    text_col: str,
+    id_col: str,
+    shingle_n: int,
+    tag: str | None = None,
+) -> None:
+    """One batch's ordered-token rows into its own ``batch_id``
+    partition (dynamic overwrite — redelivery rewrites, never
+    double-appends)."""
+    if tag is None:
+        tag = _ord_tok_tag(shingle_n, _gram_index_fingerprint(idx))
+    toks = _ordered_under_index(
+        batch, idx, text_col, id_col, shingle_n
+    ).withColumn("compat", F.lit(tag))
+    (
+        toks.withColumn("batch_id", F.lit(int(batch_id)))
+        .write.mode("overwrite")
+        .partitionBy("batch_id")
+        .option("partitionOverwriteMode", "dynamic")
+        .parquet(tok_p)
+    )
+
+
+def similarity_index_rebuild_df(
+    spark: SparkSession, base_path: str
+) -> DataFrame:
+    """Recover the LIVE gram-df index from the tokens artifact — the
+    crash-mid-overwrite repair path of :func:`similarity_index_update`.
+    Exact by construction: each doc's ``toks`` array is exactly its
+    distinct gram set, so exploding the artifact and re-counting
+    reproduces the fold-maintained dfs row for row (df sums are
+    associative; the bucket representative is a MIN over the same gram
+    universe). ``last_batch`` is restamped from the artifact's max
+    partition. No original texts needed."""
+    df_p, ord_p, tok_p = similarity_index_paths(base_path)
+    order = spark.read.parquet(ord_p)
+    compat = order.select("compat").limit(1).collect()[0]["compat"]
+    toks = spark.read.parquet(tok_p)
+    last = toks.agg(F.max("batch_id").alias("m")).collect()[0]["m"]
+    merged = (
+        toks.select(F.explode("toks").alias("gram"))
+        .groupBy("gram")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .groupBy(F.xxhash64("gram").alias("__h"))
+        .agg(F.sum("df").alias("df"), F.min("gram").alias("gram"))
+        .withColumn("compat", F.lit(compat))
+        .withColumn("last_batch", F.lit(int(last)))
+    )
+    merged = merged.localCheckpoint(eager=True)
+    merged.write.mode("overwrite").parquet(df_p)
+    return spark.read.parquet(df_p)
+
+
+def similarity_ingest_sink(
+    base_path: str, **cfg
+) -> Callable[[DataFrame, int], None]:
+    """``foreachBatch`` adapter for the composed similarity store:
+
+        (stream.writeStream.foreachBatch(similarity_ingest_sink(base))
+         .option("checkpointLocation", ckpt).start())
+
+    Each micro-batch runs :func:`similarity_index_update` — after N
+    micro-batches, ``prefix_jaccard_join_indexed`` over the store's
+    tokens artifact equals the one-shot join over the union corpus
+    (pytest-pinned streaming-vs-batch parity, the
+    ``maintain_basket_sink`` convention). Redelivery safety comes from
+    the updater's own contract (partitioned tokens + stamped fold)."""
+
+    def write_batch(df: DataFrame, batch_id: int) -> None:
+        similarity_index_update(df, base_path, int(batch_id), **cfg)
 
     return write_batch

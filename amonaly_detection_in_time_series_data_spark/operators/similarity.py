@@ -1597,19 +1597,29 @@ def gram_df_index_build(
     the same work ONE ppjoin call pays for its order, amortized over
     every subsequent call. Returns the index read back from
     ``index_path``."""
-    counts = (
+    merged = _gram_df_merged(docs, text_col, id_col, shingle_n).withColumn(
+        "compat", F.lit(_gram_df_compat_tag(shingle_n))
+    )
+    merged.write.mode("overwrite").parquet(index_path)
+    return docs.sparkSession.read.parquet(index_path)
+
+
+def _gram_df_merged(
+    docs: DataFrame, text_col: str, id_col: str, shingle_n: int
+) -> DataFrame:
+    """``(__h, df, gram)`` — one corpus/batch's hash-bucketed gram
+    document frequencies (df summed per ``xxhash64`` bucket, MIN gram
+    string as the bucket representative). The shared aggregate of
+    :func:`gram_df_index_build`, :func:`gram_df_index_update` and the
+    composed ingest updater (operators/ingest.py)."""
+    return (
         _gram_sets(docs, text_col, id_col, shingle_n)
         .select(F.explode("grams").alias("gram"))
         .groupBy("gram")
         .agg(F.count(F.lit(1)).alias("df"))
-    )
-    merged = (
-        counts.groupBy(F.xxhash64("gram").alias("__h"))
+        .groupBy(F.xxhash64("gram").alias("__h"))
         .agg(F.sum("df").alias("df"), F.min("gram").alias("gram"))
-        .withColumn("compat", F.lit(_gram_df_compat_tag(shingle_n)))
     )
-    merged.write.mode("overwrite").parquet(index_path)
-    return docs.sparkSession.read.parquet(index_path)
 
 
 def gram_df_index_update(
@@ -1646,14 +1656,7 @@ def gram_df_index_update(
             f"gram-df index at {index_path!r} has compat tag "
             f"{head[0]['compat']!r}, update expects {expected!r}"
         )
-    batch = (
-        _gram_sets(new_docs, text_col, id_col, shingle_n)
-        .select(F.explode("grams").alias("gram"))
-        .groupBy("gram")
-        .agg(F.count(F.lit(1)).alias("df"))
-        .groupBy(F.xxhash64("gram").alias("__h"))
-        .agg(F.sum("df").alias("df"), F.min("gram").alias("gram"))
-    )
+    batch = _gram_df_merged(new_docs, text_col, id_col, shingle_n)
     merged = (
         old.select("__h", "df", "gram")
         .unionByName(batch)

@@ -355,3 +355,201 @@ class TestOrderedTokensArtifact:
 
         with _pytest.raises(ValueError):
             prefix_jaccard_join_indexed(spark, str(tmp_path), 0, 2)
+
+
+class TestComposedSimilarityStore:
+    """similarity_index_update / similarity_ingest_sink (r14, the r13
+    verdict's #1): one ingest call keeps the gram-df index and the
+    ordered-tokens artifact in lockstep — batching-invariance (N
+    ingested batches ≡ one-shot build), streaming-vs-batch parity
+    through foreachBatch, ATOMIC drift refusal (neither artifact
+    touched), redelivery idempotency, and the tokens→df recovery
+    rebuild."""
+
+    CORPUS = TestGramDfIndex.CORPUS
+
+    def _join(self, spark, base, p=1, q=2):
+        from amonaly_detection_in_time_series_data_spark.operators.ingest import (
+            similarity_index_paths,
+        )
+        from amonaly_detection_in_time_series_data_spark.operators.similarity import (
+            prefix_jaccard_join_indexed,
+        )
+
+        _, _, tok_p = similarity_index_paths(base)
+        got = prefix_jaccard_join_indexed(spark, tok_p, p, q).collect()
+        return {
+            (r["id_a"], r["id_b"]): (r["inter"], r["size_a"], r["size_b"])
+            for r in got
+        }
+
+    def _ingest_all(self, spark, base, splits):
+        from amonaly_detection_in_time_series_data_spark.operators.ingest import (
+            similarity_index_update,
+        )
+
+        for i, rows in enumerate(splits):
+            similarity_index_update(
+                spark.createDataFrame(rows, ["doc_id", "text"]), base, i
+            )
+
+    def test_sink_batches_equal_one_shot(self, spark, tmp_path):
+        from amonaly_detection_in_time_series_data_spark.operators.ingest import (
+            similarity_index_paths,
+        )
+        from amonaly_detection_in_time_series_data_spark.operators.similarity import (
+            gram_df_index_build,
+        )
+
+        base = str(tmp_path / "store")
+        self._ingest_all(
+            spark, base,
+            [self.CORPUS[:2], self.CORPUS[2:4], self.CORPUS[4:]],
+        )
+        got = self._join(spark, base)
+        assert got == _brute(self.CORPUS, 1, 2)
+        # cross-batch pairs exist in this fixture
+        assert any(a <= 2 < b for a, b in got)
+        # the LIVE df index equals a from-scratch build over the union
+        df_p, _, _ = similarity_index_paths(base)
+        live = {
+            (r["__h"], r["df"], r["gram"])
+            for r in spark.read.parquet(df_p)
+            .select("__h", "df", "gram")
+            .collect()
+        }
+        rebuilt_path = str(tmp_path / "rebuild_ref")
+        ref = gram_df_index_build(
+            spark.createDataFrame(self.CORPUS, ["doc_id", "text"]),
+            rebuilt_path,
+        )
+        want = {
+            (r["__h"], r["df"], r["gram"])
+            for r in ref.select("__h", "df", "gram").collect()
+        }
+        assert live == want
+
+    def test_streaming_sink_parity(self, spark, tmp_path):
+        from amonaly_detection_in_time_series_data_spark.operators.ingest import (
+            similarity_ingest_sink,
+        )
+
+        base = str(tmp_path / "sstore")
+        src = tmp_path / "feed"
+        splits = [self.CORPUS[:2], self.CORPUS[2:4], self.CORPUS[4:]]
+        for i, rows in enumerate(splits):
+            spark.createDataFrame(rows, ["doc_id", "text"]).coalesce(
+                1
+            ).write.mode("overwrite").parquet(str(src / f"b{i}"))
+        stream = (
+            spark.readStream.schema("doc_id bigint, text string")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(str(src / "b*"))
+        )
+        q = (
+            stream.writeStream.foreachBatch(similarity_ingest_sink(base))
+            .option("checkpointLocation", str(tmp_path / "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
+        assert self._join(spark, base) == _brute(self.CORPUS, 1, 2)
+
+    def test_refusal_is_atomic(self, spark, tmp_path):
+        import pytest as _pytest
+
+        from amonaly_detection_in_time_series_data_spark.operators.ingest import (
+            similarity_index_paths,
+            similarity_index_update,
+        )
+        from amonaly_detection_in_time_series_data_spark.operators.similarity import (
+            gram_df_index_build,
+        )
+
+        base = str(tmp_path / "astore")
+        self._ingest_all(spark, base, [self.CORPUS[:2], self.CORPUS[2:4]])
+        df_p, ord_p, tok_p = similarity_index_paths(base)
+
+        def snap():
+            toks = sorted(
+                (r["id"], tuple(r["toks"]))
+                for r in spark.read.parquet(tok_p).collect()
+            )
+            live = sorted(
+                (r["__h"], r["df"])
+                for r in spark.read.parquet(df_p).collect()
+            )
+            return toks, live
+
+        before = snap()
+        # tamper: overwrite the FROZEN order snapshot with an index
+        # built from a different corpus (different content fingerprint)
+        gram_df_index_build(
+            spark.createDataFrame(
+                [(99, "totally different words entirely here")],
+                ["doc_id", "text"],
+            ),
+            ord_p,
+        )
+        with _pytest.raises(ValueError, match="REFUSING"):
+            similarity_index_update(
+                spark.createDataFrame(self.CORPUS[4:], ["doc_id", "text"]),
+                base, 2,
+            )
+        # neither artifact was touched by the refused update
+        assert snap() == before
+
+    def test_redelivery_idempotent(self, spark, tmp_path):
+        from amonaly_detection_in_time_series_data_spark.operators.ingest import (
+            similarity_index_paths,
+            similarity_index_update,
+        )
+
+        base = str(tmp_path / "rstore")
+        self._ingest_all(spark, base, [self.CORPUS[:3], self.CORPUS[3:]])
+        df_p, _, tok_p = similarity_index_paths(base)
+        want_join = self._join(spark, base)
+        want_tok_rows = spark.read.parquet(tok_p).count()
+        want_live = sorted(
+            (r["__h"], r["df"]) for r in spark.read.parquet(df_p).collect()
+        )
+        # redeliver batch 1 (same batch_id, same rows — the foreachBatch
+        # retry contract): tokens partition rewritten, df fold skipped
+        similarity_index_update(
+            spark.createDataFrame(self.CORPUS[3:], ["doc_id", "text"]),
+            base, 1,
+        )
+        assert spark.read.parquet(tok_p).count() == want_tok_rows
+        got_live = sorted(
+            (r["__h"], r["df"]) for r in spark.read.parquet(df_p).collect()
+        )
+        assert got_live == want_live
+        assert self._join(spark, base) == want_join == _brute(
+            self.CORPUS, 1, 2
+        )
+
+    def test_rebuild_df_recovers(self, spark, tmp_path):
+        import shutil
+
+        from amonaly_detection_in_time_series_data_spark.operators.ingest import (
+            similarity_index_paths,
+            similarity_index_rebuild_df,
+        )
+
+        base = str(tmp_path / "rcstore")
+        self._ingest_all(
+            spark, base,
+            [self.CORPUS[:2], self.CORPUS[2:4], self.CORPUS[4:]],
+        )
+        df_p, _, _ = similarity_index_paths(base)
+        want = sorted(
+            (r["__h"], r["df"], r["gram"], r["last_batch"])
+            for r in spark.read.parquet(df_p).collect()
+        )
+        shutil.rmtree(df_p)  # the crash-mid-overwrite scenario
+        rebuilt = similarity_index_rebuild_df(spark, base)
+        got = sorted(
+            (r["__h"], r["df"], r["gram"], r["last_batch"])
+            for r in rebuilt.collect()
+        )
+        assert got == want
