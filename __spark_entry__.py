@@ -1088,6 +1088,58 @@ def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lsh_rows.unionByName(pp_rows)
 
 
+def q_ngram_jaccard_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E2b (r14, rows-only) — the PERSISTED-ARTIFACT face of the exact
+    PPJoin self-join: the builder materializes the gram-df index and
+    the ordered-tokens artifact (operators/similarity.py r13) into a
+    deterministic /tmp store once per (session, sf_dir), then the
+    declared plan is ``prefix_jaccard_join_indexed`` — pure parquet
+    scans of the artifact, no per-call tokenize/shingle/df work.
+
+    Same corpus and threshold (J >= 1/2) as ``q_ngram_jaccard``'s
+    'ppjoin' tier, so this query's row count must equal that tier's
+    row count by the artifact == direct contract (pytest-pinned in
+    tests/test_prefix_join.py; brute-force-equal there too). Rows-only
+    by the same policy as the other builder-job queries: the build is
+    a corpus-scale WRITE, not a bounded collect — it sits in
+    ``_plan_cache``'s lambda (the sequence_scores fit precedent) and
+    runs once per session, exactly the artifact's production usage
+    (build once, query at any threshold). The store path is keyed on
+    sf_dir and rebuilt per session (mode=overwrite), so a stale
+    artifact from an older code version can never drift-poison the
+    declared result."""
+
+    def build() -> DataFrame:
+        import hashlib as _h
+
+        from amonaly_detection_in_time_series_data_spark.operators.similarity import (
+            gram_df_index_build,
+            ordered_tokens_build,
+            prefix_jaccard_join_indexed,
+        )
+
+        docs = spread_small(_docs_with_dups(spark, sf_dir))
+        base = (
+            "/tmp/spark_graft_simstore_"
+            + _h.md5(sf_dir.encode()).hexdigest()[:12]
+        )
+        gram_df_index_build(docs, f"{base}/gram_df")
+        ordered_tokens_build(docs, f"{base}/tokens", f"{base}/gram_df")
+        pairs = prefix_jaccard_join_indexed(
+            spark, f"{base}/tokens", threshold_num=1, threshold_den=2
+        )
+        return pairs.select(
+            "id_a",
+            "id_b",
+            F.round("jaccard", 4).alias("jaccard"),
+            "inter",
+            "size_a",
+            "size_b",
+        )
+
+    return _plan_cache(spark, "ngram_jaccard_indexed", sf_dir, build)
+
+
 def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Feature extraction over binary payloads via mapInPandas (Arrow
     batch in, fixed-dim vector out); deterministic fake extractor, so
@@ -3542,6 +3594,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kalman_scores": q_kalman_scores,
         "detector_suite_scores": q_detector_suite_scores,
         "forecast_scores": q_forecast_scores,
+        "ngram_jaccard_indexed": q_ngram_jaccard_indexed,
     }
 
 

@@ -1978,3 +1978,174 @@ def streaming_journey_paths(
             ),
         )
     )
+
+
+def streaming_sax(
+    events: DataFrame,
+    series_cols: Sequence[str] = ("user_id",),
+    value_col: str = "value",
+    ts_col: str = "ts",
+    window_rows: int = 16,
+    word_len: int = 4,
+    alphabet_size: int = 4,
+    unit_digits: int = 2,
+    order_tiebreak: Sequence[str] = (),
+    timeout_minutes: int | None = 60,
+) -> DataFrame:
+    """Online SAX words per series — the streaming face of
+    :func:`operators.sax.sax_words` (ledger row 24), completing the
+    bridge SAX exists for: the emitted word stream feeds the text
+    machinery LIVE (word-frequency / heavy-hitter motif counting, or
+    novelty = a word never seen before, both downstream open
+    aggregations — the :func:`streaming_transitions` split; this
+    operator owns the WALK).
+
+    State is O(window) and bounded by construction: the tumbling
+    window index plus at most ``window_rows - 1`` pending
+    ``(value_unit, ts_us)`` pairs per key. Each arriving row with a
+    non-null value joins the buffer; when the buffer fills, ONE append
+    row ``(series..., win, win_start, word)`` is emitted and the
+    buffer resets — partial trailing windows emit nothing, exactly the
+    batch contract.
+
+    Bit-exact replay parity (asserted in pytest): the word arithmetic
+    replays the batch operator's expression text statement for
+    statement in Python — integer unit snap (``int(round(v * scale))``,
+    the twin convention; the repo's data contract keeps values ON the
+    unit grid so HALF_UP-vs-banker's divergence cannot arise), exact
+    integer window/segment sums, then the identical double expression
+    ``(segS/segN - S/N) / (sqrt(N*S2 - S*S)/N)`` (Python ints < 2^53
+    convert exactly; same operation order, IEEE-identical), flat
+    window => z = 0, and the same 4-decimal breakpoint literals (a
+    string-cast double literal equals the Python float of the same
+    text). NULL-value semantics replay the batch exactly: the batch
+    assigns ``row_number`` BEFORE its ``__xi IS NOT NULL`` filter, so
+    a NULL OCCUPIES its window position and poisons the whole window
+    (``__N = window_rows`` then fails) while window INDICES keep
+    counting through poisoned windows — the twin advances the
+    position/window counters for NULL rows and suppresses the
+    poisoned window's word (pinned by a NULL-bearing replay test).
+
+    Timeout caveat (the :func:`streaming_funnel` convention): the
+    default 60-min ProcessingTimeTimeout frees dead keys, but eviction
+    mid-window drops the pending partial window AND resets the window
+    counter, so a revived key re-numbers from win 0; replay parity
+    holds unconditionally only with ``timeout_minutes=None``.
+    """
+    import math
+
+    import pandas as pd  # noqa: F401
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    from amonaly_detection_in_time_series_data_spark.operators.sax import SAX_BREAKPOINTS
+
+    if alphabet_size not in SAX_BREAKPOINTS:
+        raise ValueError(
+            f"streaming_sax: alphabet_size must be one of "
+            f"{sorted(SAX_BREAKPOINTS)}, got {alphabet_size}"
+        )
+    if window_rows % word_len != 0:
+        raise ValueError(
+            f"streaming_sax: window_rows ({window_rows}) must be "
+            f"divisible by word_len ({word_len})"
+        )
+    keys = list(series_cols)
+    order = [ts_col, *order_tiebreak]
+    scale = 10 ** int(unit_digits)
+    seg_rows = window_rows // word_len
+    bps = [float(repr(b)) for b in SAX_BREAKPOINTS[alphabet_size]]
+    key_schema = ", ".join(
+        f"{f.name} {f.dataType.simpleString()}"
+        for f in events.select(*keys).schema.fields
+    )
+    out_schema = (
+        f"{key_schema}, win bigint, win_start timestamp, word string"
+    )
+    state_schema = (
+        "win bigint, seen int, poisoned boolean, "
+        "xs array<bigint>, tss array<bigint>"
+    )
+
+    def word_of(xs: list[int]) -> str:
+        s_all = sum(xs)
+        s2_all = sum(x * x for x in xs)
+        n = window_rows
+        disc = n * s2_all - s_all * s_all
+        out = []
+        for s in range(word_len):
+            seg = xs[s * seg_rows:(s + 1) * seg_rows]
+            if disc == 0:
+                z = 0.0
+            else:
+                z = (sum(seg) / seg_rows - s_all / n) / (
+                    math.sqrt(float(disc)) / n
+                )
+            c = chr(97 + len(bps))
+            for i, b in enumerate(bps):
+                if z < b:
+                    c = chr(97 + i)
+                    break
+            out.append(c)
+        return "".join(out)
+
+    def walk(key, pdf_iter, state):
+        import pandas as pd
+
+        if state.hasTimedOut:
+            state.remove()
+            return
+
+        win, seen, poisoned, xs, tss = (
+            state.get if state.exists else (0, 0, False, [], [])
+        )
+        xs, tss = list(xs), list(tss)
+        rows = []
+        for pdf in pdf_iter:
+            pdf = pdf.sort_values(order, kind="mergesort")
+            for _, r in pdf.iterrows():
+                v = r[value_col]
+                seen += 1
+                if pd.isna(v):
+                    # batch row_number runs BEFORE the null filter: the
+                    # NULL keeps its position (poisons this window) and
+                    # window indices keep counting
+                    poisoned = True
+                else:
+                    xs.append(int(round(float(v) * scale)))
+                    tss.append(
+                        int(pd.Timestamp(r[ts_col]).value // 1000)
+                    )
+                if seen == window_rows:
+                    if not poisoned:
+                        rows.append(
+                            (
+                                *key,
+                                win,
+                                pd.Timestamp(min(tss) * 1000),
+                                word_of(xs),
+                            )
+                        )
+                    win += 1
+                    seen, poisoned, xs, tss = 0, False, [], []
+        state.update((win, seen, poisoned, xs, tss))
+        if timeout_minutes is not None:
+            state.setTimeoutDuration(timeout_minutes * 60 * 1000)
+        yield pd.DataFrame(
+            rows, columns=[*keys, "win", "win_start", "word"]
+        )
+
+    return (
+        events.withWatermark(ts_col, "2 hours")
+        .groupBy(*keys)
+        .applyInPandasWithState(
+            walk,
+            outputStructType=out_schema,
+            stateStructType=state_schema,
+            outputMode="append",
+            timeoutConf=(
+                GroupStateTimeout.ProcessingTimeTimeout
+                if timeout_minutes is not None
+                else GroupStateTimeout.NoTimeout
+            ),
+        )
+    )

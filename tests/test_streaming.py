@@ -1773,3 +1773,104 @@ class TestStreamingJourneyPaths:
         ev = load_table(spark, sf_dir, "events")
         with _pytest.raises(ValueError):
             streaming_journey_paths(ev, k=1)
+
+
+class TestStreamingSax:
+    """streaming_sax (r14, ledger row 24): O(window) bounded per-key
+    state; the streamed (series, win) -> (win_start, word) rows equal
+    the batch sax_words output bit-for-bit on in-order multi-micro-
+    batch replay — real events (incl. windows split across micro-batch
+    boundaries), a NULL-bearing synthetic replay, and the downstream
+    word-frequency (motif) aggregation equal to the batch word
+    counts."""
+
+    KW = dict(window_rows=16, word_len=4, alphabet_size=4)
+
+    def _parity(self, spark, ev, tmp_path, tag, **kw):
+        from amonaly_detection_in_time_series_data_spark.operators.sax import sax_words
+        from amonaly_detection_in_time_series_data_spark.streaming.rolling import (
+            streaming_sax,
+        )
+
+        kw = {**self.KW, **kw}
+        batch = {
+            (r["user_id"], r["win"]): (r["win_start"], r["word"])
+            for r in sax_words(
+                ev, "ts", "value", ["user_id"],
+                order_tiebreak=["event_id"], **kw,
+            ).collect()
+        }
+        stream = TestStreamingForecast._replay_grid(
+            spark, ev, tmp_path, f"sax_g_{tag}"
+        )
+        out = streaming_sax(
+            stream, series_cols=["user_id"], value_col="value",
+            ts_col="ts", order_tiebreak=["event_id"],
+            timeout_minutes=None, **kw,
+        )
+        assert out.isStreaming
+        _run_stream_to_memory(out, f"sax_s_{tag}", "append")
+        got = {
+            (r["user_id"], r["win"]): (r["win_start"], r["word"])
+            for r in spark.sql(f"SELECT * FROM sax_s_{tag}").collect()
+        }
+        assert got == batch and len(batch) > 0
+        return batch, f"sax_s_{tag}"
+
+    def test_matches_batch_on_events(self, spark, sf_dir, tmp_path):
+        ev = load_table(spark, sf_dir, "events").select(
+            "user_id", "ts", "event_id", "value"
+        )
+        batch, view = self._parity(spark, ev, tmp_path, "ev")
+        # the composition SAX exists for: live motif counting — the
+        # downstream open aggregation over streamed words equals the
+        # batch word frequencies (heavy-hitter input parity)
+        batch_counts: dict[str, int] = {}
+        for _, (_, w) in batch.items():
+            batch_counts[w] = batch_counts.get(w, 0) + 1
+        got_counts = {
+            r["word"]: r["cnt"]
+            for r in spark.sql(
+                f"SELECT word, count(*) AS cnt FROM {view} GROUP BY word"
+            ).collect()
+        }
+        assert got_counts == batch_counts
+
+    def test_null_poisons_its_window(self, spark, tmp_path):
+        # batch sax_words assigns row_number BEFORE the null filter, so
+        # a NULL occupies its position: its window emits nothing, and
+        # window INDICES keep counting through the poisoned window —
+        # the twin must replay both (win 0 and win 2 emit, win 1 not)
+        import datetime as dt
+
+        B = dt.datetime(2024, 1, 1)
+        vals = (
+            [0, 0, 10, 10, 20, 20, 30, 30]      # win 0: emits
+            + [5, 5, 5, None, 5, 5, 5, 5]        # win 1: poisoned
+            + [7.0] * 8                           # win 2: emits (flat)
+            + [1, 2, 3]                           # partial: dropped
+        )
+        rows = [
+            (1, B + dt.timedelta(minutes=j), j,
+             None if v is None else float(v))
+            for j, v in enumerate(vals)
+        ]
+        ev = spark.createDataFrame(
+            rows,
+            "user_id bigint, ts timestamp, event_id bigint, value double",
+        )
+        batch, _ = self._parity(spark, ev, tmp_path, "nulls", window_rows=8)
+        assert sorted(w for (_, w) in batch) == [0, 2]
+
+    def test_validation(self, spark, sf_dir):
+        import pytest as _pytest
+
+        from amonaly_detection_in_time_series_data_spark.streaming.rolling import (
+            streaming_sax,
+        )
+
+        ev = load_table(spark, sf_dir, "events")
+        with _pytest.raises(ValueError, match="alphabet_size"):
+            streaming_sax(ev, alphabet_size=17)
+        with _pytest.raises(ValueError, match="divisible"):
+            streaming_sax(ev, window_rows=10, word_len=4)
