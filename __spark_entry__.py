@@ -1114,6 +1114,7 @@ def q_ngram_jaccard_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
 
         from amonaly_detection_in_time_series_data_spark.operators.similarity import (
             gram_df_index_build,
+            gram_ids_build,
             ordered_tokens_build,
             prefix_jaccard_join_indexed,
         )
@@ -1124,7 +1125,13 @@ def q_ngram_jaccard_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
             + _h.md5(sf_dir.encode()).hexdigest()[:12]
         )
         gram_df_index_build(docs, f"{base}/gram_df")
-        ordered_tokens_build(docs, f"{base}/tokens", f"{base}/gram_df")
+        # r14: ids-native store — the declared plan runs the string-free
+        # exact-id tail (gram-id dictionary + toks_id, SCALING §10a0f)
+        gram_ids_build(docs, f"{base}/gram_ids")
+        ordered_tokens_build(
+            docs, f"{base}/tokens", f"{base}/gram_df",
+            gram_ids_path=f"{base}/gram_ids",
+        )
         pairs = prefix_jaccard_join_indexed(
             spark, f"{base}/tokens", threshold_num=1, threshold_den=2
         )

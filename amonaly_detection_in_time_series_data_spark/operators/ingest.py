@@ -55,7 +55,10 @@ from amonaly_detection_in_time_series_data_spark.operators.similarity import (
     _ordered_under_index,
     _read_artifact_if_exists,
     _read_gram_df_index,
+    _refuse_null_gids,
     band_buckets,
+    gram_ids_build,
+    gram_ids_update,
     minhash_jaccard_est,
     minhash_signatures,
 )
@@ -299,9 +302,10 @@ def incremental_ingest_sink(
 # --------------------------------------------------------------------------
 
 
-def similarity_index_paths(base_path: str) -> tuple[str, str, str]:
-    """The three artifacts of a composed similarity store under one
-    base directory: ``(gram_df, gram_order, ordered_tokens)``.
+def similarity_index_paths(base_path: str) -> tuple[str, str, str, str]:
+    """The four artifacts of a composed similarity store under one
+    base directory: ``(gram_df, gram_order, gram_ids,
+    ordered_tokens)``.
 
     - ``gram_df`` — the LIVE gram-df index
       (:func:`~.similarity.gram_df_index_build` format plus a constant
@@ -319,6 +323,16 @@ def similarity_index_paths(base_path: str) -> tuple[str, str, str]:
       appendable forever (exactness needs CONSISTENCY of the order,
       not accuracy; stale dfs only grow candidate counts), and the
       live index stays fresh for its own consumers.
+    - ``gram_ids`` — the gram-id DICTIONARY
+      (:func:`~.similarity.gram_ids_build`): one dense exact ``int``
+      id per distinct gram string, APPEND-ONLY (an id never changes
+      once assigned), extended with each batch's unseen grams BEFORE
+      its tokens are written. Unlike the order, it needs no freeze:
+      id values carry no order semantics — the token arrays are
+      already physically sorted — so the dictionary composes freely
+      with the frozen snapshot. It exists so the tokens artifact
+      carries ``toks_id`` and consumers run the string-free exact-id
+      tail (r14, SCALING §10a0f).
     - ``ordered_tokens`` — the per-doc artifact
       :func:`~.similarity.prefix_jaccard_join_indexed` joins, sorted
       under ``gram_order``, partitioned by ``batch_id``.
@@ -326,6 +340,7 @@ def similarity_index_paths(base_path: str) -> tuple[str, str, str]:
     return (
         f"{base_path}/gram_df",
         f"{base_path}/gram_order",
+        f"{base_path}/gram_ids",
         f"{base_path}/ordered_tokens",
     )
 
@@ -345,8 +360,15 @@ def similarity_index_update(
     half-bootstrap detection) performed BEFORE any write, so a
     drifted-index refusal can never strand a half-updated pair.
 
-    Layout: :func:`similarity_index_paths`. Bootstraps all three
-    artifacts from the first batch.
+    Layout: :func:`similarity_index_paths`. Bootstraps all four
+    artifacts from the first batch (ids-native: the tokens rows carry
+    ``toks_id`` and consumers get the string-free exact-id tail); a
+    store bootstrapped before the id dictionary existed keeps working
+    as a legacy hash-tail store — its updates never mix markers.
+    Per-batch fold order with ids: dictionary first (append-only,
+    naturally idempotent AND crash-safe mid-append — partially
+    appended ids are valid assignments and the retry anti-join
+    assigns only the remainder), then tokens, then the df fold.
 
     **Idempotency under foreachBatch redelivery** (caller owns
     monotone ``batch_id``, the store convention): the EXACTNESS-
@@ -372,12 +394,13 @@ def similarity_index_update(
     ``prefix_jaccard_join(..., gram_order_path=gram_df_path)`` for
     inline joins that want the live dfs."""
     spark = batch.sparkSession
-    df_p, ord_p, tok_p = similarity_index_paths(base_path)
+    df_p, ord_p, ids_p, tok_p = similarity_index_paths(base_path)
     compat = _gram_df_compat_tag(shingle_n)
     order = _read_artifact_if_exists(spark, ord_p)
 
     if order is None:
-        # ---- bootstrap: live index, frozen order snapshot, tokens ----
+        # ---- bootstrap: live index, frozen order snapshot, id
+        # dictionary, tokens ----
         merged = _gram_df_merged(
             batch, text_col, id_col, shingle_n
         ).withColumn("compat", F.lit(compat))
@@ -391,14 +414,22 @@ def similarity_index_update(
             "overwrite"
         ).parquet(ord_p)
         idx = _read_gram_df_index(spark, ord_p, shingle_n)
+        ids = gram_ids_build(batch, ids_p, text_col, id_col, shingle_n)
         _write_tokens_partition(
-            batch, idx, tok_p, batch_id, text_col, id_col, shingle_n
+            batch, idx, tok_p, batch_id, text_col, id_col, shingle_n,
+            ids=ids,
         )
         return
 
     # ---- validate EVERYTHING before any write (atomic refusal) ----
     idx = _read_gram_df_index(spark, ord_p, shingle_n)  # compat check
-    tag = _ord_tok_tag(shingle_n, _gram_index_fingerprint(idx))
+    # a store bootstrapped before the id dictionary existed stays a
+    # legacy (hash-tail) store — its tokens tag lacks ``:ids`` and
+    # every update keeps matching it; new bootstraps are ids-native
+    with_ids = _read_artifact_if_exists(spark, ids_p) is not None
+    tag = _ord_tok_tag(
+        shingle_n, _gram_index_fingerprint(idx), with_ids=with_ids
+    )
     live = _read_gram_df_index(spark, df_p, shingle_n)  # compat check
     last_applied = None
     if "last_batch" in live.columns:
@@ -418,9 +449,19 @@ def similarity_index_update(
                 f"is batch {int(batch_id)}) — the store is "
                 "inconsistent; rebuild it from the corpus"
             )
+        ids = (
+            gram_ids_update(
+                spark, ids_p, batch, text_col, id_col, shingle_n
+            )
+            if with_ids
+            else gram_ids_build(batch, ids_p, text_col, id_col, shingle_n)
+        )
         _write_tokens_partition(
             batch, idx, tok_p, batch_id, text_col, id_col, shingle_n,
-            tag=tag,
+            tag=_ord_tok_tag(
+                shingle_n, _gram_index_fingerprint(idx), with_ids=True
+            ),
+            ids=ids,
         )
         return
     head = toks_old.select("compat").limit(1).collect()
@@ -428,14 +469,25 @@ def similarity_index_update(
         raise ValueError(
             f"ordered-tokens artifact at {tok_p!r} has compat tag "
             f"{head[0]['compat']!r}, but the frozen order snapshot at "
-            f"{ord_p!r} yields {tag!r} — the order drifted; REFUSING "
-            "before any write (neither artifact was touched); rebuild "
-            "the store"
+            f"{ord_p!r} yields {tag!r} — the order drifted (or the "
+            ":ids marker differs: a gram_ids dir appeared beside a "
+            "legacy artifact, or vice versa); REFUSING before any "
+            "write (no artifact was touched); rebuild the store"
         )
+
+    # ---- id dictionary fold FIRST (append-only, naturally idempotent
+    # — a redelivered batch's anti-join finds nothing unseen), so the
+    # tokens write below can never hit a dictionary gap ----
+    ids = (
+        gram_ids_update(spark, ids_p, batch, text_col, id_col, shingle_n)
+        if with_ids
+        else None
+    )
 
     # ---- tokens: batch_id-partitioned dynamic overwrite (idempotent) --
     _write_tokens_partition(
-        batch, idx, tok_p, batch_id, text_col, id_col, shingle_n, tag=tag
+        batch, idx, tok_p, batch_id, text_col, id_col, shingle_n,
+        tag=tag, ids=ids,
     )
 
     # ---- live df fold, skipped on redelivery ----
@@ -464,14 +516,23 @@ def _write_tokens_partition(
     id_col: str,
     shingle_n: int,
     tag: str | None = None,
+    ids: DataFrame | None = None,
 ) -> None:
     """One batch's ordered-token rows into its own ``batch_id``
     partition (dynamic overwrite — redelivery rewrites, never
-    double-appends)."""
+    double-appends). With ``ids`` the rows carry ``toks_id``; a
+    dictionary gap is refused AFTER the write via a columnar
+    null-scan of just this batch's partition — the partition is
+    rewritable by the same redelivery contract, so the refusal
+    leaves the store repairable (extend the dictionary, re-run the
+    batch) and the df fold below it never runs on poisoned tokens."""
     if tag is None:
-        tag = _ord_tok_tag(shingle_n, _gram_index_fingerprint(idx))
+        tag = _ord_tok_tag(
+            shingle_n, _gram_index_fingerprint(idx),
+            with_ids=ids is not None,
+        )
     toks = _ordered_under_index(
-        batch, idx, text_col, id_col, shingle_n
+        batch, idx, text_col, id_col, shingle_n, ids=ids
     ).withColumn("compat", F.lit(tag))
     (
         toks.withColumn("batch_id", F.lit(int(batch_id)))
@@ -480,6 +541,11 @@ def _write_tokens_partition(
         .option("partitionOverwriteMode", "dynamic")
         .parquet(tok_p)
     )
+    if ids is not None:
+        part = batch.sparkSession.read.parquet(
+            f"{tok_p}/batch_id={int(batch_id)}"
+        )
+        _refuse_null_gids(part, tok_p)
 
 
 def similarity_index_rebuild_df(
@@ -493,7 +559,7 @@ def similarity_index_rebuild_df(
     associative; the bucket representative is a MIN over the same gram
     universe). ``last_batch`` is restamped from the artifact's max
     partition. No original texts needed."""
-    df_p, ord_p, tok_p = similarity_index_paths(base_path)
+    df_p, ord_p, _ids_p, tok_p = similarity_index_paths(base_path)
     order = spark.read.parquet(ord_p)
     compat = order.select("compat").limit(1).collect()[0]["compat"]
     toks = spark.read.parquet(tok_p)

@@ -1258,26 +1258,44 @@ def _ppjoin_tail(
         - F.floor((F.lit(p) * F.col("sz") + F.lit(q - 1)) / F.lit(q))
         + F.lit(1)
     ).cast("int")
+    # r14: the inverted-index equi-join keys on the PRE-COMPUTED 64-bit
+    # gram hashes (slice toks_h, which is parallel to toks) instead of
+    # gram strings — the candidate shuffle ships fixed 8-byte longs
+    # rather than ~20-60-byte strings and sort-merges on long keys,
+    # and the prefix scan prunes the string column entirely. EXACT
+    # without the cap: a qualifying pair shares a true prefix gram,
+    # hence its hash, so no candidate is ever lost; a 2^-64 hash
+    # collision between DIFFERENT grams only ADDS a candidate, which
+    # the exact verify stage removes. (With max_gram_df the hot-gram
+    # anti-join below also keys on the hash — a collision with a hot
+    # gram's hash could then drop an entry, the same 2^-64 caveat
+    # class as the hash-bucketed df table, documented there.) Found at
+    # the fourth decade: the string-keyed candidate shuffle at 2M docs
+    # out-spilled the box's disk (SCALING §10a0f).
     prefix = ordered.select(
         "id",
         "sz",
-        F.posexplode(F.slice("toks", F.lit(1), plen)).alias("pos0", "gram"),
-    ).select("id", "sz", (F.col("pos0") + 1).alias("pos"), "gram")
+        F.posexplode(F.slice("toks_h", F.lit(1), plen)).alias("pos0", "gh"),
+    ).select("id", "sz", (F.col("pos0") + 1).alias("pos"), "gh")
     if hot_grams is not None:
-        prefix = prefix.join(hot_grams.select("gram"), "gram", "left_anti")
+        prefix = prefix.join(
+            hot_grams.select(F.xxhash64("gram").alias("gh")),
+            "gh",
+            "left_anti",
+        )
     a = prefix.select(
         F.col("id").alias("id_a"),
         F.col("sz").alias("sz_a"),
         F.col("pos").alias("pos_a"),
-        "gram",
+        "gh",
     )
     b = prefix.select(
         F.col("id").alias("id_b"),
         F.col("sz").alias("sz_b"),
         F.col("pos").alias("pos_b"),
-        "gram",
+        "gh",
     )
-    cand = a.join(b, "gram").filter(
+    cand = a.join(b, "gh").filter(
         (F.col("id_a") < F.col("id_b"))
         # size filter: q*min_size >= p*max_size (J >= p/q is impossible
         # outside this band regardless of content)
@@ -1488,8 +1506,40 @@ def _gram_index_fingerprint(idx: DataFrame) -> int:
     return int(row["fp"] or 0)
 
 
-def _ord_tok_tag(shingle_n: int, order_fp: int) -> str:
-    return f"{_ORD_TOK_COMPAT}:shingle_n={shingle_n}:order_fp={order_fp}"
+def _ord_tok_tag(
+    shingle_n: int, order_fp: int, with_ids: bool = False
+) -> str:
+    """The ``:ids`` marker makes with-ids and without-ids artifacts
+    mutually exclusive under the existing compat check: an artifact is
+    consistently one or the other across ALL its batches (appending a
+    no-ids batch to a with-ids artifact would null-poison `toks_id`
+    silently — the tag mismatch refuses it loudly instead)."""
+    base = f"{_ORD_TOK_COMPAT}:shingle_n={shingle_n}:order_fp={order_fp}"
+    return f"{base}:ids" if with_ids else base
+
+
+def _refuse_null_gids(artifact: DataFrame, path: str) -> None:
+    """Loud post-write guard for with-ids token artifacts: a NULL
+    element in ``toks_id`` means a gram had no dictionary entry — the
+    id tail would silently treat distinct unknown grams as equal
+    (NULL semantics in ``array_intersect``), so the write is refused
+    instead. A bounded action: columnar scan of ``toks_id`` only,
+    first offending row."""
+    bad = (
+        artifact.filter(
+            F.exists("toks_id", lambda g: g.isNull())
+        )
+        .select("id")
+        .limit(1)
+        .collect()
+    )
+    if bad:
+        raise ValueError(
+            f"ordered-tokens artifact at {path!r}: doc {bad[0]['id']!r} "
+            "contains grams absent from the gram-id dictionary — extend "
+            "the dictionary with this batch's vocabulary "
+            "(gram_ids_update) BEFORE writing tokens"
+        )
 
 
 def ordered_tokens_build(
@@ -1499,6 +1549,7 @@ def ordered_tokens_build(
     text_col: str = "text",
     id_col: str = "doc_id",
     shingle_n: int = 3,
+    gram_ids_path: str | None = None,
 ) -> DataFrame:
     """Persist the ORDERED-TOKENS table — the per-doc half of
     :func:`prefix_jaccard_join` — as a parquet artifact
@@ -1523,21 +1574,47 @@ def ordered_tokens_build(
 
     Duplicate contract: append-only; re-submitting the same doc id
     double-enters it (dedupe upstream — the ingest-store convention).
-    Returns the artifact read back from ``tokens_path``."""
+    Returns the artifact read back from ``tokens_path``.
+
+    ``gram_ids_path`` (r14): also emit ``toks_id`` (exact gram ids,
+    :func:`gram_ids_build`) so consumers run the string-free
+    :func:`_ppjoin_tail_ids`; the compat tag gains an ``:ids`` marker
+    so with-ids and without-ids batches can never mix. The dictionary
+    must already cover this corpus's vocabulary — a gap is refused
+    post-write (bounded columnar null-scan of the written artifact)."""
     spark = docs.sparkSession
     idx = _read_gram_df_index(spark, gram_order_path, shingle_n)
     fp = _gram_index_fingerprint(idx)
-    ordered = _ordered_under_index(docs, idx, text_col, id_col, shingle_n)
+    ids = (
+        _read_gram_ids(spark, gram_ids_path, shingle_n)
+        if gram_ids_path is not None
+        else None
+    )
+    ordered = _ordered_under_index(
+        docs, idx, text_col, id_col, shingle_n, ids=ids
+    )
     ordered.withColumn(
-        "compat", F.lit(_ord_tok_tag(shingle_n, fp))
+        "compat",
+        F.lit(_ord_tok_tag(shingle_n, fp, with_ids=ids is not None)),
     ).write.mode("overwrite").parquet(tokens_path)
-    return spark.read.parquet(tokens_path)
+    out = spark.read.parquet(tokens_path)
+    if ids is not None:
+        _refuse_null_gids(out, tokens_path)
+    return out
 
 
 def _ordered_under_index(
     docs: DataFrame, idx: DataFrame, text_col: str, id_col: str,
-    shingle_n: int,
+    shingle_n: int, ids: DataFrame | None = None,
 ) -> DataFrame:
+    """With ``ids`` (a gram-id dictionary frame): also emits
+    ``toks_id`` — the array of EXACT gram ids parallel to ``toks``
+    (same frozen-order sort; the gid rides the sort struct, which
+    (df, gram) already totally orders). An unseen gram yields a NULL
+    array element; callers that write artifacts check-and-refuse that
+    post-write (the dictionary must be extended with the batch's
+    vocabulary BEFORE tokens are written — the composed updater's
+    fold order guarantees it)."""
     sets = _gram_sets(docs, text_col, id_col, shingle_n)
     exploded = sets.select(
         "id", F.size("grams").alias("sz"), F.explode("grams").alias("gram")
@@ -1545,13 +1622,32 @@ def _ordered_under_index(
     joined = exploded.join(idx.select("__h", "df"), "__h", "left").select(
         "id", "sz", "gram", F.coalesce(F.col("df"), F.lit(0)).alias("df")
     )
+    if ids is None:
+        return (
+            joined.groupBy("id", "sz")
+            .agg(
+                F.transform(
+                    F.sort_array(F.collect_list(F.struct("df", "gram"))),
+                    lambda s: s["gram"],
+                ).alias("toks")
+            )
+            .withColumn(
+                "toks_h", F.transform("toks", lambda t: F.xxhash64(t))
+            )
+        )
+    with_gid = joined.join(ids.select("gram", "gid"), "gram", "left")
     return (
-        joined.groupBy("id", "sz")
+        with_gid.groupBy("id", "sz")
         .agg(
-            F.transform(
-                F.sort_array(F.collect_list(F.struct("df", "gram"))),
-                lambda s: s["gram"],
-            ).alias("toks")
+            F.sort_array(
+                F.collect_list(F.struct("df", "gram", "gid"))
+            ).alias("__s")
+        )
+        .select(
+            "id",
+            "sz",
+            F.transform(F.col("__s"), lambda s: s["gram"]).alias("toks"),
+            F.transform(F.col("__s"), lambda s: s["gid"]).alias("toks_id"),
         )
         .withColumn("toks_h", F.transform("toks", lambda t: F.xxhash64(t)))
     )
@@ -1565,6 +1661,7 @@ def ordered_tokens_update(
     text_col: str = "text",
     id_col: str = "doc_id",
     shingle_n: int = 3,
+    gram_ids_path: str | None = None,
 ) -> DataFrame:
     """Append ONE new batch's ordered-token rows to a persisted
     ordered-tokens artifact at O(batch) cost. Validates that the gram
@@ -1577,27 +1674,39 @@ def ordered_tokens_update(
     artifact equals the one-shot direct join over the union corpus."""
     idx = _read_gram_df_index(spark, gram_order_path, shingle_n)
     fp = _gram_index_fingerprint(idx)
+    ids = (
+        _read_gram_ids(spark, gram_ids_path, shingle_n)
+        if gram_ids_path is not None
+        else None
+    )
     # path-not-found ONLY → bootstrap; real read errors re-raise so a
     # transient failure can't trigger a destructive one-batch rebuild
     old = _read_artifact_if_exists(spark, tokens_path)
     if old is None:
         return ordered_tokens_build(
             new_docs, tokens_path, gram_order_path,
-            text_col, id_col, shingle_n,
+            text_col, id_col, shingle_n, gram_ids_path,
         )
-    expected = _ord_tok_tag(shingle_n, fp)
+    expected = _ord_tok_tag(shingle_n, fp, with_ids=ids is not None)
     head = old.select("compat").limit(1).collect()
     if head and head[0]["compat"] != expected:
         raise ValueError(
             f"ordered-tokens artifact at {tokens_path!r} has compat tag "
             f"{head[0]['compat']!r}, but the index at "
             f"{gram_order_path!r} yields {expected!r} — the gram order "
-            "drifted; rebuild the artifact (appending under a different "
-            "total order would break prefix-filter exactness)"
+            "drifted (or the :ids marker differs — with-ids and "
+            "without-ids batches can never mix); rebuild the artifact "
+            "(appending under a different total order would break "
+            "prefix-filter exactness)"
         )
     batch = _ordered_under_index(
-        new_docs, idx, text_col, id_col, shingle_n
+        new_docs, idx, text_col, id_col, shingle_n, ids=ids
     ).withColumn("compat", F.lit(expected))
+    if ids is not None:
+        # pre-append guard (the standalone artifact has no batch
+        # partition to scope a post-write read): O(batch) re-execution
+        # of the batch lineage, bounded to the first offending row
+        _refuse_null_gids(batch, tokens_path)
     batch.write.mode("append").parquet(tokens_path)
     return spark.read.parquet(tokens_path)
 
@@ -1609,6 +1718,7 @@ def prefix_jaccard_join_indexed(
     threshold_den: int = 2,
     positional: bool = True,
     fused: bool = False,
+    use_ids: bool | None = None,
 ) -> DataFrame:
     """EXACT Jaccard self-join over a persisted ordered-tokens
     artifact (:func:`ordered_tokens_build` /
@@ -1620,16 +1730,37 @@ def prefix_jaccard_join_indexed(
     localCheckpoint residency. The artifact's order is consistent by
     construction (frozen-index contract), which is all the prefix
     theorem needs. The threshold is a QUERY-time parameter — one
-    artifact serves any p/q."""
+    artifact serves any p/q.
+
+    ``use_ids`` (r14): ``None`` auto-detects — a with-ids artifact
+    (``toks_id`` column, :func:`ordered_tokens_build` with
+    ``gram_ids_path``) runs the string-free exact-id tail
+    (:func:`_ppjoin_tail_ids`); otherwise the hash tail. ``fused``
+    applies to the hash tail only (the recorded §10a0g negative
+    result) and forces it. ``positional`` applies to the hash tail
+    only as well: the id tail's aggregated bound IS its positional
+    filter (strictly tighter, pure pruning either way — the result
+    set is identical by the exactness contract)."""
     p, q = int(threshold_num), int(threshold_den)
     if not 0 < p <= q:
         raise ValueError(
             f"prefix_jaccard_join_indexed: threshold must be in (0,1]: "
             f"got {p}/{q}"
         )
-    ordered = spark.read.parquet(tokens_path).select(
-        "id", "sz", "toks", "toks_h"
-    )
+    art = spark.read.parquet(tokens_path)
+    if fused:
+        use_ids = False
+    if use_ids is None:
+        use_ids = "toks_id" in art.columns
+    if use_ids:
+        if "toks_id" not in art.columns:
+            raise ValueError(
+                f"prefix_jaccard_join_indexed: use_ids=True but the "
+                f"artifact at {tokens_path!r} has no toks_id column — "
+                "rebuild it with gram_ids_path"
+            )
+        return _ppjoin_tail_ids(art.select("id", "sz", "toks_id"), p, q)
+    ordered = art.select("id", "sz", "toks", "toks_h")
     return _ppjoin_tail(ordered, p, q, positional, fused=fused)
 
 
@@ -1729,3 +1860,303 @@ def gram_df_index_update(
     merged = merged.localCheckpoint(eager=True)
     merged.write.mode("overwrite").parquet(index_path)
     return spark.read.parquet(index_path)
+
+
+# --------------------------------------------------------------------------
+# r14: the gram-id DICTIONARY — dense integer ids for exact, string-free
+# ppjoin tails. With exact ids the candidate equi-join keys on 4-byte ints
+# with NO collision caveat class at all, `array_intersect` over id arrays
+# IS the exact verify (the hash-screen + string-verify stages collapse
+# into one), and the classic aggregated PPJoin bound (shared-prefix count
+# + suffix min) becomes provably collision-free — the direct attack on
+# the fourth decade's screen-payload disk wall (SCALING §10a0f).
+# --------------------------------------------------------------------------
+
+_GRAM_IDS_COMPAT = "ppjoin-gramids:v1"
+
+# refuse id assignment past this — toks_id arrays are array<int>
+# (4-byte elements, HALF the hash path's long-array screen payload);
+# a corpus whose distinct-gram vocabulary approaches 2^31 needs a
+# wider id type than this format version provides (the hash tail
+# keeps working at any scale — this is a format boundary, not an
+# engine one)
+_GID_MAX = (1 << 31) - (1 << 20)
+
+
+def _gram_ids_tag(shingle_n: int) -> str:
+    return f"{_GRAM_IDS_COMPAT}:shingle_n={shingle_n}"
+
+
+def _ranked_ids(vocab: DataFrame, start: int) -> DataFrame:
+    """``(gram, gid)`` with ``gid = start + 0-based lexicographic rank``
+    — a DISTRIBUTED global rank (no single-partition window): range-
+    partition the vocabulary by gram, sort within partitions, then
+    offset each partition's local row index by the running sum of
+    preceding partition counts (the running sum is a window over
+    N_PARTITIONS rows, not data rows). ``monotonically_increasing_id``
+    is nondeterministic-tagged, so Catalyst pins it after the sort —
+    within a partition it increments per physical (= sorted) row.
+    Rank determinism across REBUILDS is not guaranteed (range
+    boundaries are sampled) and not required: id values carry no
+    semantics — the ordered-token arrays are already physically sorted
+    by the frozen gram order, and ids only need to be distinct and
+    stable once PERSISTED (callers write the result immediately and
+    only ever read it back)."""
+    spark = vocab.sparkSession
+    n = max(int(spark.sparkContext.defaultParallelism), 1)
+    w = (
+        vocab.select("gram")
+        .repartitionByRange(n, "gram")
+        .sortWithinPartitions("gram")
+        .select(
+            "gram",
+            F.spark_partition_id().alias("__pid"),
+            F.monotonically_increasing_id().alias("__mono"),
+        )
+    )
+    offs = w.groupBy("__pid").agg(
+        F.count(F.lit(1)).alias("__cnt"), F.min("__mono").alias("__lo")
+    )
+    run = Window.orderBy("__pid").rowsBetween(Window.unboundedPreceding, -1)
+    offs = offs.withColumn(
+        "__off", F.coalesce(F.sum("__cnt").over(run), F.lit(0))
+    )
+    return w.join(F.broadcast(offs), "__pid").select(
+        "gram",
+        (
+            F.lit(int(start)) + F.col("__off") + F.col("__mono")
+            - F.col("__lo")
+        ).cast("int").alias("gid"),
+    )
+
+
+def _batch_vocab(
+    docs: DataFrame, text_col: str, id_col: str, shingle_n: int
+) -> DataFrame:
+    """One batch's distinct gram strings (same shingling as every
+    other ppjoin artifact — identical gram universe)."""
+    return (
+        _gram_sets(docs, text_col, id_col, shingle_n)
+        .select(F.explode("grams").alias("gram"))
+        .distinct()
+    )
+
+
+def gram_ids_build(
+    docs: DataFrame,
+    ids_path: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingle_n: int = 3,
+) -> DataFrame:
+    """Build and persist the gram-id DICTIONARY ``(gram, gid, compat)``
+    — one dense ``int`` id per distinct gram string, assigned by
+    lexicographic rank at build time. STRING-keyed deliberately: a
+    hash-keyed dictionary would let a 2^-64 bucket collision assign
+    two different grams ONE id and corrupt the id tail's exact
+    intersect (an OUTPUT error, unlike the hash tail's candidate-only
+    collision class) — with exact string keys the id path has no
+    probabilistic caveat at all.
+
+    Contract: APPEND-ONLY — an id, once assigned, never changes
+    (:func:`gram_ids_update` only adds rows for unseen grams), which
+    is why the dictionary needs NO consistency handshake with the
+    frozen gram order: id values carry no order semantics (the token
+    arrays are physically pre-sorted), so the dictionary composes
+    freely with any order snapshot."""
+    vocab = _batch_vocab(docs, text_col, id_col, shingle_n)
+    n = vocab.count()
+    if n > _GID_MAX:
+        raise ValueError(
+            f"gram_ids_build: vocabulary has {n} distinct grams, over "
+            f"the int32 id format bound {_GID_MAX} — use the hash tail "
+            "for this corpus"
+        )
+    ids = _ranked_ids(vocab, 0).withColumn(
+        "compat", F.lit(_gram_ids_tag(shingle_n))
+    )
+    ids.write.mode("overwrite").parquet(ids_path)
+    return docs.sparkSession.read.parquet(ids_path)
+
+
+def gram_ids_update(
+    spark,
+    ids_path: str,
+    new_docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingle_n: int = 3,
+) -> DataFrame:
+    """Extend a persisted gram-id dictionary with ONE new batch's
+    unseen grams — ids start at ``max(gid) + 1``, existing rows are
+    never rewritten (parquet append of new rows only). NATURALLY
+    idempotent under redelivery: a re-run's anti-join finds no unseen
+    grams and appends nothing — and crash-safe mid-append for the
+    same reason (partially-appended ids are valid assignments; the
+    retry assigns only the remainder, after the new max). Bootstraps
+    via :func:`gram_ids_build` when no dictionary exists.
+
+    Cost note (honest): the anti-join scans the dictionary, so a fold
+    is O(corpus vocabulary + batch), not O(batch) — the same class as
+    the df fold's union-groupBy; the parquet side is append-only."""
+    old = _read_artifact_if_exists(spark, ids_path)
+    if old is None:
+        return gram_ids_build(
+            new_docs, ids_path, text_col, id_col, shingle_n
+        )
+    expected = _gram_ids_tag(shingle_n)
+    head = old.select("compat").limit(1).collect()
+    if head and head[0]["compat"] != expected:
+        raise ValueError(
+            f"gram-id dictionary at {ids_path!r} has compat tag "
+            f"{head[0]['compat']!r}, update expects {expected!r}"
+        )
+    new_grams = (
+        _batch_vocab(new_docs, text_col, id_col, shingle_n)
+        .join(old.select("gram"), "gram", "left_anti")
+    )
+    stats = old.agg(
+        F.max("gid").alias("mx"), F.count(F.lit(1)).alias("n")
+    ).collect()[0]
+    n_new = new_grams.count()
+    if n_new == 0:
+        return old
+    nxt = int(stats["mx"]) + 1 if stats["n"] else 0
+    if nxt + n_new > _GID_MAX:
+        raise ValueError(
+            f"gram_ids_update: extending by {n_new} grams would pass "
+            f"the int32 id format bound {_GID_MAX} — use the hash tail "
+            "for this corpus"
+        )
+    ids = _ranked_ids(new_grams, nxt).withColumn(
+        "compat", F.lit(expected)
+    )
+    ids.write.mode("append").parquet(ids_path)
+    return spark.read.parquet(ids_path)
+
+
+def _read_gram_ids(spark, ids_path: str, shingle_n: int) -> DataFrame:
+    """Read + validate a persisted gram-id dictionary (compat tag —
+    a dictionary built at a different shingle width describes a
+    different gram universe)."""
+    ids = spark.read.parquet(ids_path)
+    expected = _gram_ids_tag(shingle_n)
+    head = ids.select("compat").limit(1).collect()
+    if head and head[0]["compat"] != expected:
+        raise ValueError(
+            f"gram-id dictionary at {ids_path!r} has compat tag "
+            f"{head[0]['compat']!r}, caller expects {expected!r}"
+        )
+    return ids
+
+
+def _ppjoin_tail_ids(ordered: DataFrame, p: int, q: int) -> DataFrame:
+    """The id-dictionary back half (r14): takes ``(id, sz, toks_id)``
+    with ``toks_id`` an ``array<int>`` of EXACT gram ids sorted by one
+    consistent total order across all rows, and returns the same
+    result contract as :func:`_ppjoin_tail`. Three structural wins
+    over the hash tail, all downstream of ids being exact:
+
+    1. **The candidate equi-join keys on 4-byte ints** — no collision
+       caveat class (a hash key's 2^-64 notes disappear entirely).
+    2. **The per-row positional filter is replaced by the AGGREGATED
+       PPJoin bound**: group candidate rows per pair and keep it iff
+       ``cnt + min(sz_a − max_pos_a, sz_b − max_pos_b) ≥ alpha``.
+       Correct (no false negatives): order the pair's shared prefix
+       grams by the total order; every common gram ordered before the
+       LAST shared prefix gram w* sits at positions < pos(w*) in BOTH
+       arrays (positions are monotone in the order), hence inside
+       both prefixes, hence IS a counted candidate row — so common
+       grams split into (counted in cnt) + (after w* in both arrays,
+       ≤ min suffix). Tighter than the per-row bound it replaces:
+       cnt ≤ min(pos_a*, pos_b*) gives B_agg ≤ B_row(w*), and both
+       bound the true intersection from above — fewer survivors reach
+       the payload-attach stage, which is the fourth decade's actual
+       wall (SCALING §10a0f). This bound is UNSAFE on hashed keys (a
+       spurious collision row could raise max_pos and shrink the
+       bound below a qualifying pair's overlap) — exact ids are what
+       unlock it.
+    3. **One attach stage, no separate verify**: ``array_intersect``
+       over exact id arrays IS the exact intersection — the string
+       arrays never enter the tail at all, and the attach payload is
+       int arrays (half the hash tail's long arrays).
+    """
+    plen = (
+        F.col("sz")
+        - F.floor((F.lit(p) * F.col("sz") + F.lit(q - 1)) / F.lit(q))
+        + F.lit(1)
+    ).cast("int")
+    prefix = ordered.select(
+        "id",
+        "sz",
+        F.posexplode(F.slice("toks_id", F.lit(1), plen)).alias(
+            "pos0", "gid"
+        ),
+    ).select("id", "sz", (F.col("pos0") + 1).alias("pos"), "gid")
+    a = prefix.select(
+        F.col("id").alias("id_a"),
+        F.col("sz").alias("sz_a"),
+        F.col("pos").alias("pos_a"),
+        "gid",
+    )
+    b = prefix.select(
+        F.col("id").alias("id_b"),
+        F.col("sz").alias("sz_b"),
+        F.col("pos").alias("pos_b"),
+        "gid",
+    )
+    cand = a.join(b, "gid").filter(
+        (F.col("id_a") < F.col("id_b"))
+        # size band: J >= p/q impossible outside q*min >= p*max
+        & (F.col("sz_a") * q >= F.col("sz_b") * p)
+        & (F.col("sz_b") * q >= F.col("sz_a") * p)
+    )
+    alpha = F.floor(
+        (F.lit(p) * (F.col("sz_a") + F.col("sz_b")) + F.lit(p + q - 1))
+        / F.lit(p + q)
+    )
+    # the aggregated bound REPLACES the per-pair distinct() — same
+    # exchange (keyed on the pair), strictly tighter output
+    agg = cand.groupBy("id_a", "sz_a", "id_b", "sz_b").agg(
+        F.count(F.lit(1)).alias("cnt"),
+        F.max("pos_a").alias("mpa"),
+        F.max("pos_b").alias("mpb"),
+    )
+    kept = agg.filter(
+        F.col("cnt")
+        + F.least(
+            F.col("sz_a") - F.col("mpa"), F.col("sz_b") - F.col("mpb")
+        )
+        >= alpha
+    ).select("id_a", "id_b")
+    arr_a = ordered.select(
+        F.col("id").alias("id_a"),
+        F.col("toks_id").alias("ids_a"),
+        F.col("sz").alias("size_a"),
+    )
+    arr_b = ordered.select(
+        F.col("id").alias("id_b"),
+        F.col("toks_id").alias("ids_b"),
+        F.col("sz").alias("size_b"),
+    )
+    verified = (
+        kept.join(arr_a, "id_a")
+        .join(arr_b, "id_b")
+        .withColumn("inter", F.size(F.array_intersect("ids_a", "ids_b")))
+        # exact: ids are collision-free by construction
+        .filter(
+            F.col("inter") * (p + q)
+            >= F.lit(p) * (F.col("size_a") + F.col("size_b"))
+        )
+    )
+    return verified.select(
+        "id_a",
+        "id_b",
+        (
+            F.col("inter")
+            / (F.col("size_a") + F.col("size_b") - F.col("inter"))
+        ).alias("jaccard"),
+        F.col("inter").cast("bigint").alias("inter"),
+        F.col("size_a").cast("bigint").alias("size_a"),
+        F.col("size_b").cast("bigint").alias("size_b"),
+    )

@@ -376,7 +376,7 @@ class TestComposedSimilarityStore:
             prefix_jaccard_join_indexed,
         )
 
-        _, _, tok_p = similarity_index_paths(base)
+        _, _, _, tok_p = similarity_index_paths(base)
         got = prefix_jaccard_join_indexed(spark, tok_p, p, q).collect()
         return {
             (r["id_a"], r["id_b"]): (r["inter"], r["size_a"], r["size_b"])
@@ -411,7 +411,7 @@ class TestComposedSimilarityStore:
         # cross-batch pairs exist in this fixture
         assert any(a <= 2 < b for a, b in got)
         # the LIVE df index equals a from-scratch build over the union
-        df_p, _, _ = similarity_index_paths(base)
+        df_p, _, _, _ = similarity_index_paths(base)
         live = {
             (r["__h"], r["df"], r["gram"])
             for r in spark.read.parquet(df_p)
@@ -468,7 +468,7 @@ class TestComposedSimilarityStore:
 
         base = str(tmp_path / "astore")
         self._ingest_all(spark, base, [self.CORPUS[:2], self.CORPUS[2:4]])
-        df_p, ord_p, tok_p = similarity_index_paths(base)
+        df_p, ord_p, _, tok_p = similarity_index_paths(base)
 
         def snap():
             toks = sorted(
@@ -507,7 +507,7 @@ class TestComposedSimilarityStore:
 
         base = str(tmp_path / "rstore")
         self._ingest_all(spark, base, [self.CORPUS[:3], self.CORPUS[3:]])
-        df_p, _, tok_p = similarity_index_paths(base)
+        df_p, _, _, tok_p = similarity_index_paths(base)
         want_join = self._join(spark, base)
         want_tok_rows = spark.read.parquet(tok_p).count()
         want_live = sorted(
@@ -541,7 +541,7 @@ class TestComposedSimilarityStore:
             spark, base,
             [self.CORPUS[:2], self.CORPUS[2:4], self.CORPUS[4:]],
         )
-        df_p, _, _ = similarity_index_paths(base)
+        df_p, _, _, _ = similarity_index_paths(base)
         want = sorted(
             (r["__h"], r["df"], r["gram"], r["last_batch"])
             for r in spark.read.parquet(df_p).collect()
@@ -647,3 +647,250 @@ class TestDeclaredIndexedQuery:
         }
         assert idx == direct
         assert len(idx) > 0  # the dup-injected fixture guarantees pairs
+
+
+class TestGramIdDictionary:
+    """r14: the gram-id dictionary (dense exact int ids) and the
+    string-free id tail it unlocks — ids unique and append-stable, the
+    id-tail join == hash tail == brute force (one-shot AND
+    incrementally-appended artifacts with batch-introduced new grams),
+    the :ids marker refuses mixed artifacts, a dictionary gap is
+    refused loudly, and the int32 format bound guards."""
+
+    CORPUS = TestGramDfIndex.CORPUS
+
+    def _build_ids_native(self, spark, tmp_path, rows, sub="s"):
+        from amonaly_detection_in_time_series_data_spark.operators.similarity import (
+            gram_df_index_build,
+            gram_ids_build,
+            ordered_tokens_build,
+        )
+
+        g = str(tmp_path / sub / "g")
+        i = str(tmp_path / sub / "i")
+        t = str(tmp_path / sub / "t")
+        df = spark.createDataFrame(rows, ["doc_id", "text"])
+        gram_df_index_build(df, g)
+        gram_ids_build(df, i)
+        ordered_tokens_build(df, t, g, gram_ids_path=i)
+        return g, i, t
+
+    def _join(self, spark, tpath, p=1, q=2, **kw):
+        from amonaly_detection_in_time_series_data_spark.operators.similarity import (
+            prefix_jaccard_join_indexed,
+        )
+
+        got = prefix_jaccard_join_indexed(spark, tpath, p, q, **kw).collect()
+        return {
+            (r["id_a"], r["id_b"]): (r["inter"], r["size_a"], r["size_b"])
+            for r in got
+        }
+
+    def test_ids_unique_and_update_append_stable(self, spark, tmp_path):
+        from amonaly_detection_in_time_series_data_spark.operators.similarity import (
+            gram_ids_build,
+            gram_ids_update,
+        )
+
+        path = str(tmp_path / "ids")
+        b1 = spark.createDataFrame(self.CORPUS[:3], ["doc_id", "text"])
+        b2 = spark.createDataFrame(self.CORPUS[3:], ["doc_id", "text"])
+        first = {
+            r["gram"]: r["gid"]
+            for r in gram_ids_build(b1, path).collect()
+        }
+        assert len(set(first.values())) == len(first)  # unique
+        assert sorted(first.values()) == list(range(len(first)))  # dense
+        after = {
+            r["gram"]: r["gid"]
+            for r in gram_ids_update(spark, path, b2).collect()
+        }
+        # every previously-assigned id is UNCHANGED (append-only)
+        for g, gid in first.items():
+            assert after[g] == gid, g
+        # new grams got fresh ids past the old max, still all-unique
+        assert len(set(after.values())) == len(after)
+        assert len(after) > len(first)  # batch 2 introduces new grams
+        assert min(
+            gid for g, gid in after.items() if g not in first
+        ) == len(first)
+        # redelivery of the same batch appends nothing
+        again = gram_ids_update(spark, path, b2)
+        assert again.count() == len(after)
+
+    def test_id_tail_equals_hash_tail_and_brute(self, spark, tmp_path):
+        _, _, t = self._build_ids_native(spark, tmp_path, self.CORPUS)
+        for p, q in ((1, 2), (1, 3), (2, 3)):
+            got_ids = self._join(spark, t, p, q)  # auto-detects toks_id
+            got_hash = self._join(spark, t, p, q, use_ids=False)
+            assert got_ids == got_hash == _brute(self.CORPUS, p, q)
+
+    def test_id_tail_plan_is_string_free(self, spark, tmp_path):
+        from amonaly_detection_in_time_series_data_spark.operators.similarity import (
+            prefix_jaccard_join_indexed,
+        )
+
+        _, _, t = self._build_ids_native(spark, tmp_path, self.CORPUS)
+        df = prefix_jaccard_join_indexed(spark, t, 1, 2)
+        plan = df._jdf.queryExecution().optimizedPlan().toString()
+        # the id tail never touches the gram strings or their hashes —
+        # every Project over the artifact must prune both columns.
+        # (`Relation` nodes print the FILE's full schema regardless of
+        # pruning, so they are excluded from the assertion; the
+        # Projects directly above them are where pruning shows.)
+        pruned = "\n".join(
+            ln for ln in plan.splitlines() if "Relation" not in ln
+        )
+        assert "toks_id" in pruned
+        assert "toks_h" not in pruned, plan
+        assert "toks#" not in pruned.replace("toks_id", ""), plan
+
+    def test_boundary_pair_kept_by_aggregated_bound(self, spark, tmp_path):
+        # J exactly p/q must survive the aggregated PPJoin bound — the
+        # no-false-negatives contract at the worst-case position
+        rows = [(1, "a b c d"), (2, "x b c d")]
+        _, _, t = self._build_ids_native(spark, tmp_path, rows, sub="b")
+        assert set(self._join(spark, t, 1, 3)) == {(1, 2)}
+        assert set(self._join(spark, t, 34, 100)) == set()
+
+    def test_incremental_ids_appends_stay_exact(self, spark, tmp_path):
+        # order frozen on batch 1; later batches introduce NEW grams
+        # (fresh ids past the snapshot) — union join must stay exact
+        from amonaly_detection_in_time_series_data_spark.operators.similarity import (
+            gram_df_index_build,
+            gram_ids_update,
+            ordered_tokens_update,
+        )
+
+        g = str(tmp_path / "inc" / "g")
+        i = str(tmp_path / "inc" / "i")
+        t = str(tmp_path / "inc" / "t")
+        splits = (self.CORPUS[:2], self.CORPUS[2:4], self.CORPUS[4:])
+        b1 = spark.createDataFrame(splits[0], ["doc_id", "text"])
+        gram_df_index_build(b1, g)
+        for rows in splits:
+            b = spark.createDataFrame(rows, ["doc_id", "text"])
+            gram_ids_update(spark, i, b)  # dictionary BEFORE tokens
+            ordered_tokens_update(spark, t, b, g, gram_ids_path=i)
+        got = self._join(spark, t)
+        assert got == _brute(self.CORPUS, 1, 2)
+        assert any(a <= 2 < b for a, b in got)  # cross-batch pairs
+
+    def test_mixed_marker_refused(self, spark, tmp_path):
+        from amonaly_detection_in_time_series_data_spark.operators.similarity import (
+            gram_df_index_build,
+            gram_ids_build,
+            ordered_tokens_build,
+            ordered_tokens_update,
+        )
+
+        g = str(tmp_path / "mm" / "g")
+        i = str(tmp_path / "mm" / "i")
+        t_plain = str(tmp_path / "mm" / "tp")
+        t_ids = str(tmp_path / "mm" / "ti")
+        b1 = spark.createDataFrame(self.CORPUS[:3], ["doc_id", "text"])
+        b2 = spark.createDataFrame(self.CORPUS[3:], ["doc_id", "text"])
+        gram_df_index_build(b1, g)
+        gram_ids_build(
+            spark.createDataFrame(self.CORPUS, ["doc_id", "text"]), i
+        )
+        ordered_tokens_build(b1, t_plain, g)  # legacy artifact
+        with pytest.raises(ValueError, match="ids"):
+            ordered_tokens_update(spark, t_plain, b2, g, gram_ids_path=i)
+        ordered_tokens_build(b1, t_ids, g, gram_ids_path=i)
+        with pytest.raises(ValueError, match="ids"):
+            ordered_tokens_update(spark, t_ids, b2, g)  # no ids now
+
+    def test_dictionary_gap_refused(self, spark, tmp_path):
+        from amonaly_detection_in_time_series_data_spark.operators.similarity import (
+            gram_df_index_build,
+            gram_ids_build,
+            ordered_tokens_build,
+        )
+
+        g = str(tmp_path / "gap" / "g")
+        i = str(tmp_path / "gap" / "i")
+        t = str(tmp_path / "gap" / "t")
+        full = spark.createDataFrame(self.CORPUS, ["doc_id", "text"])
+        gram_df_index_build(full, g)
+        # dictionary covers only batch 1's vocabulary
+        gram_ids_build(
+            spark.createDataFrame(self.CORPUS[:2], ["doc_id", "text"]), i
+        )
+        with pytest.raises(ValueError, match="absent from the gram-id"):
+            ordered_tokens_build(full, t, g, gram_ids_path=i)
+
+    def test_int32_bound_guards(self, spark, tmp_path, monkeypatch):
+        import amonaly_detection_in_time_series_data_spark.operators.similarity as sim
+
+        path = str(tmp_path / "bound")
+        monkeypatch.setattr(sim, "_GID_MAX", 3)
+        with pytest.raises(ValueError, match="int32 id format bound"):
+            sim.gram_ids_build(
+                spark.createDataFrame(self.CORPUS, ["doc_id", "text"]),
+                path,
+            )
+        # build under the bound, then an update that would pass it
+        monkeypatch.setattr(sim, "_GID_MAX", 10**6)
+        sim.gram_ids_build(
+            spark.createDataFrame(self.CORPUS[:2], ["doc_id", "text"]),
+            path,
+        )
+        monkeypatch.setattr(sim, "_GID_MAX", 4)
+        with pytest.raises(ValueError, match="int32 id format bound"):
+            sim.gram_ids_update(
+                spark, path,
+                spark.createDataFrame(self.CORPUS[2:], ["doc_id", "text"]),
+            )
+
+    @settings(max_examples=8, deadline=None)
+    @given(
+        docs=st.lists(
+            st.lists(st.sampled_from(WORDS), min_size=0, max_size=10),
+            min_size=2,
+            max_size=10,
+        ),
+        pq=st.sampled_from([(1, 2), (1, 3), (2, 3), (1, 1)]),
+    )
+    def test_property_id_tail_equals_brute(
+        self, spark, tmp_path_factory, docs, pq
+    ):
+        p, q = pq
+        rows = [(i, " ".join(toks)) for i, toks in enumerate(docs)]
+        if not any(_grams(t) for _, t in rows):
+            return  # no grammable docs — artifact would be empty
+        tmp = tmp_path_factory.mktemp("idprop")
+        _, _, t = self._build_ids_native(spark, tmp, rows)
+        assert self._join(spark, t, p, q) == _brute(rows, p, q)
+
+    def test_composed_store_is_ids_native(self, spark, tmp_path):
+        from amonaly_detection_in_time_series_data_spark.operators.ingest import (
+            similarity_index_paths,
+            similarity_index_update,
+        )
+
+        base = str(tmp_path / "idstore")
+        splits = (self.CORPUS[:2], self.CORPUS[2:4], self.CORPUS[4:])
+        for i, rows in enumerate(splits):
+            similarity_index_update(
+                spark.createDataFrame(rows, ["doc_id", "text"]), base, i
+            )
+        _, _, ids_p, tok_p = similarity_index_paths(base)
+        toks = spark.read.parquet(tok_p)
+        assert "toks_id" in toks.columns
+        assert (
+            toks.filter(
+                F.exists("toks_id", lambda g: g.isNull())
+            ).count()
+            == 0
+        )
+        # dictionary rows == the union corpus's distinct grams
+        vocab = set()
+        for _, text in self.CORPUS:
+            vocab |= _grams(text)
+        ids = spark.read.parquet(ids_p)
+        assert {r["gram"] for r in ids.collect()} == vocab
+        assert ids.select("gid").distinct().count() == len(vocab)
+        # and the join over the store runs the id tail, exactly
+        got = self._join(spark, tok_p)
+        assert got == _brute(self.CORPUS, 1, 2)
