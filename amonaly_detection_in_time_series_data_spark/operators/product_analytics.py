@@ -411,9 +411,13 @@ def basket_rules(
     composition pinned), and default OFF by interleaved 60M-row
     measurement (SCALING §10a0e-hof: selfjoin 29.3 vs hof 37.7 s
     median, hof 0/3 rep-pairs — interpreted HOF lambdas over 15M
-    small baskets cost more than the second exchange they save). Its
-    regime is few LARGE baskets, the same k≳10-carts profile as
-    ``apriori_prune``.
+    small baskets cost more than the second exchange they save). The
+    r14 regime-boundary control REFUTED the claimed few-large-baskets
+    win regime too: k=64 is a statistical tie and k=256 loses again
+    (0/2) — lambda interpretation scales with pair volume exactly
+    like the self-join's probe side, so no k favors it on this
+    engine (tools/r14_basket_hof_big.py, SCALING §10a0e-hof). Kept
+    as the recorded negative result.
     """
     if min_pair_count < 1:
         raise ValueError(
@@ -487,8 +491,9 @@ def basket_rules(
         # bounds. Bit-identical output pinned vs the self-join by the
         # brute-force + hypothesis suites. NOT the default: measured
         # LOSS at 60M small-basket rows (29.3 vs 37.7 s — interpreted
-        # HOF lambdas beat codegen out of the plan; SCALING
-        # §10a0e-hof); the win regime is few LARGE baskets.
+        # HOF lambdas beat codegen out of the plan) AND at the
+        # few-large-baskets control (k=64 tie, k=256 loss 0/2): the
+        # win regime is empty on this engine; SCALING §10a0e-hof.
         arr = bp.groupBy("__basket").agg(
             F.sort_array(F.collect_list("__item")).alias("__its")
         )
