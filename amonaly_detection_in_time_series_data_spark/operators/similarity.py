@@ -1719,6 +1719,11 @@ def prefix_jaccard_join_indexed(
     positional: bool = True,
     fused: bool = False,
     use_ids: bool | None = None,
+    max_gram_df: int | None = None,
+    gram_df_path: str | None = None,
+    gram_ids_path: str | None = None,
+    return_excluded: bool = False,
+    shingle_n: int = 3,
 ) -> DataFrame:
     """EXACT Jaccard self-join over a persisted ordered-tokens
     artifact (:func:`ordered_tokens_build` /
@@ -1740,18 +1745,60 @@ def prefix_jaccard_join_indexed(
     result) and forces it. ``positional`` applies to the hash tail
     only as well: the id tail's aggregated bound IS its positional
     filter (strictly tighter, pure pruning either way — the result
-    set is identical by the exactness contract)."""
+    set is identical by the exactness contract).
+
+    ``max_gram_df`` (r14): the skew-cap defense for the FLAGSHIP
+    path — the same mega-bucket adversary (a high-df, prefix-resident
+    gram floods the candidate join with a C(n,2) bucket) the inline
+    join caps, applied to the artifact join. Hot grams come from the
+    persisted gram-df index at ``gram_df_path`` (a composed store's
+    LIVE index — refresh it before trusting the cap against a new
+    flood, the same staleness note as the inline ``gram_order_path``
+    cap mode) and are excluded from the PREFIX ONLY; verification
+    keeps full arrays, so survivors stay exact and the recall trade
+    is identical to the inline cap: a pair is missed only if its
+    EVERY shared prefix gram is over the cap. On the id tail the
+    hot list maps to gids through the dictionary at ``gram_ids_path``
+    (required then) and the exclusion is exact; the report/anti-join
+    carry the index's bucket-representative semantics documented on
+    :func:`gram_df_index_build`. ``return_excluded=True`` returns
+    ``(pairs, excluded)`` with the index's over-cap ``(gram, df)``
+    rows — INDEX state, not re-scoped to the artifact's corpus (for
+    a composed store they coincide by construction)."""
     p, q = int(threshold_num), int(threshold_den)
     if not 0 < p <= q:
         raise ValueError(
             f"prefix_jaccard_join_indexed: threshold must be in (0,1]: "
             f"got {p}/{q}"
         )
+    if return_excluded and max_gram_df is None:
+        raise ValueError(
+            "prefix_jaccard_join_indexed: return_excluded requires "
+            "max_gram_df"
+        )
+    if max_gram_df is not None:
+        if max_gram_df < 1:
+            raise ValueError(
+                f"prefix_jaccard_join_indexed: max_gram_df must be >= 1, "
+                f"got {max_gram_df}"
+            )
+        if gram_df_path is None:
+            raise ValueError(
+                "prefix_jaccard_join_indexed: max_gram_df requires "
+                "gram_df_path (the persisted gram-df index that supplies "
+                "the hot list — a composed store's live index)"
+            )
     art = spark.read.parquet(tokens_path)
     if fused:
         use_ids = False
     if use_ids is None:
         use_ids = "toks_id" in art.columns
+    hot = None
+    excluded = None
+    if max_gram_df is not None:
+        idx = _read_gram_df_index(spark, gram_df_path, shingle_n)
+        hot = idx.filter(F.col("df") > max_gram_df)
+        excluded = hot.select("gram", "df")
     if use_ids:
         if "toks_id" not in art.columns:
             raise ValueError(
@@ -1759,9 +1806,31 @@ def prefix_jaccard_join_indexed(
                 f"artifact at {tokens_path!r} has no toks_id column — "
                 "rebuild it with gram_ids_path"
             )
-        return _ppjoin_tail_ids(art.select("id", "sz", "toks_id"), p, q)
-    ordered = art.select("id", "sz", "toks", "toks_h")
-    return _ppjoin_tail(ordered, p, q, positional, fused=fused)
+        hot_gids = None
+        if hot is not None:
+            if gram_ids_path is None:
+                raise ValueError(
+                    "prefix_jaccard_join_indexed: max_gram_df on the id "
+                    "tail requires gram_ids_path (the dictionary that "
+                    "maps the hot list to gids)"
+                )
+            ids = _read_gram_ids(spark, gram_ids_path, shingle_n)
+            hot_gids = (
+                hot.select("gram")
+                .join(ids.select("gram", "gid"), "gram")
+                .select("gid")
+            )
+        pairs = _ppjoin_tail_ids(
+            art.select("id", "sz", "toks_id"), p, q, hot_gids=hot_gids
+        )
+    else:
+        ordered = art.select("id", "sz", "toks", "toks_h")
+        pairs = _ppjoin_tail(
+            ordered, p, q, positional, hot_grams=hot, fused=fused
+        )
+    if return_excluded:
+        return pairs, excluded
+    return pairs
 
 
 def gram_df_index_build(
@@ -2050,7 +2119,12 @@ def _read_gram_ids(spark, ids_path: str, shingle_n: int) -> DataFrame:
     return ids
 
 
-def _ppjoin_tail_ids(ordered: DataFrame, p: int, q: int) -> DataFrame:
+def _ppjoin_tail_ids(
+    ordered: DataFrame,
+    p: int,
+    q: int,
+    hot_gids: DataFrame | None = None,
+) -> DataFrame:
     """The id-dictionary back half (r14): takes ``(id, sz, toks_id)``
     with ``toks_id`` an ``array<int>`` of EXACT gram ids sorted by one
     consistent total order across all rows, and returns the same
@@ -2080,6 +2154,19 @@ def _ppjoin_tail_ids(ordered: DataFrame, p: int, q: int) -> DataFrame:
        over exact id arrays IS the exact intersection — the string
        arrays never enter the tail at all, and the attach payload is
        int arrays (half the hash tail's long arrays).
+
+    ``hot_gids`` (a one-column ``gid`` frame) is the skew-cap's
+    prefix exclusion (:func:`prefix_jaccard_join_indexed`'s
+    ``max_gram_df``). With exclusions active the tail uses the
+    PER-ROW positional filter + distinct instead of the aggregated
+    bound — deliberately: the aggregated bound counts shared prefix
+    grams, and an EXCLUDED shared gram before w* would silently
+    shrink ``cnt`` below the true prefix overlap, dropping pairs the
+    cap's recall contract promises to keep (missed pairs must be
+    ONLY those whose every shared prefix gram is over the cap —
+    the inline cap's exact contract, preserved here at the price of
+    the weaker per-row bound). Exclusion itself is EXACT on ids (no
+    hash-collision caveat, unlike the hash tail's hot anti-join).
     """
     plen = (
         F.col("sz")
@@ -2093,6 +2180,8 @@ def _ppjoin_tail_ids(ordered: DataFrame, p: int, q: int) -> DataFrame:
             "pos0", "gid"
         ),
     ).select("id", "sz", (F.col("pos0") + 1).alias("pos"), "gid")
+    if hot_gids is not None:
+        prefix = prefix.join(hot_gids.select("gid"), "gid", "left_anti")
     a = prefix.select(
         F.col("id").alias("id_a"),
         F.col("sz").alias("sz_a"),
@@ -2115,20 +2204,36 @@ def _ppjoin_tail_ids(ordered: DataFrame, p: int, q: int) -> DataFrame:
         (F.lit(p) * (F.col("sz_a") + F.col("sz_b")) + F.lit(p + q - 1))
         / F.lit(p + q)
     )
-    # the aggregated bound REPLACES the per-pair distinct() — same
-    # exchange (keyed on the pair), strictly tighter output
-    agg = cand.groupBy("id_a", "sz_a", "id_b", "sz_b").agg(
-        F.count(F.lit(1)).alias("cnt"),
-        F.max("pos_a").alias("mpa"),
-        F.max("pos_b").alias("mpb"),
-    )
-    kept = agg.filter(
-        F.col("cnt")
-        + F.least(
-            F.col("sz_a") - F.col("mpa"), F.col("sz_b") - F.col("mpb")
+    if hot_gids is None:
+        # the aggregated bound REPLACES the per-pair distinct() — same
+        # exchange (keyed on the pair), strictly tighter output
+        agg = cand.groupBy("id_a", "sz_a", "id_b", "sz_b").agg(
+            F.count(F.lit(1)).alias("cnt"),
+            F.max("pos_a").alias("mpa"),
+            F.max("pos_b").alias("mpb"),
         )
-        >= alpha
-    ).select("id_a", "id_b")
+        kept = agg.filter(
+            F.col("cnt")
+            + F.least(
+                F.col("sz_a") - F.col("mpa"), F.col("sz_b") - F.col("mpb")
+            )
+            >= alpha
+        ).select("id_a", "id_b")
+    else:
+        # cap mode: per-row positional bound (any surviving row keeps
+        # the pair) — the recall contract reason is in the docstring
+        ubound = (
+            F.least(F.col("pos_a"), F.col("pos_b"))
+            - 1
+            + 1
+            + F.least(
+                F.col("sz_a") - F.col("pos_a"),
+                F.col("sz_b") - F.col("pos_b"),
+            )
+        )
+        kept = (
+            cand.filter(ubound >= alpha).select("id_a", "id_b").distinct()
+        )
     arr_a = ordered.select(
         F.col("id").alias("id_a"),
         F.col("toks_id").alias("ids_a"),

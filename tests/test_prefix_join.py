@@ -894,3 +894,126 @@ class TestGramIdDictionary:
         # and the join over the store runs the id tail, exactly
         got = self._join(spark, tok_p)
         assert got == _brute(self.CORPUS, 1, 2)
+
+
+class TestIndexedCap:
+    """r14: `max_gram_df` on the FLAGSHIP artifact path — the same
+    mega-bucket defense as the inline cap, hot list from the persisted
+    gram-df index, exact gid exclusion on the id tail (per-row bound
+    in cap mode so the recall contract matches the inline cap), and
+    capped-inline == capped-indexed on the same hot source."""
+
+    FLOOD = 60
+    CAP = 10
+
+    def _stores(self, spark, tmp_path, rows):
+        from amonaly_detection_in_time_series_data_spark.operators.similarity import (
+            gram_df_index_build,
+            gram_ids_build,
+            ordered_tokens_build,
+        )
+
+        g = str(tmp_path / "g")
+        i = str(tmp_path / "i")
+        t_ids = str(tmp_path / "ti")
+        t_hash = str(tmp_path / "th")
+        df = spark.createDataFrame(rows, ["doc_id", "text"])
+        gram_df_index_build(df, g)
+        gram_ids_build(df, i)
+        ordered_tokens_build(df, t_ids, g, gram_ids_path=i)
+        ordered_tokens_build(df, t_hash, g)
+        return g, i, t_ids, t_hash
+
+    def test_cap_binds_both_tails(self, spark, tmp_path):
+        from amonaly_detection_in_time_series_data_spark.operators.similarity import (
+            prefix_jaccard_join_indexed,
+        )
+
+        rows = [(i, "alpha beta gamma") for i in range(self.FLOOD)] + [
+            (9000, "delta epsilon zeta eta theta iota kappa"),
+            (9001, "delta epsilon zeta eta theta iota lambda"),
+        ]
+        g, i, t_ids, t_hash = self._stores(spark, tmp_path, rows)
+        pairs_i, ex_i = prefix_jaccard_join_indexed(
+            spark, t_ids, 1, 2, max_gram_df=self.CAP, gram_df_path=g,
+            gram_ids_path=i, return_excluded=True,
+        )
+        pairs_h, ex_h = prefix_jaccard_join_indexed(
+            spark, t_hash, 1, 2, max_gram_df=self.CAP, gram_df_path=g,
+            return_excluded=True,
+        )
+        for pairs, ex in ((pairs_i, ex_i), (pairs_h, ex_h)):
+            got = {(r["id_a"], r["id_b"]) for r in pairs.collect()}
+            assert got == {(9000, 9001)}, got
+            exr = ex.collect()
+            assert len(exr) == 1 and exr[0]["df"] == self.FLOOD
+
+    def test_capped_indexed_equals_capped_inline(self, spark, tmp_path):
+        from amonaly_detection_in_time_series_data_spark.operators.similarity import (
+            prefix_jaccard_join,
+            prefix_jaccard_join_indexed,
+        )
+
+        # flood gram shared by near-dup docs that ALSO share rare
+        # grams — the cap drops prefix entries without killing the
+        # pair, so the three paths must agree non-trivially
+        rows = [(i, "alpha beta gamma") for i in range(self.FLOOD)] + [
+            (9000, "alpha beta gamma delta epsilon zeta eta"),
+            (9001, "alpha beta gamma delta epsilon zeta theta"),
+            (9002, "unrelated words entirely different here now"),
+        ]
+        g, i, t_ids, t_hash = self._stores(spark, tmp_path, rows)
+        df = spark.createDataFrame(rows, ["doc_id", "text"])
+        key = lambda r: (r["id_a"], r["id_b"], r["inter"])
+        inline = prefix_jaccard_join(
+            df, "text", "doc_id", 1, 2, pin=False,
+            gram_order_path=g, max_gram_df=self.CAP,
+        )
+        idx_ids = prefix_jaccard_join_indexed(
+            spark, t_ids, 1, 2, max_gram_df=self.CAP, gram_df_path=g,
+            gram_ids_path=i,
+        )
+        idx_hash = prefix_jaccard_join_indexed(
+            spark, t_hash, 1, 2, max_gram_df=self.CAP, gram_df_path=g,
+        )
+        want = sorted(map(key, inline.collect()))
+        assert sorted(map(key, idx_ids.collect())) == want
+        assert sorted(map(key, idx_hash.collect())) == want
+        assert any(a == 9000 for a, _, _ in want)  # survivor pair kept
+
+    def test_nonbinding_cap_equals_uncapped(self, spark, tmp_path):
+        from amonaly_detection_in_time_series_data_spark.operators.similarity import (
+            prefix_jaccard_join_indexed,
+        )
+
+        rows = TestGramDfIndex.CORPUS
+        g, i, t_ids, _ = self._stores(spark, tmp_path, rows)
+        pairs, ex = prefix_jaccard_join_indexed(
+            spark, t_ids, 1, 2, max_gram_df=10**6, gram_df_path=g,
+            gram_ids_path=i, return_excluded=True,
+        )
+        got = {
+            (r["id_a"], r["id_b"]): (r["inter"], r["size_a"], r["size_b"])
+            for r in pairs.collect()
+        }
+        assert got == _brute(rows, 1, 2)
+        assert ex.count() == 0
+
+    def test_cap_validation(self, spark, tmp_path):
+        from amonaly_detection_in_time_series_data_spark.operators.similarity import (
+            prefix_jaccard_join_indexed,
+        )
+
+        g, i, t_ids, _ = self._stores(
+            spark, tmp_path, TestGramDfIndex.CORPUS
+        )
+        with pytest.raises(ValueError, match="return_excluded"):
+            prefix_jaccard_join_indexed(
+                spark, t_ids, 1, 2, return_excluded=True
+            )
+        with pytest.raises(ValueError, match="gram_df_path"):
+            prefix_jaccard_join_indexed(spark, t_ids, 1, 2, max_gram_df=5)
+        with pytest.raises(ValueError, match="gram_ids_path"):
+            prefix_jaccard_join_indexed(
+                spark, t_ids, 1, 2, max_gram_df=5, gram_df_path=g
+            )
