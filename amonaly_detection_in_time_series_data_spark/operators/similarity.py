@@ -1764,7 +1764,12 @@ def prefix_jaccard_join_indexed(
     :func:`gram_df_index_build`. ``return_excluded=True`` returns
     ``(pairs, excluded)`` with the index's over-cap ``(gram, df)``
     rows — INDEX state, not re-scoped to the artifact's corpus (for
-    a composed store they coincide by construction)."""
+    a composed store they coincide by construction). Note: passing
+    ``max_gram_df`` selects cap-mode plans even when NO gram is over
+    the cap (the id tail then runs the per-row bound instead of the
+    tighter aggregated one — whether the hot list is empty is a
+    runtime fact the plan doesn't probe); leave the cap off unless
+    the corpus actually needs the defense."""
     p, q = int(threshold_num), int(threshold_den)
     if not 0 < p <= q:
         raise ValueError(
