@@ -240,7 +240,17 @@ def bucketed_rolling(
                 j += 1
             cands.append((bt, s, lst))
         ts_type = df.schema[ts_col].dataType
-        starts_df = spark.createDataFrame(
+        # literal-inline local table, not createDataFrame: the Python-RDD
+        # form re-ran 32 Python-worker tasks on EVERY action just to
+        # re-emit these constant rows (~0.9 s/action measured r14,
+        # sources.readers.local_rows_df) — the broadcast side of this
+        # join must be a pure-JVM constant plan
+        from amonaly_detection_in_time_series_data_spark.sources.readers import (
+            local_rows_df,
+        )
+
+        starts_df = local_rows_df(
+            spark,
             cands,
             T.StructType(
                 [

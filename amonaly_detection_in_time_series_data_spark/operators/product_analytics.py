@@ -28,6 +28,9 @@ from collections.abc import Sequence
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from ..sources.readers import local_rows_df
 
 __all__ = [
     "basket_rules",
@@ -168,8 +171,17 @@ def funnel_steps(
         ]
     )
     spark = df.sparkSession
-    names = spark.createDataFrame(
-        [(i + 1, s) for i, s in enumerate(steps)], "step_idx int, step_name string"
+    # literal local table (sources.readers.local_rows_df): the
+    # createDataFrame form re-ran a Python-RDD scan per action
+    names = local_rows_df(
+        spark,
+        [(i + 1, s) for i, s in enumerate(steps)],
+        T.StructType(
+            [
+                T.StructField("step_idx", T.IntegerType()),
+                T.StructField("step_name", T.StringType()),
+            ]
+        ),
     )
     wide = names.crossJoin(F.broadcast(reached))
     users = F.coalesce(

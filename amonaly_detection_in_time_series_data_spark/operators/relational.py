@@ -19,6 +19,8 @@ from collections.abc import Sequence
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from ..sources.readers import local_rows_df
+
 
 def join_dim(
     fact: DataFrame, dim: DataFrame, on, how: str = "inner", hint: str = "broadcast"
@@ -184,7 +186,7 @@ def heavy_hitters(
         )
     if not exact:
         return (
-            spark.createDataFrame([(c,) for c in cands], df.select(col).schema)
+            local_rows_df(spark, [(c,) for c in cands], df.select(col).schema)
             .withColumn("cnt", F.lit(None).cast("bigint"))
             .withColumn("frac", F.lit(None).cast("double"))
         )
@@ -200,7 +202,7 @@ def heavy_hitters(
         )
     else:
         cdf = (
-            spark.createDataFrame([(c,) for c in cands], df.select(col).schema)
+            local_rows_df(spark, [(c,) for c in cands], df.select(col).schema)
             .toDF("__c")
             .withColumn("__hit", F.lit(1))
         )

@@ -25,9 +25,11 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 from ..functions.vectors import cosine_similarity, nested_double_literal
 from ..functions.text import tokenize
+from ..sources.readers import local_rows_df
 
 
 def cosine_topk(
@@ -387,8 +389,17 @@ def ivf_build_index(
     centroids = [
         (i, [float(x) for x in c]) for i, c in enumerate(model.clusterCenters())
     ]
-    cent_df = corpus.sparkSession.createDataFrame(
-        centroids, "__list int, __centroid array<double>"
+    # literal local table (sources.readers.local_rows_df): the
+    # createDataFrame form re-ran a Python-RDD scan per action
+    cent_df = local_rows_df(
+        corpus.sparkSession,
+        centroids,
+        T.StructType(
+            [
+                T.StructField("__list", T.IntegerType()),
+                T.StructField("__centroid", T.ArrayType(T.DoubleType())),
+            ]
+        ),
     )
     return inv, cent_df
 

@@ -22,6 +22,7 @@ carry pushed filters/pruned columns (verified via .explain in tests).
 from __future__ import annotations
 
 import os
+from collections.abc import Sequence
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -275,3 +276,63 @@ def register_tables(
         df.createOrReplaceTempView(f"{prefix}{name}")
         out[name] = df
     return out
+
+
+def local_rows_df(
+    spark: SparkSession,
+    rows: Sequence,
+    schema: T.StructType,
+    max_literal_rows: int = 2048,
+) -> DataFrame:
+    """Bounded driver-local rows as a pure-JVM constant plan.
+
+    ``spark.createDataFrame(list)`` parallelizes the rows through a
+    PYTHON RDD: the plan carries ``Scan ExistingRDD
+    (applySchemaToPythonRDD)`` split into ``defaultParallelism`` slices,
+    so EVERY action re-runs that many tasks, each paying a Python-worker
+    round trip just to re-emit the same constant rows — measured ~1.0 s
+    per action at 32 slots for a 126-row table (r14), and the cost rides
+    every broadcast rebuild of the table. For the bounded-small
+    driver-computed tables the operators broadcast (bucket plans,
+    candidate lists, name maps) this builds ONE literal
+    ``inline(array(struct(...)))`` expression over a OneRowRelation
+    instead: execution is a single trivial JVM task, no Python workers,
+    same values and column types.
+
+    Nested arrays/structs and None are supported; every leaf is cast to
+    the exact schema type, so values match ``createDataFrame``'s
+    coercion for the types the engine uses (numerics, strings, booleans,
+    timestamps — naive ``datetime`` under the pinned UTC session).
+    Falls back to ``createDataFrame`` past ``max_literal_rows``
+    (a giant constant expression tree trades task overhead for planning
+    overhead) and for empty input (empty LocalRelation, zero tasks).
+    """
+
+    def _mk(value, dtype: T.DataType):
+        if value is None:
+            return F.lit(None).cast(dtype)
+        if isinstance(dtype, T.StructType):
+            vals = list(value)
+            return F.struct(
+                *[
+                    _mk(v, f.dataType).alias(f.name)
+                    for v, f in zip(vals, dtype.fields)
+                ]
+            )
+        if isinstance(dtype, T.ArrayType):
+            elems = list(value)
+            if not elems:
+                return F.array().cast(dtype)
+            if not isinstance(
+                dtype.elementType, (T.ArrayType, T.StructType, T.MapType)
+            ) and all(e is not None for e in elems):
+                # flat atomic array: ONE py4j lit call instead of one
+                # per element (matters for e.g. 64-dim centroid rows)
+                return F.lit(elems).cast(dtype)
+            return F.array(*[_mk(v, dtype.elementType) for v in elems])
+        return F.lit(value).cast(dtype)
+
+    if not rows or len(rows) > max_literal_rows:
+        return spark.createDataFrame(rows, schema)
+    row_exprs = [_mk(tuple(r), schema) for r in rows]
+    return spark.sql("SELECT 1").select(F.inline(F.array(*row_exprs)))
