@@ -25,6 +25,24 @@ _DEFAULTS = {
     "spark.sql.session.timeZone": "UTC",
     "spark.sql.adaptive.enabled": "true",
     "spark.sql.adaptive.coalescePartitions.enabled": "true",
+    # AQE's coalesce floor (default 1m) over-coalesces small-but-CPU-dense
+    # post-shuffle stages: a few MB of compressed shuffle bytes expand to
+    # 100k+ rows x a wide window/detector expression tree, and the 1m
+    # floor packs them onto 1-2 tasks while the rest of the cluster
+    # idles (r14: the six-detector battery's final stage ran 2 tasks,
+    # max-task 1.03 s). parallelismFirst (default on) already targets
+    # defaultParallelism; lowering the floor just stops it being
+    # defeated at the low end. NOT a local[32] constant: at scale the
+    # data path's partitions sit at/above the 64m advisory so the floor
+    # is never binding there — it binds exactly on the small stats/dim
+    # subtrees where extra parallelism is free on any cluster size.
+    # Measured (r14 interleaved 3-arm A/B at sf0.1): 128k cut the
+    # window-family queries 43-56% and the 8-query total 28%; 32k
+    # over-splits the explode-heavy text shuffles (minhash +26%), so
+    # 128k is the default. Env-overridable like the other knobs.
+    "spark.sql.adaptive.coalescePartitions.minPartitionSize": os.environ.get(
+        "SPARK_GRAFT_MIN_PARTITION", "128k"
+    ),
     "spark.sql.adaptive.skewJoin.enabled": "true",
     "spark.sql.execution.arrow.pyspark.enabled": "true",
     # pandas-written parquet carries TIMESTAMP(NANOS) which Spark cannot
