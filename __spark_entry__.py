@@ -2241,7 +2241,13 @@ def q_embedding_knn_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _build_embedding_knn_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    emb = load_table(spark, sf_dir, "embeddings")
+    # spread_small (r14): the corpus-side work (3 tables x 6 hyperplane
+    # projections + bucket explode) is CPU-dense but the 0.8 MB parquet
+    # arrives as ONE input split — the whole stage ran on one core
+    # (528 ms single-task stage measured in the r14 profile). Same
+    # idiom as q_embedding_knn/minhash; at 100 TB the scan arrives
+    # pre-split and the caller-side repartition is a no-op decision.
+    emb = spread_small(load_table(spark, sf_dir, "embeddings"))
     q = emb.filter(F.col("vec_id") < 10)
     out = lsh_cosine_topk(
         emb, q, k=5, dim=64, n_planes=6, seed=42, round_digits=4,
