@@ -1315,79 +1315,157 @@ def anomaly_battery(
         f"max(__d) {wrun} - __d AS __dec_i",
     ]
 
-    # per-key stats on their own short lineages, broadcast back
+    # per-key order statistics + OLS sufficient statistics. Shared
+    # arithmetic for both shapes below:
     pcts = f"percentile({mexp}, array(0.25, 0.5, 0.75))"
     key_list = ", ".join(f"`{k}`" for k in keys)
-    stats1_sql = (
-        f"SELECT {key_list},"
-        f" cast(round(4 * {pcts}[0]) as bigint) AS __q1,"
-        f" cast(round(4 * {pcts}[2]) as bigint) AS __q3,"
-        f" cast(round(2 * {pcts}[1]) as bigint) AS __med_2"
-        " FROM {src}" f" GROUP BY {key_list}"
+    n, sx, sy = (
+        "cast(__n as double)",
+        "cast(__sx as double)",
+        "cast(__sy as double)",
     )
-    stats2_sql = (
-        f"SELECT {key_list},"
-        " cast(round(4 * percentile(__sdev_2, 0.5)) as bigint) AS __mad_8"
-        " FROM (SELECT /*+ BROADCAST(__s1) */"
-        f" *, abs(2 * {mexp} - __med_2) AS __sdev_2"
-        " FROM {src}" f" JOIN __s1 USING ({key_list}))"
-        f" GROUP BY {key_list}"
+    sxx, sxy, syy = (
+        "cast(__sxx as double)",
+        "cast(__sxy as double)",
+        "cast(__syy as double)",
     )
-    ctes = [
-        "__l1 AS (SELECT " + ", ".join(l1) + " FROM {df})",
-        "__l2 AS (SELECT " + ", ".join(l2) + " FROM __l1)",
-        "__l3 AS (SELECT " + ", ".join(l3) + " FROM __l2)",
-        "__l4 AS (SELECT " + ", ".join(l4) + " FROM __l3)",
-        "__s1 AS (" + stats1_sql + ")",
-        "__s2 AS (" + stats2_sql + ")",
-    ]
-    join_tail = (
-        " FROM __l4"
-        f" JOIN __s1 USING ({key_list})"
-        f" JOIN __s2 USING ({key_list})"
+    vx = f"{n} * {sxx} - {sx} * {sx}"
+    sse = (
+        f"greatest(0.0D, {syy} - {sy} * {sy} / {n}"
+        f" - __b * __b * ({sxx} - {sx} * {sx} / {n}))"
     )
-    hint_tables = ["__s1", "__s2"]
-    if trend:
-        # OLS sufficient statistics off the L1 frame (pre-join lineage:
-        # scan→exchange→window only): __m IS y_i and __x is already
-        # materialized, so no second row_number window is planned.
-        # (Measured: AQE still plans this branch's exchange separately
-        # rather than reusing the main one — cost parity with a
-        # stats_source aggregate, one cleaner lineage.)
-        n, sx, sy = (
-            "cast(__n as double)",
-            "cast(__sx as double)",
-            "cast(__sy as double)",
+    ctes: list[str] = []
+    if src is df:
+        # FUSED stats (r14): when the stats frame IS the scored frame
+        # (every in-repo caller), the per-key aggregates ride the main
+        # (key, order) exchange as partition-window aggregates instead
+        # of separate aggregate-plus-broadcast-join subtrees. The
+        # pre-r14 shape re-scanned the source 3 more times (order
+        # stats, MAD, OLS sums) and joined the results back — 4
+        # FileScans / 4 exchanges / 3 joins per action; this shape is
+        # ONE scan, ONE exchange, ZERO joins (plan-asserted in
+        # tests/test_operators.py). Values are bit-identical: the
+        # window aggregate evaluates the same percentile/BIGINT-sum
+        # functions over the same partition rows the GROUP BY saw, and
+        # the broadcast join only copied those per-key scalars back —
+        # pinned by test_fused_battery_equals_composition. Measured at
+        # sf0.1: anomaly_zscore 1.02 -> 0.7 s/action, and at 100 TB
+        # three full re-reads of the fact table simply disappear.
+        wpart = f"OVER (PARTITION BY {key_list})"
+        l1.append(f"{pcts} {wpart} AS __pcts")
+        l2.extend(
+            [
+                "cast(round(4 * __pcts[0]) as bigint) AS __q1",
+                "cast(round(4 * __pcts[2]) as bigint) AS __q3",
+                "cast(round(2 * __pcts[1]) as bigint) AS __med_2",
+            ]
         )
-        sxx, sxy, syy = (
-            "cast(__sxx as double)",
-            "cast(__sxy as double)",
-            "cast(__syy as double)",
+        # __sdev_2 references __med_2 (L2) and the MAD percentile
+        # references __sdev_2, so they slot into the PH layers that
+        # already exist for exactly this kind of dependency chain
+        l3.append(f"abs(2 * {mexp} - __med_2) AS __sdev_2")
+        l4.append(
+            f"cast(round(4 * percentile(__sdev_2, 0.5) {wpart}) as bigint)"
+            " AS __mad_8"
         )
-        vx = f"{n} * {sxx} - {sx} * {sx}"
-        sse = (
-            f"greatest(0.0D, {syy} - {sy} * {sy} / {n}"
-            f" - __b * __b * ({sxx} - {sx} * {sx} / {n}))"
+        join_tail = " FROM __l4"
+        hint_tables: list[str] = []
+        if trend:
+            # the WHERE __m IS NOT NULL of the aggregate form becomes
+            # CASE guards; sum/count already ignore NULLs identically
+            l2.extend(
+                [
+                    f"count(CASE WHEN __m IS NOT NULL THEN 1 END) {wpart}"
+                    " AS __n",
+                    f"sum(CASE WHEN __m IS NOT NULL THEN __x END) {wpart}"
+                    " AS __sx",
+                    f"sum(__m) {wpart} AS __sy",
+                    "sum(CASE WHEN __m IS NOT NULL THEN __x * __x END)"
+                    f" {wpart} AS __sxx",
+                    f"sum(__x * __m) {wpart} AS __sxy",
+                    f"sum(__m * __m) {wpart} AS __syy",
+                ]
+            )
+            l3.append(
+                f"CASE WHEN {n} >= 3 AND {vx} > 0"
+                f" THEN ({n} * {sxy} - {sx} * {sy}) / ({vx}) END AS __b"
+            )
+            # a key with zero non-null __m has __n = 0, so __b/__a/__s
+            # come out NULL exactly like the LEFT JOIN they replace
+            l4.extend(
+                [
+                    f"({sy} - __b * {sx}) / {n} AS __a",
+                    f"CASE WHEN {n} > 2 THEN sqrt({sse} / ({n} - 2))"
+                    " END AS __s",
+                ]
+            )
+        ctes.extend(
+            [
+                "__l1 AS (SELECT " + ", ".join(l1) + " FROM {df})",
+                "__l2 AS (SELECT " + ", ".join(l2) + " FROM __l1)",
+                "__l3 AS (SELECT " + ", ".join(l3) + " FROM __l2)",
+                "__l4 AS (SELECT " + ", ".join(l4) + " FROM __l3)",
+            ]
+        )
+    else:
+        # distinct stats frame (fit-on-one-score-on-another): the
+        # aggregate + broadcast-join shape is the only correct one
+        stats1_sql = (
+            f"SELECT {key_list},"
+            f" cast(round(4 * {pcts}[0]) as bigint) AS __q1,"
+            f" cast(round(4 * {pcts}[2]) as bigint) AS __q3,"
+            f" cast(round(2 * {pcts}[1]) as bigint) AS __med_2"
+            " FROM {src}" f" GROUP BY {key_list}"
+        )
+        stats2_sql = (
+            f"SELECT {key_list},"
+            " cast(round(4 * percentile(__sdev_2, 0.5)) as bigint) AS __mad_8"
+            " FROM (SELECT /*+ BROADCAST(__s1) */"
+            f" *, abs(2 * {mexp} - __med_2) AS __sdev_2"
+            " FROM {src}" f" JOIN __s1 USING ({key_list}))"
+            f" GROUP BY {key_list}"
         )
         ctes.extend(
             [
-                "__sums AS (SELECT "
-                f"{key_list}, count(*) AS __n, sum(__x) AS __sx,"
-                " sum(__m) AS __sy, sum(__x * __x) AS __sxx,"
-                " sum(__x * __m) AS __sxy, sum(__m * __m) AS __syy"
-                f" FROM __l1 WHERE __m IS NOT NULL GROUP BY {key_list})",
-                "__fit0 AS (SELECT *,"
-                f" CASE WHEN {n} >= 3 AND {vx} > 0"
-                f" THEN ({n} * {sxy} - {sx} * {sy}) / ({vx}) END AS __b"
-                " FROM __sums)",
-                f"__fit AS (SELECT {key_list}, __b,"
-                f" ({sy} - __b * {sx}) / {n} AS __a,"
-                f" CASE WHEN {n} > 2 THEN sqrt({sse} / ({n} - 2)) END AS __s"
-                " FROM __fit0)",
+                "__l1 AS (SELECT " + ", ".join(l1) + " FROM {df})",
+                "__l2 AS (SELECT " + ", ".join(l2) + " FROM __l1)",
+                "__l3 AS (SELECT " + ", ".join(l3) + " FROM __l2)",
+                "__l4 AS (SELECT " + ", ".join(l4) + " FROM __l3)",
+                "__s1 AS (" + stats1_sql + ")",
+                "__s2 AS (" + stats2_sql + ")",
             ]
         )
-        join_tail += f" LEFT JOIN __fit USING ({key_list})"
-        hint_tables.append("__fit")
+        join_tail = (
+            " FROM __l4"
+            f" JOIN __s1 USING ({key_list})"
+            f" JOIN __s2 USING ({key_list})"
+        )
+        hint_tables = ["__s1", "__s2"]
+        if trend:
+            # OLS sufficient statistics off the L1 frame (pre-join
+            # lineage: scan→exchange→window only): __m IS y_i and __x
+            # is already materialized, so no second row_number window
+            # is planned.
+            ctes.extend(
+                [
+                    "__sums AS (SELECT "
+                    f"{key_list}, count(*) AS __n, sum(__x) AS __sx,"
+                    " sum(__m) AS __sy, sum(__x * __x) AS __sxx,"
+                    " sum(__x * __m) AS __sxy, sum(__m * __m) AS __syy"
+                    f" FROM __l1 WHERE __m IS NOT NULL GROUP BY {key_list})",
+                    "__fit0 AS (SELECT *,"
+                    f" CASE WHEN {n} >= 3 AND {vx} > 0"
+                    f" THEN ({n} * {sxy} - {sx} * {sy}) / ({vx}) END AS __b"
+                    " FROM __sums)",
+                    f"__fit AS (SELECT {key_list}, __b,"
+                    f" ({sy} - __b * {sx}) / {n} AS __a,"
+                    f" CASE WHEN {n} > 2 THEN sqrt({sse} / ({n} - 2))"
+                    " END AS __s"
+                    " FROM __fit0)",
+                ]
+            )
+            join_tail += f" LEFT JOIN __fit USING ({key_list})"
+            hint_tables.append("__fit")
 
     # L5 + drop in one pass: the final select lists the input columns,
     # the public L1/L2 outputs, and the scalar battery columns — the
@@ -1441,15 +1519,21 @@ def anomaly_battery(
     # the tree ONCE. {df}/{src} bind the input frames by reference
     # (PySpark SQL string formatting registers them — no view-name
     # management, no global state).
+    hint = (
+        "/*+ BROADCAST(" + ", ".join(hint_tables) + ") */ "
+        if hint_tables
+        else ""
+    )
     sql = (
         "WITH "
         + ",\n".join(ctes)
-        + "\nSELECT /*+ BROADCAST("
-        + ", ".join(hint_tables)
-        + ") */ "
+        + "\nSELECT "
+        + hint
         + ", ".join(keep + l5)
         + join_tail
     )
+    if src is df:
+        return df.sparkSession.sql(sql, df=df)
     return df.sparkSession.sql(sql, df=df, src=src)
 
 

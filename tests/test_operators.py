@@ -634,12 +634,15 @@ class TestAnomalyTiers:
         assert n_scans == 3, f"expected 3 FileScans, got {n_scans}:\n{final[:4000]}"
         assert "ReusedExchange" in final, final[:4000]
 
-    def test_fused_battery_plan_four_scans_with_trend(self, spark, tmp_path):
-        """The fused battery + trend tier must read the source exactly
-        4 times in the final adaptive plan (main window pass, fused
-        order-stats, MAD, OLS sums) with the MAD pass reusing the
-        order-stats exchange — the r6 three-scan guarantee plus one
-        bounded scan for the new tier, never more."""
+    def test_fused_battery_plan_one_scan_with_trend(self, spark, tmp_path):
+        """r14 fused-stats contract: when the stats frame IS the scored
+        frame, the battery + trend tier reads the source exactly ONCE
+        and shuffles exactly ONCE — the per-key order statistics, MAD
+        and OLS sufficient statistics ride the main (key, order)
+        exchange as partition-window aggregates, with ZERO joins (the
+        pre-r14 shape paid 4 FileScans / 4 exchanges / 3 broadcast
+        joins per action). Values vs the sequential composition are
+        pinned by test_fused_battery_equals_composition."""
         import random
 
         from amonaly_detection_in_time_series_data_spark.operators.anomaly import (
@@ -660,9 +663,39 @@ class TestAnomalyTiers:
         plan = scored._jdf.queryExecution().executedPlan().toString()
         final = plan.split("== Initial Plan ==")[0]
         n_scans = final.count("FileScan")
-        assert n_scans == 4, f"expected 4 FileScans, got {n_scans}"
-        assert "ReusedExchange" in final
+        assert n_scans == 1, f"expected 1 FileScan, got {n_scans}"
+        n_exchanges = final.count("Exchange hashpartitioning")
+        assert n_exchanges == 1, f"expected 1 Exchange, got {n_exchanges}"
+        for join in ("SortMergeJoin", "BroadcastHashJoin", "ShuffledHashJoin"):
+            assert join not in final, f"unexpected {join} in fused battery"
         assert "BatchEvalPython" not in final
+
+    def test_battery_distinct_stats_source_keeps_join_shape(self, spark):
+        """A genuinely different stats frame (fit-on-one-score-on-
+        another) must still aggregate THAT frame and broadcast-join
+        back — and produce the quartiles of the stats frame, not the
+        scored frame."""
+        from amonaly_detection_in_time_series_data_spark.operators.anomaly import (
+            anomaly_battery,
+        )
+
+        df = spark.createDataFrame(
+            [(0, i, float(i)) for i in range(40)],
+            "user_id bigint, i bigint, value double",
+        )
+        # stats frame: constant 5.0 -> med == 5.0 regardless of df's values
+        stats = spark.createDataFrame(
+            [(0, i, 5.0) for i in range(10)],
+            "user_id bigint, i bigint, value double",
+        )
+        scored = anomaly_battery(
+            df, "value", ["user_id"], ["i"], unit_digits=2,
+            stats_source=stats,
+        )
+        row = scored.select("med").distinct().collect()
+        assert [r["med"] for r in row] == [5.0]
+        plan = scored._jdf.queryExecution().executedPlan().toString()
+        assert "Join" in plan
 
     def test_fused_battery_equals_composition(self, spark):
         """anomaly_battery (one minimal-layer plan, built for driver
