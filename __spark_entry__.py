@@ -29,7 +29,11 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-from amonaly_detection_in_time_series_data_spark.sources.readers import load_table, normalize_columns
+from amonaly_detection_in_time_series_data_spark.sources.readers import (
+    load_table,
+    local_rows_df,
+    normalize_columns,
+)
 from amonaly_detection_in_time_series_data_spark.functions.cleaning import (
     REF_TIMESTAMP_FORMAT,
     clean_numeric_de,
@@ -2184,10 +2188,11 @@ def q_text_quality_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     docs = url_parts(docs.withColumn("__url", syn_url), "__url")
     docs = docs.withColumn("__norm", url_normalize("__url"))
-    block = spark.createDataFrame(
-        [("site0.com",), ("SITE3.IO",)], "domain string"
+    block = local_rows_df(
+        spark, [("site0.com",), ("SITE3.IO",)], "domain string"
     )
-    allow = spark.createDataFrame(
+    allow = local_rows_df(
+        spark,
         [(f"site{j}.{t}",) for j in range(5) for t in ("com", "net", "org", "io")],
         "domain string",
     )
@@ -2865,7 +2870,8 @@ def q_ae_training_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
         ckpt_ok = int(
             ckpt.best_loss == min(losses) and reloaded.components.shape[0] == 2
         )
-    return spark.createDataFrame(
+    return local_rows_df(
+        spark,
         [(i, float(l), ckpt_ok) for i, l in enumerate(losses)],
         "epoch int, loss double, ckpt_reload_ok int",
     ).select(
@@ -3164,8 +3170,8 @@ def q_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
 
-    qdf = spark.createDataFrame(
-        RETRIEVAL_QUERIES, "query_id string, terms array<string>"
+    qdf = local_rows_df(
+        spark, RETRIEVAL_QUERIES, "query_id string, terms array<string>"
     )
     bm_full = bm25_topk(docs, qdf, k=10)
     bm25 = bm_full.filter(F.col("rank") <= 5).select(

@@ -281,7 +281,7 @@ def register_tables(
 def local_rows_df(
     spark: SparkSession,
     rows: Sequence,
-    schema: T.StructType,
+    schema: T.StructType | str,
     max_literal_rows: int = 2048,
 ) -> DataFrame:
     """Bounded driver-local rows as a pure-JVM constant plan.
@@ -332,6 +332,8 @@ def local_rows_df(
             return F.array(*[_mk(v, dtype.elementType) for v in elems])
         return F.lit(value).cast(dtype)
 
+    if isinstance(schema, str):
+        schema = T.StructType.fromDDL(schema)
     if not rows or len(rows) > max_literal_rows:
         return spark.createDataFrame(rows, schema)
     row_exprs = [_mk(tuple(r), schema) for r in rows]
