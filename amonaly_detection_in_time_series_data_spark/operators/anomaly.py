@@ -1229,13 +1229,17 @@ def anomaly_battery(
       L4) because each stage windows over the previous stage's output;
     - L2/L5: the scalar arithmetic between them;
     - the per-key order statistics (Tukey/MAD) and OLS sufficient
-      statistics aggregate over ``stats_source`` (default ``df``) on
-      their own short lineages and broadcast-join back.
+      statistics: on the default path (``stats_source is df``, every
+      in-repo caller) they ride the SAME (key, order) exchange as
+      ``... OVER (PARTITION BY key)`` window aggregates (r14 fusion),
+      so the whole battery executes as 1 FileScan / 1 Exchange /
+      0 joins; only a genuinely distinct ``stats_source``
+      (fit-on-one-frame, score-on-another) keeps the separate
+      aggregate + broadcast-join shape.
 
-    Executor plan is unchanged vs the composition (same exchange, same
-    3 stats scans + 1 OLS scan); driver analysis drops to ~9 passes,
-    most over small trees. Integer-exact conventions (``unit_digits``)
-    and thresholds follow the component operators' docstrings.
+    Driver analysis is ~9 passes, most over small trees. Integer-exact
+    conventions (``unit_digits``) and thresholds follow the component
+    operators' docstrings.
     """
     keys = list(key_cols)
     src = stats_source if stats_source is not None else df

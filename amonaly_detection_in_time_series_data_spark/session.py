@@ -39,10 +39,9 @@ _DEFAULTS = {
     # Measured (r14 interleaved 3-arm A/B at sf0.1): 128k cut the
     # window-family queries 43-56% and the 8-query total 28%; 32k
     # over-splits the explode-heavy text shuffles (minhash +26%), so
-    # 128k is the default. Env-overridable like the other knobs.
-    "spark.sql.adaptive.coalescePartitions.minPartitionSize": os.environ.get(
-        "SPARK_GRAFT_MIN_PARTITION", "128k"
-    ),
+    # 128k is the default. Env override (SPARK_GRAFT_MIN_PARTITION) is
+    # resolved inside get_spark() like the other SPARK_GRAFT_* knobs.
+    "spark.sql.adaptive.coalescePartitions.minPartitionSize": "128k",
     "spark.sql.adaptive.skewJoin.enabled": "true",
     "spark.sql.execution.arrow.pyspark.enabled": "true",
     # pandas-written parquet carries TIMESTAMP(NANOS) which Spark cannot
@@ -75,6 +74,9 @@ def get_spark(
     builder = SparkSession.builder.appName(app_name).master(master)
     conf = dict(_DEFAULTS)
     conf["spark.sql.shuffle.partitions"] = str(shuffle_partitions)
+    conf["spark.sql.adaptive.coalescePartitions.minPartitionSize"] = (
+        os.environ.get("SPARK_GRAFT_MIN_PARTITION", "128k")
+    )
     # Local mode runs driver == executor, and Spark's default driver heap
     # is 1 GiB — for 32 concurrent tasks that is ~32 MB of heap per task,
     # so any array-heavy operator (tokenized long documents, sort

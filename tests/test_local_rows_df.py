@@ -48,9 +48,8 @@ def test_values_match_createdataframe_nested(spark):
     rows = _nested_rows()
     lit = local_rows_df(spark, rows, NESTED)
     ref = spark.createDataFrame(rows, NESTED)
-    assert lit.schema == T.StructType(
-        [T.StructField(f.name, f.dataType) for f in NESTED.fields]
-    ) or [f.dataType for f in lit.schema.fields] == [
+    assert [f.name for f in lit.schema.fields] == [f.name for f in NESTED.fields]
+    assert [f.dataType for f in lit.schema.fields] == [
         f.dataType for f in NESTED.fields
     ]
     assert sorted(map(tuple, lit.collect()), key=str) == sorted(
@@ -91,6 +90,24 @@ def test_fallback_past_literal_bound(spark):
     # empty input -> empty LocalRelation, still typed
     empty = local_rows_df(spark, [], schema)
     assert empty.count() == 0 and empty.schema == schema
+
+
+def test_arity_mismatch_raises(spark):
+    import pytest
+
+    schema = T.StructType(
+        [T.StructField("a", T.LongType()), T.StructField("b", T.StringType())]
+    )
+    with pytest.raises(ValueError, match="arity"):
+        local_rows_df(spark, [(1, "x", "extra")], schema)
+    with pytest.raises(ValueError, match="arity"):
+        local_rows_df(spark, [(1,)], schema)
+    # dict rows map by field NAME (createDataFrame semantics), and a
+    # missing field fails loudly instead of shipping keys as values
+    df = local_rows_df(spark, [{"b": "x", "a": 1}], schema)
+    assert [tuple(r) for r in df.collect()] == [(1, "x")]
+    with pytest.raises(ValueError, match="missing"):
+        local_rows_df(spark, [{"a": 1}], schema)
 
 
 def test_broadcast_join_values_unchanged(spark):
