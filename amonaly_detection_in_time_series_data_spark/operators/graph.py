@@ -351,9 +351,16 @@ def triangle_counts(
         F.col("a").isNotNull() & F.col("b").isNotNull()
         & (F.col("a") != F.col("b"))
     )
+    # pinned (r15): the plan below references ``und`` ~17 times through
+    # the deg/oriented/wedge/closer chain, so an un-pinned input lineage
+    # is re-planned (and, past ReusedExchange's reach, re-executed) that
+    # many times per action — q_minhash_pairs_md5's initial plan carried
+    # 154 redundant scans through exactly this operator. Same eager
+    # localCheckpoint idiom as connected_components' per-round edge pin;
+    # O(m) thin rows, values unchanged.
     und = e.select(
         F.least("a", "b").alias("u"), F.greatest("a", "b").alias("v")
-    ).distinct()
+    ).distinct().localCheckpoint(eager=True)
     deg = (
         und.select(F.col("u").alias("node"))
         .unionAll(und.select(F.col("v").alias("node")))
@@ -374,7 +381,9 @@ def triangle_counts(
         F.when(src_first, F.col("deg_v")).otherwise(F.col("deg_u")).alias(
             "deg_dst"
         ),
-    )
+        # pinned (r15): referenced 3x (both wedge sides + the closing
+        # edge); see the ``und`` pin above
+    ).localCheckpoint(eager=True)
     w1 = oriented.select(
         "src", F.col("dst").alias("x"), F.col("deg_dst").alias("dx")
     )
