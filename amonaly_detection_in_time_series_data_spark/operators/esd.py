@@ -198,6 +198,29 @@ def gesd_numpy(y, max_outliers, alpha=0.05, hybrid=True):
     return flags, rank
 
 
+def seasonal_resid(y, season_rows: int):
+    """The S-H-ESD residual: value minus the per-season-position median
+    minus the overall residual median; plain median-centering when the
+    series is too short for two full seasons (or ``season_rows`` < 2).
+    Shared by :func:`esd_anomalies` and the fused detector-suite kernel
+    so both compute bit-identical residuals."""
+    import numpy as np
+
+    y = np.asarray(y, dtype="float64")
+    n = len(y)
+    m = int(season_rows) if season_rows else 0
+    if m >= 2 and n >= 2 * m:
+        pos = np.arange(n) % m
+        seasonal = np.zeros(n)
+        for p in range(m):
+            seasonal[pos == p] = np.median(y[pos == p])
+        resid = y - seasonal
+        resid = resid - np.median(resid)
+    else:
+        resid = y - (np.median(y) if n else 0.0)
+    return resid
+
+
 def esd_anomalies(
     df: DataFrame,
     ts_col: str,
@@ -243,15 +266,7 @@ def esd_anomalies(
         if np.isnan(y).any():
             raise ValueError("esd_anomalies: null values in series (fill first)")
         n = len(y)
-        if m >= 2 and n >= 2 * m:
-            pos = np.arange(n) % m
-            seasonal = np.zeros(n)
-            for p in range(m):
-                seasonal[pos == p] = np.median(y[pos == p])
-            resid = y - seasonal
-            resid = resid - np.median(resid)
-        else:
-            resid = y - (np.median(y) if n else 0.0)
+        resid = seasonal_resid(y, m)
         flags, rank = gesd_numpy(
             resid, max_outliers=int(math.floor(max_anoms * n)), alpha=alpha, hybrid=hybrid
         )

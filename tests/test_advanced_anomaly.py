@@ -821,6 +821,71 @@ class TestEnsembleFlags:
 
 
 class TestDetectorSuite:
+    def test_fused_models_equal_composition(self, spark):
+        """The r15 fused model-detector kernel (one applyInPandas for
+        Kalman + S-H-ESD + spectral) must be bit-equal to composing the
+        three individual operators + joins, the pre-r15 suite shape."""
+        from pyspark.sql import functions as F
+
+        from amonaly_detection_in_time_series_data_spark.operators.anomaly import (
+            ensemble_flags,
+            rolling_zscore,
+        )
+        from amonaly_detection_in_time_series_data_spark.operators.esd import (
+            esd_anomalies,
+        )
+        from amonaly_detection_in_time_series_data_spark.operators.kalman import (
+            kalman_level,
+        )
+        from amonaly_detection_in_time_series_data_spark.operators.spectral import (
+            spectral_residual,
+        )
+        from amonaly_detection_in_time_series_data_spark.operators.timeseries import (
+            resample_grid,
+        )
+        from amonaly_detection_in_time_series_data_spark.plans import detector_suite
+
+        rng = np.random.default_rng(17)
+        season = np.sin(np.arange(120) * 2 * np.pi / 24)
+        y1 = season * 3 + rng.normal(0, 0.2, 120)
+        y1[60] += 9.0
+        df = _series_df(
+            spark, {"s1": y1, "s2": rng.normal(0, 1.0, 120), "s3": [5.0] * 7},
+            step_s=3600,
+        )
+        kw = dict(grid_step="1 hour", zscore_window=24, season_rows=24, k=2)
+        fused = detector_suite(df, "ts", "value", ["user_id"], **kw).toPandas()
+
+        keys, gts, vc = ["user_id"], "bucket_ts", "value"
+        grid = resample_grid(df, keys, "ts", [vc], step="1 hour")
+        filled = grid.na.drop(subset=[vc])
+        z = rolling_zscore(filled, vc, 24, keys, [gts])
+        zs = z.select(
+            *keys, gts, vc,
+            F.col(f"{vc}_zscore").alias("zscore"),
+            F.col("is_anomaly").cast("boolean").alias("z_flag"),
+        )
+        kf = kalman_level(filled, gts, vc, keys, snr=0.05).select(
+            *keys, gts, "kf_score", "kf_flag"
+        )
+        esd = esd_anomalies(filled, gts, vc, keys, season_rows=24).select(
+            *keys, gts, "esd_resid", "esd_flag"
+        )
+        sr = spectral_residual(filled, gts, vc, keys).select(
+            *keys, gts, "sr_score", "sr_flag"
+        )
+        on = keys + [gts]
+        composed = ensemble_flags(
+            zs.join(kf, on).join(esd, on).join(sr, on),
+            ["z_flag", "kf_flag", "esd_flag", "sr_flag"], k=2,
+        ).toPandas()
+
+        key = ["user_id", "bucket_ts"]
+        fused = fused.sort_values(key).reset_index(drop=True)
+        composed = composed.sort_values(key).reset_index(drop=True)
+        assert list(fused.columns) == list(composed.columns)
+        pd.testing.assert_frame_equal(fused, composed, check_exact=True)
+
     def test_composed_suite_consensus(self, spark):
         from amonaly_detection_in_time_series_data_spark.plans import detector_suite
 
