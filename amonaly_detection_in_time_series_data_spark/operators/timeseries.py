@@ -570,6 +570,38 @@ def dominant_period(
     )
 
 
+def hw_numpy(y, m: int, a: float, b_: float, g: float, ph: float):
+    """The additive (φ-damped) Holt-Winters recursion on one series —
+    the exact loop :func:`holt_winters` always ran, extracted so the
+    fused :func:`forecast_selector` kernel calls the identical code
+    (bit-equal backtests). Returns ``(fc, err, mae, level, trend,
+    seas)``; the state triple is None/None/None when the series is too
+    short to initialize (n < 2*m)."""
+    import numpy as np
+    import pandas as pd
+
+    y = np.asarray(y, dtype="float64")
+    n = len(y)
+    fc = np.full(n, np.nan)
+    level = trend = seas = None
+    if n >= 2 * m:
+        level = y[:m].mean()
+        trend = (y[m : 2 * m].mean() - y[:m].mean()) / m
+        seas = y[:m] - level
+        for t in range(m, n):
+            fc[t] = level + ph * trend + seas[t % m]
+            prev_level = level
+            level = a * (y[t] - seas[t % m]) + (1 - a) * (level + ph * trend)
+            trend = b_ * (level - prev_level) + (1 - b_) * ph * trend
+            seas[t % m] = g * (y[t] - prev_level - trend) + (1 - g) * seas[t % m]
+    err = np.abs(y - fc)
+    with np.errstate(invalid="ignore"):
+        mae = (
+            pd.Series(err).expanding().mean().to_numpy()
+        )  # nan until the first finite err, matching naive_mae's nulls
+    return fc, err, mae, level, trend, seas
+
+
 def holt_winters(
     df: DataFrame,
     ts_col: str,
@@ -652,22 +684,7 @@ def holt_winters(
             raise ValueError(
                 "holt_winters: null values in series — fill the grid first"
             )
-        fc = np.full(n, np.nan)
-        if n >= 2 * m:
-            level = y[:m].mean()
-            trend = (y[m : 2 * m].mean() - y[:m].mean()) / m
-            seas = y[:m] - level
-            for t in range(m, n):
-                fc[t] = level + ph * trend + seas[t % m]
-                prev_level = level
-                level = a * (y[t] - seas[t % m]) + (1 - a) * (level + ph * trend)
-                trend = b_ * (level - prev_level) + (1 - b_) * ph * trend
-                seas[t % m] = g * (y[t] - prev_level - trend) + (1 - g) * seas[t % m]
-        err = np.abs(y - fc)
-        with np.errstate(invalid="ignore"):
-            mae = (
-                pd.Series(err).expanding().mean().to_numpy()
-            )  # nan until the first finite err, matching naive_mae's nulls
+        fc, err, mae, level, trend, seas = hw_numpy(y, m, a, b_, g, ph)
         out = pdf[keys + [ts_col, value_col]].copy()
         out["hw_forecast"] = fc
         out["abs_err"] = err
@@ -918,9 +935,15 @@ def forecast_selector(
     default; between the two HW forms a tie goes to the damped one
     (fewer effective degrees of extrapolation).
 
-    Cost: both backtests share the input's series partitioning; the
-    final-MAE extraction is one ``max_by(mae, ts)`` aggregate per side
-    joined on the (tiny) series key table.
+    Cost (r15): the three model backtests run FUSED as ONE
+    ``applyInPandas`` per series group that calls the exact
+    :func:`hw_numpy` (φ=1 and φ=damped) and :func:`theta_numpy` loops
+    on the same sorted array and emits the per-series FINAL MAEs
+    directly — one grid shuffle, one Arrow boundary, and a one-row-per-
+    series return instead of three full per-row frames reduced by
+    ``max_by``. Bit-equal to the composed operators: the final backtest
+    MAE is the expanding mean at the series' last row, which is exactly
+    what ``max_by(mae, ts)`` over the per-row frame selected.
     """
     keys = list(series_cols)
     nv = seasonal_naive_forecast(df, ts_col, value_col, keys, season_rows)
@@ -928,28 +951,43 @@ def forecast_selector(
         F.max_by("naive_mae", F.col(ts_col)).alias("naive_mae")
     )
 
-    def final_mae(p: float, out: str) -> DataFrame:
-        hw = holt_winters(
-            df, ts_col, value_col, keys,
-            season_rows=season_rows, alpha=alpha, beta=beta, gamma=gamma,
-            phi=p,
-        )
-        return (
-            hw.where(~F.col("is_future"))
-            .groupBy(*keys)
-            .agg(F.max_by("hw_mae", F.col(ts_col)).alias(out))
+    m = int(season_rows)
+    a_, b2, g_, ph = float(alpha), float(beta), float(gamma), float(phi)
+    finals_schema = (
+        ", ".join(f"`{k}` {df.schema[k].dataType.simpleString()}" for k in keys)
+        + ", hw_mae double, hw_damped_mae double, theta_mae double"
+    )
+
+    def finals(pdf):
+        import numpy as np
+        import pandas as pd
+
+        pdf = pdf.sort_values(ts_col).reset_index(drop=True)
+        y = pdf[value_col].to_numpy(dtype="float64")
+        if np.isnan(y).any():
+            raise ValueError(
+                "holt_winters: null values in series — fill the grid first"
+            )
+        _fc, _err, hw_mae, _l, _t, _s = hw_numpy(y, m, a_, b2, g_, 1.0)
+        _fc, _err, dm_mae, _l, _t, _s = hw_numpy(y, m, a_, b2, g_, ph)
+        # theta_forecast's own defaults (alpha=0.2, min_points=3): the
+        # composed selector always called it without overrides
+        _fc, _err, th_mae = theta_numpy(y, 0.2, 3)
+        return pd.DataFrame(
+            {
+                **{k: [pdf[k].iloc[0]] for k in keys},
+                "hw_mae": [hw_mae[-1]],
+                "hw_damped_mae": [dm_mae[-1]],
+                "theta_mae": [th_mae[-1]],
+            }
         )
 
-    th_final = (
-        theta_forecast(df, ts_col, value_col, keys)
+    fused = (
+        df.select(*keys, ts_col, value_col)
         .groupBy(*keys)
-        .agg(F.max_by("theta_mae", F.col(ts_col)).alias("theta_mae"))
+        .applyInPandas(finals, finals_schema)
     )
-    j = (
-        nv_final.join(final_mae(1.0, "hw_mae"), keys, "left")
-        .join(final_mae(phi, "hw_damped_mae"), keys, "left")
-        .join(th_final, keys, "left")
-    )
+    j = nv_final.join(fused, keys, "left")
     naive, hw_m, dm, th = (
         F.col("naive_mae"), F.col("hw_mae"), F.col("hw_damped_mae"),
         F.col("theta_mae"),
@@ -975,6 +1013,50 @@ def forecast_selector(
         .alias("chosen"),
         (chal / F.nullif(naive, F.lit(0.0))).alias("mae_ratio"),
     )
+
+
+def theta_numpy(y, a: float, mp: int):
+    """The causal two-line theta recursion on one series — the exact
+    loop :func:`theta_forecast` always ran, extracted so the fused
+    :func:`forecast_selector` kernel calls the identical code
+    (bit-equal backtests). Returns ``(fc, err, mae)``."""
+    import numpy as np
+
+    y = np.asarray(y, dtype="float64")
+    n = len(y)
+    fc = np.full(n, np.nan)
+    err = np.full(n, np.nan)
+    mae = np.full(n, np.nan)
+    sx = sy = sxx = sxy = 0.0
+    cnt = 0
+    ses = y[0] if n else 0.0
+    err_sum = 0.0
+    err_n = 0
+    for t in range(n):
+        if cnt >= mp:
+            det = cnt * sxx - sx * sx
+            if det > 0:
+                b = (cnt * sxy - sx * sy) / det
+                a0 = (sy - b * sx) / cnt
+                line_t = a0 + b * t
+                fc[t] = 0.5 * (line_t + ses)
+                err[t] = abs(y[t] - fc[t])
+                err_sum += err[t]
+                err_n += 1
+                z_t = 2.0 * y[t] - line_t
+            else:
+                z_t = y[t]
+        else:
+            z_t = y[t]
+        ses = a * z_t + (1.0 - a) * ses
+        sx += t
+        sy += y[t]
+        sxx += t * t
+        sxy += t * y[t]
+        cnt += 1
+        if err_n:
+            mae[t] = err_sum / err_n
+    return fc, err, mae
 
 
 def theta_forecast(
@@ -1026,41 +1108,9 @@ def theta_forecast(
 
         pdf = pdf.sort_values(ts_col).reset_index(drop=True)
         y = pdf[value_col].to_numpy(dtype="float64")
-        n = len(y)
         if np.isnan(y).any():
             raise ValueError("theta_forecast: null values in series (fill first)")
-        fc = np.full(n, np.nan)
-        err = np.full(n, np.nan)
-        mae = np.full(n, np.nan)
-        sx = sy = sxx = sxy = 0.0
-        cnt = 0
-        ses = y[0] if n else 0.0
-        err_sum = 0.0
-        err_n = 0
-        for t in range(n):
-            if cnt >= mp:
-                det = cnt * sxx - sx * sx
-                if det > 0:
-                    b = (cnt * sxy - sx * sy) / det
-                    a0 = (sy - b * sx) / cnt
-                    line_t = a0 + b * t
-                    fc[t] = 0.5 * (line_t + ses)
-                    err[t] = abs(y[t] - fc[t])
-                    err_sum += err[t]
-                    err_n += 1
-                    z_t = 2.0 * y[t] - line_t
-                else:
-                    z_t = y[t]
-            else:
-                z_t = y[t]
-            ses = a * z_t + (1.0 - a) * ses
-            sx += t
-            sy += y[t]
-            sxx += t * t
-            sxy += t * y[t]
-            cnt += 1
-            if err_n:
-                mae[t] = err_sum / err_n
+        fc, err, mae = theta_numpy(y, a, mp)
         return pd.DataFrame(
             {
                 **{k: pdf[k].to_numpy() for k in keys},

@@ -3662,6 +3662,71 @@ class TestPackageSurface:
 class TestForecastSelector:
     """operators.timeseries.forecast_selector — champion table."""
 
+    def test_fused_finals_equal_composition(self, spark):
+        """The r15 fused finals kernel (one applyInPandas computing all
+        three model backtest MAEs per series) must be bit-equal to the
+        pre-r15 composition: holt_winters x2 + theta_forecast, each
+        reduced by max_by(mae, ts) and left-joined onto the naive
+        table."""
+        from pyspark.sql import functions as F
+
+        from amonaly_detection_in_time_series_data_spark.operators.timeseries import (
+            forecast_selector,
+            holt_winters,
+            seasonal_naive_forecast,
+            theta_forecast,
+        )
+
+        import numpy as np
+
+        seas = [5.0, 0.0, -5.0, 0.0]
+        rows = []
+        rng = np.random.default_rng(23)
+        for t in range(60):
+            rows.append(("a", t, 50.0 + 1.5 * t + seas[t % 4]))
+            rows.append(("b", t, float(rng.normal(10, 2))))
+        rows += [("short", t, 2.0 * t) for t in range(5)]
+        df = spark.createDataFrame(rows, "sid string, t int, v double")
+        keys, ts, vc, m, phi = ["sid"], "t", "v", 4, 0.9
+
+        nv_final = (
+            seasonal_naive_forecast(df, ts, vc, keys, m)
+            .groupBy(*keys)
+            .agg(F.max_by("naive_mae", F.col(ts)).alias("naive_mae"))
+        )
+
+        def final_mae(p, out):
+            hw = holt_winters(df, ts, vc, keys, season_rows=m, phi=p)
+            return (
+                hw.where(~F.col("is_future"))
+                .groupBy(*keys)
+                .agg(F.max_by("hw_mae", F.col(ts)).alias(out))
+            )
+
+        th_final = (
+            theta_forecast(df, ts, vc, keys)
+            .groupBy(*keys)
+            .agg(F.max_by("theta_mae", F.col(ts)).alias("theta_mae"))
+        )
+        composed = (
+            nv_final.join(final_mae(1.0, "hw_mae"), keys, "left")
+            .join(final_mae(phi, "hw_damped_mae"), keys, "left")
+            .join(th_final, keys, "left")
+            .toPandas()
+            .sort_values("sid")
+            .reset_index(drop=True)
+        )
+        fused = (
+            forecast_selector(df, ts, vc, keys, season_rows=m, phi=phi)
+            .select(
+                "sid", "naive_mae", "hw_mae", "hw_damped_mae", "theta_mae"
+            )
+            .toPandas()
+            .sort_values("sid")
+            .reset_index(drop=True)
+        )
+        pd.testing.assert_frame_equal(composed, fused, check_exact=True)
+
     def test_hw_wins_on_trend_naive_wins_on_pure_period(self, spark):
         from amonaly_detection_in_time_series_data_spark.operators.timeseries import (
             forecast_selector,

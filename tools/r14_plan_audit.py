@@ -97,6 +97,8 @@ def main() -> None:
             "python": s.count("ArrowEvalPython")
             + s.count("MapInPandas")
             + s.count("MapInArrow")
+            + s.count("FlatMapGroupsInPandas")
+            + s.count("FlatMapGroupsInArrow")
             + s.count("BatchEvalPython"),
             "python_rdd": python_rdd,
             "jvm_rdd": existing_rdd - python_rdd,
