@@ -138,7 +138,7 @@ def main() -> None:
         }
         print(name, json.dumps(out[name]["slowest_stages"][:1]))
 
-    path = os.path.join(REPO, "plans", "r14", "profile_headline.json")
+    path = os.path.join(REPO, "plans", os.environ.get("PROFILE_OUTDIR", "r14"), "profile_headline.json")
     os.makedirs(os.path.dirname(path), exist_ok=True)
     with open(path, "w") as f:
         json.dump(out, f, indent=1)
